@@ -1,0 +1,107 @@
+"""Static query-cost estimation driving the auto-cache trigger.
+
+complexity = (total input GB) x (plan-derived multiplier). The multiplier is
+a keyword-count model over the lowercased canonical plan; constants are an
+exact behavioral match of the reference model (reference:
+dbfs_spark_cache/query_complexity_estimation.py:86-257), pinned by unit tests:
+
+* baseline 0.6 (bare scan/projection);
+* per-op factor ``(base / 0.6) * inc^(count-1)`` multiplied in per op class:
+  join 2.0/1.5, window 2.5/1.8, simple agg 1.0/1.1, complex agg 1.6/1.4,
+  sort 1.4/1.3, distinct 1.5/1.4, udf 1.2/1.2;
+* an aggregate is "complex" iff the plan has grouping expressions or more
+  than one ``agg`` substring;
+* calibration: ``count()`` over 1 GB of parquet => complexity exactly 1.0.
+
+File sizes come from ``df.inputFiles()`` + a per-file stat through the FS
+layer. That is driver-side metadata only — no job runs. **[NS]** note: Spark's
+own CBO stats (``ANALYZE TABLE`` / ``optimizedPlan().stats()``) can replace
+the file-stat path where tables are analyzed; file stats are the portable
+fallback.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame
+
+from . import fs
+from .plans.fingerprint import canonical_plan
+
+log = logging.getLogger(__name__)
+
+_GB = 1024.0 ** 3
+
+MULTIPLIER_BASE = 0.6
+
+# {op: (first-occurrence factor relative to the baseline, per-extra factor)}
+OP_FACTORS: Dict[str, Tuple[float, float]] = {
+    "join": (2.0 / MULTIPLIER_BASE, 1.5),
+    "window": (2.5 / MULTIPLIER_BASE, 1.8),
+    "agg_simple": (1.0 / MULTIPLIER_BASE, 1.1),
+    "agg_complex": (1.6 / MULTIPLIER_BASE, 1.4),
+    "sort": (1.4 / MULTIPLIER_BASE, 1.3),
+    "distinct": (1.5 / MULTIPLIER_BASE, 1.4),
+    "udf": (1.2 / MULTIPLIER_BASE, 1.2),
+}
+
+
+def get_input_file_sizes(df: DataFrame) -> List[float]:
+    """Per-input-file sizes in GB (driver-side metadata calls only)."""
+    try:
+        files = df.inputFiles()
+    except Exception as exc:
+        log.warning("inputFiles() failed: %s", exc)
+        return []
+    sizes: List[float] = []
+    for path in files:
+        nbytes = fs.file_size(path)
+        if nbytes is not None:
+            sizes.append(nbytes / _GB)
+    return sizes
+
+
+def plan_cost_multiplier(plan_lowercase: str) -> float:
+    """Keyword-count multiplier over a lowercased canonical plan."""
+    plan = plan_lowercase
+    counts = {
+        "join": plan.count("join"),
+        "window": plan.count("window"),
+        "sort": plan.count("sort") + plan.count("order by"),
+        # The reference double-counts "distinct " (with trailing space) on top
+        # of the bare keyword; kept for behavioral parity.
+        "distinct": plan.count("distinct") + plan.count("distinct "),
+        "udf": plan.count("udf"),
+    }
+    multiplier = MULTIPLIER_BASE
+    for op, count in counts.items():
+        if count <= 0:
+            continue
+        base, inc = OP_FACTORS[op]
+        multiplier *= base * inc ** (count - 1)
+
+    agg_count = plan.count("aggregate")
+    if agg_count > 0:
+        complex_agg = "groupingexpressions" in plan or plan.count("agg") > 1
+        base, inc = OP_FACTORS["agg_complex" if complex_agg else "agg_simple"]
+        multiplier *= base * inc ** (agg_count - 1)
+    return multiplier
+
+
+def complexity_from_plan(plan_lowercase: str, total_size_gb: float) -> Tuple[float, float]:
+    multiplier = plan_cost_multiplier(plan_lowercase)
+    return total_size_gb * multiplier, multiplier
+
+
+def estimate_compute_complexity(df: DataFrame) -> Tuple[float, float, float]:
+    """(complexity, multiplier, total input GB) for the auto-cache gate."""
+    total_size = sum(get_input_file_sizes(df))
+    plan = canonical_plan(df).lower()
+    if plan.startswith("error:"):
+        return (total_size, 1.0, total_size) if total_size else (0.0, 1.0, 0.0)
+    if not total_size:
+        _, multiplier = complexity_from_plan(plan, 0.0)
+        return 0.0, multiplier, 0.0
+    complexity, multiplier = complexity_from_plan(plan, total_size)
+    return complexity, multiplier, total_size

@@ -1,0 +1,263 @@
+"""Core cache engine: probe, materialize, and direct-data caching.
+
+Re-implements the reference's caching subsystem (reference:
+dbfs_spark_cache/core_caching.py) Spark-first:
+
+* materialized caches are managed tables in ``config.CACHE_DATABASE``
+  (Parquet locally; Delta transparently when its jars are present);
+* metadata sidecars live under ``config.SPARK_CACHE_DIR/<hash>/`` via the
+  engine's FS layer (local os / Hadoop FS) instead of ``dbutils``;
+* a cache hit replaces the user's whole logical plan with a columnar table
+  scan — Catalyst then gets predicate pushdown + column pruning on the
+  materialized result for free.
+
+The reference's double-write bug (saveAsTable called twice per miss,
+core_caching.py:113-114) is intentionally NOT reproduced.
+"""
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+from typing import Any, List, Mapping, Optional, Tuple, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import fs
+from .config import config
+from .hashing import hash_input_data
+from .plans.fingerprint import (
+    DIRECT_DATA_CACHE_KEY,
+    canonical_plan,
+    input_dir_mod_datetime,
+    plan_is_uncacheable,
+    resolve_table_hash,
+    table_cache_info,
+)
+
+log = logging.getLogger(__name__)
+
+
+def table_name_for_hash(hash_name: str) -> str:
+    return f"{config.CACHE_DATABASE}.{hash_name}"
+
+
+def ensure_cache_database(spark: SparkSession) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {config.CACHE_DATABASE}")
+
+
+def _save_as_cache_table(df: DataFrame, table: str) -> None:
+    """Materialize a DataFrame as a managed columnar table.
+
+    Unpartitioned overwrite, like the reference. At 100 TB callers should
+    pre-``repartition`` on a natural key before caching; the write itself is
+    a single distributed job either way.
+    """
+    spark = df.sparkSession
+    ensure_cache_database(spark)
+    writer = df.write.mode("overwrite")
+    if config.CACHE_FORMAT:
+        writer = writer.format(config.CACHE_FORMAT)
+    writer.saveAsTable(table)
+
+
+def read_cache_if_exist(
+    df: DataFrame,
+    query_plan: Optional[str] = None,
+    input_info: Optional[Mapping[str, Union[datetime, bool]]] = None,
+) -> Optional[DataFrame]:
+    """Return the materialized cache for ``df``'s fingerprint, or None.
+
+    Hit requires BOTH the metadata sidecar and the catalog table to exist
+    (reference: core_caching.py:409-471).
+    """
+    spark = df.sparkSession
+    plan = query_plan if query_plan is not None else canonical_plan(df)
+    info = input_info if input_info is not None else input_dir_mod_datetime(df, plan)
+
+    key, _, metadata_path, _ = table_cache_info(info, plan)
+    if fs.read_text(metadata_path) is None:
+        return None
+    table = table_name_for_hash(key)
+    try:
+        if spark.catalog.tableExists(table):
+            return spark.read.table(table)
+    except Exception as exc:  # pragma: no cover - defensive
+        log.warning("Error checking cache table %s: %s", table, exc)
+    log.warning("Cache metadata exists but table %s is missing", table)
+    return None
+
+
+def write_cache(
+    df: DataFrame,
+    replace: bool = True,
+    query_plan: str = "",
+    input_info: Optional[Mapping[str, Union[datetime, bool]]] = None,
+    hash_name: Optional[str] = None,
+    cache_path: Optional[str] = None,
+    verbose: bool = False,
+) -> DataFrame:
+    """Materialize ``df`` under its content hash and return the cached scan.
+
+    Skips the (expensive, distributed) write when the stored metadata is
+    byte-identical — the cache is already current (reference:
+    core_caching.py:100-102).
+    """
+    spark = df.sparkSession
+    plan = query_plan or canonical_plan(df)
+    info = input_info if input_info is not None else input_dir_mod_datetime(df, plan)
+
+    key, _, metadata_path, metadata_txt = table_cache_info(
+        info, plan, hash_name=hash_name, cache_path_base=cache_path
+    )
+    table = table_name_for_hash(key)
+
+    existing = fs.read_text(metadata_path)
+    if existing == metadata_txt and _table_exists(spark, table):
+        log.info("Cache %s already current; skipping write", key)
+    else:
+        if existing is not None and existing != metadata_txt:
+            log.info("Cache %s metadata changed; rewriting", key)
+        _save_as_cache_table(df, table)
+        fs.write_text(metadata_path, metadata_txt)
+
+    if replace:
+        try:
+            return spark.read.table(table)
+        except Exception as exc:  # pragma: no cover - defensive
+            log.error("Could not read back cache table %s: %s", table, exc)
+            return df
+    return df
+
+
+def _table_exists(spark: SparkSession, table: str) -> bool:
+    try:
+        return spark.catalog.tableExists(table)
+    except Exception:
+        return False
+
+
+def cache_dataframe(
+    df: DataFrame,
+    override_prefer_spark_cache: bool = False,
+    complexity_threshold: Optional[float] = None,
+    multiplier_threshold: Optional[float] = None,
+    verbose: bool = False,
+    **kwargs: Any,
+) -> DataFrame:
+    """The flagship entry point (``df.cacheToStorage()``).
+
+    Pipeline (reference: dataframe_extensions.py:29-133):
+      plan check -> cache probe -> cost gate -> Spark-cache tier or
+      materialized write. Returns either the original df (skip), the in-memory
+      cached df, or a scan of the materialized table (hit/new write).
+    """
+    plan = canonical_plan(df)
+    if plan_is_uncacheable(plan):
+        log.info("RDD-backed plan; skipping cache")
+        return df
+
+    info = input_dir_mod_datetime(df, plan)
+    if info == {DIRECT_DATA_CACHE_KEY: True}:
+        return df
+
+    hit = read_cache_if_exist(df, query_plan=plan, input_info=info)
+    if hit is not None:
+        log.info("Cache hit; replacing plan with table scan")
+        return hit
+
+    from .complexity import estimate_compute_complexity
+
+    complexity = multiplier = None
+    try:
+        complexity, multiplier, size_gb = estimate_compute_complexity(df)
+        log.info(
+            "Estimated complexity %.2f (size %.5f GB x multiplier %.2f)",
+            complexity, size_gb, multiplier,
+        )
+    except Exception as exc:  # pragma: no cover - defensive
+        log.warning("Complexity estimation failed: %s", exc)
+
+    if (
+        complexity is not None
+        and complexity_threshold is not None
+        and complexity_threshold > 0
+        and complexity < complexity_threshold
+    ):
+        log.info("Complexity %.2f below threshold %s; not caching", complexity,
+                 complexity_threshold)
+        return df
+    if (
+        multiplier is not None
+        and multiplier_threshold is not None
+        and multiplier_threshold > 0
+        and multiplier < multiplier_threshold
+    ):
+        log.info("Multiplier %.2f below threshold %s; not caching", multiplier,
+                 multiplier_threshold)
+        return df
+
+    from .tiering import should_prefer_spark_cache
+
+    if not override_prefer_spark_cache and should_prefer_spark_cache():
+        log.info("Using Spark in-memory cache tier")
+        return df.cache()
+
+    dt_info = {k: v for k, v in info.items() if isinstance(v, datetime)}
+    return write_cache(
+        df,
+        query_plan=plan,
+        input_info=dt_info,
+        hash_name=kwargs.get("hash_name"),
+        cache_path=kwargs.get("cache_path"),
+        verbose=verbose,
+    )
+
+
+def clear_cache_for_df(df: DataFrame) -> None:
+    from .management import clear_cache_for_hash
+
+    clear_cache_for_hash(df.sparkSession, resolve_table_hash(df))
+
+
+# ---------------------------------------------------------------------------
+# Direct-data caching (createCachedDataFrame)
+# ---------------------------------------------------------------------------
+
+def create_cached_dataframe(
+    spark: SparkSession,
+    data: Union[pd.DataFrame, List[Any], Tuple[Any, ...]],
+    schema: Optional[Any] = None,
+    **kwargs: Any,
+) -> DataFrame:
+    """Content-addressed ``createDataFrame`` (reference:
+    core_caching.py:119-206).
+
+    Hashes the driver-local input; on a hit reads the existing ``data_*``
+    table, on a miss creates + materializes it. The returned DataFrame is
+    tagged so later fingerprinting short-circuits to the data hash.
+    """
+    data_hash = hash_input_data(data)
+    cache_hash_name = f"data_{data_hash}"
+    table = table_name_for_hash(cache_hash_name)
+    cache_dir = f"{config.SPARK_CACHE_DIR}{cache_hash_name}/"
+    metadata_path = f"{cache_dir}cache_metadata.txt"
+
+    if _table_exists(spark, table):
+        log.info("Direct-data cache hit: %s", table)
+        cached = spark.read.table(table)
+    else:
+        log.info("Direct-data cache miss; creating %s", table)
+        source = spark.createDataFrame(data, schema=schema, **kwargs)
+        _save_as_cache_table(source, table)
+        metadata_txt = (
+            "CACHE TYPE: Direct Data Input\n"
+            f"DATA HASH: {data_hash}\n"
+            f"CREATION TIME: {datetime.now():%Y-%m-%d %H:%M:%S}"
+        )
+        fs.write_text(metadata_path, metadata_txt)
+        cached = spark.read.table(table)
+
+    setattr(cached, "_is_direct_data_cache", True)
+    setattr(cached, "_direct_data_cache_hash", cache_hash_name)
+    return cached

@@ -1,0 +1,193 @@
+"""Thin filesystem abstraction.
+
+The reference talks to DBFS through ``dbutils.fs`` (reference:
+core_caching.py:47-62, cache_management.py); this engine needs the same four
+primitives (stat/list, read text, write text, remove) against whatever
+filesystem the Spark cluster uses. Strategy:
+
+* local paths (``/...`` or ``file:/...``) -> plain ``os`` calls — fast, no JVM
+  round-trip, correct for local[] testing;
+* any other scheme (``s3a://``, ``hdfs://``, ``abfss://`` ...) -> Hadoop
+  FileSystem via the active SparkSession's JVM, which is what a 1000-executor
+  cluster would use anyway (one driver-side metadata call, no data movement).
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime
+from typing import List, Optional
+
+
+@dataclass
+class FileStat:
+    path: str
+    name: str
+    size: int
+    mtime_ms: int
+    is_dir: bool
+
+
+def strip_scheme(path: str) -> str:
+    """Normalize ``file:/x`` and ``file:///x`` to ``/x``; leave other schemes."""
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        return rest if rest.startswith("/") else "/" + rest
+    if path.startswith("file:/"):
+        return path[len("file:"):]
+    return path
+
+
+def is_local(path: str) -> bool:
+    p = path
+    if p.startswith("file:"):
+        return True
+    return "://" not in p
+
+
+def _active_jvm_fs(path: str):
+    """Hadoop FileSystem + Path for a non-local URI via the active session."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(f"No active SparkSession to access remote path {path}")
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return jfs, jpath
+
+
+def exists(path: str) -> bool:
+    if is_local(path):
+        return os.path.exists(strip_scheme(path))
+    jfs, jpath = _active_jvm_fs(path)
+    return bool(jfs.exists(jpath))
+
+
+def list_dir(path: str) -> List[FileStat]:
+    """Non-recursive listing with sizes and modification times (ms)."""
+    if is_local(path):
+        local = strip_scheme(path)
+        if not os.path.isdir(local):
+            if os.path.isfile(local):
+                st = os.stat(local)
+                return [FileStat(local, os.path.basename(local), st.st_size,
+                                 int(st.st_mtime * 1000), False)]
+            return []
+        out: List[FileStat] = []
+        with os.scandir(local) as entries:
+            for entry in entries:
+                st = entry.stat()
+                out.append(FileStat(entry.path, entry.name, st.st_size,
+                                    int(st.st_mtime * 1000), entry.is_dir()))
+        return out
+    jfs, jpath = _active_jvm_fs(path)
+    out = []
+    for status in jfs.listStatus(jpath):
+        p = status.getPath().toString()
+        out.append(FileStat(p, status.getPath().getName(), int(status.getLen()),
+                            int(status.getModificationTime()), status.isDirectory()))
+    return out
+
+
+def file_size(path: str) -> Optional[int]:
+    if is_local(path):
+        local = strip_scheme(path)
+        try:
+            return os.stat(local).st_size
+        except OSError:
+            return None
+    try:
+        jfs, jpath = _active_jvm_fs(path)
+        return int(jfs.getFileStatus(jpath).getLen())
+    except Exception:
+        return None
+
+
+def max_mtime(path: str, skip_names: tuple = ("_delta_log",)) -> Optional[datetime]:
+    """Latest modification time of entries directly under ``path``.
+
+    Mirrors the reference's per-source-directory fingerprint (reference:
+    core_caching.py:217-244): skip transaction-log dirs, fall back to the
+    directory's own mtime when it holds no relevant files.
+    """
+    stats = [s for s in list_dir(path)
+             if s.name.rstrip("/") not in skip_names]
+    if stats:
+        return datetime.fromtimestamp(max(s.mtime_ms for s in stats) / 1000)
+    if is_local(path):
+        local = strip_scheme(path)
+        try:
+            return datetime.fromtimestamp(os.stat(local).st_mtime)
+        except OSError:
+            return None
+    try:
+        jfs, jpath = _active_jvm_fs(path)
+        return datetime.fromtimestamp(jfs.getFileStatus(jpath).getModificationTime() / 1000)
+    except Exception:
+        return None
+
+
+def read_text(path: str) -> Optional[str]:
+    if is_local(path):
+        local = strip_scheme(path)
+        try:
+            with open(local, "r", encoding="utf-8") as fh:
+                return fh.read()
+        except OSError:
+            return None
+    try:
+        jfs, jpath = _active_jvm_fs(path)
+        stream = jfs.open(jpath)
+        try:
+            from py4j.java_gateway import java_import  # noqa: F401
+            # Read fully via IOUtils to avoid chunked reads over py4j.
+            from pyspark.sql import SparkSession
+            jvm = SparkSession.getActiveSession()._jvm  # type: ignore
+            data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            return str(data)
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def write_text(path: str, content: str) -> None:
+    if is_local(path):
+        local = strip_scheme(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "w", encoding="utf-8") as fh:
+            fh.write(content)
+        return
+    jfs, jpath = _active_jvm_fs(path)
+    jfs.mkdirs(jpath.getParent())
+    stream = jfs.create(jpath, True)
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def remove(path: str, recursive: bool = True) -> bool:
+    if is_local(path):
+        local = strip_scheme(path)
+        try:
+            if os.path.isdir(local):
+                if recursive:
+                    shutil.rmtree(local)
+                else:
+                    os.rmdir(local)
+            elif os.path.exists(local):
+                os.remove(local)
+            else:
+                return False
+            return True
+        except OSError:
+            return False
+    try:
+        jfs, jpath = _active_jvm_fs(path)
+        return bool(jfs.delete(jpath, recursive))
+    except Exception:
+        return False

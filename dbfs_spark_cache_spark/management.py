@@ -1,0 +1,162 @@
+"""Cache lifecycle: registry, age-based eviction, consistency repair.
+
+Same surface as the reference (reference: dbfs_spark_cache/cache_management.py:
+28-379) on top of the Spark catalog + the engine's FS layer. Registry scans
+fan out over a driver-side thread pool — these are metadata calls (DESCRIBE /
+LIST), so threads, not Spark jobs, are the right tool even on a big cluster.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timedelta
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from . import fs
+from .config import config
+
+log = logging.getLogger(__name__)
+
+REGISTRY_COLUMNS = ["table_name", "hash_name", "directory_path", "creationTime"]
+
+
+def empty_registry() -> pd.DataFrame:
+    return pd.DataFrame(columns=REGISTRY_COLUMNS)
+
+
+def _default_threads(num_threads: Optional[int]) -> int:
+    return num_threads or (os.cpu_count() or 4) * 4
+
+
+def get_tables_from_database(
+    spark: SparkSession, database: Optional[str] = None, num_threads: Optional[int] = None
+) -> pd.DataFrame:
+    """Registry frame of live cache tables via SHOW TABLES + table detail."""
+    db = database or config.CACHE_DATABASE
+    try:
+        tables = spark.sql(f"SHOW TABLES IN {db}").filter("isTemporary = false")
+        names = [row.tableName for row in tables.collect()]
+    except Exception as exc:
+        log.warning("Could not list tables in %s: %s", db, exc)
+        return empty_registry()
+
+    def describe(name: str) -> Optional[dict]:
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{name}").collect()
+            props = {row.col_name: row.data_type for row in detail}
+            location = props.get("Location", "")
+            created = props.get("Created Time", "")
+            try:
+                creation_time = pd.to_datetime(created)
+            except Exception:
+                creation_time = pd.NaT
+            return {
+                "table_name": f"{db}.{name}",
+                "hash_name": name,
+                "directory_path": location,
+                "creationTime": creation_time,
+            }
+        except Exception as exc:
+            log.warning("DESCRIBE failed for %s.%s: %s", db, name, exc)
+            return None
+
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        rows = [r for r in pool.map(describe, names) if r is not None]
+    if not rows:
+        return empty_registry()
+    return pd.DataFrame(rows, columns=REGISTRY_COLUMNS)
+
+
+def get_cached_tables(
+    spark: SparkSession, num_threads: Optional[int] = None
+) -> pd.DataFrame:
+    """Catalog registry sorted by creation time (newest last)."""
+    frame = get_tables_from_database(spark, num_threads=num_threads)
+    if frame.empty:
+        return frame
+    return frame.sort_values("creationTime").reset_index(drop=True)
+
+
+def get_cached_dataframe_metadata(num_threads: Optional[int] = None) -> pd.DataFrame:
+    """Registry frame built from metadata sidecars under SPARK_CACHE_DIR."""
+    base = config.SPARK_CACHE_DIR
+    entries = [s for s in fs.list_dir(base) if s.is_dir]
+
+    def inspect(entry: fs.FileStat) -> Optional[dict]:
+        meta_path = f"{entry.path.rstrip('/')}/cache_metadata.txt"
+        stats = [s for s in fs.list_dir(entry.path) if s.name == "cache_metadata.txt"]
+        if not stats:
+            return None
+        return {
+            "table_name": f"{config.CACHE_DATABASE}.{entry.name}",
+            "hash_name": entry.name,
+            "directory_path": meta_path,
+            "creationTime": datetime.fromtimestamp(stats[0].mtime_ms / 1000),
+        }
+
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        rows = [r for r in pool.map(inspect, entries) if r is not None]
+    if not rows:
+        return empty_registry()
+    return (
+        pd.DataFrame(rows, columns=REGISTRY_COLUMNS)
+        .sort_values("creationTime")
+        .reset_index(drop=True)
+    )
+
+
+def clear_cache_for_hash(spark: SparkSession, hash_name: str) -> None:
+    """Drop the cache table and remove its metadata directory."""
+    if not hash_name:
+        return
+    table = f"{config.CACHE_DATABASE}.{hash_name}"
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    except Exception as exc:
+        log.warning("DROP TABLE %s failed: %s", table, exc)
+    fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
+
+
+def clear_caches_older_than(
+    spark: SparkSession,
+    num_days: int = 7,
+    num_threads: Optional[int] = None,
+    confirm_delete: bool = True,
+) -> List[str]:
+    """Evict cache entries older than ``num_days``; returns evicted hashes."""
+    registry = get_cached_dataframe_metadata(num_threads=num_threads)
+    if registry.empty:
+        return []
+    cutoff = datetime.now() - timedelta(days=num_days)
+    stale = registry[registry["creationTime"] < cutoff]
+    hashes = list(stale["hash_name"])
+    if not confirm_delete:
+        log.info("Dry run: would evict %d entries", len(hashes))
+        return hashes
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        list(pool.map(lambda h: clear_cache_for_hash(spark, h), hashes))
+    return hashes
+
+
+def clear_inconsistent_cache(
+    spark: SparkSession, num_threads: Optional[int] = None
+) -> List[str]:
+    """Remove half-present entries: metadata without a table, or a table
+    without metadata (reference: cache_management.py:229-288)."""
+    meta = get_cached_dataframe_metadata(num_threads=num_threads)
+    tables = get_tables_from_database(spark, num_threads=num_threads)
+    merged = pd.merge(
+        meta[["hash_name"]],
+        tables[["hash_name"]],
+        on="hash_name",
+        how="outer",
+        indicator=True,
+    )
+    orphans = list(merged[merged["_merge"] != "both"]["hash_name"])
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
+    return orphans

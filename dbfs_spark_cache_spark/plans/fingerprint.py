@@ -1,0 +1,202 @@
+"""Content-addressed identity for DataFrames.
+
+A DataFrame's cache identity is MD5 over a plain-text metadata document built
+from (a) its input source directories + their latest modification times and
+(b) the canonicalized logical/physical plan text. Same semantics as the
+reference engine (reference: dbfs_spark_cache/core_caching.py:300-325 plan
+canonicalization, :212-297 input fingerprint, :371-406 metadata + key), but
+implemented against the public PySpark API plus the engine's own FS layer so
+it runs identically on local[], YARN, or K8s clusters.
+
+Scale note: everything here is driver-side metadata work — one py4j call for
+``explain``, one for ``inputFiles()``, and one filesystem LIST per distinct
+input *directory* (not per file). At 100 TB with thousands of input files the
+directory-level mtime check stays O(#directories).
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from datetime import datetime
+from typing import Dict, Mapping, Optional, Tuple, Union
+
+from pyspark.sql import DataFrame
+
+from .. import fs
+from ..config import config
+from ..hashing import find_cache_table_in_text
+
+# Sentinel keys used in the input-fingerprint mapping.
+SCHEMA_CHANGED_KEY = "<schema_changed_placeholder>"
+DIRECT_DATA_CACHE_KEY = "<direct_data_cache>"
+
+_EXPR_ID = re.compile(r"#\d+")
+# Physical-plan node ids (Spark 3.4+/4.x print `[plan_id=NN]`) are allocated
+# from a session-global counter — identical queries get different ids.
+_PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
+_WS = re.compile(r"\s+")
+
+
+def canonical_plan(df: DataFrame) -> str:
+    """Canonicalized ``explain(mode="extended")`` text.
+
+    Expression IDs (``#123``) differ between otherwise-identical plans, and
+    whitespace/layout varies with nesting depth — both are stripped so that
+    semantically identical queries hash equal (reference:
+    core_caching.py:306-316).
+    """
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            df.explain(mode="extended")
+    except Exception as exc:  # pragma: no cover - defensive
+        return f"Error: {exc}"
+    raw = buf.getvalue()
+    plan = _EXPR_ID.sub("", raw)
+    plan = _PLAN_ID.sub("", plan)
+    plan = _WS.sub(" ", plan).strip()
+    return plan
+
+
+def plan_is_uncacheable(plan: str) -> bool:
+    """RDD-backed plans have no stable content identity (reference:
+    dataframe_extensions.py:47-49)."""
+    return "Scan ExistingRDD" in plan
+
+
+_InputInfo = Union[Dict[str, datetime], Dict[str, bool]]
+
+
+def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputInfo:
+    """Map of input source directory -> latest file modification time.
+
+    Special cases (mirroring reference core_caching.py:212-297):
+
+    * plan reads a ``data_*`` cache table -> ``{}`` (identity comes from the
+      plan text, which embeds the content-addressed table name);
+    * schema-changed error from ``inputFiles()`` -> a sentinel entry carrying
+      ``now()`` so the key never matches (forced invalidation);
+    * directories that *are* cache entries (32-hex names under the cache dir)
+      are skipped — a cached scan's identity is the cache table name in the
+      plan, not the cache files' mtimes.
+    """
+    plan_text = plan if plan is not None else canonical_plan(df)
+
+    if find_cache_table_in_text(plan_text, config.CACHE_DATABASE, "data_"):
+        return {}
+
+    try:
+        files = df.inputFiles()
+    except Exception as exc:
+        if "SCHEMA_CHANGE" in str(exc).upper():
+            return {SCHEMA_CHANGED_KEY: datetime.now()}
+        return {}
+
+    if not files:
+        return {}
+
+    import os
+
+    dirs = sorted({os.path.dirname(f) for f in files})
+    cache_base = re.escape(config.SPARK_CACHE_DIR.rstrip("/"))
+    cache_entry_re = re.compile(rf"^{cache_base}/[a-f0-9]{{32}}/?$")
+
+    result: Dict[str, datetime] = {}
+    for d in dirs:
+        if cache_entry_re.match(fs.strip_scheme(d)):
+            continue
+        mtime = fs.max_mtime(d)
+        if mtime is not None:
+            result[d] = mtime
+    return result
+
+
+def cache_metadata_document(
+    input_info: Mapping[str, Union[datetime, bool]], plan: str
+) -> str:
+    """Render the byte-stable metadata document whose MD5 is the cache key.
+
+    The exact text format is a correctness interface: any drift silently
+    invalidates every existing cache (reference: core_caching.py:371-388).
+    """
+    lines = []
+    for path, value in input_info.items():
+        if isinstance(value, datetime):
+            lines.append(f"  {path}: {value:%Y-%m-%d %H:%M:%S}")
+        else:
+            lines.append(f"  {path}: {value}")
+    sources = "\n".join(lines)
+    return (
+        "INPUT SOURCES MODIFICATION DATETIMES:\n"
+        f"{sources}\n"
+        "\n"
+        "DATAFRAME QUERY PLAN:\n"
+        f"{plan}"
+    )
+
+
+def compute_cache_key(metadata_txt: str) -> str:
+    return hashlib.md5(metadata_txt.encode("utf-8")).hexdigest()
+
+
+def table_cache_info(
+    input_info: Mapping[str, Union[datetime, bool]],
+    plan: str,
+    hash_name: Optional[str] = None,
+    cache_path_base: Optional[str] = None,
+) -> Tuple[str, str, str, str]:
+    """(hash, cache_dir, metadata_file_path, metadata_txt) for a query."""
+    base = cache_path_base or config.SPARK_CACHE_DIR
+    if not base.endswith("/"):
+        base += "/"
+    metadata_txt = cache_metadata_document(input_info, plan)
+    key = hash_name if hash_name is not None else compute_cache_key(metadata_txt)
+    cache_dir = f"{base}{key}/"
+    return key, cache_dir, f"{cache_dir}cache_metadata.txt", metadata_txt
+
+
+def resolve_table_hash(df: DataFrame) -> str:
+    """Full identity resolution with the reference's short-circuits
+    (reference: core_caching.py:527-571):
+
+    1. DataFrame tagged as a direct-data cache -> its recorded ``data_*`` hash.
+    2. Plan that is a *pure scan* of a ``data_*`` cache table -> that hash.
+    3. Plan that embeds a standard 32-hex cache table -> that hash.
+    4. Otherwise MD5 of the metadata document.
+    """
+    if getattr(df, "_is_direct_data_cache", False):
+        tagged = getattr(df, "_direct_data_cache_hash", None)
+        if tagged:
+            return tagged
+
+    plan = canonical_plan(df)
+    db = config.CACHE_DATABASE
+
+    data_table = find_cache_table_in_text(plan, db, "data_")
+    if data_table:
+        relation_re = re.compile(
+            rf"Relation\s*\[[^\]]*\]\s*\S*{re.escape(db)}\.{re.escape(data_table)}\S*"
+        )
+        remainder = relation_re.sub("", plan)
+        # Strip the section headers explain always prints; a pure scan leaves
+        # nothing else behind.
+        remainder = re.sub(
+            r"== (Parsed Logical Plan|Analyzed Logical Plan|Optimized Logical Plan|Physical Plan) ==",
+            "", remainder)
+        remainder = re.sub(r"[\s,:]+", "", remainder)
+        remainder = re.sub(r"[a-zA-Z_]+:[a-z]+", "", remainder)
+        if not re.search(r"(Project|Filter|Join|Aggregate|Sort|Window|Union|Generate)", remainder):
+            return data_table
+
+    info = input_dir_mod_datetime(df, plan)
+    dt_info: Dict[str, datetime] = {
+        k: v for k, v in info.items() if isinstance(v, datetime)
+    }
+    metadata_txt = cache_metadata_document(dt_info, plan)
+    embedded = find_cache_table_in_text(metadata_txt, db, "")
+    if embedded is not None:
+        return embedded
+    return compute_cache_key(metadata_txt)

@@ -1,0 +1,104 @@
+"""Cache-tier policy and batch backup.
+
+Two tiers (reference: caching.py:21-175, dataframe_extensions.py:23-25):
+
+1. Spark's in-memory/disk cache (``df.cache()``) — fastest, cluster-lifetime;
+2. the materialized content-addressed table — persistent across sessions.
+
+``backup_spark_cached_to_storage`` drains tier 1 into tier 2, with optional
+complexity pre-filters so trivially-recomputable frames are skipped.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterable, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+
+from .config import config
+
+log = logging.getLogger(__name__)
+
+
+def is_serverless_cluster() -> bool:
+    """Serverless Databricks runtimes report ``client.*`` versions; there the
+    in-memory tier is unavailable (reference: utils.py:13-19)."""
+    return os.environ.get("DATABRICKS_RUNTIME_VERSION", "").startswith("client.")
+
+
+def should_prefer_spark_cache() -> bool:
+    return config.PREFER_SPARK_CACHE and not is_serverless_cluster()
+
+
+def is_spark_cached(df: DataFrame) -> bool:
+    try:
+        level = df.storageLevel
+        return bool(level.useMemory or level.useDisk)
+    except Exception:
+        return False
+
+
+def backup_spark_cached_to_storage(
+    specific_dfs: Iterable[DataFrame],
+    unpersist_after_backup: bool = False,
+    min_complexity_threshold: Optional[float] = None,
+    min_multiplier_threshold: Optional[float] = None,
+    process_in_reverse_order: bool = True,
+) -> List[DataFrame]:
+    """Persist Spark-cached DataFrames to the materialized tier.
+
+    Skips ``data_*`` frames (their content already IS the cache) and, when
+    thresholds are given, frames whose estimated complexity/multiplier fall
+    below them. Returns the successfully backed-up frames.
+    """
+    from .complexity import estimate_compute_complexity
+    from .core import write_cache
+    from .plans.fingerprint import resolve_table_hash
+
+    candidates = list(specific_dfs)
+    if process_in_reverse_order:
+        candidates.reverse()
+
+    eligible: List[Tuple[DataFrame, Optional[Tuple[float, float, float]]]] = []
+    for df in candidates:
+        if not isinstance(df, DataFrame):
+            continue
+        try:
+            df_hash = resolve_table_hash(df)
+        except Exception as exc:
+            log.warning("Could not fingerprint DataFrame: %s; skipping", exc)
+            continue
+        if df_hash.startswith("data_"):
+            log.info("Skipping %s: direct-data caches are already persistent", df_hash)
+            continue
+        estimate = None
+        if min_complexity_threshold is not None or min_multiplier_threshold is not None:
+            try:
+                estimate = estimate_compute_complexity(df)
+            except Exception as exc:
+                log.warning("Complexity estimate failed for %s: %s", df_hash, exc)
+            if estimate is not None:
+                complexity, multiplier, _ = estimate
+                if (
+                    min_multiplier_threshold is not None
+                    and multiplier < min_multiplier_threshold
+                ):
+                    continue
+                if (
+                    min_complexity_threshold is not None
+                    and complexity <= min_complexity_threshold
+                ):
+                    continue
+        eligible.append((df, estimate))
+
+    backed_up: List[DataFrame] = []
+    for df, _ in eligible:
+        try:
+            write_cache(df, replace=False)
+            backed_up.append(df)
+            if unpersist_after_backup:
+                df.unpersist()
+        except Exception as exc:
+            log.error("Backup failed: %s", exc)
+    return backed_up

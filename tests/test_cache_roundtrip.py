@@ -1,0 +1,207 @@
+"""End-to-end cache engine behavior on local Spark (SURVEY.md §3, §5).
+
+Covers: fingerprint determinism/sensitivity, miss -> write -> hit round-trip,
+plan substitution on hit, write-skip when metadata identical, invalidation on
+input mtime change, direct-data caching, RDD rejection, threshold gates.
+"""
+import os
+import shutil
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def lineitem_copy(tmp_path, spark):
+    """A private copy of lineitem so tests can bump mtimes safely."""
+    src = f"{SF_SMOKE}/lineitem.parquet"
+    dst = tmp_path / "lineitem.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        dst.mkdir()
+        shutil.copy(src, dst / "part-0.parquet")
+    return str(dst)
+
+
+def _flagship(spark, path):
+    df = spark.read.parquet(path)
+    return (
+        df.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def test_plan_canonicalization_strips_expr_ids(spark, lineitem_copy):
+    from dbfs_spark_cache_spark import canonical_plan
+
+    p1 = canonical_plan(_flagship(spark, lineitem_copy))
+    p2 = canonical_plan(_flagship(spark, lineitem_copy))
+    assert p1 == p2
+    assert "#1" not in p1
+
+
+def test_fingerprint_sensitive_to_query(spark, lineitem_copy):
+    from dbfs_spark_cache_spark import resolve_table_hash
+
+    df1 = _flagship(spark, lineitem_copy)
+    df2 = _flagship(spark, lineitem_copy).filter(F.col("cnt") > 1)
+    h1, h2 = resolve_table_hash(df1), resolve_table_hash(df2)
+    assert h1 != h2
+    assert len(h1) == 32
+
+
+def test_miss_write_hit_roundtrip(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import canonical_plan, read_cache_if_exist, write_cache
+
+    df = _flagship(spark, lineitem_copy)
+    assert read_cache_if_exist(df) is None  # cold cache
+
+    cached = write_cache(df)
+    expected = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, cached.collect())) == expected
+
+    hit = read_cache_if_exist(_flagship(spark, lineitem_copy))
+    assert hit is not None
+    assert sorted(map(tuple, hit.collect())) == expected
+    # The hit's plan is a plain table scan, not the original aggregation.
+    assert "Aggregate" not in canonical_plan(hit).split("== Analyzed")[0]
+
+
+def test_write_skip_when_metadata_identical(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    write_cache(df)
+    entries = os.listdir(config.SPARK_CACHE_DIR)
+    assert len(entries) == 1
+    meta = f"{config.SPARK_CACHE_DIR}{entries[0]}/cache_metadata.txt"
+    first_mtime = os.stat(meta).st_mtime
+    time.sleep(0.05)
+    write_cache(df)  # identical -> must skip rewrite
+    assert os.stat(meta).st_mtime == first_mtime
+
+
+def test_invalidation_on_input_change(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import read_cache_if_exist, resolve_table_hash, write_cache
+
+    df = _flagship(spark, lineitem_copy)
+    h_before = resolve_table_hash(df)
+    write_cache(df)
+
+    # Touch the input -> new mtime -> new fingerprint -> cache miss.
+    time.sleep(1.1)
+    for name in os.listdir(lineitem_copy):
+        os.utime(os.path.join(lineitem_copy, name))
+    df2 = _flagship(spark, lineitem_copy)
+    assert resolve_table_hash(df2) != h_before
+    assert read_cache_if_exist(df2) is None
+
+
+def test_cache_dataframe_threshold_skip(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import cache_dataframe
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    out = cache_dataframe(df, complexity_threshold=10_000.0)
+    assert out is df  # tiny input: skipped entirely
+    assert not os.listdir(config.SPARK_CACHE_DIR)
+
+
+def test_cache_dataframe_materializes_and_hits(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import cache_dataframe
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    out = cache_dataframe(df, override_prefer_spark_cache=True)
+    assert len(os.listdir(config.SPARK_CACHE_DIR)) == 1
+    again = cache_dataframe(_flagship(spark, lineitem_copy),
+                            override_prefer_spark_cache=True)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_spark_cache_tier(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import cache_dataframe, is_spark_cached
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    out = cache_dataframe(df)  # PREFER_SPARK_CACHE=True, classic env
+    assert is_spark_cached(out)
+    assert not os.listdir(config.SPARK_CACHE_DIR)  # no materialized write
+    out.unpersist()
+
+
+def test_rdd_backed_plan_skipped(spark, clean_cache):
+    from dbfs_spark_cache_spark import cache_dataframe
+
+    rdd = spark.sparkContext.parallelize([(1, "a"), (2, "b")])
+    df = spark.createDataFrame(rdd, ["id", "val"])
+    assert cache_dataframe(df) is df
+
+
+def test_create_cached_dataframe_hit_and_miss(spark, clean_cache):
+    from dbfs_spark_cache_spark import create_cached_dataframe, resolve_table_hash
+
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": [2.0, 4.0, 6.0]})
+    df1 = create_cached_dataframe(spark, pdf)
+    assert sorted(map(tuple, df1.collect())) == [(1, 2.0), (2, 4.0), (3, 6.0)]
+    assert resolve_table_hash(df1).startswith("data_")
+
+    df2 = create_cached_dataframe(spark, pdf)  # hit: same content hash
+    assert resolve_table_hash(df2) == resolve_table_hash(df1)
+
+    df3 = create_cached_dataframe(spark, pdf.assign(x=[9, 9, 9]))
+    assert resolve_table_hash(df3) != resolve_table_hash(df1)
+
+
+def test_extensions_attach(spark, clean_cache):
+    from pyspark.sql import DataFrame
+
+    from dbfs_spark_cache_spark import extend_dataframe_methods
+
+    extend_dataframe_methods(spark)
+    for attr in ("cacheToStorage", "cacheToDbfs", "clearStorageCache",
+                 "clearDbfsCache", "withCachedDisplay", "wcd"):
+        assert callable(getattr(DataFrame, attr))
+    assert callable(spark.createCachedDataFrame)
+
+
+def test_clear_cache_lifecycle(spark, clean_cache, lineitem_copy):
+    from dbfs_spark_cache_spark import (
+        clear_cache_for_hash,
+        clear_inconsistent_cache,
+        get_cached_dataframe_metadata,
+        resolve_table_hash,
+        write_cache,
+    )
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    write_cache(df)
+    registry = get_cached_dataframe_metadata()
+    assert len(registry) == 1
+    h = registry.iloc[0]["hash_name"]
+    assert h == resolve_table_hash(df)
+
+    clear_cache_for_hash(spark, h)
+    assert not spark.catalog.tableExists(f"{config.CACHE_DATABASE}.{h}")
+    assert get_cached_dataframe_metadata().empty
+
+    # Orphan repair: metadata dir without a table is removed.
+    os.makedirs(f"{config.SPARK_CACHE_DIR}{'b' * 32}", exist_ok=True)
+    with open(f"{config.SPARK_CACHE_DIR}{'b' * 32}/cache_metadata.txt", "w") as fh:
+        fh.write("orphan")
+    removed = clear_inconsistent_cache(spark)
+    assert "b" * 32 in removed
+    assert not os.path.exists(f"{config.SPARK_CACHE_DIR}{'b' * 32}")
