@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + cache-engine metrics at one scale
+factor. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Cache metrics mirror BASELINE.md's profile: `cache_write_overhead` is
+(write+read)/uncached-recompute for the flagship query, `cached_speedup` is
+uncached-recompute/cache-hit-read. Targets: overhead <= ~1.5x, speedup >= ~10x.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_wide",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_broadcast_dim",
+    "window_topk_per_group",
+    "window_running_frames",
+    "agg_cube",
+    "asof_join_prior_view",
+    "sessionization",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "similarity_topk_cosine",
+    "text_stats",
+    "multimodal_decode_features",
+]
+
+
+def materialize(df) -> None:
+    """Force full execution without a real sink."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from dbfs_spark_cache_spark import cache_dataframe, reconfigure
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.session import get_spark
+
+    bench_root = "/tmp/bench_cache"
+    shutil.rmtree(bench_root, ignore_errors=True)
+    reconfigure(SPARK_CACHE_DIR=f"{bench_root}/cache/", CACHE_DATABASE="bench_cache_db")
+    spark = get_spark(app_name="bench", warehouse_dir=f"{bench_root}/warehouse/")
+    spark.sql("DROP DATABASE IF EXISTS bench_cache_db CASCADE")
+
+    # One untimed warmup so JVM/codegen startup doesn't land on the first query.
+    materialize(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, SF_DIR))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # Cache-engine profile on the multi-operator flagship query. DataFrame
+    # construction (file listing + analysis) happens outside the timers:
+    # BASELINE's methodology times repeated actions on a built DataFrame.
+    flagship = QUERIES["flagship_wide"]
+
+    df_a = flagship(spark, SF_DIR)
+    t0 = time.time()
+    materialize(df_a)
+    t_uncached = time.time() - t0
+
+    df_b = flagship(spark, SF_DIR)
+    t0 = time.time()
+    materialize(cache_dataframe(df_b, override_prefer_spark_cache=True))
+    t_write_and_read = time.time() - t0
+
+    df_c = flagship(spark, SF_DIR)
+    t0 = time.time()
+    materialize(cache_dataframe(df_c, override_prefer_spark_cache=True))
+    t_hit = time.time() - t0
+
+    timings["cache_uncached_run"] = round(t_uncached, 3)
+    timings["cache_write_and_read"] = round(t_write_and_read, 3)
+    timings["cache_hit_read"] = round(t_hit, 3)
+    timings["cache_write_overhead_ratio"] = round(t_write_and_read / max(t_uncached, 1e-9), 3)
+    timings["cached_speedup"] = round(t_uncached / max(t_hit, 1e-9), 3)
+    total += t_uncached + t_write_and_read + t_hit
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

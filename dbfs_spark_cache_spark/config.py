@@ -72,6 +72,12 @@ class Settings:
     CACHE_FORMAT: str = field(
         default_factory=lambda: _env_str("CACHE_FORMAT", "parquet")
     )
+    # Plan text used for fingerprinting: "analyzed" (one resolved logical
+    # plan: fast, stable across optimizer/physical changes) or "extended"
+    # (full 4-section explain, byte-compatible with the reference's input).
+    PLAN_FINGERPRINT_MODE: str = field(
+        default_factory=lambda: _env_str("PLAN_FINGERPRINT_MODE", "analyzed")
+    )
 
     def __post_init__(self) -> None:
         if not self.SPARK_CACHE_DIR.endswith("/"):

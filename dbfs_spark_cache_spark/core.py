@@ -46,19 +46,53 @@ def ensure_cache_database(spark: SparkSession) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {config.CACHE_DATABASE}")
 
 
-def _save_as_cache_table(df: DataFrame, table: str) -> None:
+def _table_location(spark: SparkSession, hash_name: str) -> str:
+    """Managed-table location for a cache entry (warehouse/<db>.db/<hash>)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db/{hash_name}"
+
+
+def _save_as_cache_table(df: DataFrame, table: str, hash_name: str) -> None:
     """Materialize a DataFrame as a managed columnar table.
 
     Unpartitioned overwrite, like the reference. At 100 TB callers should
     pre-``repartition`` on a natural key before caching; the write itself is
     a single distributed job either way.
+
+    Durability note: with Spark's default in-memory catalog the table entry
+    dies with the session while its files survive in the warehouse. A stale
+    location from a previous session would block ``saveAsTable``, so it is
+    cleared first; reads fall back to the path (see ``_read_cache_table``).
     """
     spark = df.sparkSession
     ensure_cache_database(spark)
+    if not _table_exists(spark, table):
+        location = _table_location(spark, hash_name)
+        if fs.exists(location):
+            fs.remove(location)
     writer = df.write.mode("overwrite")
     if config.CACHE_FORMAT:
         writer = writer.format(config.CACHE_FORMAT)
     writer.saveAsTable(table)
+
+
+def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame]:
+    """Read a cache entry via the catalog, falling back to its files.
+
+    The path fallback is what makes caches survive session restarts on
+    catalogs without persistence (local in-memory catalog); on a shared
+    metastore the catalog branch always wins.
+    """
+    table = table_name_for_hash(hash_name)
+    if _table_exists(spark, table):
+        return spark.read.table(table)
+    location = _table_location(spark, hash_name)
+    if fs.exists(location):
+        try:
+            return spark.read.format(config.CACHE_FORMAT or "parquet").load(location)
+        except Exception as exc:  # pragma: no cover - defensive
+            log.warning("Path fallback read failed for %s: %s", location, exc)
+    return None
 
 
 def read_cache_if_exist(
@@ -78,14 +112,10 @@ def read_cache_if_exist(
     key, _, metadata_path, _ = table_cache_info(info, plan)
     if fs.read_text(metadata_path) is None:
         return None
-    table = table_name_for_hash(key)
-    try:
-        if spark.catalog.tableExists(table):
-            return spark.read.table(table)
-    except Exception as exc:  # pragma: no cover - defensive
-        log.warning("Error checking cache table %s: %s", table, exc)
-    log.warning("Cache metadata exists but table %s is missing", table)
-    return None
+    cached = _read_cache_table(spark, key)
+    if cached is None:
+        log.warning("Cache metadata exists but table %s is missing", key)
+    return cached
 
 
 def write_cache(
@@ -113,20 +143,20 @@ def write_cache(
     table = table_name_for_hash(key)
 
     existing = fs.read_text(metadata_path)
-    if existing == metadata_txt and _table_exists(spark, table):
+    if existing == metadata_txt and _read_cache_table(spark, key) is not None:
         log.info("Cache %s already current; skipping write", key)
     else:
         if existing is not None and existing != metadata_txt:
             log.info("Cache %s metadata changed; rewriting", key)
-        _save_as_cache_table(df, table)
+        _save_as_cache_table(df, table, key)
         fs.write_text(metadata_path, metadata_txt)
 
     if replace:
-        try:
-            return spark.read.table(table)
-        except Exception as exc:  # pragma: no cover - defensive
-            log.error("Could not read back cache table %s: %s", table, exc)
-            return df
+        cached = _read_cache_table(spark, key)
+        if cached is not None:
+            return cached
+        log.error("Could not read back cache table %s", table)
+        return df
     return df
 
 
@@ -243,13 +273,13 @@ def create_cached_dataframe(
     cache_dir = f"{config.SPARK_CACHE_DIR}{cache_hash_name}/"
     metadata_path = f"{cache_dir}cache_metadata.txt"
 
-    if _table_exists(spark, table):
+    cached = _read_cache_table(spark, cache_hash_name)
+    if cached is not None and fs.read_text(metadata_path) is not None:
         log.info("Direct-data cache hit: %s", table)
-        cached = spark.read.table(table)
     else:
         log.info("Direct-data cache miss; creating %s", table)
         source = spark.createDataFrame(data, schema=schema, **kwargs)
-        _save_as_cache_table(source, table)
+        _save_as_cache_table(source, table, cache_hash_name)
         metadata_txt = (
             "CACHE TYPE: Direct Data Input\n"
             f"DATA HASH: {data_hash}\n"
@@ -258,6 +288,7 @@ def create_cached_dataframe(
         fs.write_text(metadata_path, metadata_txt)
         cached = spark.read.table(table)
 
+    assert cached is not None
     setattr(cached, "_is_direct_data_cache", True)
     setattr(cached, "_direct_data_cache_hash", cache_hash_name)
     return cached

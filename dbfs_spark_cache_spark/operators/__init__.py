@@ -1,0 +1,22 @@
+"""Operator suite: every named query the engine supports.
+
+Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
+used by ``__spark_entry__.py``. Modules:
+
+* ``relational``  — scans, filters, joins, aggregations, windows, sorts,
+  set ops, scalar-function families, UDFs (SURVEY.md §2 Layer B)
+* ``timeseries``  — as-of / range joins, sessionization, tumbling/sliding
+  windows over the events table
+* ``dedup``       — exact, fingerprint, MinHash-LSH, SimHash, token-Jaccard
+* ``similarity``  — embedding norms, brute-force cosine top-k, LSH buckets
+* ``text``        — token stats, language-ID heuristic, fingerprinting
+* ``multimodal``  — binary-column plumbing with stubbed decoders
+"""
+from .registry import ORACLES, QUERIES, register  # noqa: F401
+
+from . import relational  # noqa: E402,F401
+from . import timeseries  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import similarity  # noqa: E402,F401
+from . import text  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401

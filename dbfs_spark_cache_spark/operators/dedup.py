@@ -1,0 +1,295 @@
+"""Deduplication operators over the documents table ([NS] north-star).
+
+Five strategies, cheapest first:
+
+* exact        — group on the raw text (or its hash): one shuffle
+* keep-first   — window rank over the dup group, keeps the lowest doc_id
+* fingerprint  — normalize (lowercase, collapse whitespace) then hash
+* token-Jaccard — blocked self-join + exact set similarity (SQL-checkable)
+* MinHash-LSH  — shingle -> minhash signature -> banded bucket join
+  (the 100 TB path: work is linear in corpus size + bucket collisions;
+  no all-pairs comparison ever materializes)
+* SimHash      — 64-bit weighted-token signature, hamming-banded candidates
+
+All tokenization is whitespace-splitting on the fixture's pre-normalized
+text; swap the regex for real corpora.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS text_md5,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one shuffle on the content hash.
+    Grouping on md5(text) rather than text keeps shuffle rows narrow —
+    at 100 TB that is the difference between shuffling hashes and shuffling
+    the corpus."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-rank keep-first: survivors of exact dedup with full rows."""
+    docs = load_table(spark, sf, "documents")
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized-content fingerprint: whitespace/case-insensitive dedup."""
+    docs = load_table(spark, sf, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.groupBy(F.md5(normalized).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_token_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars % 10 AS bucket,
+               list_distinct(string_split(text, ' ')) AS tokens
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tokens, b.tokens))), 4) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.5
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard on blocked candidate pairs.
+
+    Blocking on (lang, n_chars bucket) keeps the self-join quadratic only
+    within small blocks — the standard guard before exact verification of
+    near-dup candidates. Integer set sizes divide exactly, so the oracle
+    matches bit-for-bit."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") % 10).alias("bucket"),
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
+    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(jaccard >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+    )
+
+
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands x 4 rows: ~0.5 detection threshold around j ~ 0.6
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id -> MinHash signature (array<long>) over 3-token shingles.
+
+    Shingles are built with JVM-side higher-order functions (transform over
+    a sequence — no Python in the loop); each permutation is simulated by
+    xxhash64 with a different seed literal. One explode + one groupBy: the
+    shuffle carries (doc_id, shingle-hash) pairs only.
+    """
+    shingled = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+        ).alias("shingles"),
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        for seed in range(n_hashes)
+    ]
+    sig = shingled.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates.
+
+    signature -> per-band bucket hash -> explode -> bucket self-join ->
+    estimated Jaccard (= fraction of agreeing minhashes) >= 0.5. The full
+    signature array travels WITH each banded row, so verification happens
+    inside the bucket join — the signature aggregation runs once, and no
+    second join against the signature table is needed. Linear in corpus
+    size; the only join is within identical band buckets, so at 100 TB the
+    plan is shuffle-on-band-hash + AQE skew handling. No oracle: the
+    xxhash64 permutations are Spark-specific (rows-only check;
+    recall/precision asserted in tests/test_operators_dedup.py).
+    """
+    docs = load_table(spark, sf, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(
+                *[F.element_at("sig", band * rows_per_band + r + 1) for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for band in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
+        )
+        .distinct()
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash near-dup candidates.
+
+    Each document's tokens vote (+count/-count) on every signature bit of
+    their xxhash64; candidate pairs share at least one of four 16-bit chunks
+    (detects hamming distance <= 3 with high probability) and are emitted
+    with their exact hamming distance. One explode + groupBy + chunk-join:
+    linear, shuffle-friendly. No oracle (hash-function specific); invariants
+    tested in tests/test_operators_dedup.py.
+    """
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tokens = tokens.withColumn("h", F.xxhash64("token"))
+
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    votes = tokens.groupBy("doc_id").agg(*bit_aggs)
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(64)
+        ).alias("simhash"),
+    )
+
+    chunks = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 12)
+    )

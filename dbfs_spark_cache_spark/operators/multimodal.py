@@ -1,0 +1,122 @@
+"""Multimodal column plumbing ([NS] north-star).
+
+Design for 100 TB: media rides as opaque ``binary`` columns (or, better,
+object-store URIs + typed metadata structs — never inline blobs for large
+assets); decode / feature-extraction runs as Arrow-batched pandas functions
+over ``mapInPandas``. The actual image/audio codecs are NOT in this
+container, so the decode step is a clearly-marked deterministic stub behind
+the same schema/partitioning/batch plumbing the real thing would use.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           SHA256(text) AS content_sha256,
+           source AS asset_source,
+           lang AS asset_lang
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata pass: treat document text as an opaque blob,
+    compute size + content digest + carry typed metadata. This is the
+    map-only manifest pass a media pipeline runs before any decode."""
+    docs = load_table(spark, sf, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+        F.col("source").alias("asset_source"),
+        F.col("lang").alias("asset_lang"),
+    )
+
+
+def decode_image(payload: bytes) -> bytes:
+    """Real decoder entry point — media codecs are not installed in this
+    environment. STUB: deterministic fake below stands in for tests."""
+    raise NotImplementedError(
+        "image codecs unavailable in this container; use fake_decode_features"
+    )
+
+
+def fake_decode_features(payload: bytes, n_features: int = 8) -> list:
+    """Deterministic stand-in for decode + feature extraction: derives
+    n_features floats from the content digest. Same signature and batch
+    shape as a real embedding/feature extractor."""
+    digest = hashlib.sha256(payload).digest()
+    return [digest[i] / 255.0 for i in range(n_features)]
+
+
+@register("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over mapInPandas.
+
+    The plumbing is real (schema, batch iteration, partition preservation);
+    only the codec inside is the deterministic stub. Rows-only check (the
+    stub hash is engine-local); schema + determinism pinned in
+    tests/test_operators_multimodal.py.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["text"].str.encode("utf-8")
+            feats = payloads.map(fake_decode_features)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "asset_source": pdf["source"],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "features": feats,
+                    "feature_mean": feats.map(lambda xs: sum(xs) / len(xs)),
+                }
+            )
+
+    return docs.mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, asset_source string, n_bytes long, "
+            "features array<double>, feature_mean double"
+        ),
+    )
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like assets: each asset yields
+    every k-th 'frame' (here: 64-byte slices of the payload) with frame
+    index + offset metadata. Shows the one-to-many mapInPandas shape a real
+    frame sampler uses. Rows-only check."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "offset": [], "frame_sha": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode("utf-8")
+                for idx, off in enumerate(range(0, len(payload), 256)):
+                    frame = payload[off : off + 64]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, offset long, frame_sha string"
+    )

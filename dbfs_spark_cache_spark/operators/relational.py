@@ -1,0 +1,1073 @@
+"""Relational operator surface (SURVEY.md §2 Layer B).
+
+Each query is idiomatic DataFrame/SQL API — Catalyst handles pushdown,
+pruning, and join selection; broadcast hints are applied where a dimension
+side is known-small (scales to 100 TB: the fact side streams, dims ship).
+
+Scale notes that apply throughout:
+* joins on TPC-H keys shuffle-hash/sort-merge on the fact tables and
+  broadcast dimensions (region/nation/customer/part) — at sf100k the same
+  hints hold because dims grow slower than facts;
+* aggregates are expressed so partial (map-side) aggregation applies;
+* DECIMAL sums keep results association-independent, so the values are
+  reproducible under any partitioning/AQE re-plan — required both for the
+  DuckDB oracle and for run-to-run stability on a real cluster.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table, register_views
+from .registry import register
+
+
+def _dec(col, scale: int = 2, precision: int = 22):
+    """Exact decimal cast used for association-independent sums."""
+    return F.col(col).cast(f"decimal({precision},{scale})") if isinstance(col, str) else col.cast(
+        f"decimal({precision},{scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + conjunctive/IN/range predicates, all pushed to the
+    parquet scan (PushedFilters in .explain)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "filter_like_between",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_size BETWEEN 1 AND 25
+      AND p_type LIKE '%SMALL%' = FALSE
+      AND p_name LIKE '%bolt%'
+    """,
+)
+def filter_like_between(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.where(
+        F.col("p_size").between(1, 25)
+        & ~F.col("p_type").like("%SMALL%")
+        & F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1: the flagship scan->filter->grouped-multi-agg->sort."""
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc_price, 6)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge, 6)).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec(F.col("l_discount"), 6)).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS total_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_grouped_multi",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_grouped_multi(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cnt = F.count(F.lit(1))
+    return orders.groupBy("o_orderpriority").agg(
+        cnt.alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        (F.sum(_dec("o_totalprice")).cast("double") / cnt).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
+    COUNT(DISTINCT). No oracle: HLL estimates are implementation-specific
+    (rows-only check); accuracy is asserted in tests/test_operators.py."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    return orders.rollup("order_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_finished"),
+        )
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', CAST(p_retailprice AS DOUBLE)) AS (metric, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS segment_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    # customer is the dimension side: broadcast it so the orders fact table
+    # never shuffles (holds at 100 TB — customers grow ~100x slower).
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(22,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left(spark: SparkSession, sf: str) -> DataFrame:
+    """Left join keeping order-less customers (zero counts)."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 100000)
+    customer = load_table(spark, sf, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Customers with no recent orders (NOT EXISTS as a left-anti join)."""
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    customer = load_table(spark, sf, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS brand_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact x small-dim with an explicit broadcast hint: zero fact shuffle
+    before the aggregation."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec(revenue, 6)).cast("double").alias("brand_revenue"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> top-k."""
+    customer = load_table(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec(revenue, 6)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join, dims broadcast, one fact shuffle."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = customer.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(revenue, 6)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH big_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000),
+         big_orders AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                        WHERE o_totalprice > 200000 GROUP BY o_custkey)
+    SELECT COALESCE(b.c_custkey, o.o_custkey) AS custkey,
+           CAST(b.c_acctbal AS DOUBLE) AS acctbal,
+           o.n_orders
+    FROM big_cust b FULL OUTER JOIN big_orders o ON b.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer").where(F.col("c_acctbal") > 5000)
+    orders = (
+        load_table(spark, sf, "orders")
+        .where(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        customer.select("c_custkey", "c_acctbal")
+        .join(orders, customer.c_custkey == orders.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "flagship_wide",
+    oracle="""
+    WITH joined AS (
+        SELECT n.n_name, l.l_returnflag, o.o_custkey,
+               l.l_extendedprice * (1 - l.l_discount) AS net,
+               l.l_orderkey, l.l_linenumber
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_shipdate <= TIMESTAMP '1998-09-02'
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name, l_returnflag
+                       ORDER BY net DESC, l_orderkey, l_linenumber) AS line_rank
+        FROM joined
+    ),
+    enriched AS (
+        SELECT n_name, l_returnflag,
+               CAST(SUM(CAST(net AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM ranked
+        WHERE line_rank <= 500
+        GROUP BY n_name, l_returnflag
+    )
+    SELECT n_name, l_returnflag, revenue, n_lines, n_customers,
+           RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, l_returnflag) AS flag_rank
+    FROM enriched
+    ORDER BY n_name, flag_rank
+    """,
+)
+def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """The multi-operator flagship: scan -> filter -> 3 joins (dims
+    broadcast) -> per-group window rank over the fact rows (top-500 lines
+    per nation+flag) -> grouped multi-agg with distinct -> second window ->
+    sort. One fact shuffle for the window/agg; dims broadcast. This is the
+    query the cache-engine benchmarks profile."""
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    dims = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .select(
+            "n_name",
+            "l_returnflag",
+            "o_custkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    w_line = W.partitionBy("n_name", "l_returnflag").orderBy(
+        F.desc("net"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    enriched = (
+        joined.withColumn("line_rank", F.row_number().over(w_line))
+        .where(F.col("line_rank") <= 500)
+        .groupBy("n_name", "l_returnflag")
+        .agg(
+            F.sum(_dec(F.col("net"), 6)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("l_returnflag"))
+    return enriched.withColumn("flag_rank", F.rank().over(w)).orderBy(
+        "n_name", "flag_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical top-k-per-group pattern.
+    One shuffle on the partition key; no global sort."""
+    orders = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(value AS DOUBLE) AS value,
+           CAST(value - LAG(value) OVER w AS DOUBLE) AS delta_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_running_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3 AS moving_avg3
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-based analytics: cumulative and sliding windows. DECIMAL inside
+    the frame keeps the running sum exact and order-independent."""
+    events = load_table(spark, sf, "events")
+    dec_val = F.col("value").cast("decimal(22,6)")
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w3 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(dec_val).over(w_cum).cast("double").alias("running_sum"),
+        (F.sum(dec_val).over(w3).cast("double") / F.count(F.lit(1)).over(w3)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal) AS DOUBLE) AS bal_pct_rank,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal) AS DOUBLE) AS bal_cume_dist,
+           NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bal_decile
+    FROM customer
+    """,
+)
+def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    w_val = W.orderBy("c_acctbal")
+    w_det = W.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w_val).alias("bal_pct_rank"),
+        F.cume_dist().over(w_val).alias("bal_cume_dist"),
+        F.ntile(10).over(w_det).alias("bal_decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / distinct / set ops / sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark executes as TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort at any scale."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+def _customer_splits(spark: SparkSession, sf: str):
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    a = customer.where(F.col("c_custkey") % 3 < 2)
+    b = customer.where(F.col("c_custkey") % 3 > 0)
+    return a, b
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 < 2
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 > 0
+    """,
+)
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _customer_splits(spark, sf)
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 < 2
+    UNION
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 > 0
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _customer_splits(spark, sf)
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 < 2
+    INTERSECT
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 > 0
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _customer_splits(spark, sf)
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 < 2
+    EXCEPT
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 > 0
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    a, b = _customer_splits(spark, sf)
+    return a.subtract(b)
+
+
+@register("sample_bernoulli")
+def sample_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded Bernoulli sample — stable within Spark but RNG-specific, so no
+    SQL oracle (rows-only check; reference documents the same caveat for
+    caching, README.md:199)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        """
+    )
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf, ["part", "lineitem"])
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 4) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           STRING_SPLIT(p_name, ' ')[1] AS first_word,
+           CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS is_bolt
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.when(F.col("p_name").like("%bolt%"), 1).otherwise(0).alias("is_bolt"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS order_day,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS INT) AS days_to_y2k
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_y2k"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(l_extendedprice AS DOUBLE), 1) AS price_rounded,
+           CAST(ABS(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
+           CAST(SQRT(l_extendedprice) AS DOUBLE) AS price_sqrt,
+           ROUND(CAST(LN(l_extendedprice + 1) AS DOUBLE), 6) AS price_ln,
+           ROUND(CAST(POWER(1 + l_tax, 2) AS DOUBLE), 6) AS tax_sq,
+           CAST(l_orderkey % 10 AS BIGINT) AS key_mod10
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_rounded"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        # ln/pow are libm-dependent in their last ULP — round for the oracle.
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 10).alias("key_mod10"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS priority_label,
+           CAST(GREATEST(o_totalprice, 150000.0) AS DOUBLE) AS price_floor150k,
+           CAST(LEAST(CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT)) AS BIGINT) AS min_key
+    FROM orders
+    """,
+)
+def fn_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("urgent!")).alias(
+            "priority_label"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("price_floor150k"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS text_md5,
+           SHA256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDFs (the governed slow path)
+# ---------------------------------------------------------------------------
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_acctbal * 1.1 + 10.0 AS DOUBLE) AS adjusted_balance
+    FROM customer
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF — the only sanctioned Python hot path.
+    Same arithmetic as the oracle; IEEE doubles make it bit-identical."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def adjust(balance: pd.Series) -> pd.Series:
+        return balance * 1.1 + 10.0
+
+    customer = load_table(spark, sf, "customer")
+    return customer.select(
+        "c_custkey", adjust("c_acctbal").alias("adjusted_balance")
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over the embeddings table ([NS] north-star).
+
+Brute-force cosine top-k is the exactness baseline; the scale paths are
+LSH-style bucketing (axis-sign signatures here; random hyperplanes in
+tests) and IVF-style partition pruning. All vector math stays JVM-side via
+higher-order functions (``aggregate``/``zip_with``) — no Python in the
+per-row path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+def _sq_norm(col: str):
+    return F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector L2 norms via JVM-side fold — the building block every
+    similarity query reuses. Per-row math only: no cross-row float
+    accumulation, so the oracle matches."""
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(_sq_norm("embedding")), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS q_emb
+        FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               ROUND(
+                 list_sum(list_transform(list_zip(e.embedding, q.q_emb),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+    )
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The query side is a broadcast single row; scoring is a map-only pass over
+    the corpus followed by TakeOrdered — exactly the plan you want at 100 TB
+    (no shuffle before the top-k heap). Ties broken by vec_id; cosine rounded
+    so ordering is reproducible across engines.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = emb.where(F.col("vec_id") == min_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != min_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                _dot("embedding", "q_emb")
+                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle="""
+    SELECT CONCAT(
+               CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+               CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END
+           ) AS bucket,
+           COUNT(*) AS n_vectors,
+           COUNT(DISTINCT label) AS n_labels
+    FROM embeddings
+    GROUP BY 1
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sign-bit LSH bucketing (axis-aligned hyperplanes on the first 8 dims).
+
+    The scale pattern: assign every vector an 8-bit signature, search only
+    within (or near) the query's bucket — turns 100 TB brute force into a
+    256-way partition-pruned scan. Random-hyperplane variants are in
+    functions.vectors + tests."""
+    emb = load_table(spark, sf, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+        for i in range(8)
+    ]
+    return emb.groupBy(F.concat(*bits).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register("similarity_ivf_search")
+def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: cluster by coarse signature, search the query's cell
+    plus neighbors (here: exact top-5 inside the query's sign-bucket).
+
+    Demonstrates the prune-then-score pattern; no oracle because the
+    bucket-restricted result is approximate by construction (rows-only;
+    recall vs brute force asserted in tests/test_operators_similarity.py).
+    """
+    emb = load_table(spark, sf, "embeddings")
+    # Coarser cells than the LSH query (4 bits -> 16 cells) so each inverted
+    # list holds a meaningful candidate set at fixture scale.
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+        for i in range(4)
+    ]
+    bucketed = emb.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    query = bucketed.where(F.col("vec_id") == min_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        bucketed.where(F.col("vec_id") != min_id)
+        .join(F.broadcast(query), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot("embedding", "q_emb")
+                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )

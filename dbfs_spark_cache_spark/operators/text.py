@@ -1,0 +1,165 @@
+"""Text-analysis operators over the documents table ([NS] north-star).
+
+Everything is built-in expression work (split/regexp/array functions) —
+integer arithmetic end-to-end so every query is exactly SQL-checkable.
+At 100 TB these are map-only passes (no shuffle except final aggregations).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS type_token_ratio,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len,
+           LENGTH(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-scoring features: token counts, type-token ratio, token
+    length. All integer-derived — exact across engines."""
+    docs = load_table(spark, sf, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    n_distinct = F.size(F.array_distinct(tokens))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(n_distinct.cast("double") / n_tokens, 4).alias("type_token_ratio"),
+        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_lang_heuristic",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'is'))) AS en_hits,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('der', 'die', 'das', 'und', 'ist'))) AS de_hits,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('le', 'la', 'et', 'les', 'est'))) AS fr_hits
+        FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, en_hits, de_hits, fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS predicted_lang
+    FROM hits
+    """,
+)
+def text_lang_heuristic(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-count language ID — the classic cheap n-gram-free heuristic.
+    (The fixture corpus is synthetic token salad, so prediction quality is
+    not the point; the deterministic pipeline is.)"""
+    docs = load_table(spark, sf, "documents")
+    tokens = F.split("text", " ")
+
+    def hits(words):
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    en = hits(["the", "a", "of", "and", "is"])
+    de = hits(["der", "die", "das", "und", "ist"])
+    fr = hits(["le", "la", "et", "les", "est"])
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        F.when((en >= de) & (en >= fr), "en")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (word runs / digit runs) — the token
+    budgeting primitive for training-data pipelines."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))).alias(
+            "n_number_tokens"
+        ),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("n_spaces"),
+    )
+
+
+@register(
+    "text_bag_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+        FROM documents
+    )
+    SELECT bag_fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+    FROM fp
+    GROUP BY bag_fp
+    """,
+)
+def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-of-words fingerprint: order-insensitive content identity (docs
+    that are permutations of the same vocabulary collide). A cheap
+    complement to MinHash for shuffled-content dedup."""
+    docs = load_table(spark, sf, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    return docs.groupBy(fp.alias("bag_fp")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register("text_rolling_hash_shingles")
+def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum of the rolling-hash
+    values over 5-token shingles (the document's 'rarest shingle' id).
+    Hash-function specific, so rows-only (invariants in tests)."""
+    docs = load_table(spark, sf, "documents")
+    shingles = F.expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)), "
+        "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 5))))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(shingles).alias("min_shingle_hash"),
+        F.array_max(shingles).alias("max_shingle_hash"),
+        F.size(shingles).alias("n_shingles"),
+    )

@@ -1,0 +1,187 @@
+"""Time-series operators over the events table: as-of / range joins,
+sessionization, tumbling & sliding windows.
+
+Spark has no native AS-OF join; these are compositions of equi-join +
+aggregation / window functions (preference order per the build rules:
+built-in ops first). The batch window queries mirror exactly what the
+streaming module does with ``readStream`` + ``F.window`` — same semantics,
+so one oracle covers both.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "asof_join_prior_view",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           MAX(v.ts) AS prior_view_ts,
+           COUNT(v.event_id) AS n_prior_views
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def asof_join_prior_view(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join: each purchase matched to the latest strictly-prior view
+    by the same user (plus how many views preceded it).
+
+    Composition: per-user equi-join + inequality + max/count aggregation.
+    At 100 TB the equivalent single-shuffle plan is a union of both event
+    streams + a per-user ordered window (`last(view_ts) ignoring nulls`);
+    the join form is kept here because its semantics are exactly
+    SQL-checkable. Skewed users are handled by AQE skew-join.
+    """
+    events = load_table(spark, sf, "events")
+    p = events.where(F.col("event_type") == "purchase").alias("p")
+    v = events.where(F.col("event_type") == "view").alias("v")
+    return (
+        p.join(
+            v,
+            (F.col("v.user_id") == F.col("p.user_id")) & (F.col("v.ts") < F.col("p.ts")),
+            "left",
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"), F.col("p.user_id").alias("user_id"))
+        .agg(
+            F.max("v.ts").alias("prior_view_ts"),
+            F.count("v.event_id").alias("n_prior_views"),
+        )
+    )
+
+
+@register(
+    "range_join_pairs",
+    oracle="""
+    SELECT e1.user_id, COUNT(*) AS n_pairs
+    FROM events e1
+    JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id
+    """,
+)
+def range_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: pairs of events by the same user within one
+    hour. The user_id equi-key keeps this a partitioned hash join with a
+    per-user interval filter — never a cartesian product; at 100 TB add
+    time-bucketing on ts to bound the per-key fan-out."""
+    events = load_table(spark, sf, "events")
+    e1 = events.alias("e1")
+    e2 = events.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.user_id") == F.col("e1.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (12 h inactivity): lag + flag + count.
+    One shuffle on user_id; the streaming twin is ``session_window`` in
+    streaming.py."""
+    events = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts").cast("long") - prev_ts.cast("long") > 12 * 3600),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windows — the batch twin of the streaming windowed
+    aggregation (streaming.py uses the same expression over readStream)."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT DATE_TRUNC('hour', ts) AS bucket_start, value FROM events
+        UNION ALL
+        SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, value FROM events
+    )
+    SELECT bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY bucket_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows (2 h length, 1 h slide): every event lands in two
+    buckets. Spark's F.window handles the replication; the oracle spells it
+    out as a union of the two shifted tumbling assignments."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )

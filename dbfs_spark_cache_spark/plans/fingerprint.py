@@ -40,21 +40,33 @@ _PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
 _WS = re.compile(r"\s+")
 
 
-def canonical_plan(df: DataFrame) -> str:
-    """Canonicalized ``explain(mode="extended")`` text.
+def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
+    """Canonicalized logical-plan text for fingerprinting.
 
-    Expression IDs (``#123``) differ between otherwise-identical plans, and
-    whitespace/layout varies with nesting depth — both are stripped so that
-    semantically identical queries hash equal (reference:
-    core_caching.py:306-316).
+    Default mode "analyzed" stringifies the resolved logical plan — already
+    computed when the DataFrame was built, so this is a single cheap py4j
+    call, and it is invariant under optimizer/physical-planning changes
+    (a Spark upgrade doesn't invalidate every cache). Mode "extended"
+    reproduces the reference's behavior (full explain output, reference:
+    core_caching.py:306-316). Both are normalized the same way: expression
+    IDs (``#123``) and plan ids are stripped, whitespace collapsed, so
+    semantically identical queries hash equal.
     """
-    buf = io.StringIO()
-    try:
-        with redirect_stdout(buf):
-            df.explain(mode="extended")
-    except Exception as exc:  # pragma: no cover - defensive
-        return f"Error: {exc}"
-    raw = buf.getvalue()
+    mode = mode or getattr(config, "PLAN_FINGERPRINT_MODE", "analyzed")
+    raw = None
+    if mode == "analyzed":
+        try:
+            raw = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+        except Exception:
+            raw = None
+    if raw is None:
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                df.explain(mode="extended")
+        except Exception as exc:  # pragma: no cover - defensive
+            return f"Error: {exc}"
+        raw = buf.getvalue()
     plan = _EXPR_ID.sub("", raw)
     plan = _PLAN_ID.sub("", plan)
     plan = _WS.sub(" ", plan).strip()
@@ -63,8 +75,9 @@ def canonical_plan(df: DataFrame) -> str:
 
 def plan_is_uncacheable(plan: str) -> bool:
     """RDD-backed plans have no stable content identity (reference:
-    dataframe_extensions.py:47-49)."""
-    return "Scan ExistingRDD" in plan
+    dataframe_extensions.py:47-49). "Scan ExistingRDD" is the physical-plan
+    marker; "LogicalRDD" its analyzed-plan equivalent."""
+    return "Scan ExistingRDD" in plan or "LogicalRDD" in plan
 
 
 _InputInfo = Union[Dict[str, datetime], Dict[str, bool]]

@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read TIMESTAMP(NANOS) parquet columns (Spark has no nanos type):
+        # they surface as LONG nanos; sources.load_table converts to
+        # microsecond timestamps, matching how columnar stores downcast.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
