@@ -1,0 +1,86 @@
+"""Reusable column-expression builders (all JVM-side, codegen-friendly).
+
+These are the engine's "scalar function" layer: vector math over
+``array<float>`` columns and text primitives shared by the dedup /
+similarity / text operators. Everything returns a Column built from
+``pyspark.sql.functions`` higher-order functions — no Python UDFs, so the
+expressions inline into whole-stage codegen.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- vectors ---------------------------------------------------------------
+
+def vec_dot(a, b) -> Column:
+    """Dot product of two array columns (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def vec_sq_norm(a) -> Column:
+    return F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def vec_l2_norm(a) -> Column:
+    return F.sqrt(vec_sq_norm(a))
+
+
+def vec_cosine(a, b) -> Column:
+    return vec_dot(a, b) / (vec_l2_norm(a) * vec_l2_norm(b))
+
+
+def vec_scale(a, s) -> Column:
+    return F.transform(a, lambda x: x.cast("double") * s)
+
+
+def vec_add(a, b) -> Column:
+    return F.zip_with(a, b, lambda x, y: x.cast("double") + y.cast("double"))
+
+
+def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
+    """Random-hyperplane LSH signature: one bit per plane (sign of the dot
+    product with a fixed plane vector). ``planes`` is a driver-side list of
+    plane vectors, inlined as array literals — broadcast-free and exact."""
+    bits = []
+    for plane in planes:
+        plane_col = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(F.when(vec_dot(a, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+# -- text ------------------------------------------------------------------
+
+def tokenize(text) -> Column:
+    """Whitespace tokenization (fixture corpora are pre-normalized)."""
+    return F.split(text, " ")
+
+
+def token_shingles(text, k: int = 3) -> Column:
+    """Array of k-token shingles (strings), built JVM-side."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split({text}, ' ')) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(split({text}, ' '), i + 1, {k})))"
+    ) if isinstance(text, str) else _shingles_col(text, k)
+
+
+def _shingles_col(text_col: Column, k: int) -> Column:
+    toks = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def normalized_text(text) -> Column:
+    """Lowercase, collapse whitespace, trim — the dedup normalization."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

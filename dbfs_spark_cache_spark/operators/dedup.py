@@ -226,11 +226,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash near-dup candidates.
 
     Each document's tokens vote (+count/-count) on every signature bit of
-    their xxhash64; candidate pairs share at least one of four 16-bit chunks
-    (detects hamming distance <= 3 with high probability) and are emitted
-    with their exact hamming distance. One explode + groupBy + chunk-join:
-    linear, shuffle-friendly. No oracle (hash-function specific); invariants
-    tested in tests/test_operators_dedup.py.
+    their xxhash64; candidate pairs share at least one of eight 8-bit chunks
+    (pigeonhole: guarantees detection at hamming <= 7, high probability well
+    beyond) and are emitted with their exact hamming distance. One explode +
+    groupBy + chunk-join: linear, shuffle-friendly. No oracle (hash-function
+    specific); invariants tested in tests/test_operators_pipeline.py.
     """
     docs = load_table(spark, sf, "documents")
     tokens = docs.select(
@@ -264,11 +264,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * 8)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(8)
                 ]
             )
         ).alias("c"),
@@ -291,5 +291,5 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 12)
+        .where(F.col("hamming") <= 16)
     )

@@ -1,0 +1,124 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (its persistent cache substitutes for
+recomputation); this module is the [NS] streaming extension. Each builder
+takes a *streaming* DataFrame (``spark.readStream``) and returns the
+transformed streaming frame; sinks are the caller's choice. The batch
+twins in ``operators.timeseries`` share the same expressions — one oracle
+covers both.
+
+Local testing drives these with the parquet file source + a ``memory``
+sink and ``processAllAvailable()`` (see tests/test_streaming.py). On a
+real cluster the same code runs against Kafka/object-store sources with
+checkpointing; watermarks bound state so 100 TB/day streams hold steady.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """File-source stream over the events table (one parquet = one batch).
+
+    Reads through a nanos-safe cast: the fixture's ts is TIMESTAMP(NANOS),
+    surfaced as LONG nanos (see session.py) and converted here.
+    """
+    reader = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        # The file source wants a directory; the fixture is a single file,
+        # so stream the parent dir filtered down to it.
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    operators.timeseries.window_tumbling. The watermark bounds state: late
+    rows beyond it are dropped, finalized windows are evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregation (twin of window_sliding)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "12 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming counterpart of the
+    batch lag/cumsum sessionization. State per (user, open session) only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming frame to completion against a memory sink and
+    return the materialized result (local smoke-testing helper)."""
+    query = (
+        stream_df.writeStream.outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]

@@ -1,0 +1,201 @@
+"""Quality invariants for the [NS] pipeline operators that have no SQL
+oracle: MinHash/SimHash recall on planted near-duplicates, IVF recall vs
+brute force, multimodal plumbing determinism, HLL accuracy."""
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    """Fixture documents + planted near-duplicates: for 20 source docs, a
+    copy with ~5% of tokens replaced (3-shingle Jaccard ~0.74, comfortably
+    above the LSH detection threshold of ~0.6 for 8 bands x 4 rows)."""
+    out = str(tmp_path_factory.mktemp("planted") / "documents.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = docs.limit(20)
+    mutated = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        # replace every 20th token deterministically
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(split(text, ' '), (t, i) -> IF(i % 20 = 0, 'zzzz', t))"
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs.unionByName(mutated.select(docs.columns)).write.mode("overwrite").parquet(out)
+    return os.path.dirname(out) or out
+
+
+@pytest.fixture(scope="module")
+def planted_dir(planted_docs):
+    return planted_docs
+
+
+def _planted_pairs():
+    return {(i, i + 1_000_000) for i in range(20)}
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark, planted_dir):
+    from dbfs_spark_cache_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, planted_dir).collect()
+    found = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)) for r in pairs}
+    planted = _planted_pairs()
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall} on planted near-dups"
+    # est_jaccard for planted pairs should be high
+    for r in pairs:
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_minhash_lsh_no_pairs_on_distinct_corpus(spark):
+    from dbfs_spark_cache_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    # the fixture corpus has no exact dups; random token-salad docs may
+    # produce a few low-similarity collisions but never a flood
+    assert len(pairs) < 100
+
+
+def test_simhash_detects_planted_dups(spark, planted_dir):
+    from dbfs_spark_cache_spark.operators.dedup import dedup_simhash
+
+    pairs = dedup_simhash(spark, planted_dir).collect()
+    found = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.hamming for r in pairs}
+    planted = _planted_pairs()
+    hits = sum(1 for p in planted if p in found)
+    assert hits / len(planted) >= 0.6, f"SimHash found {hits}/20 planted dups"
+    for r in pairs:
+        assert 0 <= r.hamming <= 16
+
+
+def test_exact_dedup_finds_planted_identical_copies(spark, tmp_path, planted_dir):
+    from dbfs_spark_cache_spark.operators.dedup import dedup_exact
+
+    # plant byte-identical copies
+    docs = spark.read.parquet(f"{planted_dir}/documents.parquet")
+    copies = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    both_dir = str(tmp_path / "exact")
+    os.makedirs(both_dir, exist_ok=True)
+    docs.unionByName(copies).write.mode("overwrite").parquet(
+        f"{both_dir}/documents.parquet"
+    )
+    groups = dedup_exact(spark, both_dir).collect()
+    dup_groups = [g for g in groups if g.n_copies > 1]
+    assert len(dup_groups) == 5
+    assert all(g.keeper_doc_id < 2_000_000 for g in dup_groups)
+
+
+def test_ivf_equals_bucket_restricted_brute_force(spark):
+    """IVF's correctness property: its top-k must equal brute force
+    restricted to the query's cell (the pruning is the approximation; the
+    in-cell scoring must be exact)."""
+    from dbfs_spark_cache_spark.functions import vec_cosine
+    from dbfs_spark_cache_spark.operators.similarity import similarity_ivf_search
+
+    ivf = similarity_ivf_search(spark, SF_SMOKE).collect()
+    assert len(ivf) >= 1
+    cosines = [r.cosine for r in ivf]
+    assert cosines == sorted(cosines, reverse=True)
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+        for i in range(4)
+    ]
+    bucketed = emb.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
+    rows = bucketed.collect()
+    min_id = min(r.vec_id for r in rows)
+    query = next(r for r in rows if r.vec_id == min_id)
+    in_cell = bucketed.where(
+        (F.col("bucket") == query.bucket) & (F.col("vec_id") != min_id)
+    )
+    q_df = bucketed.where(F.col("vec_id") == min_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    brute_in_cell = (
+        in_cell.crossJoin(q_df)
+        .select(
+            "vec_id",
+            F.round(vec_cosine(F.col("embedding"), F.col("q_emb")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    assert [r.vec_id for r in ivf] == [r.vec_id for r in brute_in_cell]
+
+
+def test_multimodal_decode_deterministic_and_typed(spark):
+    from dbfs_spark_cache_spark.operators.multimodal import (
+        fake_decode_features,
+        multimodal_decode_features,
+    )
+
+    out1 = multimodal_decode_features(spark, SF_SMOKE)
+    assert out1.schema.simpleString() == (
+        "struct<doc_id:bigint,asset_source:string,n_bytes:bigint,"
+        "features:array<double>,feature_mean:double>"
+    )
+    rows1 = {r.doc_id: r for r in out1.collect()}
+    rows2 = {r.doc_id: r for r in multimodal_decode_features(spark, SF_SMOKE).collect()}
+    assert len(rows1) == 500
+    sample = next(iter(rows1.values()))
+    assert len(sample.features) == 8
+    assert all(rows1[k].features == rows2[k].features for k in rows1)
+    # the stub is pinned: same bytes -> same features
+    assert fake_decode_features(b"abc") == fake_decode_features(b"abc")
+    with pytest.raises(NotImplementedError):
+        from dbfs_spark_cache_spark.operators.multimodal import decode_image
+
+        decode_image(b"abc")
+
+
+def test_frame_sample_covers_all_docs(spark):
+    from dbfs_spark_cache_spark.operators.multimodal import multimodal_frame_sample
+
+    frames = multimodal_frame_sample(spark, SF_SMOKE)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 500
+    assert all(r["count"] >= 1 for r in per_doc)
+
+
+def test_approx_distinct_accuracy(spark):
+    from dbfs_spark_cache_spark.operators.relational import agg_approx_distinct
+
+    rows = agg_approx_distinct(spark, SF_SMOKE).collect()
+    exact = {
+        r.o_orderpriority: r.distinct_customers
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("distinct_customers"))
+        .collect()
+    }
+    for r in rows:
+        true = exact[r.o_orderpriority]
+        assert abs(r.approx_customers - true) / true < 0.1
+
+
+def test_hyperplane_signature_buckets(spark):
+    import random
+
+    from dbfs_spark_cache_spark.functions import hyperplane_signature, vec_cosine
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bucketed = emb.select(
+        "vec_id", hyperplane_signature(F.col("embedding"), planes).alias("sig")
+    )
+    counts = bucketed.groupBy("sig").count().collect()
+    assert 2 <= len(counts) <= 64  # 6 bits -> at most 64 buckets
+    assert sum(r["count"] for r in counts) == 500

@@ -1,0 +1,79 @@
+"""Structured Streaming smoke + batch-parity: the streaming window queries
+must produce the same aggregates as their batch twins once the stream is
+fully processed."""
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _batch_events(spark):
+    from dbfs_spark_cache_spark.sources import load_table
+
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from dbfs_spark_cache_spark.operators.timeseries import window_tumbling
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    result = run_to_memory_sink(tumbling_counts(stream), "t_tumbling")
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.total_value)
+        for r in result.collect()
+    }
+    expected = {
+        (r.bucket_start, r.event_type): (r.n_events, r.total_value)
+        for r in window_tumbling(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_sliding_matches_batch(spark):
+    from dbfs_spark_cache_spark.operators.timeseries import window_sliding
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        sliding_counts,
+    )
+
+    result = run_to_memory_sink(
+        sliding_counts(read_events_stream(spark, SF_SMOKE)), "t_sliding"
+    )
+    got = {r.bucket_start: (r.n_events, r.total_value) for r in result.collect()}
+    expected = {
+        r.bucket_start: (r.n_events, r.total_value)
+        for r in window_sliding(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_session_windows(spark):
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_windows,
+    )
+
+    result = run_to_memory_sink(
+        session_windows(read_events_stream(spark, SF_SMOKE)), "t_sessions"
+    )
+    rows = result.collect()
+    assert rows
+    # session invariants: end >= start, positive event counts, per-user
+    # event totals match the raw table
+    assert all(r.session_end > r.session_start for r in rows)
+    assert all(r.n_events > 0 for r in rows)
+    per_user_stream = {}
+    for r in rows:
+        per_user_stream[r.user_id] = per_user_stream.get(r.user_id, 0) + r.n_events
+    per_user_batch = {
+        r.user_id: r.cnt
+        for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_user_stream == per_user_batch
