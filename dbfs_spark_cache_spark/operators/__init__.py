@@ -15,6 +15,7 @@ used by ``__spark_entry__.py``. Modules:
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 
 from . import relational  # noqa: E402,F401
+from . import extras  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401

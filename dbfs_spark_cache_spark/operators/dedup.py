@@ -291,5 +291,5 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 16)
+        .where(F.col("hamming") <= 10)
     )

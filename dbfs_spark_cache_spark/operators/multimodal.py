@@ -39,7 +39,7 @@ def multimodal_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
     blob = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
-        F.octet_length(blob).alias("n_bytes"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
         F.sha2(blob, 256).alias("content_sha256"),
         F.col("source").alias("asset_source"),
         F.col("lang").alias("asset_lang"),

@@ -605,7 +605,7 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     w = W.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("l_returnflag"))
-    return enriched.withColumn("flag_rank", F.rank().over(w)).orderBy(
+    return enriched.withColumn("flag_rank", F.rank().over(w).cast("long")).orderBy(
         "n_name", "flag_rank"
     )
 
@@ -632,7 +632,7 @@ def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
     )
 
@@ -653,8 +653,8 @@ def window_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
         "p_brand",
         "p_partkey",
         "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
     )
 
 
@@ -734,7 +734,7 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         "c_acctbal",
         F.percent_rank().over(w_val).alias("bal_pct_rank"),
         F.cume_dist().over(w_val).alias("bal_cume_dist"),
-        F.ntile(10).over(w_det).alias("bal_decile"),
+        F.ntile(10).over(w_det).cast("long").alias("bal_decile"),
     )
 
 
@@ -908,7 +908,7 @@ def fn_string(spark: SparkSession, sf: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),

@@ -36,13 +36,13 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(tokens))
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
         F.round(n_distinct.cast("double") / n_tokens, 4).alias("type_token_ratio"),
         (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
             "avg_token_len"
         ),
-        F.length("text").alias("n_chars_measured"),
+        F.length("text").cast("long").alias("n_chars_measured"),
     )
 
 
@@ -82,9 +82,9 @@ def text_lang_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
+        en.cast("long").alias("en_hits"),
+        de.cast("long").alias("de_hits"),
+        fr.cast("long").alias("fr_hits"),
         F.when((en >= de) & (en >= fr), "en")
         .when(de >= fr, "de")
         .otherwise("fr")
@@ -108,15 +108,15 @@ def text_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0))).alias(
-            "n_word_tokens"
-        ),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))).alias(
-            "n_number_tokens"
-        ),
-        (
-            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        ).alias("n_spaces"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_number_tokens"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
     )
 
 

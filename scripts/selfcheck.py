@@ -36,24 +36,35 @@ def canonical_cell(v):
     return str(v)
 
 
+def canonical_dtype(dt) -> str:
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "timestamp"
+    return s
+
+
 def frame_signature(pdf: pd.DataFrame):
     cols = sorted(pdf.columns)
+    dtypes = [f"{c}:{canonical_dtype(pdf[c].dtype)}" for c in cols]
     rows = [
         tuple(canonical_cell(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     ]
     rows.sort()
-    return cols, rows
+    return cols, dtypes, rows
 
 
 def compare(name, spark_pdf, duck_pdf, verbose=False):
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
-    s_cols, s_rows = frame_signature(spark_pdf)
-    d_cols, d_rows = frame_signature(duck_pdf)
+    s_cols, s_dtypes, s_rows = frame_signature(spark_pdf)
+    d_cols, d_dtypes, d_rows = frame_signature(duck_pdf)
     if s_cols != d_cols:
         problems.append(f"columns: spark={s_cols} duck={d_cols}")
+    elif s_dtypes != d_dtypes:
+        diff = [f"{a} vs {b}" for a, b in zip(s_dtypes, d_dtypes) if a != b]
+        problems.append(f"dtypes: {diff}")
     elif s_rows != d_rows:
         n_bad = sum(1 for a, b in zip(s_rows, d_rows) if a != b) + abs(
             len(s_rows) - len(d_rows)
