@@ -1,0 +1,185 @@
+"""Engine behaviors beyond the core round-trip (SURVEY.md §3.3, §5):
+wcd contract, backup tier, hash short-circuits, threshold gates, sources."""
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def extended(spark, clean_cache):
+    from dbfs_spark_cache_spark import extend_dataframe_methods
+
+    extend_dataframe_methods(spark)
+    return spark
+
+
+def _agg_query(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_wcd_displays_and_caches_when_triggered(extended, capsys):
+    """Documented contract: auto-cache if thresholds trigger, then display.
+    Tiny input -> default thresholds skip the persistent write, but the
+    display still happens and the df is returned for chaining."""
+    df = _agg_query(extended)
+    out = df.withCachedDisplay()
+    assert capsys.readouterr().out.strip()  # show() printed a table
+    assert out.columns == df.columns
+
+
+def test_wcd_skip_display(extended, capsys):
+    df = _agg_query(extended)
+    df.withCachedDisplay(skip_display=True, skip_dbfs_cache=True)
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_wcd_eager_spark_cache(extended):
+    from dbfs_spark_cache_spark import is_spark_cached
+
+    df = _agg_query(extended)
+    out = df.withCachedDisplay(skip_display=True, eager_spark_cache=True)
+    assert is_spark_cached(out)
+    out.unpersist()
+
+
+def test_default_thresholds_skip_small_input(extended):
+    """With config defaults (threshold 130 GB-equivalents), KB-scale input
+    must not trigger a persistent write."""
+    from dbfs_spark_cache_spark.config import config
+
+    df = _agg_query(extended)
+    df.withCachedDisplay(skip_display=True)
+    assert not os.listdir(config.SPARK_CACHE_DIR)
+
+
+def test_backup_spark_cached_to_storage(extended):
+    from dbfs_spark_cache_spark import backup_spark_cached_to_storage
+    from dbfs_spark_cache_spark.config import config
+
+    df = _agg_query(extended).cache()
+    df.count()
+    done = backup_spark_cached_to_storage([df], unpersist_after_backup=True)
+    assert len(done) == 1
+    assert len(os.listdir(config.SPARK_CACHE_DIR)) == 1
+    assert not df.storageLevel.useMemory  # unpersisted after backup
+
+
+def test_backup_skips_below_multiplier_threshold(extended):
+    from dbfs_spark_cache_spark import backup_spark_cached_to_storage
+    from dbfs_spark_cache_spark.config import config
+
+    plain_scan = extended.read.parquet(f"{SF_SMOKE}/orders.parquet").cache()
+    plain_scan.count()
+    # A bare scan has multiplier 0.6 < 1.5 -> filtered out.
+    done = backup_spark_cached_to_storage(
+        [plain_scan], min_multiplier_threshold=1.5
+    )
+    assert done == []
+    assert not os.listdir(config.SPARK_CACHE_DIR)
+    plain_scan.unpersist()
+
+
+def test_backup_skips_direct_data_caches(extended):
+    from dbfs_spark_cache_spark import backup_spark_cached_to_storage
+
+    pdf = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+    direct = extended.createCachedDataFrame(pdf)
+    assert backup_spark_cached_to_storage([direct]) == []
+
+
+def test_hash_shortcircuit_for_cached_scan(extended):
+    """A df returned from the cache embeds its table name in the plan; its
+    hash must resolve to that embedded hash without recomputation
+    (reference: core_caching.py:536-552)."""
+    from dbfs_spark_cache_spark import resolve_table_hash, write_cache
+
+    df = _agg_query(extended)
+    original_hash = resolve_table_hash(df)
+    cached = write_cache(df)
+    assert resolve_table_hash(cached) == original_hash
+
+
+def test_direct_data_pure_scan_keeps_data_hash(extended):
+    """A pure scan of a data_* table resolves to the data_* hash, but any
+    transformation on top gets a fresh identity."""
+    from dbfs_spark_cache_spark import resolve_table_hash
+
+    pdf = pd.DataFrame({"x": [1, 2, 3], "y": [4.0, 5.0, 6.0]})
+    direct = extended.createCachedDataFrame(pdf)
+    data_hash = resolve_table_hash(direct)
+    assert data_hash.startswith("data_")
+
+    transformed = direct.groupBy().agg(F.sum("x").alias("sx"))
+    assert not resolve_table_hash(transformed).startswith("data_")
+
+
+def test_schema_change_sentinel():
+    from datetime import datetime
+
+    from dbfs_spark_cache_spark.plans.fingerprint import (
+        SCHEMA_CHANGED_KEY,
+        cache_metadata_document,
+    )
+
+    doc1 = cache_metadata_document({SCHEMA_CHANGED_KEY: datetime(2024, 1, 1)}, "plan")
+    doc2 = cache_metadata_document({SCHEMA_CHANGED_KEY: datetime(2024, 1, 2)}, "plan")
+    assert doc1 != doc2  # sentinel carries now() -> the key can never match
+
+
+def test_metadata_document_is_byte_stable():
+    from datetime import datetime
+
+    from dbfs_spark_cache_spark.plans.fingerprint import (
+        cache_metadata_document,
+        compute_cache_key,
+    )
+
+    info = {"/data/a": datetime(2024, 3, 1, 12, 30, 45)}
+    doc = cache_metadata_document(info, "Relation [x] parquet")
+    assert doc == (
+        "INPUT SOURCES MODIFICATION DATETIMES:\n"
+        "  /data/a: 2024-03-01 12:30:45\n"
+        "\n"
+        "DATAFRAME QUERY PLAN:\n"
+        "Relation [x] parquet"
+    )
+    assert compute_cache_key(doc) == compute_cache_key(doc)
+
+
+def test_json_csv_orc_sources_roundtrip(spark, tmp_path):
+    """Layer B source formats beyond parquet: JSON/CSV/ORC write+read with
+    explicit schemas (no inference in the engine path)."""
+    from dbfs_spark_cache_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "orders").limit(100)
+    expected = sorted(map(tuple, docs.collect()))
+    schema = docs.schema
+
+    for fmt in ("json", "csv", "orc"):
+        path = str(tmp_path / fmt)
+        writer = docs.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(path)
+        reader = spark.read.schema(schema)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        got = sorted(map(tuple, reader.format(fmt).load(path).collect()))
+        assert got == expected, f"{fmt} round-trip mismatch"
+
+
+def test_cached_tables_registry(extended):
+    from dbfs_spark_cache_spark import get_cached_tables, write_cache
+
+    write_cache(_agg_query(extended))
+    registry = get_cached_tables(extended)
+    assert len(registry) == 1
+    assert registry.iloc[0]["table_name"].startswith("test_cache_db.")

@@ -1,0 +1,89 @@
+"""Plan-quality pins: the properties that make these queries scale.
+
+These assertions are the 100 TB design contract: filters reach the parquet
+scan, projections prune columns, small dims broadcast, global top-k avoids
+a full sort. If a refactor regresses one of these, correctness tests stay
+green but the plan silently degrades — this file is what catches it.
+"""
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    return QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = plan_text(queries["scan_filter_project"](spark, SF_ORACLE))
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert pushed, "no PushedFilters in scan"
+    assert "GreaterThanOrEqual(l_quantity" in pushed.group(1)
+    assert "In(l_returnflag" in pushed.group(1)
+
+
+def test_column_pruning(spark, queries):
+    plan = plan_text(queries["join_broadcast_dim"](spark, SF_ORACLE))
+    schema = re.search(r"ReadSchema: (\S+)", plan).group(1)
+    # lineitem scan must read only the join key + price columns
+    assert "l_partkey" in schema
+    assert "l_shipdate" not in schema and "l_orderkey" not in schema
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_broadcast_dim", "q3_shipping_priority", "q5_region_revenue", "flagship_wide", "join_inner"],
+)
+def test_dim_joins_broadcast(spark, queries, name):
+    plan = plan_text(queries[name](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, f"{name}: dim join did not broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_no_full_sort(spark, queries):
+    plan = plan_text(queries["sort_limit_topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan, "top-k fell back to a global sort"
+
+
+def test_q1_partial_aggregation(spark, queries):
+    """Grouped agg must have a partial (map-side) phase before the shuffle."""
+    plan = plan_text(queries["q1_pricing_summary"](spark, SF_ORACLE))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_cache_hit_plan_is_bare_scan(spark, clean_cache, queries):
+    from dbfs_spark_cache_spark import write_cache
+
+    df = queries["q1_pricing_summary"](spark, SF_ORACLE)
+    cached = write_cache(df)
+    plan = plan_text(cached)
+    assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_no_python_udfs_in_relational_suite(spark, queries):
+    """Relational + dedup/similarity/text queries stay JVM-side: no
+    row-at-a-time Python eval in their plans (pandas-UDF queries excepted
+    by design)."""
+    python_allowed = {
+        "udf_pandas_scalar", "udaf_grouped_pandas", "grouped_map_pandas",
+        "udtf_tokenize", "multimodal_decode_features", "multimodal_frame_sample",
+    }
+    for name, fn in queries.items():
+        if name in python_allowed:
+            continue
+        plan = plan_text(fn(spark, SF_ORACLE))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
