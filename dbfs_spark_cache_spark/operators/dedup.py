@@ -93,14 +93,18 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id, lang, n_chars % 10 AS bucket,
                list_distinct(string_split(text, ' ')) AS tokens
         FROM documents
+    ),
+    sized AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.tokens, b.tokens)) AS n_inter,
+               len(list_distinct(list_concat(a.tokens, b.tokens))) AS n_union
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.tokens, b.tokens))), 4) AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.tokens, b.tokens))) >= 0.5
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+    FROM sized
+    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
     """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -118,51 +122,79 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = docs.alias("a")
     b = docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens")))
-    union = F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens")))
-    jaccard = inter.cast("double") / union
-    return (
+    # Materialize the set sizes once in a projection so the (expensive)
+    # array intersect/union run a single time per pair, not once for the
+    # filter and again for the output.
+    sized = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(jaccard >= 0.5)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jaccard, 4).alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).alias("n_inter"),
+            F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens"))).alias("n_union"),
         )
+    )
+    jaccard = F.col("n_inter").cast("double") / F.col("n_union")
+    return sized.where(jaccard >= 0.5).select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
     )
 
 
 N_MINHASH = 32
 N_BANDS = 8  # 8 bands x 4 rows: ~0.5 detection threshold around j ~ 0.6
 
+# Universal-hash permutation family: perm_i(x) = (a_i*x + b_i) mod p over a
+# 31-bit domain. Bounded in 62 bits, so it is ANSI-overflow-safe in Spark,
+# and the mod genuinely reorders (a plain affine map without mod would give
+# every permutation the same argmin). Constants fixed by seed for
+# reproducibility.
+_MERSENNE_P31 = (1 << 31) - 1
+
+
+def _perm_constants(n: int, seed: int = 0x5EED):
+    import random
+
+    rng = random.Random(seed)
+    return (
+        [rng.randrange(1, _MERSENNE_P31) for _ in range(n)],
+        [rng.randrange(0, _MERSENNE_P31) for _ in range(n)],
+    )
+
+
+_PERM_MULTIPLIERS, _PERM_OFFSETS = _perm_constants(64)
+
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """doc_id -> MinHash signature (array<long>) over 3-token shingles.
 
-    Shingles are built with JVM-side higher-order functions (transform over
-    a sequence — no Python in the loop); each permutation is simulated by
-    xxhash64 with a different seed literal. One explode + one groupBy: the
-    shuffle carries (doc_id, shingle-hash) pairs only.
+    Entirely per-row array expressions (higher-order functions, JVM-side):
+    shingle -> one xxhash64 -> n universal-family permutations -> array_min.
+    No explode, no shuffle — the signature stage is a pure map over the
+    corpus, which is exactly what you want in front of 100 TB: the first
+    exchange in the whole pipeline is the (tiny) band-bucket shuffle.
     """
-    shingled = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
-        ).alias("shingles"),
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
-        for seed in range(n_hashes)
-    ]
-    sig = shingled.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(n_hashes)]).alias("sig")
+    shingle_hashes = F.expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3))) & {_MERSENNE_P31}L)"
+    )
+    def perm_min(i: int):
+        a, b = _PERM_MULTIPLIERS[i], _PERM_OFFSETS[i]
+        # single-arg lambda: F.transform must not see an index parameter
+        return F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P31)),
+            )
+        )
+
+    mins = [perm_min(i) for i in range(n_hashes)]
+    return docs.select("doc_id", shingle_hashes.alias("hs")).select(
+        "doc_id", F.array(*mins).alias("sig")
     )
 
 
