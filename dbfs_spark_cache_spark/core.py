@@ -52,7 +52,12 @@ def _table_location(spark: SparkSession, hash_name: str) -> str:
     return f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db/{hash_name}"
 
 
-def _save_as_cache_table(df: DataFrame, table: str, hash_name: str) -> None:
+def _save_as_cache_table(
+    df: DataFrame,
+    table: str,
+    hash_name: str,
+    partition_by: Optional[List[str]] = None,
+) -> None:
     """Materialize a DataFrame as a managed columnar table.
 
     Unpartitioned overwrite, like the reference. At 100 TB callers should
@@ -73,6 +78,11 @@ def _save_as_cache_table(df: DataFrame, table: str, hash_name: str) -> None:
     writer = df.write.mode("overwrite")
     if config.CACHE_FORMAT:
         writer = writer.format(config.CACHE_FORMAT)
+    if partition_by:
+        # At 100 TB an unpartitioned cache makes every downstream read a
+        # full scan; partitioning on a natural key turns filtered re-reads
+        # into partition-pruned scans.
+        writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(table)
 
 
@@ -125,13 +135,16 @@ def write_cache(
     input_info: Optional[Mapping[str, Union[datetime, bool]]] = None,
     hash_name: Optional[str] = None,
     cache_path: Optional[str] = None,
+    partition_by: Optional[List[str]] = None,
     verbose: bool = False,
 ) -> DataFrame:
     """Materialize ``df`` under its content hash and return the cached scan.
 
     Skips the (expensive, distributed) write when the stored metadata is
     byte-identical — the cache is already current (reference:
-    core_caching.py:100-102).
+    core_caching.py:100-102). ``partition_by`` partitions the materialized
+    table (partition-pruned re-reads at scale); it does not participate in
+    the fingerprint — same result, same cache key, regardless of layout.
     """
     spark = df.sparkSession
     plan = query_plan or canonical_plan(df)
@@ -148,7 +161,7 @@ def write_cache(
     else:
         if existing is not None and existing != metadata_txt:
             log.info("Cache %s metadata changed; rewriting", key)
-        _save_as_cache_table(df, table, key)
+        _save_as_cache_table(df, table, key, partition_by=partition_by)
         fs.write_text(metadata_path, metadata_txt)
 
     if replace:
@@ -240,6 +253,7 @@ def cache_dataframe(
         input_info=dt_info,
         hash_name=kwargs.get("hash_name"),
         cache_path=kwargs.get("cache_path"),
+        partition_by=kwargs.get("partition_by"),
         verbose=verbose,
     )
 
