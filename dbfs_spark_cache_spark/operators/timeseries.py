@@ -113,11 +113,13 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ and is
+    # timezone-free (an epoch cast would be neither).
     flagged = events.withColumn(
         "new_session",
         F.when(
             prev_ts.isNull()
-            | (F.col("ts").cast("long") - prev_ts.cast("long") > 12 * 3600),
+            | (F.col("ts") - prev_ts > F.expr("INTERVAL 12 HOURS")),
             1,
         ).otherwise(0),
     )

@@ -26,11 +26,29 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:
+        # Sessions built outside session.get_spark may lack the nanos
+        # setting; it is a runtime SQL conf, so self-heal and retry.
+        if "TIMESTAMP(NANOS" in str(exc) or "PARQUET_TYPE_ILLEGAL" in str(exc):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        else:
+            raise
     # TIMESTAMP(NANOS) parquet columns arrive as LONG nanos (see session.py);
-    # normalize to Spark's microsecond timestamps.
+    # normalize to TIMESTAMP_NTZ microseconds — naive like every other
+    # fixture timestamp, and immune to both the session timezone and the
+    # driver host's OS timezone (PySpark collect() renders TimestampType in
+    # the OS zone, which silently shifts values on non-UTC hosts). The
+    # NTZ cast itself is session-TZ-dependent, so UTC is pinned first.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

@@ -43,6 +43,9 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(sf_dir)
+    # Watermarks require TIMESTAMP (TZ-aware) — NTZ event time is rejected
+    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session is pinned UTC so
+    # values align with the batch loader's NTZ output on UTC hosts.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

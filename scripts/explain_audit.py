@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Plan-quality audit: for every registered query, summarize the physical
+plan properties that matter at scale — pushed filters, read schema width,
+join strategies, exchange count, Python-eval presence — and flag
+anti-patterns (cartesian products, row-wise Python, unpushed scans).
+
+Usage: python scripts/explain_audit.py [--sf DIR] [--full name]
+"""
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PYTHON_OK = {
+    "udf_pandas_scalar", "udaf_grouped_pandas", "grouped_map_pandas",
+    "udtf_tokenize", "multimodal_decode_features", "multimodal_frame_sample",
+}
+# Broadcast-nested-loop is intentional where one side is a single broadcast row.
+BNLJ_OK = {"similarity_topk_cosine", "similarity_ivf_search"}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def audit_one(name: str, plan: str) -> tuple[str, list]:
+    joins = sorted(set(re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)",
+        plan,
+    )))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    n_pushed = sum(1 for p in pushed if p.strip())
+    exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    widths = [len(s.split(",")) for s in schemas] or [0]
+
+    flags = []
+    if "CartesianProduct" in joins:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in joins and name not in BNLJ_OK:
+        flags.append("NESTED-LOOP")
+    if "BatchEvalPython" in plan and name not in PYTHON_OK:
+        flags.append("ROW-WISE-PYTHON")
+    summary = (
+        f"{name:32s} joins={','.join(joins) or '-':24s} "
+        f"pushed_scans={n_pushed} exchanges={exchanges} "
+        f"max_read_cols={max(widths)}"
+    )
+    return summary, flags
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--full", default="", help="print the full plan for one query")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit")
+
+    if args.full:
+        print(plan_text(QUERIES[args.full](spark, args.sf)))
+        return
+
+    flagged = []
+    for name, fn in QUERIES.items():
+        try:
+            summary, flags = audit_one(name, plan_text(fn(spark, args.sf)))
+        except Exception as exc:
+            print(f"{name:32s} ERROR: {exc}")
+            flagged.append(name)
+            continue
+        marker = "  !! " + ",".join(flags) if flags else ""
+        print(summary + marker)
+        if flags:
+            flagged.append(name)
+
+    print(f"\n{len(QUERIES)} queries audited; {len(flagged)} flagged"
+          + (f": {flagged}" if flagged else ""))
+    spark.stop()
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
