@@ -94,12 +94,36 @@ def complexity_from_plan(plan_lowercase: str, total_size_gb: float) -> Tuple[flo
     return total_size_gb * multiplier, multiplier
 
 
+def catalyst_size_estimate_gb(df: DataFrame) -> float:
+    """Catalyst's own size estimate for the plan (GB), 0.0 if unavailable.
+
+    This is the CBO statistics path ([NS], SURVEY.md §4.1): for inputs with
+    no listable files (catalog tables with ANALYZE stats, local relations,
+    views) the optimizer still carries a sizeInBytes estimate.
+    """
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # type: ignore[attr-defined]
+        size_f = float(size.longValue() if hasattr(size, "longValue") else int(size))
+        # Catalyst uses Long.MaxValue-ish sentinels for "unknown".
+        if size_f <= 0 or size_f >= 2.0 ** 62:
+            return 0.0
+        return size_f / _GB
+    except Exception:
+        return 0.0
+
+
 def estimate_compute_complexity(df: DataFrame) -> Tuple[float, float, float]:
-    """(complexity, multiplier, total input GB) for the auto-cache gate."""
+    """(complexity, multiplier, total input GB) for the auto-cache gate.
+
+    Size comes from input-file stats (portable), falling back to Catalyst's
+    CBO sizeInBytes when there are no listable input files.
+    """
     total_size = sum(get_input_file_sizes(df))
     plan = canonical_plan(df).lower()
     if plan.startswith("error:"):
         return (total_size, 1.0, total_size) if total_size else (0.0, 1.0, 0.0)
+    if not total_size:
+        total_size = catalyst_size_estimate_gb(df)
     if not total_size:
         _, multiplier = complexity_from_plan(plan, 0.0)
         return 0.0, multiplier, 0.0

@@ -52,3 +52,42 @@ def test_complexity_scales_with_size():
 def test_count_on_one_gb_is_exactly_one():
     complexity, _ = complexity_from_plan("aggregate [count(1)]", 1.0)
     assert complexity == pytest.approx(1.0)
+
+
+def test_estimate_on_real_files(spark):
+    """complexity == file-size GB x multiplier for a real parquet scan."""
+    import os
+
+    from dbfs_spark_cache_spark.complexity import estimate_compute_complexity
+    from tests.conftest import SF_SMOKE
+
+    path = f"{SF_SMOKE}/lineitem.parquet"
+    df = (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .count()
+        .orderBy("l_returnflag")
+    )
+    complexity, multiplier, size_gb = estimate_compute_complexity(df)
+    expected_gb = os.path.getsize(path) / 1024**3 if os.path.isfile(path) else size_gb
+    assert size_gb == pytest.approx(expected_gb, rel=0.01)
+    assert multiplier > 1.0  # aggregate + sort
+    assert complexity == pytest.approx(size_gb * multiplier)
+
+
+def test_catalyst_size_fallback(spark):
+    """Sources with no listable files but known stats (range here; ANALYZEd
+    catalog tables in production) still get a non-zero size from the CBO
+    estimate; truly-unknown sources (local relations -> Long.MaxValue
+    sentinel) correctly report 0."""
+    from dbfs_spark_cache_spark.complexity import (
+        catalyst_size_estimate_gb,
+        get_input_file_sizes,
+    )
+
+    ranged = spark.range(100_000)
+    assert get_input_file_sizes(ranged) == []
+    assert catalyst_size_estimate_gb(ranged) > 0
+
+    unknown = spark.createDataFrame([(1, "x")], ["id", "pad"])
+    assert catalyst_size_estimate_gb(unknown) == 0.0
