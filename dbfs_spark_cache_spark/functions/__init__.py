@@ -58,6 +58,43 @@ def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
     return F.concat(*bits)
 
 
+# -- UDF identity ----------------------------------------------------------
+
+def content_addressed_udf(fn, return_type, vectorized: bool = True):
+    """Wrap a Python function as a (pandas) UDF whose *name* embeds a hash
+    of its bytecode and constants.
+
+    Fixes a documented reference gap (reference: core_caching.py:318-319,
+    README.md:196 — "UDF code changes don't change the hash, warning only"):
+    the UDF name appears in the logical-plan text, so embedding the code
+    hash there makes the cache fingerprint sensitive to body changes. Free
+    variables captured by closure are hashed via their repr.
+    """
+    import hashlib
+
+    code = fn.__code__
+    digest = hashlib.md5()
+    digest.update(code.co_code)
+    digest.update(repr(code.co_consts).encode())
+    if fn.__closure__:
+        digest.update(
+            repr([c.cell_contents for c in fn.__closure__]).encode()
+        )
+    tag = digest.hexdigest()[:10]
+    name = f"{fn.__name__}__{tag}"
+
+    # The UDF's plan-visible name is captured at wrap time from __name__, so
+    # rename a *copy* first (mutating the original would leak the rename).
+    import types
+
+    renamed = types.FunctionType(
+        code, fn.__globals__, name, fn.__defaults__, fn.__closure__
+    )
+    if vectorized:
+        return F.pandas_udf(renamed, returnType=return_type)
+    return F.udf(renamed, returnType=return_type)
+
+
 # -- text ------------------------------------------------------------------
 
 def tokenize(text) -> Column:

@@ -74,11 +74,36 @@ def get_tables_from_database(
 def get_cached_tables(
     spark: SparkSession, num_threads: Optional[int] = None
 ) -> pd.DataFrame:
-    """Catalog registry sorted by creation time (newest last)."""
+    """Catalog registry sorted by creation time (newest last), with a
+    warehouse-directory listing fallback when the catalog has no entries
+    (reference: cache_management.py:88-155 — e.g. a fresh session over a
+    non-persistent catalog whose warehouse still holds cache tables)."""
     frame = get_tables_from_database(spark, num_threads=num_threads)
+    if frame.empty:
+        frame = _tables_from_warehouse_listing(spark)
     if frame.empty:
         return frame
     return frame.sort_values("creationTime").reset_index(drop=True)
+
+
+def _tables_from_warehouse_listing(spark: SparkSession) -> pd.DataFrame:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    db_dir = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db"
+    rows = []
+    for entry in fs.list_dir(db_dir):
+        if not entry.is_dir:
+            continue
+        rows.append(
+            {
+                "table_name": f"{config.CACHE_DATABASE}.{entry.name}",
+                "hash_name": entry.name,
+                "directory_path": entry.path,
+                "creationTime": datetime.fromtimestamp(entry.mtime_ms / 1000),
+            }
+        )
+    if not rows:
+        return empty_registry()
+    return pd.DataFrame(rows, columns=REGISTRY_COLUMNS)
 
 
 def get_cached_dataframe_metadata(num_threads: Optional[int] = None) -> pd.DataFrame:
@@ -125,10 +150,20 @@ def clear_caches_older_than(
     spark: SparkSession,
     num_days: int = 7,
     num_threads: Optional[int] = None,
+    specific_database: Optional[str] = None,
     confirm_delete: bool = True,
 ) -> List[str]:
-    """Evict cache entries older than ``num_days``; returns evicted hashes."""
-    registry = get_cached_dataframe_metadata(num_threads=num_threads)
+    """Evict cache entries older than ``num_days``; returns evicted hashes.
+
+    ``specific_database`` scopes eviction to one cache database (reference:
+    cache_management.py:157-227); the default uses the configured one.
+    """
+    if specific_database is not None:
+        registry = get_tables_from_database(
+            spark, database=specific_database, num_threads=num_threads
+        )
+    else:
+        registry = get_cached_dataframe_metadata(num_threads=num_threads)
     if registry.empty:
         return []
     cutoff = datetime.now() - timedelta(days=num_days)

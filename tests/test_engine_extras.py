@@ -176,6 +176,61 @@ def test_json_csv_orc_sources_roundtrip(spark, tmp_path):
         assert got == expected, f"{fmt} round-trip mismatch"
 
 
+def test_content_addressed_udf_identity(spark, clean_cache):
+    """UDF body changes must change the cache fingerprint (fixes the
+    reference's documented gap: core_caching.py:318-319, README.md:196)."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark import resolve_table_hash
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+
+    def body_a(s):
+        return s * 1.1
+
+    def body_b(s):
+        return s * 1.2
+
+    def query(fn):
+        udf = content_addressed_udf(fn, DoubleType())
+        return cust.select(udf("c_acctbal").alias("adj"))
+
+    h_a1 = resolve_table_hash(query(body_a))
+    h_a2 = resolve_table_hash(query(body_a))
+    h_b = resolve_table_hash(query(body_b))
+    assert h_a1 == h_a2  # deterministic across rebuilds
+    assert h_a1 != h_b  # sensitive to the body
+    assert body_a.__name__ == "body_a"  # original not mutated
+    got = query(body_a).limit(3).collect()
+    assert all(abs(r.adj) >= 0 for r in got)
+
+
+def test_registry_warehouse_fallback(extended):
+    """get_cached_tables finds cache tables from warehouse files even when
+    the catalog lost its entries (non-persistent catalog restart)."""
+    from dbfs_spark_cache_spark import get_cached_tables, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    write_cache(_agg_query(extended))
+    registry = get_cached_tables(extended)
+    assert len(registry) == 1
+    h = registry.iloc[0]["hash_name"]
+
+    # Simulate a catalog that forgot the table (files stay on disk).
+    extended.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{h}")
+    # DROP TABLE on a managed table removes files too — recreate the shape:
+    import os
+
+    warehouse = extended.conf.get("spark.sql.warehouse.dir")
+    loc = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db/{h}".replace("file:", "")
+    os.makedirs(loc, exist_ok=True)
+    with open(f"{loc}/part-0.parquet", "wb") as fh:
+        fh.write(b"x")
+    fallback = get_cached_tables(extended)
+    assert list(fallback["hash_name"]) == [h]
+
+
 def test_cached_tables_registry(extended):
     from dbfs_spark_cache_spark import get_cached_tables, write_cache
 
