@@ -1,0 +1,83 @@
+"""Semi-structured column operators: map construction/access, from_json
+struct extraction, explode with ordinality. Completes the scalar-function
+families of SURVEY.md §2 (map: map_keys/element_at; json: from_json;
+array: explode)."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price_from_map,
+           CAST(o_custkey AS DOUBLE) AS cust_from_map,
+           2 AS n_keys,
+           'cust,price' AS sorted_keys
+    FROM orders
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType construction + access (map_from_arrays, element_at,
+    map_keys). The oracle validates the extracted values directly — the map
+    round-trip must be lossless."""
+    orders = load_table(spark, sf, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("cust")),
+        F.array(F.col("o_totalprice"), F.col("o_custkey").cast("double")),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.element_at(m, "price").alias("price_from_map"),
+        F.element_at(m, "cust").alias("cust_from_map"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
+    ).withColumn("n_keys", F.col("n_keys").cast("int"))
+
+
+@register(
+    "fn_from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def fn_from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON parsing: from_json into a struct, field access, null for
+    absent fields, validity flag."""
+    events = load_table(spark, sf, "events")
+    parsed = F.from_json("props", "k BIGINT, missing BIGINT")
+    return events.select(
+        "event_id",
+        parsed.getField("k").alias("k_value"),
+        parsed.getField("missing").alias("missing_value"),
+        parsed.isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(gs - 1 AS INT) AS dim_idx,
+           embedding[gs] AS dim_value
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)
+    WHERE vec_id < 20
+    """,
+)
+def fn_array_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """posexplode: one row per array element with its position — the
+    row-generator workhorse (lateral view). Restricted to 20 vectors so the
+    output stays review-sized."""
+    emb = load_table(spark, sf, "embeddings").where(F.col("vec_id") < 20)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim_idx", "dim_value")
+    )
