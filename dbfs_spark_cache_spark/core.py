@@ -75,15 +75,35 @@ def _save_as_cache_table(
         location = _table_location(spark, hash_name)
         if fs.exists(location):
             fs.remove(location)
-    writer = df.write.mode("overwrite")
-    if config.CACHE_FORMAT:
-        writer = writer.format(config.CACHE_FORMAT)
-    if partition_by:
-        # At 100 TB an unpartitioned cache makes every downstream read a
-        # full scan; partitioning on a natural key turns filtered re-reads
-        # into partition-pruned scans.
-        writer = writer.partitionBy(*partition_by)
-    writer.saveAsTable(table)
+    def build_writer(fmt: str):
+        writer = df.write.mode("overwrite")
+        if fmt:
+            writer = writer.format(fmt)
+        if partition_by:
+            # At 100 TB an unpartitioned cache makes every downstream read a
+            # full scan; partitioning on a natural key turns filtered
+            # re-reads into partition-pruned scans.
+            writer = writer.partitionBy(*partition_by)
+        return writer
+
+    try:
+        build_writer(config.CACHE_FORMAT).saveAsTable(table)
+    except Exception as exc:
+        # Configured format's jars absent (e.g. CACHE_FORMAT=delta without
+        # delta-spark on the classpath): degrade to parquet — still
+        # columnar, still correct, minus the transactional extras.
+        msg = str(exc)
+        if config.CACHE_FORMAT not in ("", "parquet") and (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+            or "ClassNotFound" in msg
+        ):
+            log.warning(
+                "Cache format %r unavailable (%s); falling back to parquet",
+                config.CACHE_FORMAT, msg.splitlines()[0][:120],
+            )
+            build_writer("parquet").saveAsTable(table)
+        else:
+            raise
 
 
 def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame]:
