@@ -46,6 +46,23 @@ def ensure_cache_database(spark: SparkSession) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {config.CACHE_DATABASE}")
 
 
+# Session-level memo: once the configured format proved unavailable, go
+# straight to parquet for the rest of the session (writes AND path reads).
+_FORMAT_FALLBACK: dict = {}
+
+
+def _effective_cache_format() -> str:
+    if _FORMAT_FALLBACK.get("parquet"):
+        return "parquet"
+    return config.CACHE_FORMAT
+
+
+def _is_format_missing(exc: Exception) -> bool:
+    """True only for driver-side data-source-resolution failures."""
+    msg = str(exc)
+    return "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg
+
+
 def _table_location(spark: SparkSession, hash_name: str) -> str:
     """Managed-table location for a cache entry (warehouse/<db>.db/<hash>)."""
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -87,20 +104,20 @@ def _save_as_cache_table(
         return writer
 
     try:
-        build_writer(config.CACHE_FORMAT).saveAsTable(table)
+        build_writer(_effective_cache_format()).saveAsTable(table)
     except Exception as exc:
         # Configured format's jars absent (e.g. CACHE_FORMAT=delta without
         # delta-spark on the classpath): degrade to parquet — still
-        # columnar, still correct, minus the transactional extras.
-        msg = str(exc)
-        if config.CACHE_FORMAT not in ("", "parquet") and (
-            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
-            or "ClassNotFound" in msg
-        ):
+        # columnar, still correct, minus the transactional extras. Only
+        # driver-side format-resolution failures qualify; anything matching
+        # mid-job (task failures also mention ClassNotFound) must re-raise
+        # rather than silently re-run a huge write.
+        if _effective_cache_format() not in ("", "parquet") and _is_format_missing(exc):
             log.warning(
                 "Cache format %r unavailable (%s); falling back to parquet",
-                config.CACHE_FORMAT, msg.splitlines()[0][:120],
+                config.CACHE_FORMAT, str(exc).splitlines()[0][:120],
             )
+            _FORMAT_FALLBACK["parquet"] = True
             build_writer("parquet").saveAsTable(table)
         else:
             raise
@@ -115,13 +132,26 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
     """
     table = table_name_for_hash(hash_name)
     if _table_exists(spark, table):
-        return spark.read.table(table)
+        try:
+            return spark.read.table(table)
+        except Exception as exc:
+            # e.g. a delta-written table read in a jar-less session: treat
+            # as a miss / try the files rather than crash the safe wrapper.
+            log.warning("Catalog read failed for %s (%s); trying files",
+                        table, str(exc).splitlines()[0][:120])
     location = _table_location(spark, hash_name)
     if fs.exists(location):
-        try:
-            return spark.read.format(config.CACHE_FORMAT or "parquet").load(location)
-        except Exception as exc:  # pragma: no cover - defensive
-            log.warning("Path fallback read failed for %s: %s", location, exc)
+        # The files may have been written by the configured format OR by the
+        # parquet degradation path of a previous session — try both.
+        formats = [_effective_cache_format() or "parquet"]
+        if "parquet" not in formats:
+            formats.append("parquet")
+        for fmt in formats:
+            try:
+                return spark.read.format(fmt).load(location)
+            except Exception as exc:
+                log.warning("Path read (%s) failed for %s: %s", fmt, location,
+                            str(exc).splitlines()[0][:120])
     return None
 
 

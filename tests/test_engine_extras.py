@@ -231,6 +231,51 @@ def test_registry_warehouse_fallback(extended):
     assert list(fallback["hash_name"]) == [h]
 
 
+def test_cache_format_degradation_roundtrip(extended):
+    """CACHE_FORMAT pointing at absent jars: write degrades to parquet, the
+    degradation is memoized, and reads resolve the parquet files even with
+    the broken format still configured (cross-session path included)."""
+    from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    original = config.CACHE_FORMAT
+    core._FORMAT_FALLBACK.clear()
+    config.CACHE_FORMAT = "delta"  # delta-spark jars are not installed here
+    try:
+        df = _agg_query(extended)
+        cached = write_cache(df)
+        assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, df.collect()))
+        assert core._FORMAT_FALLBACK.get("parquet") is True  # memoized
+
+        # Simulate the next session's path-fallback read: catalog entry
+        # dropped externally, files remain, broken format still configured.
+        registry_hash = core.resolve_table_hash(df)
+        loc = core._table_location(extended, registry_hash)
+        extended.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{registry_hash}")
+        import shutil
+
+        # managed-table DROP removes files; rewrite them as parquet
+        os.makedirs(loc.replace("file:", ""), exist_ok=True)
+        df.write.mode("overwrite").parquet(loc)
+        core._FORMAT_FALLBACK.clear()  # fresh session: memo gone
+        hit = read_cache_if_exist(_agg_query(extended))
+        assert hit is not None, "path fallback must try parquet after the configured format"
+        assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, df.collect()))
+    finally:
+        config.CACHE_FORMAT = original
+        core._FORMAT_FALLBACK.clear()
+
+
+def test_genuine_write_error_not_swallowed(extended):
+    """A real failure (not a missing format) must re-raise, not silently
+    fall back to parquet."""
+    from dbfs_spark_cache_spark import write_cache
+
+    df = _agg_query(extended).selectExpr("n / 0 AS boom", "o_orderpriority")
+    with pytest.raises(Exception):
+        write_cache(df)  # ANSI division by zero surfaces, no fallback
+
+
 def test_cached_tables_registry(extended):
     from dbfs_spark_cache_spark import get_cached_tables, write_cache
 
