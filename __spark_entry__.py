@@ -8,7 +8,15 @@ SURVEY.md §2 plus the [NS] LLM-pipeline operators, checked against DuckDB.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The engine package lives next to this file; make imports work regardless
+# of the caller's working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 
