@@ -107,6 +107,38 @@ def session_windows(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total, maintained across micro-batches.
+
+    The pattern for stateful logic Spark's built-in aggregations can't
+    express (per-key accumulators with arbitrary Python update rules).
+    State is one small tuple per user — bounded by the key cardinality, not
+    the stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, batches, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd  # local import: runs in the worker
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming frame to completion against a memory sink and
     return the materialized result (local smoke-testing helper)."""

@@ -1,0 +1,148 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python kernels:
+content hashing, the cost model, metadata documents, and the MinHash
+permutation family. The reference has no property tests (SURVEY.md §5) —
+these pin the invariants its unit tests only spot-check."""
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from dbfs_spark_cache_spark.complexity import (
+    MULTIPLIER_BASE,
+    complexity_from_plan,
+    plan_cost_multiplier,
+)
+from dbfs_spark_cache_spark.hashing import hash_input_data
+from dbfs_spark_cache_spark.plans.fingerprint import (
+    cache_metadata_document,
+    compute_cache_key,
+)
+
+simple_frames = st.lists(
+    st.tuples(st.integers(-1000, 1000), st.text(min_size=0, max_size=8)),
+    min_size=1,
+    max_size=20,
+).map(lambda rows: pd.DataFrame(rows, columns=["a", "b"]))
+
+
+@settings(max_examples=30, deadline=None)
+@given(simple_frames)
+def test_hash_deterministic_and_copy_stable(frame):
+    assert hash_input_data(frame) == hash_input_data(frame.copy(deep=True))
+
+
+@settings(max_examples=30, deadline=None)
+@given(simple_frames, st.integers(0, 19), st.integers(-2000, 2000))
+def test_hash_changes_on_any_value_change(frame, row_idx, new_value):
+    mutated = frame.copy(deep=True)
+    i = row_idx % len(mutated)
+    if mutated.iloc[i, 0] == new_value:
+        new_value += 1
+    mutated.iloc[i, 0] = new_value
+    assert hash_input_data(frame) != hash_input_data(mutated)
+
+
+@settings(max_examples=30, deadline=None)
+@given(simple_frames)
+def test_hash_changes_on_rename(frame):
+    renamed = frame.rename(columns={"a": "z"})
+    assert hash_input_data(frame) != hash_input_data(renamed)
+
+
+op_words = st.lists(
+    st.sampled_from(["join", "window", "sort", "distinct", "udf", "project"]),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(op_words)
+def test_multiplier_bounds_and_monotonicity(ops):
+    plan = " ".join(ops)
+    m = plan_cost_multiplier(plan)
+    assert m >= MULTIPLIER_BASE - 1e-12
+    # appending a join never lowers the estimate (factors are all >= 1
+    # relative to the running multiplier)
+    assert plan_cost_multiplier(plan + " join") >= m
+
+
+@settings(max_examples=30, deadline=None)
+@given(op_words, st.floats(0.001, 1000.0))
+def test_complexity_linear_in_size(ops, size_gb):
+    plan = " ".join(ops)
+    c1, m1 = complexity_from_plan(plan, size_gb)
+    c2, m2 = complexity_from_plan(plan, 2 * size_gb)
+    assert m1 == m2
+    assert abs(c2 - 2 * c1) < 1e-9 * max(1.0, abs(c2))
+
+
+path_mtimes = st.dictionaries(
+    st.text(
+        alphabet=st.characters(whitelist_categories=["Ll", "Nd"], whitelist_characters="/_-"),
+        min_size=1,
+        max_size=30,
+    ).map(lambda s: "/" + s),
+    st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2030, 1, 1)),
+    min_size=0,
+    max_size=5,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(path_mtimes, st.text(max_size=200))
+def test_metadata_key_deterministic_and_input_sensitive(info, plan):
+    doc = cache_metadata_document(info, plan)
+    assert compute_cache_key(doc) == compute_cache_key(doc)
+    # mtimes render at second precision — any whole-second shift must change
+    # the key when there is at least one source
+    if info:
+        path = next(iter(info))
+        from datetime import timedelta
+
+        shifted = dict(info)
+        shifted[path] = shifted[path] + timedelta(seconds=1)
+        assert compute_cache_key(
+            cache_metadata_document(shifted, plan)
+        ) != compute_cache_key(doc)
+
+
+def _minhash_py(shingles, n=32):
+    """Pure-python mirror of the Spark MinHash permutation family."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _MERSENNE_P31,
+        _PERM_MULTIPLIERS,
+        _PERM_OFFSETS,
+    )
+
+    hashes = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & _MERSENNE_P31
+        for s in shingles
+    ]
+    return [
+        min((a * h + b) % _MERSENNE_P31 for h in hashes)
+        for a, b in zip(_PERM_MULTIPLIERS[:n], _PERM_OFFSETS[:n])
+    ]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.sets(st.text(min_size=1, max_size=6), min_size=8, max_size=60),
+    st.floats(0.2, 0.9),
+)
+def test_minhash_family_estimates_jaccard(base, keep_fraction):
+    """The (a*x+b) mod p permutation family must estimate Jaccard within a
+    loose statistical tolerance — a broken family (e.g. monotone map)
+    collapses to all-agree or all-disagree and fails this immediately."""
+    base = sorted(base)
+    k = max(1, int(len(base) * keep_fraction))
+    other = set(base[:k]) | {s + "_x" for s in base[k:]}
+    sa, sb = set(base), other
+    true_j = len(sa & sb) / len(sa | sb)
+    ma, mb = _minhash_py(sa), _minhash_py(sb)
+    est = sum(1 for x, y in zip(ma, mb) if x == y) / len(ma)
+    # 32 permutations: std ~ sqrt(j(1-j)/32) <= 0.09; allow 4 sigma.
+    assert abs(est - true_j) <= 0.36

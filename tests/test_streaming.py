@@ -53,6 +53,48 @@ def test_streaming_sliding_matches_batch(spark):
     assert got == expected
 
 
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState: per-user accumulators survive across
+    micro-batches and end equal to the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        running_user_totals,
+    )
+
+    stream = running_user_totals(read_events_stream(spark, SF_SMOKE))
+    query = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # "update" mode appends one row per user per batch; the last row per
+    # user carries the final state.
+    result = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) AS rn
+            FROM t_stateful) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in result}
+    expected = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_streaming_session_windows(spark):
     from dbfs_spark_cache_spark.streaming import (
         read_events_stream,
