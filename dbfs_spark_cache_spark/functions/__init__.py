@@ -8,6 +8,7 @@ expressions inline into whole-stage codegen.
 """
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column
@@ -56,6 +57,34 @@ def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
         plane_col = F.array(*[F.lit(float(v)) for v in plane])
         bits.append(F.when(vec_dot(a, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+# -- schema hygiene --------------------------------------------------------
+
+_INVALID_NAME_CHARS = re.compile(r"[ ,;{}()\n\t=]")
+
+
+def sanitize_columns(df):
+    """Rename columns containing characters Parquet/Delta table writes
+    reject (`` ,;{}()\\n\\t=``) — e.g. auto-generated aggregate names like
+    ``sum(bar)``. The reference documents this failure and requires manual
+    aliasing (reference: README.md:169-181); this helper automates it:
+    ``sum(bar)`` -> ``sum_bar``.
+    """
+    import re as _re
+
+    renames = {}
+    seen = set(df.columns)
+    for col in df.columns:
+        if _INVALID_NAME_CHARS.search(col):
+            clean = _re.sub(r"[ ,;{}()\n\t=]+", "_", col).strip("_")
+            while clean in seen:
+                clean += "_"
+            renames[col] = clean
+            seen.add(clean)
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
 
 
 # -- UDF identity ----------------------------------------------------------

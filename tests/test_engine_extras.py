@@ -176,6 +176,75 @@ def test_json_csv_orc_sources_roundtrip(spark, tmp_path):
         assert got == expected, f"{fmt} round-trip mismatch"
 
 
+def test_union_of_cached_frames(extended):
+    """Reference integration scenario (integration_test_notebook.py:
+    1096-1148): union of two independently-cached frames preserves the
+    combined value set."""
+    from dbfs_spark_cache_spark import write_cache
+
+    orders = extended.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    low = orders.where(F.col("o_totalprice") < 100000).select("o_orderkey", "o_totalprice")
+    high = orders.where(F.col("o_totalprice") >= 100000).select("o_orderkey", "o_totalprice")
+    cached_low, cached_high = write_cache(low), write_cache(high)
+    union = cached_low.unionByName(cached_high)
+    assert sorted(r.o_orderkey for r in union.collect()) == sorted(
+        r.o_orderkey for r in orders.select("o_orderkey").collect()
+    )
+
+
+def test_chained_caching(extended):
+    """cacheToStorage on top of a cached scan: the downstream query gets its
+    own entry whose input is the first cache table (reference 'chained
+    caching', integration_test_notebook.py:663-703)."""
+    from dbfs_spark_cache_spark import resolve_table_hash, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    base = write_cache(_agg_query(extended))
+    h_base = resolve_table_hash(base)
+    downstream = base.where(F.col("n") > 0).withColumn("doubled", F.col("n") * 2)
+    chained = write_cache(downstream)
+    h_chain = resolve_table_hash(chained)
+    assert h_chain != h_base
+    assert len(os.listdir(config.SPARK_CACHE_DIR)) == 2
+    assert sorted(map(tuple, chained.collect())) == sorted(
+        map(tuple, downstream.collect())
+    )
+
+
+def test_cache_empty_result(extended):
+    """Caching a zero-row result round-trips schema + emptiness (reference
+    edge case, integration_test_notebook.py:772-774)."""
+    from dbfs_spark_cache_spark import write_cache
+
+    empty = _agg_query(extended).where(F.col("n") < 0)
+    cached = write_cache(empty)
+    assert cached.count() == 0
+    assert cached.columns == empty.columns
+
+
+def test_special_agg_column_names_cache_fine(extended):
+    """The reference documents that auto-generated aggregate names like
+    sum(o_totalprice) break Delta cache writes (README.md:169-181). On
+    Spark 4 + parquet the write succeeds — pin the improvement, and pin
+    sanitize_columns for engines/formats that still reject them."""
+    from dbfs_spark_cache_spark import write_cache
+    from dbfs_spark_cache_spark.functions import sanitize_columns
+
+    ugly = (
+        extended.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg({"o_totalprice": "sum"})  # column literally named sum(o_totalprice)
+    )
+    assert any("(" in c for c in ugly.columns)
+    cached = write_cache(ugly)  # no alias needed anymore
+    assert cached.count() == 3
+    assert any("(" in c for c in cached.columns)
+
+    clean = sanitize_columns(ugly)
+    assert clean.columns == ["o_orderstatus", "sum_o_totalprice"]
+    assert sorted(r[1] for r in clean.collect()) == sorted(r[1] for r in ugly.collect())
+
+
 def test_content_addressed_udf_identity(spark, clean_cache):
     """UDF body changes must change the cache fingerprint (fixes the
     reference's documented gap: core_caching.py:318-319, README.md:196)."""
