@@ -142,11 +142,17 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
     location = _table_location(spark, hash_name)
     if fs.exists(location):
         # The files may have been written by the configured format OR by the
-        # parquet degradation path of a previous session — try both.
+        # parquet degradation path of a previous session — try both. BUT a
+        # transactional-format directory (_delta_log present) must never be
+        # read as raw parquet: superseded file versions would surface as
+        # duplicated/stale rows presented as a valid hit.
+        is_transactional = fs.exists(f"{location.rstrip('/')}/_delta_log")
         formats = [_effective_cache_format() or "parquet"]
-        if "parquet" not in formats:
+        if "parquet" not in formats and not is_transactional:
             formats.append("parquet")
         for fmt in formats:
+            if fmt == "parquet" and is_transactional:
+                continue
             try:
                 return spark.read.format(fmt).load(location)
             except Exception as exc:
@@ -250,8 +256,14 @@ def cache_dataframe(
         log.info("RDD-backed plan; skipping cache")
         return df
 
+    # Direct-data caches ARE their own materialization — re-caching would
+    # duplicate content-addressed data (reference: dataframe_extensions.py:54-56).
+    if getattr(df, "_is_direct_data_cache", False):
+        log.info("Direct-data cache source; nothing to cache")
+        return df
+
     info = input_dir_mod_datetime(df, plan)
-    if info == {DIRECT_DATA_CACHE_KEY: True}:
+    if info == {DIRECT_DATA_CACHE_KEY: True}:  # sentinel kept for parity
         return df
 
     hit = read_cache_if_exist(df, query_plan=plan, input_info=info)

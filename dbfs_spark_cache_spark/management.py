@@ -181,9 +181,25 @@ def clear_inconsistent_cache(
     spark: SparkSession, num_threads: Optional[int] = None
 ) -> List[str]:
     """Remove half-present entries: metadata without a table, or a table
-    without metadata (reference: cache_management.py:229-288)."""
+    without metadata (reference: cache_management.py:229-288).
+
+    Safety rail: when one side of the comparison is completely empty while
+    the other is not, that is far more likely a visibility problem (fresh
+    non-persistent catalog, mispointed SPARK_CACHE_DIR) than N
+    simultaneously-orphaned entries — repairing would mass-delete every
+    valid cache, so bail out instead.
+    """
     meta = get_cached_dataframe_metadata(num_threads=num_threads)
-    tables = get_tables_from_database(spark, num_threads=num_threads)
+    # Include the warehouse-listing fallback so an empty catalog doesn't
+    # masquerade as "no tables".
+    tables = get_cached_tables(spark, num_threads=num_threads)
+    if meta.empty != tables.empty:
+        log.warning(
+            "clear_inconsistent_cache: one registry is empty (metadata=%d, "
+            "tables=%d) — refusing to mass-delete; check catalog/cache-dir "
+            "visibility", len(meta), len(tables),
+        )
+        return []
     merged = pd.merge(
         meta[["hash_name"]],
         tables[["hash_name"]],

@@ -31,3 +31,13 @@ def register(name: str, oracle: Optional[str] = None):
         return fn
 
     return decorator
+
+
+def dec(col, scale: int = 2, precision: int = 22):
+    """Exact decimal cast — the package-wide float discipline: sums over
+    DECIMAL are association-independent, so results are bit-reproducible
+    under any partitioning and match the DuckDB oracle exactly."""
+    from pyspark.sql import functions as F
+
+    target = f"decimal({precision},{scale})"
+    return (F.col(col) if isinstance(col, str) else col).cast(target)

@@ -20,14 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
-from .registry import register
+from .registry import dec as _dec, register
 
 
-def _dec(col, scale: int = 2, precision: int = 22):
-    """Exact decimal cast used for association-independent sums."""
-    return F.col(col).cast(f"decimal({precision},{scale})") if isinstance(col, str) else col.cast(
-        f"decimal({precision},{scale})"
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,17 @@ def salted_join(
     Use when one side is too large to broadcast AND the key distribution is
     pathological beyond what AQE's skew-join splitting handles. The salt
     column is internal and dropped from the result.
+
+    Only join types where the replicated dim side cannot surface unmatched
+    rows are allowed: a right/full outer join would emit every unmatched
+    dim row once per salt.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the dim side is "
+            "replicated per salt, which duplicates unmatched rows in "
+            "right/full outer joins"
+        )
     salted_fact = fact.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -11,22 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import vec_dot as _dot, vec_sq_norm as _sq_norm
 from ..sources import load_table
 from .registry import register
-
-
-def _sq_norm(col: str):
-    return F.aggregate(
-        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    )
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 @register(

@@ -10,12 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
-from .registry import register
-
-
-def _dec(col, scale: int = 2, precision: int = 22):
-    target = f"decimal({precision},{scale})"
-    return (F.col(col) if isinstance(col, str) else col).cast(target)
+from .registry import dec as _dec, register
 
 
 @register(

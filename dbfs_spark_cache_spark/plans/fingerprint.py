@@ -114,12 +114,22 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     import os
 
     dirs = sorted({os.path.dirname(f) for f in files})
+    # Cache-entry data directories are skipped: a cache table's content is
+    # immutable for its key (key = md5 of its inputs), and its *name* is
+    # already embedded in the plan text — including its physical mtime
+    # would spuriously invalidate derived caches on repair/re-writes.
+    # Two layouts to skip: the metadata dir (reference layout) and the
+    # warehouse table dirs (this engine's data location).
     cache_base = re.escape(config.SPARK_CACHE_DIR.rstrip("/"))
-    cache_entry_re = re.compile(rf"^{cache_base}/[a-f0-9]{{32}}/?$")
+    skip_res = [re.compile(rf"^{cache_base}/(data_)?[a-f0-9]{{32}}/?$")]
+    skip_res.append(
+        re.compile(rf"/{re.escape(config.CACHE_DATABASE)}\.db/(data_)?[a-f0-9]{{32}}/?$")
+    )
 
     result: Dict[str, datetime] = {}
     for d in dirs:
-        if cache_entry_re.match(fs.strip_scheme(d)):
+        local = fs.strip_scheme(d)
+        if any(rx.search(local) for rx in skip_res):
             continue
         mtime = fs.max_mtime(d)
         if mtime is not None:
@@ -171,6 +181,23 @@ def table_cache_info(
     return key, cache_dir, f"{cache_dir}cache_metadata.txt", metadata_txt
 
 
+def _is_pure_scan_of(plan: str, db: str, table: str) -> bool:
+    """True when the plan is nothing but a scan of ``db.table`` — no
+    projections, filters, joins, or any other operator on top."""
+    relation_re = re.compile(
+        rf"Relation\s*\[[^\]]*\]\s*\S*{re.escape(db)}\.{re.escape(table)}\S*"
+    )
+    remainder = relation_re.sub("", plan)
+    remainder = re.sub(
+        r"== (Parsed Logical Plan|Analyzed Logical Plan|Optimized Logical Plan|Physical Plan) ==",
+        "", remainder)
+    remainder = re.sub(r"[\s,:]+", "", remainder)
+    remainder = re.sub(r"[a-zA-Z_]+:[a-z]+", "", remainder)
+    return not re.search(
+        r"(Project|Filter|Join|Aggregate|Sort|Window|Union|Generate)", remainder
+    )
+
+
 def resolve_table_hash(df: DataFrame) -> str:
     """Full identity resolution with the reference's short-circuits
     (reference: core_caching.py:527-571):
@@ -189,27 +216,21 @@ def resolve_table_hash(df: DataFrame) -> str:
     db = config.CACHE_DATABASE
 
     data_table = find_cache_table_in_text(plan, db, "data_")
-    if data_table:
-        relation_re = re.compile(
-            rf"Relation\s*\[[^\]]*\]\s*\S*{re.escape(db)}\.{re.escape(data_table)}\S*"
-        )
-        remainder = relation_re.sub("", plan)
-        # Strip the section headers explain always prints; a pure scan leaves
-        # nothing else behind.
-        remainder = re.sub(
-            r"== (Parsed Logical Plan|Analyzed Logical Plan|Optimized Logical Plan|Physical Plan) ==",
-            "", remainder)
-        remainder = re.sub(r"[\s,:]+", "", remainder)
-        remainder = re.sub(r"[a-zA-Z_]+:[a-z]+", "", remainder)
-        if not re.search(r"(Project|Filter|Join|Aggregate|Sort|Window|Union|Generate)", remainder):
-            return data_table
+    if data_table and _is_pure_scan_of(plan, db, data_table):
+        return data_table
+
+    # A standard cache table embedded in the plan short-circuits ONLY for a
+    # pure scan — a derived frame (filter/join on top of a cached scan) must
+    # get its own identity, otherwise clearing the derived frame would drop
+    # the parent's cache. (The reference returns the embedded hash for any
+    # referencing plan — a footgun deliberately not reproduced.)
+    embedded = find_cache_table_in_text(plan, db, "")
+    if embedded is not None and _is_pure_scan_of(plan, db, embedded):
+        return embedded
 
     info = input_dir_mod_datetime(df, plan)
     dt_info: Dict[str, datetime] = {
         k: v for k, v in info.items() if isinstance(v, datetime)
     }
     metadata_txt = cache_metadata_document(dt_info, plan)
-    embedded = find_cache_table_in_text(metadata_txt, db, "")
-    if embedded is not None:
-        return embedded
     return compute_cache_key(metadata_txt)

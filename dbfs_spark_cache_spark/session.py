@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
+    if warehouse_dir is None:
+        from .config import config
+
+        warehouse_dir = config.DATABASE_PATH
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     for key, value in (extra_conf or {}).items():

@@ -80,6 +80,8 @@ def backup_spark_cached_to_storage(
                 log.warning("Complexity estimate failed for %s: %s", df_hash, exc)
             if estimate is not None:
                 complexity, multiplier, _ = estimate
+                # Strict < on both, matching core.cache_dataframe's gate —
+                # the same thresholds make the same decision in both paths.
                 if (
                     min_multiplier_threshold is not None
                     and multiplier < min_multiplier_threshold
@@ -87,7 +89,7 @@ def backup_spark_cached_to_storage(
                     continue
                 if (
                     min_complexity_threshold is not None
-                    and complexity <= min_complexity_threshold
+                    and complexity < min_complexity_threshold
                 ):
                     continue
         eligible.append((df, estimate))

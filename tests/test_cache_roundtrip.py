@@ -198,10 +198,34 @@ def test_clear_cache_lifecycle(spark, clean_cache, lineitem_copy):
     assert not spark.catalog.tableExists(f"{config.CACHE_DATABASE}.{h}")
     assert get_cached_dataframe_metadata().empty
 
-    # Orphan repair: metadata dir without a table is removed.
+    # Orphan repair: a metadata dir without a table is removed — but only
+    # when a valid entry proves both registries are visible.
+    write_cache(_flagship(spark, lineitem_copy))  # valid entry again
     os.makedirs(f"{config.SPARK_CACHE_DIR}{'b' * 32}", exist_ok=True)
     with open(f"{config.SPARK_CACHE_DIR}{'b' * 32}/cache_metadata.txt", "w") as fh:
         fh.write("orphan")
     removed = clear_inconsistent_cache(spark)
     assert "b" * 32 in removed
     assert not os.path.exists(f"{config.SPARK_CACHE_DIR}{'b' * 32}")
+    # the valid entry survives repair
+    assert len(get_cached_dataframe_metadata()) == 1
+
+
+def test_clear_inconsistent_refuses_mass_delete(spark, clean_cache, lineitem_copy):
+    """Safety rail: if one registry side is empty while the other is not
+    (catalog-visibility problem, not N orphans), repair must refuse rather
+    than delete every cache."""
+    from dbfs_spark_cache_spark import clear_inconsistent_cache, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    write_cache(_flagship(spark, lineitem_copy))
+    # Simulate an invisible catalog/warehouse: point the cache DB at a name
+    # with no tables while the metadata sidecars remain.
+    original = config.CACHE_DATABASE
+    config.CACHE_DATABASE = "nonexistent_db_xyz"
+    try:
+        removed = clear_inconsistent_cache(spark)
+        assert removed == []
+    finally:
+        config.CACHE_DATABASE = original
+    assert len(os.listdir(config.SPARK_CACHE_DIR)) == 1  # nothing deleted
