@@ -265,19 +265,24 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     specific); invariants tested in tests/test_operators_pipeline.py.
     """
     docs = load_table(spark, sf, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    tokens = tokens.withColumn("h", F.xxhash64("token"))
+    # Map-only signature: hash every token instance per row (frequency
+    # weighting falls out naturally — each instance votes ±1), then fold 64
+    # per-bit votes over the hash array. No explode, no shuffle: like the
+    # MinHash pipeline, the first exchange is the candidate-chunk join.
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
+    )
 
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
+    def bit_vote(i: int):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"s_{i}")
-        for i in range(64)
-    ]
-    votes = tokens.groupBy("doc_id").agg(*bit_aggs)
+
+    votes = hashed.select("doc_id", *[bit_vote(i) for i in range(64)])
     simhash = votes.select(
         "doc_id",
         sum(
@@ -323,5 +328,5 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= 10)
+        .where(F.col("hamming") <= 8)
     )

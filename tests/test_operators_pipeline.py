@@ -75,7 +75,7 @@ def test_simhash_detects_planted_dups(spark, planted_dir):
     hits = sum(1 for p in planted if p in found)
     assert hits / len(planted) >= 0.6, f"SimHash found {hits}/20 planted dups"
     for r in pairs:
-        assert 0 <= r.hamming <= 10
+        assert 0 <= r.hamming <= 8
 
 
 def test_exact_dedup_finds_planted_identical_copies(spark, tmp_path, planted_dir):
