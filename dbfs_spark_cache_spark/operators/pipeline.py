@@ -1,0 +1,123 @@
+"""Composed training-data pipeline operators ([NS]): quality filtering,
+label centroids, and the full dedup funnel. These are the "put it
+together" queries a 100 TB data-curation run executes — each stage is an
+operator defined elsewhere in this package."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "quality_filter",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(ttr, 4) AS ttr,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN ttr < 0.2 THEN 'too_repetitive'
+                WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'bad_token_shape'
+                ELSE 'keep' END AS verdict
+    FROM feats
+    """,
+)
+def quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style quality gate: cheap per-document features -> rule-based
+    verdict with a reason code (auditable filtering beats a silent drop).
+    Map-only; at 100 TB this is the first pass over the corpus and its
+    selectivity decides every downstream cost."""
+    docs = load_table(spark, sf, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    ttr = F.size(F.array_distinct(tokens)).cast("double") / n_tokens
+    avg_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.when(n_tokens < 20, "too_short")
+        .when(ttr < 0.2, "too_repetitive")
+        .when((avg_len < 2.0) | (avg_len > 12.0), "bad_token_shape")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               CAST(gs - 1 AS INT) AS dim_idx,
+               CAST(embedding[gs] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(gs)
+    )
+    SELECT label, dim_idx,
+           ROUND(SUM(v) / COUNT(*), 7) AS centroid_value,
+           COUNT(*) AS n_vectors
+    FROM dims
+    GROUP BY label, dim_idx
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid vectors (classification prototypes / IVF coarse
+    quantizer training). float32 inputs summed as doubles are exact up to
+    far larger group sizes than these (24-bit mantissas, 53-bit
+    accumulator), so the mean is order-independent; rounded to absorb the
+    residual ULP at extreme exponent spreads. (DECIMAL casts of floats are
+    avoided: exact-tie roundings differ between engines.)"""
+    emb = load_table(spark, sf, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim_idx", "v")
+    ).select("label", "dim_idx", F.col("v").cast("double").alias("v"))
+    return exploded.groupBy("label", "dim_idx").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 7).alias("centroid_value"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register("pipeline_dedup_survivors")
+def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The full dedup funnel: quality gate -> exact dedup (keep lowest
+    doc_id) -> MinHash-LSH near-dup removal (keep the lower id of each
+    candidate pair). Returns surviving documents with funnel metadata.
+
+    Rows-only (the LSH stage is hash-specific); stage counts are asserted
+    monotone in tests. At 100 TB each stage is the operator documented in
+    its own module; the funnel composes without any driver-side data
+    movement."""
+    from .dedup import dedup_minhash_lsh
+
+    quality = quality_filter(spark, sf).where(F.col("verdict") == "keep")
+    docs = load_table(spark, sf, "documents").join(
+        quality.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    exact_keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_survivors = docs.join(
+        exact_keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+
+    near_dup_losers = (
+        dedup_minhash_lsh(spark, sf)
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = exact_survivors.join(near_dup_losers, "doc_id", "left_anti")
+    return survivors.select("doc_id", "lang", "source", "n_chars")

@@ -201,6 +201,23 @@ def test_udtf_tokenize_matches_explode(spark):
     assert got == expected
 
 
+def test_dedup_funnel_monotone(spark, planted_dir):
+    """The composed funnel only ever removes documents, and it removes the
+    planted near-duplicates (higher doc_id of each pair) while keeping
+    their originals."""
+    from dbfs_spark_cache_spark.operators.pipeline import pipeline_dedup_survivors
+
+    total = spark.read.parquet(f"{planted_dir}/documents.parquet").count()
+    survivors = pipeline_dedup_survivors(spark, planted_dir)
+    ids = {r.doc_id for r in survivors.collect()}
+    assert len(ids) < total
+    planted_mutants = {i + 1_000_000 for i in range(20)}
+    removed_mutants = planted_mutants - ids
+    assert len(removed_mutants) >= 16  # LSH recall >= 0.8 flows through
+    originals_kept = sum(1 for i in range(20) if i in ids)
+    assert originals_kept >= 16  # keep-lower-id policy retains sources
+
+
 def test_hyperplane_signature_buckets(spark):
     import random
 
