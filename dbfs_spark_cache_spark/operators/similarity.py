@@ -71,15 +71,20 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     the corpus followed by TakeOrdered — exactly the plan you want at 100 TB
     (no shuffle before the top-k heap). Ties broken by vec_id; cosine rounded
     so ordering is reproducible across engines.
+
+    The query-vector selection stays INSIDE the plan (broadcast join on the
+    min-id aggregate) — no driver-side ``collect()``: one job instead of two,
+    and the cache fingerprint tracks the query, not a data-dependent literal.
     """
     emb = load_table(spark, sf, "embeddings")
-    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
-    query = emb.where(F.col("vec_id") == min_id).select(
-        F.col("embedding").alias("q_emb")
+    q_id = emb.agg(F.min("vec_id").alias("q_id"))
+    query = (
+        emb.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id"))
+        .select("q_id", F.col("embedding").alias("q_emb"))
     )
     scored = (
-        emb.where(F.col("vec_id") != min_id)
-        .crossJoin(F.broadcast(query))
+        emb.crossJoin(F.broadcast(query))
+        .where(F.col("vec_id") != F.col("q_id"))
         .select(
             "vec_id",
             "label",
@@ -137,7 +142,8 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
 
     Demonstrates the prune-then-score pattern; no oracle because the
     bucket-restricted result is approximate by construction (rows-only;
-    recall vs brute force asserted in tests/test_operators_similarity.py).
+    recall vs brute force asserted in tests/test_operators_pipeline.py).
+    Query selection is an in-plan broadcast join (no driver ``collect()``).
     """
     emb = load_table(spark, sf, "embeddings")
     # Coarser cells than the LSH query (4 bits -> 16 cells) so each inverted
@@ -147,13 +153,15 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(4)
     ]
     bucketed = emb.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
-    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
-    query = bucketed.where(F.col("vec_id") == min_id).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    q_id = emb.agg(F.min("vec_id").alias("q_id"))
+    query = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
+        "q_id", F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
     return (
-        bucketed.where(F.col("vec_id") != min_id)
-        .join(F.broadcast(query), F.col("bucket") == F.col("q_bucket"))
+        bucketed.join(
+            F.broadcast(query),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+        )
         .select(
             "vec_id",
             "label",

@@ -170,18 +170,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q22 shape: above-average balances, substring-derived grouping
-    key, NOT EXISTS anti-join, grouped aggregate."""
+    key, NOT EXISTS anti-join, grouped aggregate.
+
+    The average balance stays inside the plan as a broadcast single-row
+    aggregate (crossJoin + filter) — Catalyst's scalar-subquery shape — not a
+    driver ``collect()``: one job, and the plan fingerprint doesn't bake in a
+    data-dependent literal."""
     customer = load_table(spark, sf, "customer")
     avg_bal = (
         customer.where(F.col("c_acctbal") > 0)
-        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a"))
-        .collect()[0][0]
+        .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))
     )
     recent = load_table(spark, sf, "orders").where(
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
-    rich = customer.where(F.col("c_acctbal") > avg_bal).select(
-        "c_custkey", "c_acctbal", F.substring("c_name", 17, 2).alias("cust_code")
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_acctbal", F.substring("c_name", 17, 2).alias("cust_code"))
     )
     return (
         rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")

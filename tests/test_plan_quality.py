@@ -74,6 +74,34 @@ def test_cache_hit_plan_is_bare_scan(spark, clean_cache, queries):
     assert "HashAggregate" not in plan and "Join" not in plan
 
 
+def test_no_driver_collect_in_query_builders():
+    """Query builders must emit ONE distributed plan: no driver-side
+    ``collect()`` to fetch scalars mid-build (it splits the query into two
+    jobs and bakes data-dependent literals into the cache fingerprint).
+    Scalar needs are expressed as broadcast single-row aggregates instead."""
+    import inspect
+
+    import dbfs_spark_cache_spark.operators as ops
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    offenders = []
+    seen_files = set()
+    for name, fn in QUERIES.items():
+        try:
+            src_file = inspect.getsourcefile(fn)
+        except TypeError:
+            continue
+        if src_file in seen_files:
+            continue
+        seen_files.add(src_file)
+        with open(src_file) as fh:
+            for lineno, line in enumerate(fh, 1):
+                code = line.split("#", 1)[0]
+                if ".collect(" in code:
+                    offenders.append(f"{src_file}:{lineno}")
+    assert not offenders, f"driver-side collect() in query builders: {offenders}"
+
+
 def test_no_python_udfs_in_relational_suite(spark, queries):
     """Relational + dedup/similarity/text queries stay JVM-side: no
     row-at-a-time Python eval in their plans (pandas-UDF queries excepted
