@@ -308,7 +308,9 @@ def cache_dataframe(
         log.info("Using Spark in-memory cache tier")
         return df.cache()
 
-    dt_info = {k: v for k, v in info.items() if isinstance(v, datetime)}
+    # Keep cached-input path markers alongside datetimes — the probe above
+    # used the full mapping, so the write must key off the same document.
+    dt_info = {k: v for k, v in info.items() if k != DIRECT_DATA_CACHE_KEY}
     return write_cache(
         df,
         query_plan=plan,

@@ -93,7 +93,11 @@ def hash_input_data(
             digest.update(str(value).encode("utf-8"))
         return digest.hexdigest()
     except Exception:
-        # Fallback: serialize to Parquet bytes (slower, handles exotic dtypes).
+        # Fallback: serialize to Parquet bytes (slower, handles exotic
+        # dtypes). index=True to stay consistent with the primary path's
+        # hash_pandas_object(index=True): the same frame must get the same
+        # identity whichever path runs, and frames differing only in index
+        # must not collide here.
         buffer = io.BytesIO()
-        frame.to_parquet(buffer, engine="pyarrow", index=False)
+        frame.to_parquet(buffer, engine="pyarrow", index=True)
         return hashlib.md5(buffer.getvalue()).hexdigest()

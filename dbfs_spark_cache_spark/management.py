@@ -178,28 +178,47 @@ def clear_caches_older_than(
 
 
 def clear_inconsistent_cache(
-    spark: SparkSession, num_threads: Optional[int] = None
+    spark: SparkSession,
+    num_threads: Optional[int] = None,
+    min_overlap: float = 0.5,
+    force: bool = False,
 ) -> List[str]:
     """Remove half-present entries: metadata without a table, or a table
     without metadata (reference: cache_management.py:229-288).
 
-    Safety rail: when one side of the comparison is completely empty while
-    the other is not, that is far more likely a visibility problem (fresh
-    non-persistent catalog, mispointed SPARK_CACHE_DIR) than N
-    simultaneously-orphaned entries — repairing would mass-delete every
-    valid cache, so bail out instead.
+    Safety rails (bypass with ``force=True`` after manual inspection):
+
+    * one registry completely empty while the other is not — far more likely
+      a visibility problem (fresh non-persistent catalog, mispointed
+      SPARK_CACHE_DIR) than N simultaneously-orphaned entries;
+    * both registries non-empty but overlapping on fewer than
+      ``min_overlap`` of their entries — e.g. SPARK_CACHE_DIR repointed
+      while the warehouse still holds valid tables; "repairing" would delete
+      every valid entry on both sides.
     """
     meta = get_cached_dataframe_metadata(num_threads=num_threads)
     # Include the warehouse-listing fallback so an empty catalog doesn't
     # masquerade as "no tables".
     tables = get_cached_tables(spark, num_threads=num_threads)
-    if meta.empty != tables.empty:
+    if not force and meta.empty != tables.empty:
         log.warning(
             "clear_inconsistent_cache: one registry is empty (metadata=%d, "
             "tables=%d) — refusing to mass-delete; check catalog/cache-dir "
-            "visibility", len(meta), len(tables),
+            "visibility (or pass force=True)", len(meta), len(tables),
         )
         return []
+    if not force and not meta.empty and not tables.empty:
+        overlap = len(
+            set(meta["hash_name"]).intersection(tables["hash_name"])
+        ) / max(len(meta), len(tables))
+        if overlap < min_overlap:
+            log.warning(
+                "clear_inconsistent_cache: registries overlap on only %.0f%% "
+                "of entries (metadata=%d, tables=%d) — looks like a diverged "
+                "cache dir/warehouse, refusing to mass-delete (or pass "
+                "force=True)", overlap * 100, len(meta), len(tables),
+            )
+            return []
     merged = pd.merge(
         meta[["hash_name"]],
         tables[["hash_name"]],

@@ -32,6 +32,14 @@ from ..hashing import find_cache_table_in_text
 # Sentinel keys used in the input-fingerprint mapping.
 SCHEMA_CHANGED_KEY = "<schema_changed_placeholder>"
 DIRECT_DATA_CACHE_KEY = "<direct_data_cache>"
+# Value recorded for input directories that are themselves cache entries:
+# the *path* (which embeds the 32-hex cache hash) participates in the
+# fingerprint, the mtime does not (cache content is immutable for its key,
+# so including mtimes would spuriously invalidate derived caches on
+# repair/re-writes). Without the path line, two derived frames over
+# different path-read cache entries with the same schema and operators
+# would collide on identical metadata documents.
+CACHED_INPUT_MARKER = "<cached-input>"
 
 _EXPR_ID = re.compile(r"#\d+")
 # Physical-plan node ids (Spark 3.4+/4.x print `[plan_id=NN]`) are allocated
@@ -80,7 +88,7 @@ def plan_is_uncacheable(plan: str) -> bool:
     return "Scan ExistingRDD" in plan or "LogicalRDD" in plan
 
 
-_InputInfo = Union[Dict[str, datetime], Dict[str, bool]]
+_InputInfo = Union[Dict[str, datetime], Dict[str, bool], Dict[str, str]]
 
 
 def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputInfo:
@@ -93,8 +101,10 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     * schema-changed error from ``inputFiles()`` -> a sentinel entry carrying
       ``now()`` so the key never matches (forced invalidation);
     * directories that *are* cache entries (32-hex names under the cache dir)
-      are skipped — a cached scan's identity is the cache table name in the
-      plan, not the cache files' mtimes.
+      contribute their PATH but not their mtime — a cached scan's identity is
+      the cache hash embedded in the path (the table name is absent from the
+      plan on the path-fallback read), and cache content is immutable for its
+      key so the physical mtime is noise.
     """
     plan_text = plan if plan is not None else canonical_plan(df)
 
@@ -114,22 +124,21 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     import os
 
     dirs = sorted({os.path.dirname(f) for f in files})
-    # Cache-entry data directories are skipped: a cache table's content is
-    # immutable for its key (key = md5 of its inputs), and its *name* is
-    # already embedded in the plan text — including its physical mtime
-    # would spuriously invalidate derived caches on repair/re-writes.
-    # Two layouts to skip: the metadata dir (reference layout) and the
-    # warehouse table dirs (this engine's data location).
+    # Cache-entry data directories contribute a mtime-free path line (the
+    # path embeds the cache hash — see CACHED_INPUT_MARKER). Two layouts
+    # qualify: the metadata dir (reference layout) and the warehouse table
+    # dirs (this engine's data location).
     cache_base = re.escape(config.SPARK_CACHE_DIR.rstrip("/"))
     skip_res = [re.compile(rf"^{cache_base}/(data_)?[a-f0-9]{{32}}/?$")]
     skip_res.append(
         re.compile(rf"/{re.escape(config.CACHE_DATABASE)}\.db/(data_)?[a-f0-9]{{32}}/?$")
     )
 
-    result: Dict[str, datetime] = {}
+    result: Dict[str, Union[datetime, str]] = {}
     for d in dirs:
         local = fs.strip_scheme(d)
         if any(rx.search(local) for rx in skip_res):
+            result[d] = CACHED_INPUT_MARKER
             continue
         mtime = fs.max_mtime(d)
         if mtime is not None:
@@ -182,20 +191,27 @@ def table_cache_info(
 
 
 def _is_pure_scan_of(plan: str, db: str, table: str) -> bool:
-    """True when the plan is nothing but a scan of ``db.table`` — no
-    projections, filters, joins, or any other operator on top."""
-    relation_re = re.compile(
-        rf"Relation\s*\[[^\]]*\]\s*\S*{re.escape(db)}\.{re.escape(table)}\S*"
-    )
-    remainder = relation_re.sub("", plan)
+    """True when the plan is nothing but a scan of ``db.table`` (possibly
+    under aliases).
+
+    Whitelist formulation: remove the relation node for this exact table,
+    alias nodes, and explain headers — then ANY remaining capitalized token
+    is an operator (Deduplicate, GlobalLimit, Sample, Intersect, Except,
+    Repartition, ...) and disqualifies purity. A blacklist of known operator
+    names misses nodes like Deduplicate/GlobalLimit and lets
+    ``clearStorageCache()`` on ``df.limit(5)`` silently drop the parent's
+    cache; the whitelist can only err toward "not pure", which merely costs
+    a fresh fingerprint, never a wrong short-circuit."""
+    ident = rf"\S*{re.escape(db)}\.`?{re.escape(table)}`?\S*"
+    # Analyzed-plan layout: `Relation spark_catalog.db.tbl[cols] parquet`
+    remainder = re.sub(rf"Relation\s+{ident}\s*\[[^\]]*\]\s*\S+", "", plan)
+    # Older/bracket-first layout: `Relation [cols] db.tbl parquet`
+    remainder = re.sub(rf"Relation\s*\[[^\]]*\]\s+{ident}", "", remainder)
+    remainder = re.sub(r"SubqueryAlias\s+\S+", "", remainder)
     remainder = re.sub(
         r"== (Parsed Logical Plan|Analyzed Logical Plan|Optimized Logical Plan|Physical Plan) ==",
         "", remainder)
-    remainder = re.sub(r"[\s,:]+", "", remainder)
-    remainder = re.sub(r"[a-zA-Z_]+:[a-z]+", "", remainder)
-    return not re.search(
-        r"(Project|Filter|Join|Aggregate|Sort|Window|Union|Generate)", remainder
-    )
+    return not re.search(r"[A-Z]", remainder)
 
 
 def resolve_table_hash(df: DataFrame) -> str:
@@ -229,8 +245,8 @@ def resolve_table_hash(df: DataFrame) -> str:
         return embedded
 
     info = input_dir_mod_datetime(df, plan)
-    dt_info: Dict[str, datetime] = {
-        k: v for k, v in info.items() if isinstance(v, datetime)
-    }
+    # Drop only the direct-data sentinel; datetimes AND cached-input path
+    # markers both participate in the key (must match write_cache exactly).
+    dt_info = {k: v for k, v in info.items() if k != DIRECT_DATA_CACHE_KEY}
     metadata_txt = cache_metadata_document(dt_info, plan)
     return compute_cache_key(metadata_txt)

@@ -139,11 +139,20 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: Optional[str] = None
+) -> DataFrame:
     """Drive a streaming frame to completion against a memory sink and
-    return the materialized result (local smoke-testing helper)."""
+    return the materialized result (local smoke-testing helper).
+
+    ``output_mode`` overrides the inferred mode. Inference: stateful
+    map-groups plans (applyInPandasWithState prints as
+    FlatMapGroupsInPandasWithState, not Aggregate) need ``update``;
+    aggregations without a watermark need ``complete``; pure
+    transformations ``append``.
+    """
     query = (
-        stream_df.writeStream.outputMode("complete" if _has_aggregation(stream_df) else "append")
+        stream_df.writeStream.outputMode(output_mode or _infer_output_mode(stream_df))
         .format("memory")
         .queryName(name)
         .start()
@@ -155,5 +164,10 @@ def run_to_memory_sink(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
-def _has_aggregation(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+def _infer_output_mode(df: DataFrame) -> str:
+    plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    if "FlatMapGroupsInPandasWithState" in plan or "FlatMapGroupsWithState" in plan:
+        return "update"
+    if "Aggregate" in plan:
+        return "complete"
+    return "append"

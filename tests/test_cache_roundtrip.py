@@ -229,3 +229,91 @@ def test_clear_inconsistent_refuses_mass_delete(spark, clean_cache, lineitem_cop
     finally:
         config.CACHE_DATABASE = original
     assert len(os.listdir(config.SPARK_CACHE_DIR)) == 1  # nothing deleted
+
+
+def test_derived_ops_never_short_circuit_to_parent_hash(spark, clean_cache, lineitem_copy):
+    """Whitelist purity check: limit/dropDuplicates/sample over a cached scan
+    are NOT pure scans — each must get its own identity, otherwise clearing
+    the derived frame would drop the parent's cache (ADVICE r1, medium)."""
+    from dbfs_spark_cache_spark import resolve_table_hash, write_cache
+
+    cached = write_cache(_flagship(spark, lineitem_copy))
+    parent = resolve_table_hash(cached)
+    derived = {
+        "limit": cached.limit(5),
+        "dropDuplicates": cached.dropDuplicates(),
+        "sample": cached.sample(0.5, seed=1),
+        "intersect": cached.intersect(cached.limit(3)),
+    }
+    for label, d in derived.items():
+        assert resolve_table_hash(d) != parent, f"{label} stole the parent's hash"
+    # ...while a bare alias IS still the same cache entry.
+    assert resolve_table_hash(cached.alias("x")) == parent
+
+
+def test_path_fallback_derived_frames_do_not_collide(spark, clean_cache, tmp_path):
+    """ADVICE r1 (high): two cache entries with identical schema, read back
+    via the path fallback (session-restart story, no table name in the plan),
+    then derived identically — their fingerprints must differ. The cache-dir
+    path (which embeds the hash) participates in the metadata document."""
+    from dbfs_spark_cache_spark import resolve_table_hash, write_cache
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.core import _read_cache_table
+    from dbfs_spark_cache_spark.plans.fingerprint import resolve_table_hash as resolve
+
+    src_a = tmp_path / "a.parquet"
+    src_b = tmp_path / "b.parquet"
+    spark.range(0, 100).toDF("v").write.parquet(str(src_a))
+    spark.range(100, 200).toDF("v").write.parquet(str(src_b))
+
+    h = {}
+    for label, src in (("a", src_a), ("b", src_b)):
+        df = spark.read.parquet(str(src)).filter(F.col("v") % 2 == 0)
+        cached = write_cache(df)
+        h[label] = resolve_table_hash(cached)
+    assert h["a"] != h["b"]
+
+    # Simulate a session restart: catalog entries gone, files remain.
+    # (DROP TABLE on a managed table deletes its files, so stash them.)
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.core import _table_location
+
+    for entry in (h["a"], h["b"]):
+        loc = fs.strip_scheme(_table_location(spark, entry))
+        shutil.move(loc, f"{loc}__stash")
+        spark.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{entry}")
+        shutil.move(f"{loc}__stash", loc)
+    reread = {k: _read_cache_table(spark, v) for k, v in h.items()}
+    assert all(df is not None for df in reread.values())
+
+    derived_keys = {k: resolve(df.filter(F.col("v") > 10)) for k, df in reread.items()}
+    assert derived_keys["a"] != derived_keys["b"], (
+        "identical-schema derived frames over different path-read caches "
+        "collided on one cache key"
+    )
+
+
+def test_clear_inconsistent_refuses_on_diverged_registries(spark, monkeypatch):
+    """Safety rail #2: both registries non-empty but (nearly) disjoint —
+    looks like a repointed cache dir, not N orphans. Refuse unless forced."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark import management
+
+    meta = pd.DataFrame({"hash_name": ["a" * 32, "b" * 32, "c" * 32]})
+    tables = pd.DataFrame({"hash_name": ["d" * 32, "e" * 32, "f" * 32]})
+    monkeypatch.setattr(
+        management, "get_cached_dataframe_metadata", lambda num_threads=None: meta
+    )
+    monkeypatch.setattr(
+        management, "get_cached_tables", lambda s, num_threads=None: tables
+    )
+    deleted = []
+    monkeypatch.setattr(
+        management, "clear_cache_for_hash", lambda s, h: deleted.append(h)
+    )
+    assert management.clear_inconsistent_cache(spark) == []
+    assert deleted == []
+    # force=True performs the (explicitly requested) full repair.
+    removed = management.clear_inconsistent_cache(spark, force=True)
+    assert sorted(removed) == sorted(deleted) and len(deleted) == 6

@@ -52,3 +52,18 @@ def test_catalog_pattern():
     assert find_cache_table_in_text(text, "other_db", "data_") is None
     hive = f"x hive_metastore.cache_db.{h} y"
     assert find_cache_table_in_text(hive, "cache_db") == h
+
+
+def test_parquet_fallback_index_sensitivity():
+    """The parquet-bytes fallback (exotic dtypes) must keep index handling
+    consistent with the primary path: frames differing only in index get
+    different identities; the same frame hashes stably (ADVICE r1, low)."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.hashing import hash_input_data
+
+    # list-valued column defeats hash_pandas_object -> parquet fallback
+    base = pd.DataFrame({"a": [[1, 2], [3]]}, index=[0, 1])
+    shifted = pd.DataFrame({"a": [[1, 2], [3]]}, index=[5, 9])
+    assert hash_input_data(base) == hash_input_data(base.copy())
+    assert hash_input_data(base) != hash_input_data(shifted)

@@ -119,3 +119,23 @@ def test_streaming_session_windows(spark):
         for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert per_user_stream == per_user_batch
+
+
+def test_run_to_memory_sink_infers_update_for_stateful(spark):
+    """ADVICE r1 (low): applyInPandasWithState plans print as
+    FlatMapGroupsInPandasWithState (not Aggregate) — the sink helper must
+    pick update mode, not append, without the caller spelling it out."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        running_user_totals,
+    )
+
+    result = run_to_memory_sink(
+        running_user_totals(read_events_stream(spark, SF_SMOKE)), "t_stateful_infer"
+    )
+    rows = result.collect()
+    assert rows  # append mode would have failed or yielded nothing useful
+    user_ids = {r.user_id for r in rows}
+    expected_ids = {r.user_id for r in _batch_events(spark).select("user_id").distinct().collect()}
+    assert user_ids == expected_ids
