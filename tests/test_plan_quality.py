@@ -74,6 +74,20 @@ def test_cache_hit_plan_is_bare_scan(spark, clean_cache, queries):
     assert "HashAggregate" not in plan and "Join" not in plan
 
 
+def test_window_percentiles_no_global_window(spark, queries):
+    """Global percentile analytics must NOT use an unpartitioned window
+    (Exchange SinglePartition + one WindowExec over the full table). Every
+    window spec in the plan must be partitioned by the range bucket; only
+    tiny aggregate rows may pass through single-partition exchanges."""
+    plan = plan_text(queries["window_percentiles"](spark, SF_ORACLE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert spec.lstrip().startswith("bucket#"), (
+            f"unpartitioned (global) window spec: windowspecdefinition({spec}..."
+        )
+
+
 def test_no_driver_collect_in_query_builders():
     """Query builders must emit ONE distributed plan: no driver-side
     ``collect()`` to fetch scalars mid-build (it splits the query into two
