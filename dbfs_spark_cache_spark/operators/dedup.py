@@ -198,22 +198,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidates.
+def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Banded LSH candidate pairs from a MinHash signature frame
+    ``(doc_id, sig: array<long>)``.
 
-    signature -> per-band bucket hash -> explode -> bucket self-join ->
-    estimated Jaccard (= fraction of agreeing minhashes) >= 0.5. The full
-    signature array travels WITH each banded row, so verification happens
-    inside the bucket join — the signature aggregation runs once, and no
-    second join against the signature table is needed. Linear in corpus
-    size; the only join is within identical band buckets, so at 100 TB the
-    plan is shuffle-on-band-hash + AQE skew handling. No oracle: the
-    xxhash64 permutations are Spark-specific (rows-only check;
-    recall/precision asserted in tests/test_operators_dedup.py).
+    per-band bucket hash -> explode -> bucket self-join -> estimated Jaccard
+    (= fraction of agreeing minhashes) >= ``threshold``. The full signature
+    array travels WITH each banded row, so verification happens inside the
+    bucket join — the signature aggregation runs once, and no second join
+    against the signature table is needed. Linear in corpus size; the only
+    join is within identical band buckets, so at 100 TB the plan is
+    shuffle-on-band-hash + AQE skew handling.
     """
-    docs = load_table(spark, sf, "documents")
-    sigs = minhash_signatures(docs)
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.struct(
@@ -249,8 +245,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
         )
         .distinct()
-        .where(F.col("est_jaccard") >= 0.5)
+        .where(F.col("est_jaccard") >= threshold)
     )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates over the documents table:
+    map-only signatures (``minhash_signatures``) -> banded bucket join
+    (``lsh_candidate_pairs``). No oracle: the xxhash64 permutations are
+    Spark-specific (rows-only check; recall/precision asserted in
+    tests/test_operators_pipeline.py).
+    """
+    docs = load_table(spark, sf, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
 
 
 @register("dedup_simhash")

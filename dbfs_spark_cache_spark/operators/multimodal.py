@@ -69,7 +69,7 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     The plumbing is real (schema, batch iteration, partition preservation);
     only the codec inside is the deterministic stub. Rows-only check (the
     stub hash is engine-local); schema + determinism pinned in
-    tests/test_operators_multimodal.py.
+    tests/test_operators_pipeline.py.
     """
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
 

@@ -45,6 +45,11 @@ _EXPR_ID = re.compile(r"#\d+")
 # Physical-plan node ids (Spark 3.4+/4.x print `[plan_id=NN]`) are allocated
 # from a session-global counter — identical queries get different ids.
 _PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
+# Higher-order-function lambda variables print as `lambda x_<N>` where N is
+# a session-global counter (like expr ids): the same transform()/aggregate()
+# query gets x_1 on its first build and x_33 later. Without normalization no
+# plan containing a lambda would ever hit its cache across builds.
+_LAMBDA_VAR = re.compile(r"\b([xyz])_\d+")
 _WS = re.compile(r"\s+")
 
 
@@ -77,6 +82,7 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
         raw = buf.getvalue()
     plan = _EXPR_ID.sub("", raw)
     plan = _PLAN_ID.sub("", plan)
+    plan = _LAMBDA_VAR.sub(r"\1_", plan)
     plan = _WS.sub(" ", plan).strip()
     return plan
 

@@ -317,3 +317,26 @@ def test_clear_inconsistent_refuses_on_diverged_registries(spark, monkeypatch):
     # force=True performs the (explicitly requested) full repair.
     removed = management.clear_inconsistent_cache(spark, force=True)
     assert sorted(removed) == sorted(deleted) and len(deleted) == 6
+
+
+def test_lambda_variable_counter_normalized(spark, lineitem_copy):
+    """Higher-order-function plans print lambda vars from a session-global
+    counter (x_1, x_33, ...) — two builds of the same query must still
+    fingerprint identically, else transform()/aggregate() queries never hit
+    their cache."""
+    from dbfs_spark_cache_spark import canonical_plan, resolve_table_hash
+
+    def q():
+        return (
+            spark.read.parquet(lineitem_copy)
+            .select(
+                "l_orderkey",
+                F.transform(
+                    F.array("l_quantity", "l_extendedprice"),
+                    lambda x: x.cast("double") * 2,
+                ).alias("doubled"),
+            )
+        )
+
+    assert canonical_plan(q()) == canonical_plan(q())
+    assert resolve_table_hash(q()) == resolve_table_hash(q())

@@ -232,3 +232,28 @@ def test_hyperplane_signature_buckets(spark):
     counts = bucketed.groupBy("sig").count().collect()
     assert 2 <= len(counts) <= 64  # 6 bits -> at most 64 buckets
     assert sum(r["count"] for r in counts) == 500
+
+
+def test_dedup_funnel_stages_through_cache(spark, clean_cache):
+    """The funnel materializes its stages via the cache engine: after one
+    run, the stage tables exist and the funnel's own plan reads them (a
+    cached table scan, not a recompute of the quality/exact-dedup plan);
+    a second build creates no new entries (pure hit)."""
+    import os
+
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.hashing import find_cache_table_in_text
+    from dbfs_spark_cache_spark.operators.pipeline import pipeline_dedup_survivors
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    n1 = pipeline_dedup_survivors(spark, SF_SMOKE).count()
+    entries = set(os.listdir(config.SPARK_CACHE_DIR))
+    assert len(entries) == 2, "expected survivor + signature stage caches"
+
+    df2 = pipeline_dedup_survivors(spark, SF_SMOKE)
+    plan = canonical_plan(df2)
+    assert find_cache_table_in_text(plan, config.CACHE_DATABASE), (
+        "funnel plan does not read the stage cache tables"
+    )
+    assert set(os.listdir(config.SPARK_CACHE_DIR)) == entries  # no rewrites
+    assert df2.count() == n1
