@@ -29,6 +29,7 @@ from .hashing import hash_input_data
 from .plans.fingerprint import (
     DIRECT_DATA_CACHE_KEY,
     canonical_plan,
+    find_plain_udfs,
     input_dir_mod_datetime,
     plan_is_uncacheable,
     resolve_table_hash,
@@ -255,6 +256,20 @@ def cache_dataframe(
     if plan_is_uncacheable(plan):
         log.info("RDD-backed plan; skipping cache")
         return df
+
+    plain_udfs = find_plain_udfs(df)
+    if plain_udfs:
+        # Reference parity (core_caching.py:318-319, README.md:196): the
+        # fingerprint sees only the UDF's name, so editing its body will NOT
+        # invalidate this cache entry.
+        log.warning(
+            "Cached plan contains Python functions whose code is invisible "
+            "to the cache fingerprint: %s. Editing them will NOT invalidate "
+            "this cache — wrap scalar UDFs with "
+            "functions.content_addressed_udf (embeds a body hash in the "
+            "plan-visible name), or clear the cache manually after changes.",
+            plain_udfs,
+        )
 
     # Direct-data caches ARE their own materialization — re-caching would
     # duplicate content-addressed data (reference: dataframe_extensions.py:54-56).

@@ -261,6 +261,81 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CONCAT(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine, vec_a AS keeper_vec_id
+    FROM pairs WHERE cos >= 0.30
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bit LSH bucketing prunes
+    the candidate space (same 8-bit signature => same bucket), exact cosine
+    verifies inside the bucket join, keep-lower-id picks the survivor.
+
+    The scale shape mirrors MinHash-LSH: a map-only signature pass, then a
+    self-join only WITHIN buckets — never all-pairs. At 100 TB the bucket
+    join shuffles on an 8-bit key (256-way; widen the signature for more
+    pruning). The 0.30 threshold is calibrated to the synthetic fixture
+    (random embeddings, max bucket-pair cosine ~0.43); real corpora use
+    ~0.95+. All vector math is JVM-side (zip_with/aggregate folds in
+    functions.vectors) and per-pair, so the DuckDB oracle matches exactly.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    bits = [
+        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+        for i in range(8)
+    ]
+    bucketed = emb.select(
+        "vec_id", "embedding", F.concat(*bits).alias("bucket")
+    )
+    from ..functions import vec_cosine
+
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= 0.30)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round("cos", 4).alias("cosine"),
+            F.col("vec_a").alias("keeper_vec_id"),
+        )
+    )
+
+
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash near-dup candidates.

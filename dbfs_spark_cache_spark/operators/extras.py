@@ -150,12 +150,24 @@ def grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("udtf_tokenize")
+@register(
+    "udtf_tokenize",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(u.gs - 1 AS INT) AS pos, ts[u.gs] AS token
+    FROM toks, UNNEST(generate_series(1, len(ts))) AS u(gs)
+    """,
+)
 def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Python UDTF: one input row -> many output rows (token stream with
-    positions). Rows-only check (UDTF registration is engine-local);
-    equivalence with explode-based tokenization is pinned in
-    tests/test_operators_pipeline.py."""
+    positions). The tokenization itself is SQL-expressible, so the UDTF
+    *mechanism* gets a full value oracle (split+unnest in DuckDB);
+    equivalence with explode-based tokenization is additionally pinned in
+    tests/test_operators_pipeline.py. Deterministic subset via a doc_id
+    predicate, not LIMIT (unordered LIMIT is layout-dependent)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, token string")
@@ -164,7 +176,7 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
             for pos, token in enumerate(text.split(" ")):
                 yield doc_id, pos, token
 
-    docs = load_table(spark, sf, "documents").limit(50)
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 50)
     spark.udtf.register("tokenize_udtf", Tokenize)
     docs.createOrReplaceTempView("udtf_docs")
     return spark.sql(

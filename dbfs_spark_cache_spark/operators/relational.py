@@ -897,13 +897,29 @@ def set_except(spark: SparkSession, sf: str) -> DataFrame:
     return a.subtract(b)
 
 
-@register("sample_bernoulli")
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE md5(CONCAT(l_orderkey, '-', l_linenumber)) < '1a'
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
-    """Seeded Bernoulli sample — stable within Spark but RNG-specific, so no
-    SQL oracle (rows-only check; reference documents the same caveat for
-    caching, README.md:199)."""
+    """~10% Bernoulli sample via content hashing (md5 of the row key,
+    keep when the hash sorts below 0x1a/0x100 = 10.16%).
+
+    This — not ``df.sample(seed=...)`` — is the reproducible sampler at
+    scale: Spark's seeded sample derives its RNG stream from the partition
+    index, so a repartition, AQE re-plan, or input-split change silently
+    yields a DIFFERENT sample for the same seed (the reference documents
+    the same engine-specific caveat, README.md:199). A content hash is
+    stable under any partition layout, task retry, or engine — which also
+    makes it exactly verifiable against the DuckDB oracle. Map-only,
+    filter-pushdown-friendly, no shuffle."""
     li = load_table(spark, sf, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    key_hash = F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    return li.where(key_hash < "1a").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 

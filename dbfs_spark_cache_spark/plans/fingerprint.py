@@ -87,6 +87,44 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
     return plan
 
 
+# Physical-plan nodes that evaluate user Python code. Scalar UDF nodes print
+# the function name in their argument list; the map/grouped variants don't.
+_SCALAR_PY_NODES = re.compile(r"(?:ArrowEvalPython|BatchEvalPython)\s*\[([^\]]*)\]")
+_GROUPED_PY_NODES = re.compile(
+    r"\b(FlatMapGroupsInPandas|MapInPandas|AggregateInPandas|FlatMapCoGroupsInPandas)\b"
+)
+_CA_NAME = re.compile(r"^\w+__[0-9a-f]{10}$")
+_FN_NAME = re.compile(r"([\w.$]+|<lambda>)\(")
+
+
+def find_plain_udfs(df: DataFrame) -> list:
+    """Names of Python-evaluated functions in ``df``'s physical plan whose
+    code identity is NOT visible to the cache fingerprint.
+
+    The plan text carries only the UDF's *name* — its body is invisible, so
+    editing the function does not change the cache key (the reference ships
+    the same caveat as a warning, reference: core_caching.py:318-319,
+    README.md:196). ``functions.content_addressed_udf`` embeds a body hash
+    in the plan-visible name (``fn__<10hex>``) and is exempt. Grouped-map /
+    map-partitions pandas nodes never carry a name and are always flagged
+    by node type.
+    """
+    try:
+        phys = df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    except Exception:
+        return []
+    plain = []
+    for args in _SCALAR_PY_NODES.findall(phys):
+        for fname in _FN_NAME.findall(args):
+            short = fname.rsplit(".", 1)[-1]
+            if not _CA_NAME.match(short) and short not in plain:
+                plain.append(short)
+    for node in _GROUPED_PY_NODES.findall(phys):
+        if node not in plain:
+            plain.append(node)
+    return plain
+
+
 def plan_is_uncacheable(plan: str) -> bool:
     """RDD-backed plans have no stable content identity (reference:
     dataframe_extensions.py:47-49). "Scan ExistingRDD" is the physical-plan

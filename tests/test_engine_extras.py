@@ -352,3 +352,40 @@ def test_cached_tables_registry(extended):
     registry = get_cached_tables(extended)
     assert len(registry) == 1
     assert registry.iloc[0]["table_name"].startswith("test_cache_db.")
+
+
+def test_plain_udf_cache_warning(spark, clean_cache, caplog):
+    """Reference parity (core_caching.py:318-319): caching a plan with a
+    plain (non-content-addressed) Python UDF logs a warning that code edits
+    won't invalidate the entry; the content-addressed wrapper is exempt."""
+    import logging
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark import cache_dataframe
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    df = spark.range(20).toDF("x")
+
+    @F.pandas_udf(DoubleType())
+    def plain_double(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    with caplog.at_level(logging.WARNING, logger="dbfs_spark_cache_spark.core"):
+        cache_dataframe(df.select(plain_double("x").alias("y")),
+                        override_prefer_spark_cache=True)
+    assert any("plain_double" in r.message and "invalidate" in r.message
+               for r in caplog.records)
+
+    caplog.clear()
+
+    def tripled(s: pd.Series) -> pd.Series:
+        return s * 3.0
+
+    ca = content_addressed_udf(tripled, DoubleType())
+    with caplog.at_level(logging.WARNING, logger="dbfs_spark_cache_spark.core"):
+        cache_dataframe(df.select(ca("x").alias("y")),
+                        override_prefer_spark_cache=True)
+    assert not any("invisible" in r.message for r in caplog.records)

@@ -1,0 +1,60 @@
+"""The cron-able maintenance script end-to-end: a warehouse with one aged
+and one fresh cache entry; the script evicts only the aged one (twin of the
+reference's scripts/clear_old_caches.py notebook flow)."""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_clear_old_caches_script(tmp_path):
+    env = dict(
+        os.environ,
+        SPARK_CACHE_DIR=f"{tmp_path}/cache/",
+        CACHE_DATABASE="maint_db",
+        DATABASE_PATH=f"{tmp_path}/warehouse/",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_DRIVER_MEMORY="4g",
+    )
+    setup = f"""
+import os, sys, time
+sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
+from dbfs_spark_cache_spark import write_cache
+from dbfs_spark_cache_spark.config import config
+from dbfs_spark_cache_spark.session import get_spark
+
+spark = get_spark(app_name="maint_setup")
+li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+write_cache(li.groupBy("l_returnflag").count())
+write_cache(li.groupBy("l_linestatus").count())
+entries = sorted(os.listdir(config.SPARK_CACHE_DIR))
+assert len(entries) == 2, entries
+# Age the first entry's sidecar by 10 days.
+aged = f"{{config.SPARK_CACHE_DIR}}{{entries[0]}}/cache_metadata.txt"
+past = time.time() - 10 * 86400
+os.utime(aged, (past, past))
+print("AGED", entries[0])
+
+# Run the maintenance script in-process (same JVM/session).
+sys.argv = ["clear_old_caches.py", "--days", "7", "--threads", "4"]
+import runpy
+try:
+    runpy.run_path({REPO!r} + "/scripts/clear_old_caches.py", run_name="__main__")
+except SystemExit as exc:
+    assert exc.code == 0, exc.code
+
+left = sorted(os.listdir(config.SPARK_CACHE_DIR))
+assert left == [entries[1]], (entries, left)
+print("SCRIPT_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", setup],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "SCRIPT_OK" in proc.stdout
