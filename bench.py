@@ -39,6 +39,8 @@ HEADLINE = [
     "similarity_topk_cosine",
     "text_stats",
     "multimodal_decode_features",
+    "window_percentiles",
+    "pipeline_dedup_survivors",
 ]
 
 

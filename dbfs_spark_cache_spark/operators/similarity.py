@@ -135,15 +135,44 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf_search")
+@register(
+    "similarity_ivf_search",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               CONCAT(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    )
+    SELECT b.vec_id, b.label, b.bucket,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, q.q_emb),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(q.q_emb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+    FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 5
+    """,
+)
 def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-style ANN: cluster by coarse signature, search the query's cell
     plus neighbors (here: exact top-5 inside the query's sign-bucket).
 
-    Demonstrates the prune-then-score pattern; no oracle because the
-    bucket-restricted result is approximate by construction (rows-only;
-    recall vs brute force asserted in tests/test_operators_pipeline.py).
-    Query selection is an in-plan broadcast join (no driver ``collect()``).
+    Demonstrates the prune-then-score pattern. "Approximate" refers to
+    recall vs brute force (asserted in tests/test_operators_pipeline.py);
+    the result itself is fully deterministic, so it carries an exact DuckDB
+    oracle. Query selection is an in-plan broadcast join (no driver
+    ``collect()``).
     """
     emb = load_table(spark, sf, "embeddings")
     # Coarser cells than the LSH query (4 bits -> 16 cells) so each inverted

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import logging
 import re
 import sys
 from contextlib import redirect_stdout
@@ -28,6 +29,8 @@ from pyspark.sql import DataFrame
 from .. import fs
 from ..config import config
 from ..hashing import find_cache_table_in_text
+
+log = logging.getLogger(__name__)
 
 # Sentinel keys used in the input-fingerprint mapping.
 SCHEMA_CHANGED_KEY = "<schema_changed_placeholder>"
@@ -80,6 +83,14 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
         except Exception as exc:  # pragma: no cover - defensive
             return f"Error: {exc}"
         raw = buf.getvalue()
+    # Reference parity (core_caching.py:320-321): on Photon-enabled
+    # clusters the explain output annotates unsupported operators — surface
+    # that, since a partially-Photon plan caches fine but recomputes slower.
+    if "Photon does not fully support" in raw:
+        log.info(
+            "Photon limitations might affect this plan:%s",
+            raw.split("Photon does not fully support the query because:")[-1][:500],
+        )
     plan = _EXPR_ID.sub("", raw)
     plan = _PLAN_ID.sub("", plan)
     plan = _LAMBDA_VAR.sub(r"\1_", plan)
