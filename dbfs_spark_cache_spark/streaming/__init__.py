@@ -49,6 +49,41 @@ def read_events_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def read_rate_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    n_users: int = 100,
+    n_event_types: int = 4,
+) -> DataFrame:
+    """Unbounded-source stream with the events schema, built on Spark's
+    ``rate`` source — the in-box stand-in for a Kafka/Kinesis feed (swap
+    ``format("rate")`` for ``format("kafka")`` + ``from_json(value)`` on a
+    real cluster; every downstream builder in this module is source-agnostic).
+
+    Columns are derived deterministically from the tick value, so the same
+    micro-batch always carries the same rows — useful for replayable local
+    tests of genuinely unbounded (not file-replay) execution.
+    """
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()  # schema: timestamp timestamp, value long
+    )
+    type_branches = F.when(F.col("value") % n_event_types == 0, F.lit("view"))
+    for i, name in enumerate(["click", "purchase", "scroll"][: n_event_types - 1], 1):
+        type_branches = type_branches.when(
+            F.col("value") % n_event_types == i, F.lit(name)
+        )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % n_users).alias("user_id"),
+        type_branches.otherwise("other").alias("event_type"),
+        (F.pmod(F.col("value") * 37, F.lit(1000)) / 10.0).alias("value"),
+        F.to_json(F.struct(F.col("value").alias("tick"))).alias("props"),
+    )
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -21,8 +21,16 @@ PYTHON_OK = {
     "udf_pandas_scalar", "udaf_grouped_pandas", "grouped_map_pandas",
     "udtf_tokenize", "multimodal_decode_features", "multimodal_frame_sample",
 }
-# Broadcast-nested-loop is intentional where one side is a single broadcast row.
-BNLJ_OK = {"similarity_topk_cosine", "similarity_ivf_search"}
+# Broadcast-nested-loop is intentional where one side is a single broadcast
+# row (scalar aggregates kept in-plan instead of collect()ed) or a tiny
+# bounded aggregate (window_percentiles' 32-row bucket-offset self-join on
+# bucket < bucket).
+BNLJ_OK = {
+    "similarity_topk_cosine",
+    "similarity_ivf_search",
+    "window_percentiles",
+    "q22_global_sales_opportunity",
+}
 
 
 def plan_text(df) -> str:

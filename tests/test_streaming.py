@@ -139,3 +139,38 @@ def test_run_to_memory_sink_infers_update_for_stateful(spark):
     user_ids = {r.user_id for r in rows}
     expected_ids = {r.user_id for r in _batch_events(spark).select("user_id").distinct().collect()}
     assert user_ids == expected_ids
+
+
+def test_rate_source_stream_smoke(spark):
+    """Unbounded (rate) source wearing the events schema: the tumbling
+    aggregation consumes it unchanged, and derived columns are deterministic
+    functions of the tick."""
+    import time
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_rate_events_stream,
+        tumbling_counts,
+    )
+
+    stream = read_rate_events_stream(spark, rows_per_second=500)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    agg = tumbling_counts(stream, window="10 seconds", watermark="20 seconds")
+    query = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_rate")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(2)
+            rows = spark.sql("SELECT * FROM t_rate").collect()
+    finally:
+        query.stop()
+    assert rows, "rate-source stream produced no aggregated rows in 30s"
+    assert all(r.n_events > 0 for r in rows)
