@@ -738,71 +738,20 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
     Every WindowExec is partitioned by bucket; the only single-partition
     exchanges carry <= 32 aggregate rows. Pinned in
-    tests/test_plan_quality.py::test_window_percentiles_no_global_window.
+    tests/test_plan_quality.py::test_window_percentiles_no_global_window;
+    semantics verified against Spark's own global window (ties, all-equal,
+    tiny-N edge cases) in tests/test_scale_patterns.py.
     """
-    n_buckets = 32
-    n_tiles = 10
+    from .scale import distributed_global_percentiles
+
     customer = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
-
-    bounds = customer.agg(
-        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
-    )
-    v = F.col("c_acctbal").cast("double")
-    step = (F.col("hi") - F.col("lo")).cast("double") / n_buckets
-    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.least(F.lit(n_buckets - 1), F.floor((v - F.col("lo")) / step))
-    )
-    bucketed = customer.crossJoin(F.broadcast(bounds)).select(
-        "c_custkey", "c_acctbal", bucket.cast("int").alias("bucket")
-    )
-
-    bucket_counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    totals = bucket_counts.agg(F.sum("cnt").alias("n_total"))
-    offsets = (
-        bucket_counts.alias("a")
-        .join(
-            F.broadcast(bucket_counts.alias("b")),
-            F.col("b.bucket") < F.col("a.bucket"),
-            "left",
-        )
-        .groupBy(F.col("a.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
-    )
-
-    w_val = W.partitionBy("bucket").orderBy("c_acctbal")
-    w_le = w_val.rangeBetween(W.unboundedPreceding, W.currentRow)
-    w_det = W.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
-
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bucket")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "c_custkey",
-            "c_acctbal",
-            (F.col("offset") + F.rank().over(w_val)).alias("g_rank"),
-            (F.col("offset") + F.count(F.lit(1)).over(w_le)).alias("n_le"),
-            (F.col("offset") + F.row_number().over(w_det)).alias("g_rn"),
-            "n_total",
-        )
-    )
-
-    # NTILE(k) over n rows: the first n % k tiles hold floor(n/k)+1 rows.
-    n = F.col("n_total")
-    tile_sz = F.floor(n / n_tiles)
-    rem = n % n_tiles
-    rn = F.col("g_rn")
-    decile = F.when(
-        rn <= rem * (tile_sz + 1), F.floor((rn - 1) / (tile_sz + 1)) + 1
-    ).otherwise(rem + F.floor((rn - rem * (tile_sz + 1) - 1) / tile_sz) + 1)
-
-    return ranked.select(
-        "c_custkey",
-        "c_acctbal",
-        ((F.col("g_rank") - 1).cast("double") / (n - 1).cast("double")).alias(
-            "bal_pct_rank"
-        ),
-        (F.col("n_le").cast("double") / n.cast("double")).alias("bal_cume_dist"),
-        decile.cast("long").alias("bal_decile"),
+    return distributed_global_percentiles(
+        customer,
+        value_col="c_acctbal",
+        tiebreak_col="c_custkey",
+        pct_col="bal_pct_rank",
+        cume_col="bal_cume_dist",
+        tile_col="bal_decile",
     )
 
 

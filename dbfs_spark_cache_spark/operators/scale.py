@@ -62,3 +62,92 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def distributed_global_percentiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 32,
+    n_tiles: int = 10,
+    pct_col: str = "pct_rank",
+    cume_col: str = "cume_dist",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Global percent_rank / cume_dist / ntile WITHOUT a global window.
+
+    ``Window.orderBy`` with no partitionBy funnels the whole table through
+    one task (Exchange SinglePartition -> one WindowExec) — the classic
+    scale-killer. This helper implements the distributed global-rank
+    pattern instead:
+
+      1. range-bucket rows on the value (bounds via in-plan broadcast
+         min/max, so equal values always share a bucket);
+      2. per-bucket counts -> cumulative offsets via an ``n_buckets``-row
+         broadcast self-join (no window, no driver collect());
+      3. per-bucket windows (partitioned, parallel) for local rank /
+         tie-inclusive count / row_number;
+      4. global_rank = offset + local rank; percent_rank, cume_dist and
+         NTILE follow arithmetically from (global rank, N).
+
+    Exactly matches the single-window semantics (verified against Spark's
+    own global window in tests/test_scale_patterns.py, including ties,
+    all-equal, and N < n_tiles edge cases). Every WindowExec is partitioned;
+    only <= n_buckets aggregate rows cross single-partition exchanges.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    v = F.col(value_col).cast("double")
+    step = (F.col("__hi") - F.col("__lo")).cast("double") / n_buckets
+    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.floor((v - F.col("__lo")) / step))
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__bucket", bucket.cast("int"))
+        .drop("__lo", "__hi")
+    )
+
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = counts.agg(F.sum("__cnt").alias("__n"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b.__bucket") < F.col("a.__bucket"),
+            "left",
+        )
+        .groupBy(F.col("a.__bucket").alias("__bucket"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    )
+
+    w_val = W.partitionBy("__bucket").orderBy(value_col)
+    w_le = w_val.rangeBetween(W.unboundedPreceding, W.currentRow)
+    w_det = W.partitionBy("__bucket").orderBy(value_col, tiebreak_col)
+
+    n = F.col("__n")
+    g_rank = F.col("__offset") + F.rank().over(w_val)
+    n_le = F.col("__offset") + F.count(F.lit(1)).over(w_le)
+    rn = F.col("__offset") + F.row_number().over(w_det)
+
+    # NTILE(k) over n rows: the first n % k tiles hold floor(n/k)+1 rows.
+    tile_sz = F.floor(n / n_tiles)
+    rem = n % n_tiles
+    tile = F.when(
+        rn <= rem * (tile_sz + 1), F.floor((rn - 1) / (tile_sz + 1)) + 1
+    ).otherwise(rem + F.floor((rn - rem * (tile_sz + 1) - 1) / tile_sz) + 1)
+
+    out_cols = list(df.columns)
+    return (
+        bucketed.join(F.broadcast(offsets), "__bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            *out_cols,
+            F.when(n == 1, F.lit(0.0))
+            .otherwise((g_rank - 1).cast("double") / (n - 1).cast("double"))
+            .alias(pct_col),
+            (n_le.cast("double") / n.cast("double")).alias(cume_col),
+            tile.cast("long").alias(tile_col),
+        )
+    )

@@ -83,7 +83,7 @@ def test_window_percentiles_no_global_window(spark, queries):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs, "expected window specs in the plan"
     for spec in specs:
-        assert spec.lstrip().startswith("bucket#"), (
+        assert spec.lstrip().lstrip("_").startswith("bucket#"), (
             f"unpartitioned (global) window spec: windowspecdefinition({spec}..."
         )
 

@@ -81,3 +81,51 @@ def test_partitioned_cache_write_prunes(spark, clean_cache):
     plan = _plan(filtered)
     # partition filter must prune, not scan-and-filter
     assert re.search(r"PartitionFilters: \[[^\]]*l_returnflag", plan)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [5.0],                                     # single row (N-1 == 0)
+        [3.0, 3.0, 3.0, 3.0],                      # all equal (hi == lo)
+        [1.0, 2.0, 2.0, 2.0, 3.0, 3.0, 9.0],       # heavy ties, N < n_tiles
+        [-50.0, -1.0, 0.0, 0.0, 7.5, 7.5, 7.5, 100.0, 100.0, 101.0, 102.0,
+         103.0, 104.0, 105.0, 106.0, 107.0],       # negatives + tie runs
+        [float(x % 13) for x in range(101)],       # many ties, N > buckets
+    ],
+)
+def test_distributed_percentiles_match_global_window(spark, values):
+    """The bucket-offset formulation must reproduce Spark's own
+    unpartitioned-window percent_rank/cume_dist/ntile EXACTLY on adversarial
+    inputs — ties across bucket boundaries, all-equal values, N < n_tiles."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v double"
+    )
+    got = {
+        r.id: (r.pct_rank, r.cume_dist, r.tile)
+        for r in distributed_global_percentiles(
+            df, value_col="v", tiebreak_col="id", n_buckets=4, n_tiles=10
+        ).collect()
+    }
+    w_val = W.orderBy("v")
+    w_det = W.orderBy("v", "id")
+    expected = {
+        r.id: (r.pct_rank, r.cume_dist, r.tile)
+        for r in df.select(
+            "id",
+            F.percent_rank().over(w_val).alias("pct_rank"),
+            F.cume_dist().over(w_val).alias("cume_dist"),
+            F.ntile(10).over(w_det).cast("long").alias("tile"),
+        ).collect()
+    }
+    assert got == expected
