@@ -71,8 +71,10 @@ _PRIORITY = [
     # -- no row: the funnel (heaviest of the unverified set)
     "pipeline_dedup_survivors",
     # -- changed or added in round 2: re-verify
-    "dedup_embedding_cosine", "window_percentiles", "sample_bernoulli",
-    "udtf_tokenize", "flagship_wide", "q1_pricing_summary",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "text_quality_scores",
+    "window_percentiles", "sample_bernoulli", "udtf_tokenize",
+    # (51+: flagship_wide, q1_pricing_summary, ... — all carry green
+    # CORRECTNESS_r01 rows already)
 ]
 
 

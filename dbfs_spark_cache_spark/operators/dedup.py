@@ -145,6 +145,72 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang, n_chars % 10 AS bucket,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(substr(text, 1, 200)) - 4, 1)),
+                   i -> substr(substr(text, 1, 200), CAST(i AS INT), 5))) AS grams
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.grams, b.grams)) AS n_inter,
+               len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+    FROM pairs
+    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.25
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character 5-gram Jaccard near-dup detection (tokenization-free: robust
+    to word-boundary edits where token-Jaccard is not).
+
+    Gram sets are built over a 200-char prefix — prefix fingerprinting keeps
+    the per-row set bounded regardless of document length, which at 100 TB
+    bounds both the map-side memory and the pairwise verification cost.
+    Same blocking as token-Jaccard (lang x length bucket): quadratic only
+    within small blocks, never all-pairs. Integer set sizes divide exactly,
+    so the oracle matches bit-for-bit. Threshold 0.25 is fixture-calibrated
+    (synthetic corpus maxes at ~0.29); real corpora use ~0.8.
+    """
+    prefix = "substring(text, 1, 200)"
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({prefix}) - 4, 1)), "
+            f"i -> substring({prefix}, i, 5))"
+        )
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") % 10).alias("bucket"), grams.alias("grams")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    sized = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
+            F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).alias("n_union"),
+        )
+    )
+    jaccard = F.col("n_inter").cast("double") / F.col("n_union")
+    return sized.where(jaccard >= 0.25).select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    )
+
+
 N_MINHASH = 32
 N_BANDS = 8  # 8 bands x 4 rows: ~0.5 detection threshold around j ~ 0.6
 

@@ -147,6 +147,59 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS n_stop,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+               LENGTH(text) AS n_chars_m
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+           ROUND(CAST(n_digit AS DOUBLE) / n_chars_m, 4) AS digit_ratio,
+           CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.01
+                     AND CAST(n_digit AS DOUBLE) / n_chars_m > 0.3
+                THEN 'suspect' ELSE 'ok' END AS quality_flag
+    FROM f
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style quality ratios: stopword density, punctuation
+    density, digit density, plus a composed flag. All integer-count /
+    integer-count double divisions — exact across engines. Map-only; this
+    is the per-document scoring pass that feeds threshold-based corpus
+    filtering at 100 TB."""
+    docs = load_table(spark, sf, "documents")
+    tokens = F.split("text", " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(
+        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "is", "to", "in"))
+    )
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), F.lit(0)))
+    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
+    n_chars_m = F.length("text")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / n_chars_m
+    digit_ratio = n_digit.cast("double") / n_chars_m
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.when((stop_ratio < 0.01) & (digit_ratio > 0.3), "suspect")
+        .otherwise("ok")
+        .alias("quality_flag"),
+    )
+
+
 @register("text_rolling_hash_shingles")
 def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum of the rolling-hash
