@@ -62,9 +62,9 @@ _PRIORITY = [
     # -- no row: dedup family
     "dedup_exact", "dedup_keep_first", "dedup_fingerprint",
     "dedup_token_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # -- no row: similarity family
+    # -- no row: similarity family (+ r2's new multiprobe)
     "embedding_norms", "similarity_topk_cosine", "similarity_lsh_buckets",
-    "similarity_ivf_search",
+    "similarity_ivf_search", "similarity_multiprobe",
     # -- no row: multimodal
     "multimodal_binary_meta", "multimodal_decode_features",
     "multimodal_frame_sample",
@@ -72,9 +72,9 @@ _PRIORITY = [
     "pipeline_dedup_survivors",
     # -- changed or added in round 2: re-verify
     "dedup_embedding_cosine", "dedup_ngram_jaccard", "text_quality_scores",
-    "window_percentiles", "sample_bernoulli", "udtf_tokenize",
-    # (51+: flagship_wide, q1_pricing_summary, ... — all carry green
-    # CORRECTNESS_r01 rows already)
+    "window_percentiles", "sample_bernoulli",
+    # (51+: udtf_tokenize [r1 row exists; new oracle pytest/selfcheck-pinned],
+    # flagship_wide, q1_pricing_summary, ... — all carry CORRECTNESS_r01 rows)
 ]
 
 

@@ -136,6 +136,95 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "similarity_multiprobe",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    probes AS (
+        SELECT q_id, q_emb,
+               UNNEST([q_bucket, xor(q_bucket, 1), xor(q_bucket, 2),
+                       xor(q_bucket, 4), xor(q_bucket, 8)]) AS probe
+        FROM q
+    )
+    SELECT b.vec_id, b.label, b.bucket,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, p.q_emb),
+                 pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(b.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(p.q_emb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cosine
+    FROM b JOIN probes p ON b.bucket = p.probe AND b.vec_id <> p.q_id
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe LSH ANN: search the query's cell PLUS its four hamming-1
+    neighbor cells (flip one signature bit per probe).
+
+    The standard recall lever when a single-bucket probe misses boundary
+    vectors: probing 5 of 16 cells scans ~31% of the corpus here, but at a
+    realistic signature width (say 20 bits -> 1M cells) the same 1+k probes
+    scan a vanishing fraction while recovering most boundary losses — more
+    recall per byte than widening the index. Plan shape: the 5 probe rows
+    broadcast, candidates arrive via hash join on the cell id, exact cosine
+    + TakeOrdered on top. Deterministic, so fully oracle-checked.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(4)
+    )
+    bucketed = emb.select(
+        "vec_id", "label", "embedding", bucket.cast("int").alias("bucket")
+    )
+    q_id = emb.agg(F.min("vec_id").alias("q_id"))
+    q = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
+        "q_id", F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    probes = q.select(
+        "q_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(4)],
+            )
+        ).alias("probe"),
+    )
+    return (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(
+                _dot("embedding", "q_emb")
+                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
     "similarity_ivf_search",
     oracle="""
     WITH b AS (
