@@ -244,9 +244,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     corpus, which is exactly what you want in front of 100 TB: the first
     exchange in the whole pipeline is the (tiny) band-bucket shuffle.
     """
+    # Tokenize ONCE into a column; the shingle lambda slices the materialized
+    # array instead of re-evaluating split(text) inside every iteration.
     shingle_hashes = F.expr(
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), "
-        f"i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3))) & {_MERSENNE_P31}L)"
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))) & {_MERSENNE_P31}L)"
     )
     def perm_min(i: int):
         a, b = _PERM_MULTIPLIERS[i], _PERM_OFFSETS[i]
@@ -259,8 +261,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
         )
 
     mins = [perm_min(i) for i in range(n_hashes)]
-    return docs.select("doc_id", shingle_hashes.alias("hs")).select(
-        "doc_id", F.array(*mins).alias("sig")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", shingle_hashes.alias("hs"))
+        .select("doc_id", F.array(*mins).alias("sig"))
     )
 
 
@@ -380,13 +384,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
         for i in range(8)
     ]
+    from ..functions import vec_dot, vec_l2_norm
+
+    # Norm computed once per ROW before the join — the per-pair formulation
+    # folds each vector twice per candidate pair (O(pairs x dim) instead of
+    # O(rows x dim) for the norms).
     bucketed = emb.select(
-        "vec_id", "embedding", F.concat(*bits).alias("bucket")
+        "vec_id",
+        "embedding",
+        F.concat(*bits).alias("bucket"),
+        vec_l2_norm("embedding").alias("norm"),
     )
-    from ..functions import vec_cosine
 
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = vec_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.norm") * F.col("b.norm")
+    )
     return (
         a.join(
             b,

@@ -78,9 +78,15 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """
     emb = load_table(spark, sf, "embeddings")
     q_id = emb.agg(F.min("vec_id").alias("q_id"))
+    # The query norm rides in the broadcast row — computed once, not
+    # re-folded against every corpus row.
     query = (
         emb.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id"))
-        .select("q_id", F.col("embedding").alias("q_emb"))
+        .select(
+            "q_id",
+            F.col("embedding").alias("q_emb"),
+            F.sqrt(_sq_norm("embedding")).alias("q_norm"),
+        )
     )
     scored = (
         emb.crossJoin(F.broadcast(query))
@@ -90,7 +96,7 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
             "label",
             F.round(
                 _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
                 4,
             ).alias("cosine"),
         )
@@ -192,11 +198,15 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
     q_id = emb.agg(F.min("vec_id").alias("q_id"))
     q = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
-        "q_id", F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+        "q_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
     )
     probes = q.select(
         "q_id",
         "q_emb",
+        "q_norm",
         F.explode(
             F.array(
                 F.col("q_bucket"),
@@ -215,7 +225,7 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
             "bucket",
             F.round(
                 _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
                 4,
             ).alias("cosine"),
         )
@@ -273,7 +283,10 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     bucketed = emb.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
     q_id = emb.agg(F.min("vec_id").alias("q_id"))
     query = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
-        "q_id", F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+        "q_id",
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
     )
     return (
         bucketed.join(
@@ -286,7 +299,7 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
             "bucket",
             F.round(
                 _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb"))),
+                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
                 4,
             ).alias("cosine"),
         )

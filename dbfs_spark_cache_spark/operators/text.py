@@ -29,20 +29,35 @@ from .registry import register
 )
 def text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-scoring features: token counts, type-token ratio, token
-    length. All integer-derived — exact across engines."""
+    length. All integer-derived — exact across engines.
+
+    Staged projections materialize the token array (and its sizes) ONCE;
+    inlining the split() into every output column makes Catalyst evaluate
+    it per column (5 splits per row measured) — at 100 TB the tokenize pass
+    IS the cost, so it runs once."""
     docs = load_table(spark, sf, "documents")
-    tokens = F.split("text", " ")
-    n_tokens = F.size(tokens)
-    n_distinct = F.size(F.array_distinct(tokens))
-    return docs.select(
+    toks = docs.select(
         "doc_id",
-        n_tokens.cast("long").alias("n_tokens"),
-        n_distinct.cast("long").alias("n_distinct_tokens"),
-        F.round(n_distinct.cast("double") / n_tokens, 4).alias("type_token_ratio"),
-        (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens).alias(
-            "avg_token_len"
-        ),
+        F.split("text", " ").alias("toks"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
         F.length("text").cast("long").alias("n_chars_measured"),
+    )
+    sized = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "n_nonspace",
+        "n_chars_measured",
+    )
+    return sized.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct_tokens"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tok"), 4).alias(
+            "type_token_ratio"
+        ),
+        (F.col("n_nonspace").cast("double") / F.col("n_tok")).alias("avg_token_len"),
+        "n_chars_measured",
     )
 
 
@@ -69,22 +84,32 @@ def text_stats(spark: SparkSession, sf: str) -> DataFrame:
 def text_lang_heuristic(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-count language ID — the classic cheap n-gram-free heuristic.
     (The fixture corpus is synthetic token salad, so prediction quality is
-    not the point; the deterministic pipeline is.)"""
+    not the point; the deterministic pipeline is.)
+
+    Tokenizes once and materializes the three hit counts before the argmax
+    projection (the inlined form split the text 9x per row)."""
     docs = load_table(spark, sf, "documents")
-    tokens = F.split("text", " ")
+    toks = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
 
     def hits(words):
-        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+        return F.size(F.filter(F.col("toks"), lambda t: t.isin(*words)))
 
-    en = hits(["the", "a", "of", "and", "is"])
-    de = hits(["der", "die", "das", "und", "ist"])
-    fr = hits(["le", "la", "et", "les", "est"])
-    return docs.select(
+    counted = toks.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        en.cast("long").alias("en_hits"),
-        de.cast("long").alias("de_hits"),
-        fr.cast("long").alias("fr_hits"),
+        hits(["the", "a", "of", "and", "is"]).cast("long").alias("en_hits"),
+        hits(["der", "die", "das", "und", "ist"]).cast("long").alias("de_hits"),
+        hits(["le", "la", "et", "les", "est"]).cast("long").alias("fr_hits"),
+    )
+    en, de, fr = F.col("en_hits"), F.col("de_hits"), F.col("fr_hits")
+    return counted.select(
+        "doc_id",
+        "labeled_lang",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
         F.when((en >= de) & (en >= fr), "en")
         .when(de >= fr, "de")
         .otherwise("fr")
@@ -177,18 +202,29 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     is the per-document scoring pass that feeds threshold-based corpus
     filtering at 100 TB."""
     docs = load_table(spark, sf, "documents")
-    tokens = F.split("text", " ")
-    n_tokens = F.size(tokens)
-    n_stop = F.size(
-        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "is", "to", "in"))
+    toks = docs.select("doc_id", "lang", "text", F.split("text", " ").alias("toks"))
+    counted = toks.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tok"),
+        F.size(
+            F.filter(
+                F.col("toks"),
+                lambda t: t.isin("the", "a", "of", "and", "is", "to", "in"),
+            )
+        ).alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), F.lit(0))).alias(
+            "n_punct"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).alias(
+            "n_digit"
+        ),
+        F.length("text").alias("n_chars_m"),
     )
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.,!?;:]"), F.lit(0)))
-    n_digit = F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0)))
-    n_chars_m = F.length("text")
-    stop_ratio = n_stop.cast("double") / n_tokens
-    punct_ratio = n_punct.cast("double") / n_chars_m
-    digit_ratio = n_digit.cast("double") / n_chars_m
-    return docs.select(
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m")
+    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars_m")
+    return counted.select(
         "doc_id",
         "lang",
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -204,15 +240,17 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum of the rolling-hash
     values over 5-token shingles (the document's 'rarest shingle' id).
-    Hash-function specific, so rows-only (invariants in tests)."""
+    Hash-function specific, so rows-only (invariants in tests).
+    The shingle-hash array is materialized once and min/max/size read it."""
     docs = load_table(spark, sf, "documents")
     shingles = F.expr(
         "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)), "
         "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 5))))"
     )
-    return docs.select(
+    hashed = docs.select("doc_id", shingles.alias("hs"))
+    return hashed.select(
         "doc_id",
-        F.array_min(shingles).alias("min_shingle_hash"),
-        F.array_max(shingles).alias("max_shingle_hash"),
-        F.size(shingles).alias("n_shingles"),
+        F.array_min("hs").alias("min_shingle_hash"),
+        F.array_max("hs").alias("max_shingle_hash"),
+        F.size("hs").alias("n_shingles"),
     )
