@@ -112,13 +112,18 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
     Blocking on (lang, n_chars bucket) keeps the self-join quadratic only
     within small blocks — the standard guard before exact verification of
-    near-dup candidates. Integer set sizes divide exactly, so the oracle
-    matches bit-for-bit."""
+    near-dup candidates. Spark-side token sets are xxhash64'd to LONGs
+    before the pair join (set ops over fixed-width longs beat strings;
+    Jaccard is invariant under an injective hash, so the string-based
+    DuckDB oracle computes identical values). Integer set sizes divide
+    exactly, so the oracle matches bit-for-bit."""
     docs = load_table(spark, sf, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") % 10).alias("bucket"),
-        F.array_distinct(F.split("text", " ")).alias("tokens"),
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+        ).alias("tokens"),
     )
     a = docs.alias("a")
     b = docs.alias("b")
@@ -149,10 +154,10 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
     WITH g AS (
-        SELECT doc_id, lang, n_chars % 10 AS bucket,
+        SELECT doc_id, lang, n_chars % 20 AS bucket,
                list_distinct(list_transform(
-                   generate_series(1, GREATEST(len(substr(text, 1, 200)) - 4, 1)),
-                   i -> substr(substr(text, 1, 200), CAST(i AS INT), 5))) AS grams
+                   generate_series(1, GREATEST(len(substr(text, 1, 120)) - 4, 1)),
+                   i -> substr(substr(text, 1, 120), CAST(i AS INT), 5))) AS grams
         FROM documents
     ),
     pairs AS (
@@ -172,23 +177,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character 5-gram Jaccard near-dup detection (tokenization-free: robust
     to word-boundary edits where token-Jaccard is not).
 
-    Gram sets are built over a 200-char prefix — prefix fingerprinting keeps
+    Gram sets are built over a 120-char prefix — prefix fingerprinting keeps
     the per-row set bounded regardless of document length, which at 100 TB
     bounds both the map-side memory and the pairwise verification cost.
-    Same blocking as token-Jaccard (lang x length bucket): quadratic only
-    within small blocks, never all-pairs. Integer set sizes divide exactly,
-    so the oracle matches bit-for-bit. Threshold 0.25 is fixture-calibrated
-    (synthetic corpus maxes at ~0.29); real corpora use ~0.8.
+    Blocked on lang x fine-grained length bucket (%20): quadratic only
+    within small blocks, never all-pairs.
+
+    Spark-side, each gram is xxhash64'd to a LONG before the pair join:
+    set intersection over fixed-width longs is several times cheaper than
+    over strings, and Jaccard is invariant under an injective hash — so the
+    DuckDB oracle computes the same values from the raw string grams.
+    Integer set sizes divide exactly; the oracle matches bit-for-bit.
+    Threshold 0.25 is fixture-calibrated (synthetic corpus maxes at ~0.29);
+    real corpora use ~0.8.
     """
-    prefix = "substring(text, 1, 200)"
+    prefix = "substring(text, 1, 120)"
     grams = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length({prefix}) - 4, 1)), "
-            f"i -> substring({prefix}, i, 5))"
+            f"i -> xxhash64(substring({prefix}, i, 5)))"
         )
     )
     docs = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", (F.col("n_chars") % 10).alias("bucket"), grams.alias("grams")
+        "doc_id", "lang", (F.col("n_chars") % 20).alias("bucket"), grams.alias("grams")
     )
     a, b = docs.alias("a"), docs.alias("b")
     sized = (
