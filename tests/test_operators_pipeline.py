@@ -257,3 +257,21 @@ def test_dedup_funnel_stages_through_cache(spark, clean_cache):
     )
     assert set(os.listdir(config.SPARK_CACHE_DIR)) == entries  # no rewrites
     assert df2.count() == n1
+
+
+def test_dedup_funnel_survives_cache_outage(spark, monkeypatch):
+    """If cache storage is unavailable (read-only driver env), the funnel
+    must degrade to the uncached plan and still produce identical results."""
+    from dbfs_spark_cache_spark.operators import pipeline
+
+    def broken_cache(df, **kwargs):
+        raise RuntimeError("cache storage unavailable")
+
+    import dbfs_spark_cache_spark.core as core
+
+    monkeypatch.setattr(core, "cache_dataframe", broken_cache)
+    survivors = pipeline.pipeline_dedup_survivors(spark, SF_SMOKE)
+    ids = {r.doc_id for r in survivors.collect()}
+    assert ids  # full funnel ran uncached
+    total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(ids) < total
