@@ -129,3 +129,28 @@ def test_no_python_udfs_in_relational_suite(spark, queries):
             continue
         plan = plan_text(fn(spark, SF_ORACLE))
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_verification_priority_names_resolve():
+    """Every name in the driver-rotation priority list must be a registered
+    query (a typo would silently drop it from the verified first-50), and
+    the rotation must place every query without a round-1 driver row inside
+    the first 50."""
+    import json
+    import os
+
+    import __spark_entry__ as entry_mod
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    unknown = [n for n in entry_mod._PRIORITY if n not in QUERIES]
+    assert not unknown, f"priority names not registered: {unknown}"
+    assert len(set(entry_mod._PRIORITY)) == len(entry_mod._PRIORITY)
+
+    r1_path = os.path.join(os.path.dirname(entry_mod.__file__), "CORRECTNESS_r01.json")
+    if os.path.exists(r1_path):
+        verified_r1 = set(json.load(open(r1_path)))
+        ordered = list(entry_mod.queries())
+        stranded = [n for n in ordered[50:] if n not in verified_r1]
+        assert not stranded, (
+            f"queries with no driver row outside the first 50: {stranded}"
+        )
