@@ -62,14 +62,48 @@ def fake_decode_features(payload: bytes, n_features: int = 8) -> list:
     return [digest[i] / 255.0 for i in range(n_features)]
 
 
-@register("multimodal_decode_features")
+def _hex_byte_sql(hex_col: str, i: int) -> str:
+    """DuckDB expression for byte ``i`` of a hex digest string — lets the
+    oracle recompute the sha256-derived stub features exactly."""
+    hi = f"strpos('0123456789abcdef', substr({hex_col}, {2 * i + 1}, 1)) - 1"
+    lo = f"strpos('0123456789abcdef', substr({hex_col}, {2 * i + 2}, 1)) - 1"
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_N_FEATURES = 8
+
+_DECODE_ORACLE = (
+    "WITH h AS (\n"
+    "  SELECT doc_id, source AS asset_source,\n"
+    "         OCTET_LENGTH(ENCODE(text)) AS n_bytes,\n"
+    "         sha256(text) AS hx\n"
+    "  FROM documents\n"
+    "), b AS (\n"
+    "  SELECT doc_id, asset_source, n_bytes,\n"
+    + ",\n".join(
+        f"         {_hex_byte_sql('hx', i)} / 255.0 AS f{i}"
+        for i in range(_N_FEATURES)
+    )
+    + "\n  FROM h\n)\n"
+    "SELECT doc_id, asset_source, n_bytes, "
+    + ", ".join(f"f{i}" for i in range(_N_FEATURES))
+    + ",\n       ("
+    + " + ".join(f"f{i}" for i in range(_N_FEATURES))
+    + f") / {_N_FEATURES} AS feature_mean\nFROM b"
+)
+
+
+@register("multimodal_decode_features", oracle=_DECODE_ORACLE)
 def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over mapInPandas.
 
     The plumbing is real (schema, batch iteration, partition preservation);
-    only the codec inside is the deterministic stub. Rows-only check (the
-    stub hash is engine-local); schema + determinism pinned in
-    tests/test_operators_pipeline.py.
+    only the codec inside is the deterministic stub. Features come out as
+    flat ``f0..f7`` double columns — the driver's pandas canonicalizer
+    cannot hash list-valued cells (r2 finding), and the flat shape is what a
+    feature store would want anyway. The stub derives bytes of sha256(text),
+    which the DuckDB oracle recomputes bit-exactly from the hex digest, so
+    this query is fully value-checked despite the stubbed codec.
     """
     docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
 
@@ -77,21 +111,22 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             payloads = pdf["text"].str.encode("utf-8")
             feats = payloads.map(fake_decode_features)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "asset_source": pdf["source"],
-                    "n_bytes": payloads.str.len().astype("int64"),
-                    "features": feats,
-                    "feature_mean": feats.map(lambda xs: sum(xs) / len(xs)),
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "asset_source": pdf["source"],
+                "n_bytes": payloads.str.len().astype("int64"),
+            }
+            for i in range(_N_FEATURES):
+                cols[f"f{i}"] = feats.map(lambda xs, i=i: xs[i])
+            cols["feature_mean"] = feats.map(lambda xs: sum(xs) / len(xs))
+            yield pd.DataFrame(cols)
 
+    feature_fields = ", ".join(f"f{i} double" for i in range(_N_FEATURES))
     return docs.mapInPandas(
         extract,
         schema=(
             "doc_id long, asset_source string, n_bytes long, "
-            "features array<double>, feature_mean double"
+            f"{feature_fields}, feature_mean double"
         ),
     )
 

@@ -239,8 +239,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations,
-           STRING_AGG(n_name, ',' ORDER BY n_name) AS nation_csv
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nation_csv,
+           COUNT(*) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -248,10 +248,13 @@ def q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered collection aggregates: collect_list made deterministic via
     array_sort (collection order is partition-dependent otherwise — sorting
-    is mandatory for reproducible results at any scale)."""
+    is mandatory for reproducible results at any scale). The collected array
+    is serialized with array_join so the result is flat-typed: the driver's
+    pandas canonicalizer cannot hash list-valued cells (r2 finding), and a
+    delimited string carries the identical information for comparison."""
     nation = load_table(spark, sf, "nation")
     collected = F.array_sort(F.collect_list("n_name"))
     return nation.groupBy("n_regionkey").agg(
-        collected.alias("nations"),
         F.array_join(collected, ",").alias("nation_csv"),
+        F.count(F.lit(1)).alias("n_nations"),
     )

@@ -142,16 +142,20 @@ def test_multimodal_decode_deterministic_and_typed(spark):
     )
 
     out1 = multimodal_decode_features(spark, SF_SMOKE)
+    feat_cols = [f"f{i}" for i in range(8)]
     assert out1.schema.simpleString() == (
         "struct<doc_id:bigint,asset_source:string,n_bytes:bigint,"
-        "features:array<double>,feature_mean:double>"
+        + ",".join(f"{c}:double" for c in feat_cols)
+        + ",feature_mean:double>"
     )
     rows1 = {r.doc_id: r for r in out1.collect()}
     rows2 = {r.doc_id: r for r in multimodal_decode_features(spark, SF_SMOKE).collect()}
     assert len(rows1) == 500
-    sample = next(iter(rows1.values()))
-    assert len(sample.features) == 8
-    assert all(rows1[k].features == rows2[k].features for k in rows1)
+    assert all(
+        [getattr(rows1[k], c) for c in feat_cols]
+        == [getattr(rows2[k], c) for c in feat_cols]
+        for k in rows1
+    )
     # the stub is pinned: same bytes -> same features
     assert fake_decode_features(b"abc") == fake_decode_features(b"abc")
     with pytest.raises(NotImplementedError):
