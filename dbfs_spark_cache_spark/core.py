@@ -39,6 +39,13 @@ from .plans.fingerprint import (
 log = logging.getLogger(__name__)
 
 
+def exc_summary(exc: BaseException, width: int = 120) -> str:
+    """First line of an exception message, safe for exceptions whose
+    message is empty (``str(exc).splitlines()`` is ``[]`` then — indexing
+    it would make the degradation path itself throw)."""
+    return (str(exc).splitlines() or [""])[0][:width]
+
+
 def table_name_for_hash(hash_name: str) -> str:
     return f"{config.CACHE_DATABASE}.{hash_name}"
 
@@ -116,7 +123,7 @@ def _save_as_cache_table(
         if _effective_cache_format() not in ("", "parquet") and _is_format_missing(exc):
             log.warning(
                 "Cache format %r unavailable (%s); falling back to parquet",
-                config.CACHE_FORMAT, str(exc).splitlines()[0][:120],
+                config.CACHE_FORMAT, exc_summary(exc),
             )
             _FORMAT_FALLBACK["parquet"] = True
             build_writer("parquet").saveAsTable(table)
@@ -139,7 +146,7 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
             # e.g. a delta-written table read in a jar-less session: treat
             # as a miss / try the files rather than crash the safe wrapper.
             log.warning("Catalog read failed for %s (%s); trying files",
-                        table, str(exc).splitlines()[0][:120])
+                        table, exc_summary(exc))
     location = _table_location(spark, hash_name)
     if fs.exists(location):
         # The files may have been written by the configured format OR by the
@@ -158,7 +165,7 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
                 return spark.read.format(fmt).load(location)
             except Exception as exc:
                 log.warning("Path read (%s) failed for %s: %s", fmt, location,
-                            str(exc).splitlines()[0][:120])
+                            exc_summary(exc))
     return None
 
 
@@ -257,20 +264,6 @@ def cache_dataframe(
         log.info("RDD-backed plan; skipping cache")
         return df
 
-    plain_udfs = find_plain_udfs(df)
-    if plain_udfs:
-        # Reference parity (core_caching.py:318-319, README.md:196): the
-        # fingerprint sees only the UDF's name, so editing its body will NOT
-        # invalidate this cache entry.
-        log.warning(
-            "Cached plan contains Python functions whose code is invisible "
-            "to the cache fingerprint: %s. Editing them will NOT invalidate "
-            "this cache — wrap scalar UDFs with "
-            "functions.content_addressed_udf (embeds a body hash in the "
-            "plan-visible name), or clear the cache manually after changes.",
-            plain_udfs,
-        )
-
     # Direct-data caches ARE their own materialization — re-caching would
     # duplicate content-addressed data (reference: dataframe_extensions.py:54-56).
     if getattr(df, "_is_direct_data_cache", False):
@@ -316,6 +309,23 @@ def cache_dataframe(
         log.info("Multiplier %.2f below threshold %s; not caching", multiplier,
                  multiplier_threshold)
         return df
+
+    plain_udfs = find_plain_udfs(df)
+    if plain_udfs:
+        # Reference parity (core_caching.py:318-319, README.md:196): the
+        # fingerprint sees only the UDF's name, so editing its body will NOT
+        # invalidate the entry about to be written. Checked only when a
+        # write/Spark-cache is actually imminent: find_plain_udfs runs full
+        # physical planning, which would be pure overhead (and a repeated
+        # warning) on cache hits and early returns.
+        log.warning(
+            "Cached plan contains Python functions whose code is invisible "
+            "to the cache fingerprint: %s. Editing them will NOT invalidate "
+            "this cache — wrap scalar UDFs with "
+            "functions.content_addressed_udf (embeds a body hash in the "
+            "plan-visible name), or clear the cache manually after changes.",
+            plain_udfs,
+        )
 
     from .tiering import should_prefer_spark_cache
 

@@ -112,7 +112,7 @@ def _stage_cache(df: DataFrame, stage: str) -> DataFrame:
     scan instead of recomputing the upstream plan, and a re-run of the
     funnel is a cache hit end-to-end. Falls back to the raw plan when cache
     storage is unavailable (e.g. read-only driver environment)."""
-    from ..core import cache_dataframe
+    from ..core import cache_dataframe, exc_summary
 
     try:
         cached = cache_dataframe(df, override_prefer_spark_cache=True)
@@ -121,7 +121,7 @@ def _stage_cache(df: DataFrame, stage: str) -> DataFrame:
         log.info("funnel stage %r not materialized (engine skip)", stage)
     except Exception as exc:
         log.info("funnel stage %r cache unavailable (%s); continuing uncached",
-                 stage, str(exc).splitlines()[0][:120])
+                 stage, exc_summary(exc))
     return df
 
 

@@ -92,16 +92,26 @@ def distributed_global_percentiles(
 
     Exactly matches the single-window semantics (verified against Spark's
     own global window in tests/test_scale_patterns.py, including ties,
-    all-equal, and N < n_tiles edge cases). Every WindowExec is partitioned;
-    only <= n_buckets aggregate rows cross single-partition exchanges.
+    all-equal, NULLs, and N < n_tiles edge cases). Every WindowExec is
+    partitioned; only <= n_buckets aggregate rows cross single-partition
+    exchanges.
+
+    NULL contract: ``Window.orderBy`` ranks NULLs first (ascending), so
+    NULL values get their own lowest bucket. Without that, ``F.least``
+    skips NULL operands and ``least(n_buckets-1, floor(NULL))`` would
+    silently rank NULL rows at the TOP.
     """
     from pyspark.sql import Window as W
 
     bounds = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
     v = F.col(value_col).cast("double")
     step = (F.col("__hi") - F.col("__lo")).cast("double") / n_buckets
-    bucket = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
-        F.least(F.lit(n_buckets - 1), F.floor((v - F.col("__lo")) / step))
+    bucket = (
+        F.when(v.isNull(), F.lit(-1))
+        .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(n_buckets - 1), F.floor((v - F.col("__lo")) / step))
+        )
     )
     bucketed = (
         df.crossJoin(F.broadcast(bounds))

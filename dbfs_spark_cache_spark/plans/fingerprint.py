@@ -51,8 +51,12 @@ _PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
 # Higher-order-function lambda variables print as `lambda x_<N>` where N is
 # a session-global counter (like expr ids): the same transform()/aggregate()
 # query gets x_1 on its first build and x_33 later. Without normalization no
-# plan containing a lambda would ever hit its cache across builds.
-_LAMBDA_VAR = re.compile(r"\b([xyz])_\d+")
+# plan containing a lambda would ever hit its cache across builds. The
+# pattern is anchored to the `lambda ` prefix the plan always prints
+# (declaration and every reference; parsed plans quote it as `lambda 'x_1`)
+# so a real column named x_1 — which prints WITHOUT the prefix — keeps its
+# counter and two plans selecting x_1 vs x_2 get distinct cache keys.
+_LAMBDA_VAR = re.compile(r"(?<=\blambda )('?\w+?)_\d+\b")
 _WS = re.compile(r"\s+")
 
 

@@ -340,3 +340,29 @@ def test_lambda_variable_counter_normalized(spark, lineitem_copy):
 
     assert canonical_plan(q()) == canonical_plan(q())
     assert resolve_table_hash(q()) == resolve_table_hash(q())
+
+
+def test_lambda_normalization_spares_real_columns(spark, lineitem_copy):
+    """The lambda-var normalizer is anchored to the `lambda ` prefix plans
+    print: real columns that merely LOOK like lambda variables (x_1, y_2)
+    must keep their counters, else `select x_1` and `select x_2` over the
+    same table would share one cache key and serve wrong cached results."""
+    from dbfs_spark_cache_spark import canonical_plan, resolve_table_hash
+
+    base = spark.read.parquet(lineitem_copy).select(
+        F.col("l_quantity").alias("x_1"),
+        F.col("l_extendedprice").alias("x_2"),
+    )
+    q1 = base.select("x_1")
+    q2 = base.select("x_2")
+    assert canonical_plan(q1) != canonical_plan(q2)
+    assert resolve_table_hash(q1) != resolve_table_hash(q2)
+
+    # Lambda vars keep normalizing even when a same-stem real column exists.
+    def hof():
+        return base.select(
+            "x_1",
+            F.transform(F.array("x_2"), lambda v: v * 2).alias("doubled"),
+        )
+
+    assert canonical_plan(hof()) == canonical_plan(hof())

@@ -381,6 +381,15 @@ def test_plain_udf_cache_warning(spark, clean_cache, caplog):
 
     caplog.clear()
 
+    # A cache HIT must not re-run physical planning / re-warn: the check
+    # only guards writes (the warning is about the entry being created).
+    with caplog.at_level(logging.WARNING, logger="dbfs_spark_cache_spark.core"):
+        cache_dataframe(df.select(plain_double("x").alias("y")),
+                        override_prefer_spark_cache=True)
+    assert not any("invisible" in r.message for r in caplog.records)
+
+    caplog.clear()
+
     def tripled(s: pd.Series) -> pd.Series:
         return s * 3.0
 

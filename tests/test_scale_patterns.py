@@ -95,6 +95,8 @@ import pytest
         [-50.0, -1.0, 0.0, 0.0, 7.5, 7.5, 7.5, 100.0, 100.0, 101.0, 102.0,
          103.0, 104.0, 105.0, 106.0, 107.0],       # negatives + tie runs
         [float(x % 13) for x in range(101)],       # many ties, N > buckets
+        [None, 4.0, None, 1.0, 1.0, None, 8.0],    # NULLs rank first
+        [None, None, None],                        # all NULL
     ],
 )
 def test_distributed_percentiles_match_global_window(spark, values):
