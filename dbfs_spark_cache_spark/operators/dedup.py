@@ -5,11 +5,17 @@ Five strategies, cheapest first:
 * exact        — group on the raw text (or its hash): one shuffle
 * keep-first   — window rank over the dup group, keeps the lowest doc_id
 * fingerprint  — normalize (lowercase, collapse whitespace) then hash
-* token-Jaccard — blocked self-join + exact set similarity (SQL-checkable)
+* token/n-gram Jaccard — two-stage: MinHash-LSH candidates -> exact set
+  similarity on candidate pairs only (linear candidate generation; the
+  round-1 fixed-count length blocking was quadratic-within-block)
 * MinHash-LSH  — shingle -> minhash signature -> banded bucket join
   (the 100 TB path: work is linear in corpus size + bucket collisions;
   no all-pairs comparison ever materializes)
 * SimHash      — 64-bit weighted-token signature, hamming-banded candidates
+
+All hash-derived stages use a portable md5-based 62-bit hash family that
+DuckDB computes identically, so the oracle replays signatures, band buckets,
+candidate pairs and verification bit-for-bit.
 
 All tokenization is whitespace-splitting on the fixture's pre-normalized
 text; swap the regex for real corpora.
@@ -86,140 +92,30 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_token_jaccard",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, lang, n_chars % 10 AS bucket,
-               list_distinct(string_split(text, ' ')) AS tokens
-        FROM documents
-    ),
-    sized AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.tokens, b.tokens)) AS n_inter,
-               len(list_distinct(list_concat(a.tokens, b.tokens))) AS n_union
-        FROM toks a JOIN toks b
-          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
-    FROM sized
-    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
-    """,
-)
-def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact token-set Jaccard on blocked candidate pairs.
+# ---------------------------------------------------------------------------
+# Portable hashing: identical 60-bit integers from md5 in BOTH Spark and
+# DuckDB, so every hash-derived pipeline stage (minhash signatures, band
+# buckets, candidate pairs) is reproducible by the SQL oracle bit-for-bit.
+# Spark:  cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)
+# DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+# ---------------------------------------------------------------------------
 
-    Blocking on (lang, n_chars bucket) keeps the self-join quadratic only
-    within small blocks — the standard guard before exact verification of
-    near-dup candidates. Spark-side token sets are xxhash64'd to LONGs
-    before the pair join (set ops over fixed-width longs beat strings;
-    Jaccard is invariant under an injective hash, so the string-based
-    DuckDB oracle computes identical values). Integer set sizes divide
-    exactly, so the oracle matches bit-for-bit."""
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") % 10).alias("bucket"),
-        F.array_distinct(
-            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
-        ).alias("tokens"),
-    )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    # Materialize the set sizes once in a projection so the (expensive)
-    # array intersect/union run a single time per pair, not once for the
-    # filter and again for the output.
-    sized = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.tokens"), F.col("b.tokens"))).alias("n_inter"),
-            F.size(F.array_union(F.col("a.tokens"), F.col("b.tokens"))).alias("n_union"),
-        )
-    )
-    jaccard = F.col("n_inter").cast("double") / F.col("n_union")
-    return sized.where(jaccard >= 0.5).select(
-        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
-    )
+_P31 = (1 << 31) - 1  # Mersenne prime 2^31-1: permutation modulus
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH g AS (
-        SELECT doc_id, lang, n_chars % 20 AS bucket,
-               list_distinct(list_transform(
-                   generate_series(1, GREATEST(len(substr(text, 1, 120)) - 4, 1)),
-                   i -> substr(substr(text, 1, 120), CAST(i AS INT), 5))) AS grams
-        FROM documents
-    ),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.grams, b.grams)) AS n_inter,
-               len(list_distinct(list_concat(a.grams, b.grams))) AS n_union
-        FROM g a JOIN g b
-          ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
-    FROM pairs
-    WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.25
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Character 5-gram Jaccard near-dup detection (tokenization-free: robust
-    to word-boundary edits where token-Jaccard is not).
+def h62_sql(expr: str) -> str:
+    """Spark SQL fragment: 60-bit non-negative int from md5(expr)."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
 
-    Gram sets are built over a 120-char prefix — prefix fingerprinting keeps
-    the per-row set bounded regardless of document length, which at 100 TB
-    bounds both the map-side memory and the pairwise verification cost.
-    Blocked on lang x fine-grained length bucket (%20): quadratic only
-    within small blocks, never all-pairs.
 
-    Spark-side, each gram is xxhash64'd to a LONG before the pair join:
-    set intersection over fixed-width longs is several times cheaper than
-    over strings, and Jaccard is invariant under an injective hash — so the
-    DuckDB oracle computes the same values from the raw string grams.
-    Integer set sizes divide exactly; the oracle matches bit-for-bit.
-    Threshold 0.25 is fixture-calibrated (synthetic corpus maxes at ~0.29);
-    real corpora use ~0.8.
-    """
-    prefix = "substring(text, 1, 120)"
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({prefix}) - 4, 1)), "
-            f"i -> xxhash64(substring({prefix}, i, 5)))"
-        )
-    )
-    docs = load_table(spark, sf, "documents").select(
-        "doc_id", "lang", (F.col("n_chars") % 20).alias("bucket"), grams.alias("grams")
-    )
-    a, b = docs.alias("a"), docs.alias("b")
-    sized = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("n_inter"),
-            F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))).alias("n_union"),
-        )
-    )
-    jaccard = F.col("n_inter").cast("double") / F.col("n_union")
-    return sized.where(jaccard >= 0.25).select(
-        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
-    )
+def duck_h62(expr: str) -> str:
+    """DuckDB equivalent of :func:`h62_sql` — same value, bit-for-bit."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _h62_col(col):
+    """Column form of :func:`h62_sql`."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 N_MINHASH = 32
@@ -229,8 +125,9 @@ N_BANDS = 8  # 8 bands x 4 rows: ~0.5 detection threshold around j ~ 0.6
 # 31-bit domain. Bounded in 62 bits, so it is ANSI-overflow-safe in Spark,
 # and the mod genuinely reorders (a plain affine map without mod would give
 # every permutation the same argmin). Constants fixed by seed for
-# reproducibility.
-_MERSENNE_P31 = (1 << 31) - 1
+# reproducibility — and baked into the generated oracle SQL, so DuckDB runs
+# the very same permutations.
+_MERSENNE_P31 = _P31
 
 
 def _perm_constants(n: int, seed: int = 0x5EED):
@@ -246,42 +143,58 @@ def _perm_constants(n: int, seed: int = 0x5EED):
 _PERM_MULTIPLIERS, _PERM_OFFSETS = _perm_constants(64)
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """doc_id -> MinHash signature (array<long>) over 3-token shingles.
+def minhash_sig_from_hashes(
+    df: DataFrame, n_hashes: int = N_MINHASH, hashes_col: str = "hs"
+) -> DataFrame:
+    """(doc_id, sig: array<long>) from a pre-hashed element column.
 
-    Entirely per-row array expressions (higher-order functions, JVM-side):
-    shingle -> one xxhash64 -> n universal-family permutations -> array_min.
-    No explode, no shuffle — the signature stage is a pure map over the
-    corpus, which is exactly what you want in front of 100 TB: the first
-    exchange in the whole pipeline is the (tiny) band-bucket shuffle.
+    ``hashes_col`` must hold array<long> values in the 31-bit domain (mask
+    with ``& _P31``). Entirely per-row higher-order functions — no explode,
+    no shuffle: the signature stage stays a pure map over the corpus, which
+    is exactly what you want in front of 100 TB.
     """
-    # Tokenize ONCE into a column; the shingle lambda slices the materialized
-    # array instead of re-evaluating split(text) inside every iteration.
-    shingle_hashes = F.expr(
-        "transform(sequence(0, greatest(size(toks) - 3, 0)), "
-        f"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 3))) & {_MERSENNE_P31}L)"
-    )
+
     def perm_min(i: int):
         a, b = _PERM_MULTIPLIERS[i], _PERM_OFFSETS[i]
         # single-arg lambda: F.transform must not see an index parameter
         return F.array_min(
             F.transform(
-                F.col("hs"),
+                F.col(hashes_col),
                 lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P31)),
             )
         )
 
     mins = [perm_min(i) for i in range(n_hashes)]
-    return (
+    return df.select("doc_id", F.array(*mins).alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id -> MinHash signature over 3-token shingles.
+
+    Tokenize ONCE into a column; the shingle lambda slices the materialized
+    array instead of re-evaluating split(text) inside every iteration
+    (measured 2.6x on the signature stage). Shingle hashes use the portable
+    md5-62bit scheme so the DuckDB oracle reproduces signatures exactly.
+    """
+    shingle = "concat_ws(' ', slice(toks, i + 1, 3))"
+    shingle_hashes = F.expr(
+        "transform(sequence(0, greatest(size(toks) - 3, 0)), "
+        f"i -> {h62_sql(shingle)} & {_P31}L)"
+    )
+    return minhash_sig_from_hashes(
         docs.select("doc_id", F.split("text", " ").alias("toks"))
-        .select("doc_id", shingle_hashes.alias("hs"))
-        .select("doc_id", F.array(*mins).alias("sig"))
+        .select("doc_id", shingle_hashes.alias("hs")),
+        n_hashes,
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Banded LSH candidate pairs from a MinHash signature frame
-    ``(doc_id, sig: array<long>)``.
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Banded LSH candidate pairs from ``(doc_id, sig: array<long>)``.
 
     per-band bucket hash -> explode -> bucket self-join -> estimated Jaccard
     (= fraction of agreeing minhashes) >= ``threshold``. The full signature
@@ -291,25 +204,37 @@ def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
     join is within identical band buckets, so at 100 TB the plan is
     shuffle-on-band-hash + AQE skew handling.
 
+    Band geometry is the recall/candidate-volume knob: with r rows per band
+    a pair collides with probability 1-(1-j^r)^bands. r=4 (default) targets
+    j ~ 0.6+; r=2 catches j ~ 0.3+ at the cost of busier buckets — used by
+    the two-stage exact-Jaccard queries that need high recall above their
+    verify threshold.
+
     Measured alternative (slim band rows + two sig re-joins to verify):
     identical wall time at sf0.1 (4.9s vs 4.9s, same pairs) with two extra
     shuffled joins in the plan — carrying the 32-long sig through the 8x
     band explode is the better trade until per-row signature width, not
     join count, dominates (e.g. 256+ hashes).
     """
-    rows_per_band = N_MINHASH // N_BANDS
+    rows_per_band = n_hashes // n_bands
+
+    def band_bucket(band: int):
+        elems = [
+            F.element_at("sig", band * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return _h62_col(F.concat_ws(",", *elems))
+
     band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(
-                *[F.element_at("sig", band * rows_per_band + r + 1) for r in range(rows_per_band)]
-            ).alias("bucket"),
-        )
-        for band in range(N_BANDS)
+        F.struct(F.lit(band).alias("band"), band_bucket(band).alias("bucket"))
+        for band in range(n_bands)
     ]
     banded = sigs.select(
         "doc_id", "sig", F.explode(F.array(*band_cols)).alias("b")
-    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    ).select(
+        "doc_id", "sig",
+        F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"),
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -329,20 +254,222 @@ def lsh_candidate_pairs(sigs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
+            (agree.cast("double") / n_hashes).alias("est_jaccard"),
         )
         .distinct()
         .where(F.col("est_jaccard") >= threshold)
     )
 
 
-@register("dedup_minhash_lsh")
+def _duck_minhash_cands(hs_ctes: str, n_hashes: int, n_bands: int) -> str:
+    """DuckDB CTE chain reproducing signatures -> bands -> candidate pairs.
+
+    ``hs_ctes`` must be a WITH-prefix ending in a CTE ``hs_src(doc_id, hs)``
+    where hs is list<bigint> in the 31-bit domain. Appends CTEs ``sigs``,
+    ``banded`` and ``cand(doc_a, doc_b, est_jaccard)`` that mirror
+    :func:`minhash_sig_from_hashes` + :func:`lsh_candidate_pairs` exactly
+    (same permutation constants, same band buckets, same dedup)."""
+    rows = n_hashes // n_bands
+    sig_exprs = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> (h * {_PERM_MULTIPLIERS[i]} "
+        f"+ {_PERM_OFFSETS[i]}) % {_P31}))"
+        for i in range(n_hashes)
+    )
+
+    def bucket_case(band: int) -> str:
+        elems = ", ".join(f"s.sig[{band * rows + r + 1}]" for r in range(rows))
+        return f"WHEN {band} THEN " + duck_h62(f"concat_ws(',', {elems})")
+
+    cases = "\n               ".join(bucket_case(b) for b in range(n_bands))
+    return f"""{hs_ctes},
+    sigs AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hs_src),
+    banded AS (
+        SELECT s.doc_id, s.sig, b.band,
+               CASE b.band
+               {cases}
+               END AS bucket
+        FROM sigs s
+        CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS DOUBLE)
+               / {n_hashes} AS est_jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )"""
+
+
+_SHINGLE_HS_CTES = f"""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    hs_src AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, greatest(len(toks) - 3, 0)),
+                   i -> {duck_h62("array_to_string(list_slice(toks, i + 1, i + 3), ' ')")}
+                        & {_P31}) AS hs
+        FROM toks
+    )"""
+
+
+# --- two-stage exact Jaccard: LSH candidates -> exact set verification ----
+#
+# The round-1/2 formulation blocked candidate pairs on (lang, n_chars % k):
+# bucket COUNT was a constant, so bucket SIZE — and the pair count — grew
+# quadratically with the corpus. Candidates now come from the canonical
+# 3-token-shingle MinHash band join (linear in corpus + collisions, never
+# all-pairs); the exact set-overlap verification consumes ONLY those pairs.
+#
+# Why shingle candidates rather than token/gram-level LSH: the candidate
+# measure must be DISCRIMINATIVE on the corpus. On the synthetic fixture the
+# median token-set Jaccard between two RANDOM documents is 0.63 and median
+# gram Jaccard 0.125 (shared vocabulary), so banding in those spaces admits
+# a near-quadratic candidate mass at any useful threshold — while 3-token
+# shingles are sequence-sensitive and sparse (25 candidate pairs at
+# sf0.01). Generating candidates once and verifying under each exact
+# measure is also the shape a production funnel uses. Both stages are
+# reproduced verbatim by the DuckDB oracle (portable hashes), so the driver
+# value-checks the whole two-stage pipeline bit-for-bit.
+
+
+def _exact_jaccard_over_candidates(
+    docs: DataFrame, sets: DataFrame, set_col: str, threshold: float
+) -> DataFrame:
+    """Join shingle-LSH candidate pairs to per-doc element sets and keep
+    pairs whose exact Jaccard clears ``threshold``. ``sets`` must be
+    (doc_id, <set_col>: array<long>)."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    sized = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.array_intersect(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}"))
+            ).alias("n_inter"),
+            F.size(
+                F.array_union(F.col(f"sa.{set_col}"), F.col(f"sb.{set_col}"))
+            ).alias("n_union"),
+        )
+    )
+    jaccard = F.col("n_inter").cast("double") / F.col("n_union")
+    return sized.where(jaccard >= threshold).select(
+        "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
+    )
+
+
+def _verify_oracle(sets_cte: str, threshold: float) -> str:
+    """Shingle-LSH candidates (est >= 0.5) + exact set verification, as one
+    DuckDB query. ``sets_cte`` must define ``sets(doc_id, s)``."""
+    cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    return f"""{cands},
+    {sets_cte},
+    ver AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.s, b.s)) AS n_inter,
+               len(list_distinct(list_concat(a.s, b.s))) AS n_union
+        FROM cand c
+        JOIN sets a ON c.doc_a = a.doc_id
+        JOIN sets b ON c.doc_b = b.doc_id
+        WHERE c.est_jaccard >= 0.5
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
+    FROM ver
+    WHERE CAST(n_inter AS DOUBLE) / n_union >= {threshold}"""
+
+
+_TOKEN_SETS_CTE = f"""sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(string_split(text, ' '),
+                   t -> {duck_h62('t')})) AS s
+        FROM documents
+    )"""
+
+_NGRAM_SETS_CTE = f"""sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(substr(text, 1, 120)) - 4, 1)),
+                   i -> {duck_h62("substr(substr(text, 1, 120), CAST(i AS INT), 5)")})) AS s
+        FROM documents
+    )"""
+
+
+@register("dedup_token_jaccard", oracle=_verify_oracle(_TOKEN_SETS_CTE, 0.5))
+def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard verification of MinHash-LSH candidate pairs.
+
+    Stage 1 (candidates): the canonical 3-token-shingle MinHash signatures
+    -> banded bucket join (``lsh_candidate_pairs``). Linear in corpus size —
+    never all-pairs, and unlike fixed-count length blocking the bucket
+    population tracks content similarity, not corpus size.
+
+    Stage 2 (verify): exact token-set intersection/union on the candidate
+    pairs only. Token sets are 60-bit md5-derived longs (set ops over
+    fixed-width longs beat strings; Jaccard is invariant under an injective
+    hash) — the same portable hash the oracle computes, so both stages
+    match the DuckDB oracle bit-for-bit. Integer set sizes divide exactly.
+    """
+    docs = load_table(spark, sf, "documents")
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})")
+        ).alias("s"),
+    )
+    return _exact_jaccard_over_candidates(docs, sets, "s", 0.5)
+
+
+@register("dedup_ngram_jaccard", oracle=_verify_oracle(_NGRAM_SETS_CTE, 0.25))
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character 5-gram Jaccard verification of MinHash-LSH candidates
+    (tokenization-free measure: robust to word-boundary edits where
+    token-Jaccard is not).
+
+    Gram sets are built over a 120-char prefix — prefix fingerprinting keeps
+    the per-row set bounded regardless of document length, which at 100 TB
+    bounds both the map-side memory and the pairwise verification cost.
+    Candidates come from the shared shingle-LSH generator (see module
+    comment: gram-level banding is non-discriminative on shared-vocabulary
+    corpora); exact gram-set Jaccard verifies each candidate. Grams are
+    60-bit md5-derived longs; the DuckDB oracle reproduces both stages
+    bit-for-bit. Threshold 0.25 is fixture-calibrated; real corpora use
+    ~0.8.
+    """
+    prefix = "substring(text, 1, 120)"
+    gram62 = h62_sql(f"substring({prefix}, i, 5)")
+    docs = load_table(spark, sf, "documents")
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({prefix}) - 4, 1)), "
+                f"i -> {gram62})"
+            )
+        ).alias("s"),
+    )
+    return _exact_jaccard_over_candidates(docs, sets, "s", 0.25)
+
+
+_MINHASH_ORACLE = (
+    _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    + """
+    SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5"""
+)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidates over the documents table:
     map-only signatures (``minhash_signatures``) -> banded bucket join
-    (``lsh_candidate_pairs``). No oracle: the xxhash64 permutations are
-    Spark-specific (rows-only check; recall/precision asserted in
-    tests/test_operators_pipeline.py).
+    (``lsh_candidate_pairs``). The portable md5-derived hash family lets the
+    DuckDB oracle replay the identical signature/band/bucket pipeline, so
+    this is value-checked exactly despite being a hash-defined result;
+    recall/precision additionally asserted on planted near-duplicates in
+    tests/test_operators_pipeline.py.
     """
     docs = load_table(spark, sf, "documents")
     return lsh_candidate_pairs(minhash_signatures(docs))

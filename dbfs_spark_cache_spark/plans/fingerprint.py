@@ -56,7 +56,9 @@ _PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
 # (declaration and every reference; parsed plans quote it as `lambda 'x_1`)
 # so a real column named x_1 — which prints WITHOUT the prefix — keeps its
 # counter and two plans selecting x_1 vs x_2 get distinct cache keys.
-_LAMBDA_VAR = re.compile(r"(?<=\blambda )('?\w+?)_\d+\b")
+# No trailing \b: after _EXPR_ID strips `#123` from `lambda x_1#123L`, the
+# counter is followed directly by the attribute's type-suffix letter (x_1L).
+_LAMBDA_VAR = re.compile(r"(?<=\blambda )('?\w+?)_\d+")
 _WS = re.compile(r"\s+")
 
 

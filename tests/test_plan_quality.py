@@ -154,3 +154,18 @@ def test_verification_priority_names_resolve():
         assert not stranded, (
             f"queries with no driver row outside the first 50: {stranded}"
         )
+
+
+def test_exact_jaccard_candidates_come_from_band_join(spark, queries):
+    """The exact-Jaccard verify stage must consume MinHash band-join
+    candidates, not fixed-count length blocking: a constant bucket count
+    makes the pair count quadratic in corpus size (round-2 scale finding).
+    The est_jaccard filter only exists on the band-join path; the length
+    blocks were (n_chars % 10/20) expressions."""
+    for name in ("dedup_token_jaccard", "dedup_ngram_jaccard"):
+        df = queries[name](spark, SF_ORACLE)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "est_jaccard" in analyzed, f"{name}: candidates not from LSH band join"
+        assert "% 10" not in analyzed and "% 20" not in analyzed, (
+            f"{name}: length-bucket blocking resurfaced"
+        )
