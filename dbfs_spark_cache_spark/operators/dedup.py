@@ -564,41 +564,53 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash near-dup candidates.
 
     Each document's tokens vote (+count/-count) on every signature bit of
-    their xxhash64; candidate pairs share at least one of eight 8-bit chunks
-    (pigeonhole: guarantees detection at hamming <= 7, high probability well
-    beyond) and are emitted with their exact hamming distance. One explode +
-    groupBy + chunk-join: linear, shuffle-friendly. No oracle (hash-function
+    their xxhash64; the signature splits into eight 8-bit blocks and
+    candidate pairs share at least one of the C(8,2) = 28 BLOCK-PAIR keys
+    (16 bits each, Manku-style): a pair at hamming <= 6 corrupts at most 6
+    blocks, leaving two clean blocks whose combination must collide —
+    detection is guaranteed through hamming 6 and near-certain at 7-8.
+    Pairs are emitted with their exact hamming distance. One explode +
+    chunk join: linear, shuffle-friendly. No oracle (hash-function
     specific); invariants tested in tests/test_operators_pipeline.py.
+
+    Scale shape (round-2 findings): ALL 64 bit counters accumulate in ONE
+    fold over the token-hash array (a 64-slot accumulator) instead of 64
+    independent folds re-traversing the array 64x per row; and the chunk
+    join keys on 16-bit block pairs — 28 x 65,536 possible buckets versus
+    the round-2 single-block scheme's 8 x 256, whose fixed 2,048-bucket
+    population made within-bucket pair counts quadratic in corpus size.
     """
     docs = load_table(spark, sf, "documents")
     # Map-only signature: hash every token instance per row (frequency
-    # weighting falls out naturally — each instance votes ±1), then fold 64
-    # per-bit votes over the hash array. No explode, no shuffle: like the
-    # MinHash pipeline, the first exchange is the candidate-chunk join.
+    # weighting falls out naturally — each instance votes ±1), then ONE
+    # fold of the hash array over a 64-slot vote accumulator. No explode,
+    # no shuffle: like the MinHash pipeline, the first exchange is the
+    # candidate-chunk join.
     hashed = docs.select(
         "doc_id",
         F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
 
-    def bit_vote(i: int):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"s_{i}")
-
-    votes = hashed.select("doc_id", *[bit_vote(i) for i in range(64)])
-    simhash = votes.select(
-        "doc_id",
-        sum(
-            F.when(F.col(f"s_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-            for i in range(64)
-        ).alias("simhash"),
+    votes = F.expr(
+        "aggregate(hs, array_repeat(0L, 64), "
+        "(acc, h) -> transform(sequence(0, 63), "
+        "i -> element_at(acc, i + 1) "
+        "+ CASE WHEN (shiftright(h, i) & 1L) = 1L THEN 1L ELSE -1L END))"
+    )
+    # sign-threshold each vote slot into its signature bit, then sum
+    simhash_expr = F.expr(
+        "aggregate(zip_with(votes, sequence(0, 63), "
+        "(v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    simhash = hashed.select("doc_id", votes.alias("votes")).select(
+        "doc_id", simhash_expr.alias("simhash")
     )
 
+    def block(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF))
+
+    block_pairs = [(i, j) for i in range(8) for j in range(i + 1, 8)]
     chunks = simhash.select(
         "doc_id",
         "simhash",
@@ -606,12 +618,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 8)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("chunk"),
+                        F.lit(i * 8 + j).alias("chunk_id"),
+                        (F.shiftleft(block(i), 8) + block(j)).alias("chunk"),
                     )
-                    for c in range(8)
+                    for i, j in block_pairs
                 ]
             )
         ).alias("c"),
