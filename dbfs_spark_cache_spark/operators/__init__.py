@@ -3,14 +3,25 @@
 Importing this package populates the registry (``QUERIES`` / ``ORACLES``)
 used by ``__spark_entry__.py``. Modules:
 
-* ``relational``  — scans, filters, joins, aggregations, windows, sorts,
-  set ops, scalar-function families, UDFs (SURVEY.md §2 Layer B)
-* ``timeseries``  — as-of / range joins, sessionization, tumbling/sliding
-  windows over the events table
-* ``dedup``       — exact, fingerprint, MinHash-LSH, SimHash, token-Jaccard
-* ``similarity``  — embedding norms, brute-force cosine top-k, LSH buckets
-* ``text``        — token stats, language-ID heuristic, fingerprinting
-* ``multimodal``  — binary-column plumbing with stubbed decoders
+* ``relational``      — scans, filters, joins, aggregations, windows,
+  sorts, set ops, scalar-function families, UDFs (SURVEY.md §2 Layer B)
+* ``extras``          — rename/compute, percentiles, UDAF/UDTF, subqueries
+* ``tpch_more`` / ``tpch_more2`` / ``tpch_more3`` — the TPC-H analogue
+  suite (q1-q22 where the fixture has the tables)
+* ``semistructured``  — map ops, from_json structs, array explode
+* ``timeseries``      — as-of / range joins, sessionization,
+  tumbling/sliding windows over the events table
+* ``dedup``           — exact, fingerprint, MinHash-LSH, SimHash,
+  two-stage token/n-gram Jaccard (portable md5-62bit hash family)
+* ``similarity``      — embedding norms, brute-force cosine top-k, LSH
+  buckets, IVF, multi-probe
+* ``text``            — token stats, language-ID heuristic, quality
+  scores, rolling-hash fingerprinting
+* ``multimodal``      — binary-column plumbing with stubbed decoders
+* ``pipeline``        — composed funnels (quality filter, dedup
+  survivors, label centroids) staged through the cache engine
+* ``scale``           — salted joins, bucketed writes, distributed
+  global percentiles
 """
 from .registry import ORACLES, QUERIES, register  # noqa: F401
 

@@ -301,8 +301,11 @@ def _duck_minhash_cands(hs_ctes: str, n_hashes: int, n_bands: int) -> str:
     )"""
 
 
-_SHINGLE_HS_CTES = f"""WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+def _shingle_hs_body(src: str) -> str:
+    """CTE pair ``toks, hs_src`` computing per-doc 3-token-shingle hashes
+    (31-bit domain) from any source relation with (doc_id, text)."""
+    return f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
     ),
     hs_src AS (
         SELECT doc_id,
@@ -311,6 +314,9 @@ _SHINGLE_HS_CTES = f"""WITH toks AS (
                         & {_P31}) AS hs
         FROM toks
     )"""
+
+
+_SHINGLE_HS_CTES = "WITH " + _shingle_hs_body("documents")
 
 
 # --- two-stage exact Jaccard: LSH candidates -> exact set verification ----
@@ -559,22 +565,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")
+SIMHASH_BITS = 60  # h62 hashes are 60-bit, so bits 60-63 carry no signal
+
+
+def _simhash_oracle() -> str:
+    bit_terms = "\n               + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    block_pairs = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    chunk_cases = "\n               ".join(
+        f"WHEN {i * 8 + j} THEN (((simhash >> {i * 8}) & 255) << 8)"
+        f" + ((simhash >> {j * 8}) & 255)"
+        for i, j in block_pairs
+    )
+    ids = ", ".join(str(i * 8 + j) for i, j in block_pairs)
+    return f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '), t -> {duck_h62('t')}) AS hs
+        FROM documents
+    ),
+    sim AS (
+        SELECT doc_id,
+               ({bit_terms}) AS simhash
+        FROM th
+    ),
+    chunks AS (
+        SELECT doc_id, simhash, c.chunk_id,
+               CASE c.chunk_id
+               {chunk_cases}
+               END AS chunk
+        FROM sim CROSS JOIN (SELECT unnest([{ids}]) AS chunk_id) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash near-dup candidates.
+    """SimHash near-dup candidates over a 60-bit signature.
 
     Each document's tokens vote (+count/-count) on every signature bit of
-    their xxhash64; the signature splits into eight 8-bit blocks and
-    candidate pairs share at least one of the C(8,2) = 28 BLOCK-PAIR keys
-    (16 bits each, Manku-style): a pair at hamming <= 6 corrupts at most 6
-    blocks, leaving two clean blocks whose combination must collide —
-    detection is guaranteed through hamming 6 and near-certain at 7-8.
-    Pairs are emitted with their exact hamming distance. One explode +
-    chunk join: linear, shuffle-friendly. No oracle (hash-function
-    specific); invariants tested in tests/test_operators_pipeline.py.
+    their portable md5-62bit hash (60 informative bits); the signature
+    splits into eight 8-bit blocks and candidate pairs share at least one
+    of the C(8,2) = 28 BLOCK-PAIR keys (16 bits each, Manku-style): a pair
+    at hamming <= 6 corrupts at most 6 blocks, leaving two clean blocks
+    whose combination must collide — detection is guaranteed through
+    hamming 6 and near-certain at 7-8. Pairs are emitted with their exact
+    hamming distance. One explode + chunk join: linear, shuffle-friendly.
+    The portable hash family lets the DuckDB oracle replay token hashes,
+    bit votes, signatures, block-pair buckets and hamming distances
+    bit-for-bit, so this hash-defined result is value-checked exactly;
+    recall invariants additionally in tests/test_operators_pipeline.py.
 
-    Scale shape (round-2 findings): ALL 64 bit counters accumulate in ONE
-    fold over the token-hash array (a 64-slot accumulator) instead of 64
+    Scale shape (round-2 findings): ALL bit counters accumulate in ONE
+    fold over the token-hash array (a 60-slot accumulator) instead of 64
     independent folds re-traversing the array 64x per row; and the chunk
     join keys on 16-bit block pairs — 28 x 65,536 possible buckets versus
     the round-2 single-block scheme's 8 x 256, whose fixed 2,048-bucket
@@ -583,23 +636,23 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     # Map-only signature: hash every token instance per row (frequency
     # weighting falls out naturally — each instance votes ±1), then ONE
-    # fold of the hash array over a 64-slot vote accumulator. No explode,
+    # fold of the hash array over a 60-slot vote accumulator. No explode,
     # no shuffle: like the MinHash pipeline, the first exchange is the
     # candidate-chunk join.
     hashed = docs.select(
         "doc_id",
-        F.transform(F.split("text", " "), lambda t: F.xxhash64(t)).alias("hs"),
+        F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})").alias("hs"),
     )
 
     votes = F.expr(
-        "aggregate(hs, array_repeat(0L, 64), "
-        "(acc, h) -> transform(sequence(0, 63), "
+        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> transform(sequence(0, {SIMHASH_BITS - 1}), "
         "i -> element_at(acc, i + 1) "
         "+ CASE WHEN (shiftright(h, i) & 1L) = 1L THEN 1L ELSE -1L END))"
     )
     # sign-threshold each vote slot into its signature bit, then sum
     simhash_expr = F.expr(
-        "aggregate(zip_with(votes, sequence(0, 63), "
+        f"aggregate(zip_with(votes, sequence(0, {SIMHASH_BITS - 1}), "
         "(v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END), "
         "0L, (acc, x) -> acc + x)"
     )
@@ -641,7 +694,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            ).cast("long").alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= 8)

@@ -131,27 +131,46 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")
+_FRAME_SAMPLE_ORACLE = """
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(len(text) - 1, 0), 256)) AS off
+        FROM documents
+        WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST(off / 256 AS INT) AS frame_idx,
+           off AS frame_offset,
+           substr(sha256(substr(text, off + 1, 64)), 1, 16) AS frame_sha
+    FROM f"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing for video-like assets: each asset yields
-    every k-th 'frame' (here: 64-byte slices of the payload) with frame
-    index + offset metadata. Shows the one-to-many mapInPandas shape a real
-    frame sampler uses. Rows-only check."""
+    every k-th 'frame' (here: 64-char slices of the payload every 256
+    chars) with frame index + offset metadata. Shows the one-to-many
+    mapInPandas shape a real frame sampler uses — a real codec slices byte
+    ranges; the stand-in slices characters so the frame digests are
+    reproducible by the DuckDB oracle (sha256 over the slice's UTF-8
+    bytes on both engines), making the plumbing fully value-checked."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "offset": [], "frame_sha": []}
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_sha": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = text.encode("utf-8")
-                for idx, off in enumerate(range(0, len(payload), 256)):
-                    frame = payload[off : off + 64]
+                for idx, off in enumerate(range(0, len(text), 256)):
+                    frame = text[off : off + 64]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
-                    out["offset"].append(off)
-                    out["frame_sha"].append(hashlib.sha256(frame).hexdigest()[:16])
+                    out["frame_offset"].append(off)
+                    out["frame_sha"].append(
+                        hashlib.sha256(frame.encode("utf-8")).hexdigest()[:16]
+                    )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
-        sample, schema="doc_id long, frame_idx int, offset long, frame_sha string"
+        sample,
+        schema="doc_id long, frame_idx int, frame_offset long, frame_sha string",
     )

@@ -125,7 +125,45 @@ def _stage_cache(df: DataFrame, stage: str) -> DataFrame:
     return df
 
 
-@register("pipeline_dedup_survivors")
+def _funnel_oracle() -> str:
+    from .dedup import N_BANDS, N_MINHASH, _duck_minhash_cands, _shingle_hs_body
+
+    head = f"""WITH feats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+               CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_token_len
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id FROM feats
+        WHERE n_tokens >= 20 AND ttr >= 0.2
+          AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+    ),
+    docs_q AS (
+        SELECT d.* FROM documents d JOIN qual q ON d.doc_id = q.doc_id
+    ),
+    keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM docs_q GROUP BY text
+    ),
+    survivors0 AS (
+        SELECT * FROM docs_q WHERE doc_id IN (SELECT doc_id FROM keepers)
+    ),
+    {_shingle_hs_body("survivors0")}"""
+    cands = _duck_minhash_cands(head, N_MINHASH, N_BANDS)
+    return f"""{cands},
+    losers AS (
+        SELECT DISTINCT GREATEST(doc_a, doc_b) AS doc_id
+        FROM cand WHERE est_jaccard >= 0.5
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM survivors0
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
+
+
+@register("pipeline_dedup_survivors", oracle=_funnel_oracle())
 def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     """The full dedup funnel: quality gate -> exact dedup (keep lowest
     doc_id) -> MinHash-LSH near-dup removal over the survivors (keep the
@@ -137,9 +175,10 @@ def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     final anti-join — read the cached table instead of recomputing the
     scan+filter+dedup plan; the signature frame is likewise materialized
     before the (explode-heavy) band join. Cold runs write the two tables;
-    every re-run is a pure cache hit. Rows-only (the LSH stage is
-    hash-specific); monotonicity + cache-reuse asserted in
-    tests/test_operators_pipeline.py. At 100 TB this staging is the
+    every re-run is a pure cache hit. The portable md5-based minhash family
+    makes even the LSH stage oracle-reproducible, so the whole composed
+    funnel is value-checked end-to-end; monotonicity + cache-reuse asserted
+    in tests/test_operators_pipeline.py. At 100 TB this staging is the
     difference between one recompute-heavy mega-plan (the documents scan
     re-read by three consumers) and three linear passes."""
     from .dedup import lsh_candidate_pairs, minhash_signatures

@@ -236,21 +236,46 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("text_rolling_hash_shingles")
+def _rolling_hash_oracle() -> str:
+    from .dedup import duck_h62
+
+    shingle = "array_to_string(list_slice(toks, i + 1, i + 5), ' ')"
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    hs AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, greatest(len(toks) - 5, 0)),
+                   i -> {duck_h62(shingle)}) AS hs
+        FROM toks
+    )
+    SELECT doc_id,
+           list_min(hs) AS min_shingle_hash,
+           list_max(hs) AS max_shingle_hash,
+           len(hs) AS n_shingles
+    FROM hs"""
+
+
+@register("text_rolling_hash_shingles", oracle=_rolling_hash_oracle())
 def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum of the rolling-hash
     values over 5-token shingles (the document's 'rarest shingle' id).
-    Hash-function specific, so rows-only (invariants in tests).
-    The shingle-hash array is materialized once and min/max/size read it."""
+    Shingle hashes use the portable md5-62bit family (dedup.h62_sql), so
+    the DuckDB oracle reproduces every fingerprint bit-for-bit.
+    The shingle-hash array is materialized once and min/max/size read it;
+    tokenization is staged into a column so split() runs once per row."""
+    from .dedup import h62_sql
+
     docs = load_table(spark, sf, "documents")
+    shingle_sql = h62_sql("concat_ws(' ', slice(toks, i + 1, 5))")
     shingles = F.expr(
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 5, 0)), "
-        "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 5))))"
+        f"transform(sequence(0, greatest(size(toks) - 5, 0)), i -> {shingle_sql})"
     )
-    hashed = docs.select("doc_id", shingles.alias("hs"))
+    hashed = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", shingles.alias("hs")
+    )
     return hashed.select(
         "doc_id",
         F.array_min("hs").alias("min_shingle_hash"),
         F.array_max("hs").alias("max_shingle_hash"),
-        F.size("hs").alias("n_shingles"),
+        F.size("hs").cast("long").alias("n_shingles"),
     )

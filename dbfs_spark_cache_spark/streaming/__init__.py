@@ -84,6 +84,62 @@ def read_rate_events_stream(
     )
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka record frame -> typed events frame (EVENTS_SCHEMA).
+
+    Takes the frame shape Kafka's source emits (``key``/``value`` binary,
+    ``topic``, ``partition``, ``offset``, ``timestamp``) and JSON-decodes
+    ``value`` into the events schema. Malformed records surface as NULL
+    struct fields rather than killing the stream (from_json's PERMISSIVE
+    default) — route ``event_id IS NULL`` rows to a dead-letter sink in
+    production. Separated from the reader so the parse logic is unit-
+    testable without a broker or the kafka connector jar: any batch frame
+    with the same columns exercises the identical expressions.
+    """
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        # broker receive time stands in when the payload carries no ts
+        F.coalesce(F.col("e.ts"), F.col("kafka_ts")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+    )
+
+
+def read_kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "events",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """The real unbounded source: ``format("kafka")`` -> JSON value decode
+    into EVENTS_SCHEMA via :func:`parse_kafka_events`.
+
+    Requires the spark-sql-kafka connector on the classpath (not present
+    in this sandbox — the builder raises Spark's DATA_SOURCE_NOT_FOUND
+    there; tests cover the parse stage with a batch frame instead).
+    ``maxOffsetsPerTrigger`` is the 100 TB/day throttle: it bounds each
+    micro-batch so state growth and shuffle sizing stay predictable, and
+    with watermarked downstream aggregations (tumbling_counts etc.) the
+    whole pipeline holds steady-state memory regardless of topic backlog.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return parse_kafka_events(reader.load())
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

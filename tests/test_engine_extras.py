@@ -398,3 +398,45 @@ def test_plain_udf_cache_warning(spark, clean_cache, caplog):
         cache_dataframe(df.select(ca("x").alias("y")),
                         override_prefer_spark_cache=True)
     assert not any("invisible" in r.message for r in caplog.records)
+
+
+def test_delta_cache_roundtrip_when_jars_present(extended):
+    """Reference parity (core_caching.py:41,113,188): with delta-spark on
+    the classpath the cache writes REAL Delta tables — write/hit roundtrip,
+    no parquet fallback memo, and the _delta_log guard keeps path reads
+    transactional. Skips cleanly where the jars are absent (this sandbox);
+    runs on any Delta-enabled cluster."""
+    import pytest
+
+    from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    probe = extended.range(1).toDF("x")
+    try:
+        probe.write.format("delta").mode("overwrite").saveAsTable(
+            f"{config.CACHE_DATABASE}.__delta_probe"
+        )
+    except Exception as exc:
+        if core._is_format_missing(exc):
+            pytest.skip("delta-spark jars not on the classpath")
+        raise
+    extended.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.__delta_probe")
+
+    original = config.CACHE_FORMAT
+    core._FORMAT_FALLBACK.clear()
+    config.CACHE_FORMAT = "delta"
+    try:
+        df = _agg_query(extended)
+        cached = write_cache(df)
+        assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, df.collect()))
+        assert not core._FORMAT_FALLBACK.get("parquet"), "no fallback expected"
+        h = core.resolve_table_hash(df)
+        loc = core._table_location(extended, h).replace("file:", "")
+        import os as _os
+
+        assert _os.path.isdir(f"{loc}/_delta_log"), "cache table is not Delta"
+        hit = read_cache_if_exist(_agg_query(extended))
+        assert hit is not None and hit.count() == df.count()
+    finally:
+        config.CACHE_FORMAT = original
+        core._FORMAT_FALLBACK.clear()

@@ -174,3 +174,58 @@ def test_rate_source_stream_smoke(spark):
         query.stop()
     assert rows, "rate-source stream produced no aggregated rows in 30s"
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_kafka_parse_stage_without_broker(spark):
+    """The Kafka value-decode stage is jar-independent: a batch frame with
+    the Kafka record shape (binary value, broker timestamp) exercises the
+    identical expressions. Payload ts wins; broker time fills gaps;
+    malformed JSON yields NULL fields (PERMISSIVE) instead of failing."""
+    import datetime as dt
+    import json
+
+    from dbfs_spark_cache_spark.streaming import parse_kafka_events
+
+    broker_ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    payload = json.dumps(
+        {"event_id": 7, "ts": "2024-01-01T00:00:00", "user_id": 3,
+         "event_type": "click", "value": 1.5, "props": "{}"}
+    ).encode()
+    no_ts = json.dumps(
+        {"event_id": 8, "user_id": 4, "event_type": "view", "value": 2.0,
+         "props": "{}"}
+    ).encode()
+    raw = spark.createDataFrame(
+        [
+            (b"k1", payload, "events", 0, 0, broker_ts),
+            (b"k2", no_ts, "events", 0, 1, broker_ts),
+            (b"k3", b"not json", "events", 0, 2, broker_ts),
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = parse_kafka_events(raw)
+    assert out.schema.simpleString() == (
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:string>"
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[7].ts == dt.datetime(2024, 1, 1)          # payload ts wins
+    assert rows[8].ts == broker_ts                        # broker time fills
+    assert None in rows and rows[None].event_type is None  # dead-letter row
+
+
+def test_kafka_reader_requires_connector(spark):
+    """The real reader targets format('kafka'); without the connector jar it
+    must surface Spark's missing-data-source error (and with the jar on a
+    real cluster the same builder runs unchanged)."""
+    import pytest
+
+    from dbfs_spark_cache_spark.streaming import read_kafka_events_stream
+
+    try:
+        stream = read_kafka_events_stream(spark, "localhost:9092", "events")
+    except Exception as exc:
+        assert "DATA_SOURCE_NOT_FOUND" in str(exc) or "Failed to find" in str(exc)
+    else:  # pragma: no cover - connector present (real cluster)
+        assert stream.isStreaming
