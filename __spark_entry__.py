@@ -37,44 +37,47 @@ def entry(spark: SparkSession) -> DataFrame:
         return df
 
 
-# The driver verifies queries in registration order with a per-round cap
-# (round 1 covered exactly the first 50). Rotate coverage: queries WITHOUT a
-# round-1 CORRECTNESS row come first (lighter ones earlier), followed by the
-# queries changed or added this round, then the already-verified remainder.
-_PRIORITY = [
-    # -- no CORRECTNESS_r01 row: scalar-function / collection families
-    "fn_array_explode", "fn_map_ops", "fn_from_json_struct", "agg_collect_sorted",
-    # -- no row: TPC-H analogues q6-q22
-    "q6_forecast_revenue", "q12_shipmode_priority", "q14_promo_share",
-    "q18_large_orders", "q19_disjunctive_predicates", "q10_returned_items",
-    "q13_order_count_distribution", "q16_supplier_part_counts",
-    "q15_top_supplier", "q17_small_quantity_revenue",
-    "q22_global_sales_opportunity", "q7_nation_volume", "q8_market_share",
-    "q21_sole_late_supplier",
-    # -- no row: timeseries / streaming-twin windows
-    "asof_join_prior_view", "range_join_pairs", "sessionization",
-    "window_tumbling", "window_sliding",
-    # -- no row: text analysis
-    "text_stats", "text_lang_heuristic", "text_token_count_regex",
-    "text_bag_fingerprint", "text_rolling_hash_shingles",
-    # -- no row: pipeline composition
-    "quality_filter", "embedding_label_centroids",
-    # -- no row: dedup family
-    "dedup_exact", "dedup_keep_first", "dedup_fingerprint",
-    "dedup_token_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    # -- no row: similarity family (+ r2's new multiprobe)
-    "embedding_norms", "similarity_topk_cosine", "similarity_lsh_buckets",
-    "similarity_ivf_search", "similarity_multiprobe",
-    # -- no row: multimodal
-    "multimodal_binary_meta", "multimodal_decode_features",
-    "multimodal_frame_sample",
-    # -- no row: the funnel (heaviest of the unverified set)
-    "pipeline_dedup_survivors",
-    # -- changed or added in round 2: re-verify
-    "dedup_embedding_cosine", "dedup_ngram_jaccard", "text_quality_scores",
-    "window_percentiles", "sample_bernoulli",
-    # (51+: udtf_tokenize [r1 row exists; new oracle pytest/selfcheck-pinned],
-    # flagship_wide, q1_pricing_summary, ... — all carry CORRECTNESS_r01 rows)
+# The driver verifies queries in registration order with a per-round cap of
+# 50. Round-3 rotation: queries whose implementation (or oracle) changed
+# this round come first — their round-2 rows no longer describe the current
+# code — then the queries never checked in round 2, so every query ends the
+# round with a green row from round 2 or 3. Seven trivial scalar/projection
+# queries (untouched since their round-1 green rows) yield their slots; they
+# are listed in _R1_TRUSTED below.
+_CHANGED_R3 = [
+    # no correctness signal in r2 (array outputs crashed the canonicalizer)
+    "agg_collect_sorted", "multimodal_decode_features",
+    # candidate generation rewritten (LSH-sourced two-stage + new oracles)
+    "dedup_token_jaccard", "dedup_ngram_jaccard",
+    # portable-hash rewrites: rows-only in r2, exact oracles now
+    "dedup_minhash_lsh", "dedup_simhash", "text_rolling_hash_shingles",
+    "multimodal_frame_sample", "pipeline_dedup_survivors",
+]
+
+# r1-green, untouched, deliberately outside the round-3 first-50.
+_R1_TRUSTED = [
+    "range_generate", "project_rename", "fn_string", "fn_date", "fn_math",
+    "fn_conditional", "fn_hash",
+]
+
+_PRIORITY = _CHANGED_R3 + [
+    # oracle registered in r2 but never driver-checked against it
+    "udtf_tokenize",
+    # rows-only by design; refresh its rows signal (no row since r1)
+    "agg_approx_distinct",
+    # -- round-1-verified queries, stale since the r2 rotation: re-confirm
+    "scan_filter_project", "filter_like_between", "flagship_wide",
+    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "join_inner", "join_left", "join_semi", "join_anti",
+    "join_full_outer", "join_broadcast_dim", "agg_global",
+    "agg_grouped_multi", "agg_distinct", "agg_cube", "agg_rollup",
+    "agg_grouping_sets", "agg_percentile_exact", "pivot_status_qty",
+    "unpivot_part_metrics", "window_topk_per_group", "window_rank_dense",
+    "window_lag_lead", "window_running_frames", "sort_limit_topk",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "distinct_pairs", "scalar_subquery_above_avg", "exists_subquery",
+    "correlated_subquery_min", "udf_pandas_scalar", "udaf_grouped_pandas",
+    "grouped_map_pandas", "fn_json",
 ]
 
 

@@ -211,10 +211,13 @@ def lsh_candidate_pairs(
     verify threshold.
 
     Measured alternative (slim band rows + two sig re-joins to verify):
-    identical wall time at sf0.1 (4.9s vs 4.9s, same pairs) with two extra
-    shuffled joins in the plan — carrying the 32-long sig through the 8x
-    band explode is the better trade until per-row signature width, not
-    join count, dominates (e.g. 256+ hashes).
+    identical wall time at sf0.1 for the production 32-hash width (4.9s vs
+    4.9s, same pairs) with two extra shuffled joins in the plan — carrying
+    the 32-long sig through the band explode is the better trade until
+    per-row signature width, not join count, dominates. The crossover is
+    measured: at 128 hashes / 32 bands the slim variant wins 6.43s vs
+    8.16s (same pairs; BENCH_NOTES.md round 3) — switch to slim rows for
+    signatures of ~128 hashes and up.
     """
     rows_per_band = n_hashes // n_bands
 

@@ -133,9 +133,10 @@ def test_no_python_udfs_in_relational_suite(spark, queries):
 
 def test_verification_priority_names_resolve():
     """Every name in the driver-rotation priority list must be a registered
-    query (a typo would silently drop it from the verified first-50), and
-    the rotation must place every query without a round-1 driver row inside
-    the first 50."""
+    query (a typo would silently drop it from the verified first-50). The
+    round-3 contract: every query CHANGED this round sits inside the first
+    50 (its old driver rows no longer describe the code), and every query
+    outside the first 50 carries a green row from a previous round."""
     import json
     import os
 
@@ -146,13 +147,25 @@ def test_verification_priority_names_resolve():
     assert not unknown, f"priority names not registered: {unknown}"
     assert len(set(entry_mod._PRIORITY)) == len(entry_mod._PRIORITY)
 
-    r1_path = os.path.join(os.path.dirname(entry_mod.__file__), "CORRECTNESS_r01.json")
-    if os.path.exists(r1_path):
-        verified_r1 = set(json.load(open(r1_path)))
-        ordered = list(entry_mod.queries())
-        stranded = [n for n in ordered[50:] if n not in verified_r1]
+    ordered = list(entry_mod.queries())
+    first50 = set(ordered[:50])
+    missing_changed = [n for n in entry_mod._CHANGED_R3 if n not in first50]
+    assert not missing_changed, (
+        f"changed queries outside the verified first-50: {missing_changed}"
+    )
+
+    base = os.path.dirname(entry_mod.__file__)
+    green = set()
+    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        path = os.path.join(base, fname)
+        if os.path.exists(path):
+            rows = json.load(open(path))
+            green |= {n for n, row in rows.items() if row.get("hash_match")}
+    green -= set(entry_mod._CHANGED_R3)  # changed code invalidates old rows
+    if green:
+        stranded = [n for n in ordered[50:] if n not in green]
         assert not stranded, (
-            f"queries with no driver row outside the first 50: {stranded}"
+            f"queries with no valid driver row outside the first 50: {stranded}"
         )
 
 
