@@ -61,6 +61,8 @@ _R1_TRUSTED = [
 ]
 
 _PRIORITY = _CHANGED_R3 + [
+    # new in round 3: connected-components cluster keeper assignment
+    "dedup_cluster_keepers",
     # oracle registered in r2 but never driver-checked against it
     "udtf_tokenize",
     # rows-only by design; refresh its rows signal (no row since r1)

@@ -702,3 +702,99 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= 8)
     )
+
+
+def _cluster_keepers_oracle() -> str:
+    cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    # WITH RECURSIVE admits the whole non-recursive CTE chain; only the
+    # self-referencing `reach` iterates.
+    cands = cands.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{cands},
+    edges AS (
+        SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a, doc_b FROM edges
+        UNION ALL
+        SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges
+    ),
+    reach AS (
+        SELECT doc_id, doc_id AS root FROM documents
+        UNION
+        SELECT s.doc_a AS doc_id, r.root
+        FROM sym s JOIN reach r ON s.doc_b = r.doc_id
+    )
+    SELECT doc_id, MIN(root) AS cluster_id,
+           CASE WHEN doc_id = MIN(root) THEN TRUE ELSE FALSE END AS is_keeper
+    FROM reach GROUP BY doc_id"""
+
+
+@register("dedup_cluster_keepers", oracle=_cluster_keepers_oracle())
+def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected-components cluster assignment over the near-dup pair graph:
+    every document gets the MINIMUM doc_id of its similarity component as
+    ``cluster_id``; the component minimum is the keeper.
+
+    Pairwise keep-lower-id (the funnel's loser set) over-keeps on
+    transitive chains — with pairs (A,C) and (B,C), A < B < C, it keeps
+    both A and B although all three are one near-dup cluster; component
+    semantics keep only A. This operator is the cluster-correct final
+    stage of a production dedup pipeline.
+
+    Implementation is iterative min-label propagation (the Pregel/GraphX
+    shape, as plain DataFrame joins): labels start as doc_id; each round
+    every node takes the min of its own label and its neighbors' labels;
+    convergence in O(component diameter) rounds. Each round is one
+    shuffle-join over the edge list — linear in edges, never quadratic —
+    and ``localCheckpoint`` truncates the growing lineage so round N's
+    plan does not recompute rounds 1..N-1 (the standard iterative-algo
+    discipline on Spark; GraphX does the same). The edge list itself (the
+    LSH band join) is checkpointed once up front. The DuckDB oracle
+    replays the same components via WITH RECURSIVE transitive closure, so
+    even this iterative, non-single-query operator is exact-value-checked.
+    """
+    docs = load_table(spark, sf, "documents")
+    edges = (
+        lsh_candidate_pairs(minhash_signatures(docs))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    for _ in range(20):  # >= max component diameter; fixture converges in ~3
+        neigh_min = (
+            sym.alias("s")
+            .join(labels.alias("l"), F.col("s.doc_b") == F.col("l.doc_id"))
+            .groupBy(F.col("s.doc_a").alias("doc_id"))
+            .agg(F.min("l.cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(neigh_min.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("n.neigh_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .where(F.col("a.cluster_id") != F.col("b.cluster_id"))
+        )
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
+            break
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -279,3 +279,28 @@ def test_dedup_funnel_survives_cache_outage(spark, monkeypatch):
     assert ids  # full funnel ran uncached
     total = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
     assert len(ids) < total
+
+
+def test_cluster_keepers_component_semantics(spark):
+    """Connected-components invariants: cluster_id is the component minimum
+    (never above the member's own id), keepers are exactly the docs equal to
+    their cluster_id, every cluster_id refers to a keeper, and every LSH
+    candidate pair lands in one cluster (including transitive chains, where
+    pairwise keep-lower-id over-keeps)."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        dedup_cluster_keepers,
+        dedup_minhash_lsh,
+    )
+
+    rows = {r.doc_id: r for r in dedup_cluster_keepers(spark, SF_SMOKE).collect()}
+    assert len(rows) == 500
+    assert all(r.cluster_id <= r.doc_id for r in rows.values())
+    keepers = {d for d, r in rows.items() if r.is_keeper}
+    assert keepers == {d for d, r in rows.items() if d == r.cluster_id}
+    assert {r.cluster_id for r in rows.values()} <= keepers
+
+    pairs = dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    for p in pairs:
+        assert rows[p.doc_a].cluster_id == rows[p.doc_b].cluster_id, (
+            f"pair ({p.doc_a},{p.doc_b}) split across clusters"
+        )
