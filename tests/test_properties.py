@@ -110,6 +110,13 @@ def test_metadata_key_deterministic_and_input_sensitive(info, plan):
         ) != compute_cache_key(doc)
 
 
+def _h62_py(s: str) -> int:
+    """Pure-python mirror of the portable hash: first 15 hex chars of md5,
+    exactly what Spark's conv(substr(md5,1,15),16,10) and DuckDB's
+    CAST('0x'||substr(md5,1,15) AS BIGINT) compute."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def _minhash_py(shingles, n=32):
     """Pure-python mirror of the Spark MinHash permutation family."""
     from dbfs_spark_cache_spark.operators.dedup import (
@@ -118,14 +125,32 @@ def _minhash_py(shingles, n=32):
         _PERM_OFFSETS,
     )
 
-    hashes = [
-        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & _MERSENNE_P31
-        for s in shingles
-    ]
+    hashes = [_h62_py(s) & _MERSENNE_P31 for s in shingles]
     return [
         min((a * h + b) % _MERSENNE_P31 for h in hashes)
         for a, b in zip(_PERM_MULTIPLIERS[:n], _PERM_OFFSETS[:n])
     ]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(min_size=0, max_size=40))
+def test_portable_hash_parity_python_duckdb(s):
+    """The portable md5-62bit hash must agree between the pure-python
+    mirror and DuckDB on arbitrary unicode (Spark agreement is pinned by
+    every oracle-green hash-derived query in selfcheck). Surrogates are
+    excluded: they cannot be UTF-8 encoded by any engine."""
+    try:
+        s.encode("utf-8")
+    except UnicodeEncodeError:
+        return
+    import duckdb
+
+    from dbfs_spark_cache_spark.operators.dedup import duck_h62
+
+    got = duckdb.connect().execute(
+        f"SELECT {duck_h62('?')}", [s]
+    ).fetchone()[0]
+    assert got == _h62_py(s)
 
 
 @settings(max_examples=20, deadline=None)
