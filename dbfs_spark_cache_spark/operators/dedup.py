@@ -742,16 +742,21 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     stage of a production dedup pipeline.
 
     Implementation is iterative min-label propagation (the Pregel/GraphX
-    shape, as plain DataFrame joins): labels start as doc_id; each round
-    every node takes the min of its own label and its neighbors' labels;
-    convergence in O(component diameter) rounds. Each round is one
-    shuffle-join over the edge list — linear in edges, never quadratic —
-    and ``localCheckpoint`` truncates the growing lineage so round N's
-    plan does not recompute rounds 1..N-1 (the standard iterative-algo
-    discipline on Spark; GraphX does the same). The edge list itself (the
-    LSH band join) is checkpointed once up front. The DuckDB oracle
-    replays the same components via WITH RECURSIVE transitive closure, so
-    even this iterative, non-single-query operator is exact-value-checked.
+    shape, as plain DataFrame joins) — restricted to nodes that actually
+    appear in a candidate pair. In a deduplicated corpus the pair graph is
+    a vanishing fraction of the corpus, so at 100 TB the iterations run
+    over the (tiny) edge-node set, never the full document table; the
+    untouched majority joins back in as singleton clusters at the end.
+    Labels start as doc_id; each round every edge-node takes the min of
+    its own label and its neighbors' labels; convergence in O(component
+    diameter) rounds. Each round is one shuffle-join over the edge list —
+    linear in edges, never quadratic — and ``localCheckpoint`` truncates
+    the growing lineage so round N's plan does not recompute rounds
+    1..N-1 (the standard iterative-algo discipline on Spark; GraphX does
+    the same). The edge list itself (the LSH band join) is checkpointed
+    once up front. The DuckDB oracle replays the same components via WITH
+    RECURSIVE transitive closure, so even this iterative, non-single-query
+    operator is exact-value-checked.
     """
     docs = load_table(spark, sf, "documents")
     edges = (
@@ -762,7 +767,13 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # Only nodes with at least one edge participate in propagation.
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(20):  # >= max component diameter; fixture converges in ~3
         neigh_min = (
@@ -793,7 +804,11 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         if converged:
             break
 
-    return labels.select(
+    singletons = (
+        docs.join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return labels.unionByName(singletons).select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
