@@ -57,12 +57,14 @@ _CHANGED_R3 = [
 # r1-green, untouched, deliberately outside the round-3 first-50.
 _R1_TRUSTED = [
     "range_generate", "project_rename", "fn_string", "fn_date", "fn_math",
-    "fn_conditional", "fn_hash",
+    "fn_conditional", "fn_hash", "set_union_all", "set_union_distinct",
+    "set_intersect", "set_except",
 ]
 
 _PRIORITY = _CHANGED_R3 + [
-    # new in round 3: connected-components cluster keeper assignment
-    "dedup_cluster_keepers",
+    # new in round 3: cluster keepers, vocabulary, stratified split, tf-idf
+    "dedup_cluster_keepers", "text_vocabulary", "sample_stratified",
+    "text_tfidf_topk",
     # oracle registered in r2 but never driver-checked against it
     "udtf_tokenize",
     # rows-only by design; refresh its rows signal (no row since r1)
@@ -76,7 +78,6 @@ _PRIORITY = _CHANGED_R3 + [
     "agg_grouping_sets", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "window_topk_per_group", "window_rank_dense",
     "window_lag_lead", "window_running_frames", "sort_limit_topk",
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "distinct_pairs", "scalar_subquery_above_avg", "exists_subquery",
     "correlated_subquery_min", "udf_pandas_scalar", "udaf_grouped_pandas",
     "grouped_map_pandas", "fn_json",

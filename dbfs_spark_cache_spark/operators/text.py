@@ -279,3 +279,150 @@ def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
         F.array_max("hs").alias("max_shingle_hash"),
         F.size("hs").cast("long").alias("n_shingles"),
     )
+
+
+@register(
+    "text_vocabulary",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    agg AS (
+        SELECT token, COUNT(*) AS total_count,
+               COUNT(DISTINCT doc_id) AS doc_freq
+        FROM t GROUP BY token
+    )
+    SELECT token, total_count, doc_freq
+    FROM agg ORDER BY total_count DESC, token LIMIT 100
+    """,
+)
+def text_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by total occurrence count with
+    per-token document frequency — the first table a tokenizer-training or
+    corpus-statistics job builds.
+
+    Scale shape: explode shuffles (doc_id, token) pairs but the groupBy
+    aggregates map-side first (partial_count), so the exchange carries one
+    row per distinct (partition, token), not one per occurrence; the final
+    top-100 is a TakeOrdered (no global sort). At 100 TB the token-key
+    shuffle is the narrowest possible representation of the corpus."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("total_count"), F.asc("token")).limit(100)
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rn * 5 <= n + 4 THEN 'heldout' ELSE 'train' END AS split
+    FROM ranked
+    """,
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified train/heldout split: EXACTLY ceil(20%) of every language
+    stratum goes to heldout, chosen by content-hash order — reproducible
+    under any partition layout, task retry, or engine (same rationale as
+    sample_bernoulli; seeded df.sample drifts with partitioning).
+
+    The per-stratum window is partitioned by lang — parallel across
+    strata, never a global sort. The ceil(n/5) cut is the integer
+    inequality rn*5 <= n+4, identical arithmetic in Spark and DuckDB.
+    Train-data pipelines use exactly this shape to hold out evaluation
+    slices per language/source without skewing low-resource strata."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wn = W.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("rn") * 5 <= F.col("n") + 4, "heldout")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(tf.tf * (LN((CAST(n.n_docs AS DOUBLE) + 1)
+                                 / (CAST(df.df AS DOUBLE) + 1)) + 1), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tf, tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smoothing) — the classic
+    keyword-extraction / near-dup-explanation pass.
+
+    Scale shape: term frequencies aggregate map-side off one explode; the
+    document-frequency table is tiny (vocabulary-sized) and broadcast into
+    the scoring join; the corpus count rides a broadcast single-row cross
+    join (in-plan, no driver collect); the top-3 window is partitioned by
+    doc_id. Scores are rounded to 6 decimals BEFORE ranking so the
+    ordering (and hence the oracle comparison) is engine-exact despite
+    ln() being correctly-rounded-ish on both engines: distinct (tf, df)
+    pairs differ by far more than one ulp, and equal pairs tie-break on
+    the token."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1)) + 1
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token", "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )

@@ -304,3 +304,22 @@ def test_cluster_keepers_component_semantics(spark):
         assert rows[p.doc_a].cluster_id == rows[p.doc_b].cluster_id, (
             f"pair ({p.doc_a},{p.doc_b}) split across clusters"
         )
+
+
+def test_stratified_split_exact_proportions(spark):
+    """Every language stratum holds out EXACTLY ceil(20%) of its docs, and
+    the assignment is deterministic across runs (content-hash order)."""
+    import math
+
+    from dbfs_spark_cache_spark.operators.text import sample_stratified
+
+    rows = sample_stratified(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.split)
+    for lang, splits in by_lang.items():
+        n = len(splits)
+        heldout = sum(1 for s in splits if s == "heldout")
+        assert heldout == math.ceil(n / 5), f"{lang}: {heldout}/{n}"
+    again = {(r.doc_id, r.split) for r in sample_stratified(spark, SF_SMOKE).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
