@@ -30,6 +30,8 @@ BNLJ_OK = {
     "similarity_ivf_search",
     "window_percentiles",
     "q22_global_sales_opportunity",
+    # single-row corpus-count broadcast riding the tf-idf scoring join
+    "text_tfidf_topk",
 }
 
 
