@@ -41,9 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50. Round-3 rotation: queries whose implementation (or oracle) changed
 # this round come first — their round-2 rows no longer describe the current
 # code — then the queries never checked in round 2, so every query ends the
-# round with a green row from round 2 or 3. Seven trivial scalar/projection
-# queries (untouched since their round-1 green rows) yield their slots; they
-# are listed in _R1_TRUSTED below.
+# round with a green row from round 2 or 3. Thirteen trivial scalar /
+# projection / set-op queries (untouched since their round-1 green rows)
+# yield their slots to new round-3 operators; listed in _R1_TRUSTED below.
 _CHANGED_R3 = [
     # no correctness signal in r2 (array outputs crashed the canonicalizer)
     "agg_collect_sorted", "multimodal_decode_features",
@@ -58,13 +58,14 @@ _CHANGED_R3 = [
 _R1_TRUSTED = [
     "range_generate", "project_rename", "fn_string", "fn_date", "fn_math",
     "fn_conditional", "fn_hash", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except",
+    "set_intersect", "set_except", "fn_json", "distinct_pairs",
 ]
 
 _PRIORITY = _CHANGED_R3 + [
-    # new in round 3: cluster keepers, vocabulary, stratified split, tf-idf
+    # new in round 3: cluster keepers, vocabulary, stratified split,
+    # tf-idf, gap-fill resample, k-means assignment
     "dedup_cluster_keepers", "text_vocabulary", "sample_stratified",
-    "text_tfidf_topk",
+    "text_tfidf_topk", "events_resample_gapfill", "embedding_kmeans_assign",
     # oracle registered in r2 but never driver-checked against it
     "udtf_tokenize",
     # rows-only by design; refresh its rows signal (no row since r1)
@@ -78,9 +79,9 @@ _PRIORITY = _CHANGED_R3 + [
     "agg_grouping_sets", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "window_topk_per_group", "window_rank_dense",
     "window_lag_lead", "window_running_frames", "sort_limit_topk",
-    "distinct_pairs", "scalar_subquery_above_avg", "exists_subquery",
+    "scalar_subquery_above_avg", "exists_subquery",
     "correlated_subquery_min", "udf_pandas_scalar", "udaf_grouped_pandas",
-    "grouped_map_pandas", "fn_json",
+    "grouped_map_pandas",
 ]
 
 

@@ -306,3 +306,131 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+_KM_K = 4          # clusters
+_KM_DIM = 64       # embedding dimensionality (fixture)
+_KM_Q = 1_000_000  # quantization scale: float32 -> integer micro-units
+
+
+def _kmeans_oracle() -> str:
+    sum_cols = ",\n               ".join(
+        f"SUM(q[{d + 1}]) AS s{d}" for d in range(_KM_DIM)
+    )
+    sum_list = ", ".join(f"s{d}" for d in range(_KM_DIM))
+    dist = (
+        "list_sum(list_transform(list_zip(e.q, c.cs), p -> "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / c.cn) "
+        "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / c.cn)))"
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}, 0) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cluster, q AS cs, 1 AS cn FROM q WHERE vec_id < {_KM_K}
+    ),
+    a1 AS (
+        SELECT vec_id, q, cluster FROM (
+            SELECT e.vec_id, e.q, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rn
+            FROM q e CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    c1sum AS (
+        SELECT cluster,
+               {sum_cols},
+               COUNT(*) AS cn
+        FROM a1 GROUP BY cluster
+    ),
+    c1 AS (SELECT cluster, [{sum_list}] AS cs, cn FROM c1sum),
+    a2 AS (
+        SELECT vec_id, cluster, d FROM (
+            SELECT e.vec_id, c.cluster, {dist} AS d,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.cluster) AS rn
+            FROM q e CROSS JOIN c1 c
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, cluster,
+           ROUND(d / ({_KM_Q}.0 * {_KM_Q}.0), 6) AS dist2
+    FROM a2"""
+
+
+@register("embedding_kmeans_assign", oracle=_kmeans_oracle())
+def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """K-Means cluster assignment after two unrolled Lloyd iterations
+    (k=4, init = the first k vectors) — the semantic-bucketing primitive a
+    curation pipeline uses to stratify or downsample a corpus by embedding
+    cluster.
+
+    Exactness across engines (so even this ML loop is value-checked):
+    embeddings quantize to integer micro-units up front, centroid state is
+    the pair (per-dimension integer SUM, count) — exact and
+    association-free under any partitioning — and distances divide the
+    sums in double only inside the per-row array fold, which evaluates
+    left-to-right identically in Spark and DuckDB (same recipe the cosine
+    oracles rely on). Ties break on cluster id.
+
+    Scale shape: each iteration is one broadcast of k centroid rows, a
+    map-side distance computation, a per-vector window over k rows, and
+    one map-side-combined groupBy for the update — the canonical
+    distributed Lloyd step (centroid state is k x dim integers, nothing
+    accumulates on the driver). Iterations are unrolled (fixed 2) rather
+    than convergence-looped so the whole computation stays one lazy plan.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf, "embeddings")
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(round(cast(x as double) * {_KM_Q}, 0) as bigint))"
+        ).alias("q"),
+    )
+    init = quant.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("q").alias("cs"),
+        F.lit(1).cast("long").alias("cn"),
+    )
+
+    dist = F.expr(
+        "aggregate(zip_with(q, cs, (x, s) -> "
+        "(cast(x as double) - cast(s as double) / cn) "
+        "* (cast(x as double) - cast(s as double) / cn)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy("d", "cluster")
+        return (
+            quant.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "q", "cluster", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(init)
+    sums = [
+        F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(_KM_DIM)
+    ]
+    c1 = (
+        a1.groupBy("cluster")
+        .agg(*sums, F.count(F.lit(1)).alias("cn"))
+        .select(
+            "cluster",
+            F.array(*[F.col(f"s{d}") for d in range(_KM_DIM)]).alias("cs"),
+            "cn",
+        )
+    )
+    a2 = assign(c1)
+    return a2.select(
+        "vec_id",
+        "cluster",
+        F.round(F.col("d") / (float(_KM_Q) * _KM_Q), 6).alias("dist2"),
+    )

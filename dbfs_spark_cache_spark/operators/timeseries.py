@@ -187,3 +187,71 @@ def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, DATE_TRUNC('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, bucket
+    ),
+    spans AS (
+        SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                      CAST(hi AS TIMESTAMP),
+                                      INTERVAL 1 HOUR)) AS bucket
+        FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.total_value, 0.0) AS total_value,
+           h.n_events IS NULL AS gap_filled
+    FROM grid g
+    LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user hourly resample with gap filling: every hour between a
+    user's first and last event exists in the output, zero-filled and
+    flagged where no events occurred — the densification pass feature
+    pipelines and forecasting models need in front of sparse event data.
+
+    Scale shape: the hourly aggregation is the only corpus-sized shuffle
+    (map-side partial first); the per-user hour grid derives from a
+    user-count-sized span table via sequence+explode (rows generated
+    where they are consumed, no driver loop), and the fill join is
+    user+bucket equi-keyed. The user_id predicate pushes to the scan.
+    Decimal sums keep fill-vs-data rows exactly comparable to the oracle.
+    """
+    events = load_table(spark, sf, "events").where(F.col("user_id") < 20)
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+    )

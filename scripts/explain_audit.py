@@ -32,6 +32,8 @@ BNLJ_OK = {
     "q22_global_sales_opportunity",
     # single-row corpus-count broadcast riding the tf-idf scoring join
     "text_tfidf_topk",
+    # k centroid rows broadcast into the per-vector distance computation
+    "embedding_kmeans_assign",
 }
 
 
