@@ -21,6 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Bench measures the PRODUCTION hash family (JVM xxhash64), not the
+# md5-portable family the DuckDB-oracle correctness runs replay. Dedup
+# semantics are invariant under the injective family (operators/dedup.py);
+# export SPARK_GRAFT_HASH_FAMILY=portable to time oracle mode instead.
+os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "xxhash64")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
@@ -65,16 +71,22 @@ def main() -> None:
 
     # Best-of-2 per query: the first execution of a plan pays codegen/JIT
     # (measured 2-4x inflation with heavy run-to-run variance); the engine's
-    # steady-state throughput is the comparable number.
+    # steady-state throughput is the comparable number. The per-query
+    # max-min spread is recorded alongside so two bench invocations (e.g.
+    # the driver's BENCH_r{N}.json vs a BENCH_NOTES run) can be compared
+    # within stated variance instead of read as a regression.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             materialize(QUERIES[name](spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            runs.append(time.time() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        spread[name] = round(max(runs) - best, 3)
         total += best
 
     # Cache-engine profile on the multi-operator flagship query. DataFrame
@@ -117,6 +129,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "run_spread": spread,
+                "hash_family": os.environ["SPARK_GRAFT_HASH_FAMILY"],
                 "sf": sf_val,
             }
         )

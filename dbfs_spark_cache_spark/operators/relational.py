@@ -190,15 +190,41 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_within_2pct,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
-    COUNT(DISTINCT). No oracle: HLL estimates are implementation-specific
-    (rows-only check); accuracy is asserted in tests/test_operators.py."""
+    COUNT(DISTINCT) — made oracle-checkable without faking HLL: the raw
+    estimate is implementation-specific, but |approx − exact| ≤ 2%·exact is
+    an engine-independent claim, so the query emits the exact count plus an
+    in-plan tolerance flag and DuckDB recomputes the exact side expecting
+    the flag true. The exact aggregate exists for this verification harness
+    only; a production pipeline keeps just the approx column (one pass, no
+    distinct shuffle — that is the point of HLL at scale)."""
     orders = load_table(spark, sf, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.005).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    within = (
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        <= F.col("exact_customers") * F.lit(0.02)
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        within.alias("hll_within_2pct"),
+        "n_orders",
     )
 
 

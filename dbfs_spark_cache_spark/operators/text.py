@@ -259,8 +259,9 @@ def _rolling_hash_oracle() -> str:
 def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum of the rolling-hash
     values over 5-token shingles (the document's 'rarest shingle' id).
-    Shingle hashes use the portable md5-62bit family (dedup.h62_sql), so
-    the DuckDB oracle reproduces every fingerprint bit-for-bit.
+    Shingle hashes use the pluggable 60-bit family (dedup.h62_sql):
+    xxhash64 in production, md5-portable under the driver so the DuckDB
+    oracle reproduces every fingerprint bit-for-bit.
     The shingle-hash array is materialized once and min/max/size read it;
     tokenization is staged into a column so split() runs once per row."""
     from .dedup import h62_sql

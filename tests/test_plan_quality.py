@@ -134,7 +134,7 @@ def test_no_python_udfs_in_relational_suite(spark, queries):
 def test_verification_priority_names_resolve():
     """Every name in the driver-rotation priority list must be a registered
     query (a typo would silently drop it from the verified first-50). The
-    round-3 contract: every query CHANGED this round sits inside the first
+    round-4 contract: every query CHANGED this round sits inside the first
     50 (its old driver rows no longer describe the code), and every query
     outside the first 50 carries a green row from a previous round."""
     import json
@@ -149,19 +149,25 @@ def test_verification_priority_names_resolve():
 
     ordered = list(entry_mod.queries())
     first50 = set(ordered[:50])
-    missing_changed = [n for n in entry_mod._CHANGED_R3 if n not in first50]
+    missing_changed = [n for n in entry_mod._CHANGED_R4 if n not in first50]
     assert not missing_changed, (
         f"changed queries outside the verified first-50: {missing_changed}"
     )
 
     base = os.path.dirname(entry_mod.__file__)
     green = set()
-    for fname in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fname in (
+        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
+    ):
         path = os.path.join(base, fname)
         if os.path.exists(path):
             rows = json.load(open(path))
-            green |= {n for n, row in rows.items() if row.get("hash_match")}
-    green -= set(entry_mod._CHANGED_R3)  # changed code invalidates old rows
+            green |= {
+                n for n, row in rows.items()
+                if row.get("hash_match")
+                or (row.get("rows_match") and row.get("err") == "no_oracle")
+            }
+    green -= set(entry_mod._CHANGED_R4)  # changed code invalidates old rows
     if green:
         stranded = [n for n in ordered[50:] if n not in green]
         assert not stranded, (

@@ -110,6 +110,54 @@ def test_metadata_key_deterministic_and_input_sensitive(info, plan):
         ) != compute_cache_key(doc)
 
 
+def test_hash_family_resolution_and_portable_pin(monkeypatch):
+    """The portable expression must stay byte-identical to the round-3
+    oracle-green literal (every md5-derived driver row depends on it), the
+    production default must be the JVM xxhash64 family, and the env knob
+    must switch between them. An unknown family is a hard error."""
+    import pytest
+
+    from dbfs_spark_cache_spark.operators import dedup
+
+    monkeypatch.delenv(dedup.HASH_FAMILY_ENV, raising=False)
+    assert dedup.hash_family() == "xxhash64"
+    assert dedup.h62_sql("x") == "shiftrightunsigned(xxhash64(x), 4)"
+    portable = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
+    assert dedup.h62_sql("x", family="portable") == portable
+    monkeypatch.setenv(dedup.HASH_FAMILY_ENV, "portable")
+    assert dedup.h62_sql("x") == portable
+    assert dedup.hash_family("xxhash64") == "xxhash64"  # arg beats env
+    with pytest.raises(ValueError):
+        dedup.hash_family("md4")
+
+
+def test_entry_pins_portable_family_for_oracle_replay():
+    """__spark_entry__ must pin the md5-portable family (setdefault) before
+    the driver builds any query: the DuckDB oracles replay md5, never
+    xxhash64."""
+    import importlib
+    import os as _os
+    import sys as _sys
+
+    from dbfs_spark_cache_spark.operators.dedup import HASH_FAMILY_ENV
+
+    saved = _os.environ.pop(HASH_FAMILY_ENV, None)
+    try:
+        if "/root/repo" not in _sys.path:
+            _sys.path.insert(0, "/root/repo")
+        entry_mod = _sys.modules.get("__spark_entry__")
+        if entry_mod is not None:
+            importlib.reload(entry_mod)
+        else:
+            import __spark_entry__  # noqa: F401
+        assert _os.environ[HASH_FAMILY_ENV] == "portable"
+    finally:
+        if saved is None:
+            _os.environ.pop(HASH_FAMILY_ENV, None)
+        else:
+            _os.environ[HASH_FAMILY_ENV] = saved
+
+
 def _h62_py(s: str) -> int:
     """Pure-python mirror of the portable hash: first 15 hex chars of md5,
     exactly what Spark's conv(substr(md5,1,15),16,10) and DuckDB's
