@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .registry import register
+from .staging import stage_cache as _stage_cache
 
 log = logging.getLogger(__name__)
 
@@ -104,25 +105,6 @@ def embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("v") / F.count(F.lit(1)), 7).alias("centroid_value"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
-
-
-def _stage_cache(df: DataFrame, stage: str) -> DataFrame:
-    """Materialize a funnel stage through the cache engine (the product's
-    own flagship workload): downstream stages then read a columnar table
-    scan instead of recomputing the upstream plan, and a re-run of the
-    funnel is a cache hit end-to-end. Falls back to the raw plan when cache
-    storage is unavailable (e.g. read-only driver environment)."""
-    from ..core import cache_dataframe, exc_summary
-
-    try:
-        cached = cache_dataframe(df, override_prefer_spark_cache=True)
-        if cached is not df:
-            return cached
-        log.info("funnel stage %r not materialized (engine skip)", stage)
-    except Exception as exc:
-        log.info("funnel stage %r cache unavailable (%s); continuing uncached",
-                 stage, exc_summary(exc))
-    return df
 
 
 def _funnel_oracle() -> str:

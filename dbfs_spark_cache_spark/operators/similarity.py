@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions import vec_dot as _dot, vec_sq_norm as _sq_norm
 from ..sources import load_table
 from .registry import register
+from .staging import stage_cache as _stage_cache
 
 
 @register(
@@ -187,14 +188,26 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     recall per byte than widening the index. Plan shape: the 5 probe rows
     broadcast, candidates arrive via hash join on the cell id, exact cosine
     + TakeOrdered on top. Deterministic, so fully oracle-checked.
+
+    The bucket table IS the ANN index, and it is corpus-dependent but
+    query-independent — so it stages through the cache engine
+    (staging.stage_cache), keyed on the embedding table's plan fingerprint
+    + file mtimes. The first search over a corpus builds and persists the
+    index; every later search (any query vector) starts from a columnar
+    table scan of the cached index, and a corpus change rebuilds it via
+    the ordinary invalidation path. Falls back to the inline plan where
+    cache storage is unavailable.
     """
     emb = load_table(spark, sf, "embeddings")
     bucket = sum(
         F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(4)
     )
-    bucketed = emb.select(
-        "vec_id", "label", "embedding", bucket.cast("int").alias("bucket")
+    bucketed = _stage_cache(
+        emb.select(
+            "vec_id", "label", "embedding", bucket.cast("int").alias("bucket")
+        ),
+        "ann_sign_index",
     )
     q_id = emb.agg(F.min("vec_id").alias("q_id"))
     q = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(

@@ -266,6 +266,31 @@ def test_dedup_funnel_stages_through_cache(spark, clean_cache):
     assert df2.count() == n1
 
 
+def test_multiprobe_consumes_cached_ann_index(spark, clean_cache):
+    """The sign-LSH bucket table is the ANN index: the first
+    similarity_multiprobe build stages it through the cache engine, and a
+    second build (any later query against the unchanged corpus) reads the
+    cached index table instead of recomputing buckets — same results."""
+    import os
+
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.hashing import find_cache_table_in_text
+    from dbfs_spark_cache_spark.operators.similarity import similarity_multiprobe
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    r1 = [tuple(r) for r in similarity_multiprobe(spark, SF_SMOKE).collect()]
+    entries = set(os.listdir(config.SPARK_CACHE_DIR))
+    assert len(entries) == 1, "expected exactly the staged ANN index"
+
+    df2 = similarity_multiprobe(spark, SF_SMOKE)
+    plan = canonical_plan(df2)
+    assert find_cache_table_in_text(plan, config.CACHE_DATABASE), (
+        "second multiprobe build does not read the cached ANN index"
+    )
+    assert set(os.listdir(config.SPARK_CACHE_DIR)) == entries  # pure hit
+    assert [tuple(r) for r in df2.collect()] == r1
+
+
 def test_dedup_funnel_survives_cache_outage(spark, monkeypatch):
     """If cache storage is unavailable (read-only driver env), the funnel
     must degrade to the uncached plan and still produce identical results."""
