@@ -238,6 +238,16 @@ def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
     )
+    return densify_hourly(hourly)
+
+
+def densify_hourly(hourly: DataFrame) -> DataFrame:
+    """Densify a per-(user_id, bucket) hourly frame onto each user's full
+    hour grid, zero-filling and flagging missing hours. Shared by the batch
+    operator above and the streaming parity path (a windowed-stream sink
+    produces the same hourly shape; densification is a downstream batch
+    pass over the materialized sink — state-free, so it does not belong in
+    the stream itself)."""
     spans = hourly.groupBy("user_id").agg(
         F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
     )
@@ -245,8 +255,18 @@ def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
     )
+    # Both join sides descend from `hourly`; rename the fill side so the
+    # self-join resolves even over sources Spark cannot re-alias itself
+    # (memory-sink views lack the file-relation self-join dedup).
+    fill = hourly.withColumnRenamed("user_id", "f_user_id").withColumnRenamed(
+        "bucket", "f_bucket"
+    )
     return (
-        grid.join(hourly, ["user_id", "bucket"], "left")
+        grid.join(
+            fill,
+            (grid["user_id"] == fill["f_user_id"]) & (grid["bucket"] == fill["f_bucket"]),
+            "left",
+        )
         .select(
             "user_id",
             "bucket",

@@ -37,19 +37,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(path)
         else:
             raise
-    # TIMESTAMP(NANOS) parquet columns arrive as LONG nanos (see session.py);
-    # normalize to TIMESTAMP_NTZ microseconds — naive like every other
-    # fixture timestamp, and immune to both the session timezone and the
-    # driver host's OS timezone (PySpark collect() renders TimestampType in
-    # the OS zone, which silently shifts values on non-UTC hosts). The
-    # NTZ cast itself is session-TZ-dependent, so UTC is pinned first.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    if name == "events":
+        df = normalize_event_ts(df, ntz=True)
     return df
+
+
+def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+    """Normalize the events ``ts`` column across fixture vintages.
+
+    The driver has shipped ``events.parquet`` with two physical ts types:
+    TIMESTAMP(NANOS) — which Spark surfaces as LONG nanos under the
+    ``nanosAsLong`` legacy conf (session.py) — and plain ``timestamp[us]``,
+    which surfaces natively as a timestamp column. Convert the former to
+    microsecond timestamps; pass the latter through unchanged. Used by BOTH
+    the batch loader (``load_table``) and the streaming reader
+    (``streaming.read_events_stream``) so the two paths can never diverge
+    on the unit again (round-4 regression: streaming kept an unconditional
+    ``div 1000`` and placed every event in January 1970).
+
+    ``ntz=True`` yields TIMESTAMP_NTZ — the batch convention: naive like
+    every other fixture timestamp and immune to the driver host's OS
+    timezone on ``collect()``. ``ntz=False`` yields TIMESTAMP_LTZ — the
+    streaming convention: watermarks reject NTZ event time
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). The session timezone is
+    pinned UTC before any tz-sensitive cast so both conventions carry
+    identical wall-clock values.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt is None:
+        return df
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    target = "timestamp_ntz" if ntz else "timestamp"
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) fixture surfaced as nanos
+        col = F.timestamp_micros(F.expr("ts div 1000"))
+    elif dt != target:  # native timestamp[us] fixture, wrong tz flavor
+        col = F.col("ts")
+    else:
+        return df
+    return df.withColumn("ts", col.cast(target))
 
 
 def register_views(

@@ -30,23 +30,31 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events table (one parquet = one batch).
 
-    Reads through a nanos-safe cast: the fixture's ts is TIMESTAMP(NANOS),
-    surfaced as LONG nanos (see session.py) and converted here.
+    The file source needs an explicit schema; rather than hard-code one
+    fixture vintage's physical ts type (the round-4 regression: an
+    unconditional nanos ``div 1000`` against refreshed ``timestamp[us]``
+    fixtures put every event in January 1970), take the RAW schema a batch
+    read surfaces for the same file — LONG under the nanosAsLong legacy
+    conf for TIMESTAMP(NANOS) fixtures, a native timestamp column for
+    ``timestamp[us]`` — and normalize through the same shared helper the
+    batch loader uses (``sources.normalize_event_ts``), streaming flavor
+    (TIMESTAMP_LTZ: watermarks reject NTZ event time; session pinned UTC
+    so values align with the batch loader's NTZ output).
     """
+    from ..sources import normalize_event_ts
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
     reader = (
         spark.readStream.format("parquet")
-        .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+        .schema(raw_schema)
         # The file source wants a directory; the fixture is a single file,
         # so stream the parent dir filtered down to it.
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(sf_dir)
-    # Watermarks require TIMESTAMP (TZ-aware) — NTZ event time is rejected
-    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); the session is pinned UTC so
-    # values align with the batch loader's NTZ output on UTC hosts.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.load(sf_dir), ntz=False)
 
 
 def read_rate_events_stream(
@@ -177,6 +185,27 @@ def sliding_counts(
             F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("bucket_start"), "n_events", "total_value")
+    )
+
+
+def hourly_user_counts(
+    events: DataFrame, watermark: str = "2 hours", max_user_id: int = 20
+) -> DataFrame:
+    """Per-user hourly aggregation — the streaming front half of the batch
+    gap-fill operator (operators.timeseries.events_resample_gapfill). The
+    stream owns only the stateful windowed aggregation; densification onto
+    the full hour grid is a state-free batch pass over the materialized
+    sink (``timeseries.densify_hourly``), because a gap row by definition
+    has no event to trigger its emission in a stream."""
+    return (
+        events.where(F.col("user_id") < max_user_id)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total_value"),
+        )
+        .select("user_id", F.col("w.start").alias("bucket"), "n_events", "total_value")
     )
 
 

@@ -3,7 +3,7 @@ must produce the same aggregates as their batch twins once the stream is
 fully processed."""
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, TESTDATA
 
 
 def _batch_events(spark):
@@ -229,3 +229,97 @@ def test_kafka_reader_requires_connector(spark):
         assert "DATA_SOURCE_NOT_FOUND" in str(exc) or "Failed to find" in str(exc)
     else:  # pragma: no cover - connector present (real cluster)
         assert stream.isStreaming
+
+
+def test_fixture_ts_unit(spark):
+    """Fixture contract guard (VERDICT r4 #2): the deployed events fixtures'
+    physical ts type must be one the loaders handle, and the normalized
+    values must land in a sane epoch. When the driver ships a new vintage
+    (the round-4 breakage was a silent nanos->us flip), this fails loudly
+    with the file and type instead of surfacing as 1970-bucketed windows
+    deep inside the streaming parity tests."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from dbfs_spark_cache_spark.sources import load_table, normalize_event_ts
+
+    handled = {"timestamp[us]", "timestamp[ns]", "timestamp[us, tz=UTC]"}
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"{TESTDATA}/{sf}/events.parquet"
+        physical = str(pq.read_schema(path).field("ts").type)
+        assert physical in handled, (
+            f"{path} ships ts as {physical!r}, which no loader branch handles. "
+            "Teach sources.normalize_event_ts (and its raw-schema detection) "
+            "the new vintage, then extend this allowlist."
+        )
+
+    # Batch and streaming normalization must agree and be epoch-sane.
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp_ntz"
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year >= 2000, f"batch ts normalized into {lo} — unit conversion bug"
+    assert hi - lo < dt.timedelta(days=10 * 365)
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    stream_flavor = normalize_event_ts(raw, ntz=False)
+    assert dict(stream_flavor.dtypes)["ts"] == "timestamp"
+    s_lo = stream_flavor.agg(F.min("ts")).first()[0]
+    # Session is pinned UTC, so LTZ and NTZ carry identical wall-clock values.
+    assert s_lo == lo, f"stream flavor {s_lo} != batch flavor {lo}"
+
+
+def test_streaming_gapfill_matches_batch(spark):
+    """Windowed-stream hourly counts + batch densify == the batch gap-fill
+    operator. The stream owns the stateful aggregation only; densification
+    runs over the materialized sink (a gap row has no event to emit it)."""
+    from dbfs_spark_cache_spark.operators.timeseries import (
+        densify_hourly,
+        events_resample_gapfill,
+    )
+    from dbfs_spark_cache_spark.streaming import (
+        hourly_user_counts,
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    hourly = run_to_memory_sink(hourly_user_counts(stream), "t_hourly")
+    got = {
+        (r.user_id, r.bucket): (r.n_events, r.total_value, r.gap_filled)
+        for r in densify_hourly(hourly).collect()
+    }
+    expected = {
+        (r.user_id, r.bucket): (r.n_events, r.total_value, r.gap_filled)
+        for r in events_resample_gapfill(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(g for (_, _, g) in got.values()), "fixture should contain gaps"
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Native session_window sessions, rolled up per user, must agree with
+    the batch lag/cumsum sessionization (same 12 h gap rule)."""
+    from dbfs_spark_cache_spark.operators.timeseries import sessionization
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    sessions = run_to_memory_sink(session_windows(stream), "t_sessions")
+    got = {
+        (r.user_id): (r.n_sessions, r.n_events)
+        for r in sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sessionization(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
