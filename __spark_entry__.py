@@ -44,56 +44,65 @@ def entry(spark: SparkSession) -> DataFrame:
 os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 
 # The driver verifies queries in registration order with a per-round cap of
-# 50. Round-4 rotation (VERDICT r3 #1): freshness. 54 queries ride r1/r2
-# rows; two r3-fresh queries changed this round (agg_approx_distinct gained
-# a real oracle, dedup_cluster_keepers folded its convergence check into
-# the materialization pass) so they must be re-checked too — 56 candidates
-# for 50 slots. The first 50 = the 2 changed + all 13 round-1 rows + the
-# 35 riskiest round-2 rows; the 6 deferred (_R2_TRUSTED) are single-table
-# scalar-function / metadata projections untouched since their r2 greens.
-# All 49 unchanged r3-green queries yield their slots.
-_CHANGED_R4 = [
-    # HLL tolerance-flag oracle added this round — first exact-oracle check
-    "agg_approx_distinct",
-    # convergence signal now piggybacks on the checkpoint job (Observation)
-    "dedup_cluster_keepers",
-    # second run now consumes the cache-staged LSH index
-    "similarity_multiprobe",
+# 50. Round-5 rotation (VERDICT r4 #5): after r4's sweep, every r1/r2 row
+# except the 6 _R2_TRUSTED deferrals is r3-or-fresher. This round's
+# candidates: the 2 queries changed in r5 (multimodal_decode_features got a
+# real SGB1 decoder + new oracle; events_resample_gapfill's fill join was
+# rewritten through densify_hourly), the 6 r2-vintage deferrals, and the 46
+# other queries whose latest green is r3 — 54 for 50 slots. The 4 deferred
+# (_R3_TRUSTED) are trivial single-table relational basics untouched since
+# their r3 greens; they lead the r6 rotation.
+_CHANGED = [
+    # sha256 stub replaced by a real struct-unpack SGB1 decoder + byte stats
+    "multimodal_decode_features",
+    # fill join now goes through densify_hourly with explicit disambiguation
+    "events_resample_gapfill",
+    # NEW in r5 (no prior driver rows): derived-partsupp catalog + the four
+    # partsupp-joining TPC-H analogues it unblocks (VERDICT r4 missing #1)
+    "partsupp_catalog",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_excess_availability",
 ]
 
-# r1-green, untouched since round 1; their rows are 3 rounds old — the
-# oldest in the repo — so they go right behind the changed queries.
-_R1_STALE = [
-    "range_generate", "project_rename", "fn_string", "fn_date", "fn_math",
-    "fn_conditional", "fn_hash", "set_union_all", "set_union_distinct",
-    "set_intersect", "set_except", "fn_json", "distinct_pairs",
-]
-
-# r2-green, untouched, trivial single-input projections: deliberately
-# outside the round-4 first-50 (the 50-cap cannot cover all 56 candidates).
+# r2-green, untouched, trivial single-input projections: deferred from the
+# r4 window; their rows are the oldest in the repo, so re-check first.
 _R2_TRUSTED = [
     "fn_array_explode", "fn_map_ops", "fn_from_json_struct",
     "embedding_norms", "multimodal_binary_meta", "text_stats",
 ]
 
-# every remaining query whose latest green row is round 2
-_R2_STALE = [
-    "asof_join_prior_view", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_fingerprint", "dedup_keep_first", "embedding_label_centroids",
-    "q10_returned_items", "q12_shipmode_priority",
-    "q13_order_count_distribution", "q14_promo_share", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_predicates",
-    "q21_sole_late_supplier", "q22_global_sales_opportunity",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "quality_filter", "range_join_pairs", "sample_bernoulli",
-    "sessionization", "similarity_ivf_search", "similarity_lsh_buckets",
-    "similarity_topk_cosine", "text_bag_fingerprint", "text_lang_heuristic",
-    "text_quality_scores", "text_token_count_regex", "window_percentiles",
-    "window_sliding", "window_tumbling",
+# every remaining query whose latest green row is round 3, minus the 4
+# deferred below
+_R3_STALE = [
+    "agg_collect_sorted", "agg_cube", "agg_distinct", "agg_grouped_multi",
+    "agg_grouping_sets", "agg_percentile_exact", "agg_rollup",
+    "correlated_subquery_min", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_token_jaccard", "embedding_kmeans_assign",
+    "exists_subquery", "flagship_wide", "grouped_map_pandas", "join_anti",
+    "join_broadcast_dim", "join_full_outer", "join_inner", "join_left",
+    "join_semi", "multimodal_frame_sample", "pipeline_dedup_survivors",
+    "pivot_status_qty", "q1_pricing_summary", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "sample_stratified",
+    "scalar_subquery_above_avg", "sort_limit_topk",
+    "text_rolling_hash_shingles", "text_tfidf_topk", "text_vocabulary",
+    "udaf_grouped_pandas", "udf_pandas_scalar", "udtf_tokenize",
+    "unpivot_part_metrics", "window_lag_lead", "window_rank_dense",
+    "window_running_frames", "window_topk_per_group",
 ]
 
-_PRIORITY = _CHANGED_R4 + _R1_STALE + _R2_STALE
+# r3-green trivial single-table scans/aggs, deferred to round 6 (50-slot
+# cap: 7 changed/new + 6 r2-deferrals + 46 - 9 = 50). They lead the r6
+# rotation; at r5 their r3 rows are still within the 2-round freshness bar.
+_R3_TRUSTED = [
+    "scan_filter_project", "filter_like_between", "agg_global",
+    "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
+    "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
+]
+_R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
+
+_PRIORITY = _CHANGED + _R2_TRUSTED + _R3_STALE
 
 
 def _rotated(mapping: dict) -> dict:

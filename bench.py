@@ -34,6 +34,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q9_product_profit",
     "join_broadcast_dim",
     "window_topk_per_group",
     "window_running_frames",
@@ -69,21 +70,28 @@ def main() -> None:
     # One untimed warmup so JVM/codegen startup doesn't land on the first query.
     materialize(QUERIES["q1_pricing_summary"](spark, SF_DIR))
 
-    # Best-of-2 per query: the first execution of a plan pays codegen/JIT
-    # (measured 2-4x inflation with heavy run-to-run variance); the engine's
-    # steady-state throughput is the comparable number. The per-query
-    # max-min spread is recorded alongside so two bench invocations (e.g.
-    # the driver's BENCH_r{N}.json vs a BENCH_NOTES run) can be compared
-    # within stated variance instead of read as a regression.
+    # Best-of-2 per query, escalating to best-of-3 with worst-run discard
+    # when the two runs disagree by more than 3x (VERDICT r4 #4): the first
+    # execution of a plan pays codegen/JIT, and on a contended box a single
+    # GC/scheduling stall can inflate one run by 10x+ (r4's headline read
+    # 46.8 s vs a true ~24 s steady state for exactly this reason). One
+    # outlier therefore never survives into either the best OR the reported
+    # spread. The per-query spread is recorded so two bench invocations can
+    # be compared within stated variance instead of read as a regression.
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        runs = []
-        for _ in range(2):
+
+        def timed_run() -> float:
             t0 = time.time()
             materialize(QUERIES[name](spark, SF_DIR))
-            runs.append(time.time() - t0)
+            return time.time() - t0
+
+        runs = [timed_run(), timed_run()]
+        if max(runs) > 3 * min(runs):
+            runs.append(timed_run())
+            runs.remove(max(runs))  # discard the contention outlier
         best = min(runs)
         timings[name] = round(best, 3)
         spread[name] = round(max(runs) - best, 3)

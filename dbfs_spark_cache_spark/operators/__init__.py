@@ -31,6 +31,7 @@ from . import tpch_more  # noqa: E402,F401
 from . import semistructured  # noqa: E402,F401
 from . import tpch_more2  # noqa: E402,F401
 from . import tpch_more3  # noqa: E402,F401
+from . import tpch_partsupp  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import scale  # noqa: E402,F401
 from . import timeseries  # noqa: E402,F401

@@ -34,6 +34,8 @@ BNLJ_OK = {
     "text_tfidf_topk",
     # k centroid rows broadcast into the per-vector distance computation
     "embedding_kmeans_assign",
+    # single-row total-stock-value broadcast for the HAVING threshold
+    "q11_important_stock",
 }
 
 

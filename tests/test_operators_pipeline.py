@@ -137,31 +137,39 @@ def test_ivf_equals_bucket_restricted_brute_force(spark):
 
 def test_multimodal_decode_deterministic_and_typed(spark):
     from dbfs_spark_cache_spark.operators.multimodal import (
-        fake_decode_features,
+        build_asset,
+        decode_asset,
         multimodal_decode_features,
     )
 
     out1 = multimodal_decode_features(spark, SF_SMOKE)
-    feat_cols = [f"f{i}" for i in range(8)]
     assert out1.schema.simpleString() == (
         "struct<doc_id:bigint,asset_source:string,n_bytes:bigint,"
-        + ",".join(f"{c}:double" for c in feat_cols)
-        + ",feature_mean:double>"
+        "width:bigint,height:bigint,channels:bigint,byte_mean:double,"
+        "byte_min:bigint,byte_max:bigint,window_checksum:bigint>"
     )
     rows1 = {r.doc_id: r for r in out1.collect()}
     rows2 = {r.doc_id: r for r in multimodal_decode_features(spark, SF_SMOKE).collect()}
     assert len(rows1) == 500
-    assert all(
-        [getattr(rows1[k], c) for c in feat_cols]
-        == [getattr(rows2[k], c) for c in feat_cols]
-        for k in rows1
-    )
-    # the stub is pinned: same bytes -> same features
-    assert fake_decode_features(b"abc") == fake_decode_features(b"abc")
-    with pytest.raises(NotImplementedError):
-        from dbfs_spark_cache_spark.operators.multimodal import decode_image
+    assert all(rows1[k] == rows2[k] for k in rows1)
 
-        decode_image(b"abc")
+    # the decoder is a real codec for the SGB1 container, not a hash:
+    # roundtrip recovers the header fields and actual byte statistics
+    decoded = decode_asset(build_asset(7, b"abcd"))
+    assert decoded == {
+        "n_bytes": 4,
+        "width": 7 % 64 + 1,
+        "height": 4 % 64 + 1,
+        "channels": 7 % 3 + 1,
+        "byte_mean": (97 + 98 + 99 + 100) / 4,
+        "byte_min": 97,
+        "byte_max": 100,
+        "window_checksum": 97 + 98 + 99 + 100,
+    }
+    with pytest.raises(ValueError):
+        decode_asset(b"JUNKxxxxxxxxx")
+    # empty body: header-only asset decodes without dividing by zero
+    assert decode_asset(build_asset(1, b""))["byte_mean"] == 0.0
 
 
 def test_frame_sample_covers_all_docs(spark):

@@ -46,7 +46,8 @@ def test_column_pruning(spark, queries):
 
 @pytest.mark.parametrize(
     "name",
-    ["join_broadcast_dim", "q3_shipping_priority", "q5_region_revenue", "flagship_wide", "join_inner"],
+    ["join_broadcast_dim", "q3_shipping_priority", "q5_region_revenue",
+     "flagship_wide", "join_inner", "q9_product_profit", "q2_min_cost_supplier"],
 )
 def test_dim_joins_broadcast(spark, queries, name):
     plan = plan_text(queries[name](spark, SF_ORACLE))
@@ -149,7 +150,7 @@ def test_verification_priority_names_resolve():
 
     ordered = list(entry_mod.queries())
     first50 = set(ordered[:50])
-    missing_changed = [n for n in entry_mod._CHANGED_R4 if n not in first50]
+    missing_changed = [n for n in entry_mod._CHANGED if n not in first50]
     assert not missing_changed, (
         f"changed queries outside the verified first-50: {missing_changed}"
     )
@@ -157,7 +158,8 @@ def test_verification_priority_names_resolve():
     base = os.path.dirname(entry_mod.__file__)
     green = set()
     for fname in (
-        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"
+        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
     ):
         path = os.path.join(base, fname)
         if os.path.exists(path):
@@ -167,7 +169,7 @@ def test_verification_priority_names_resolve():
                 if row.get("hash_match")
                 or (row.get("rows_match") and row.get("err") == "no_oracle")
             }
-    green -= set(entry_mod._CHANGED_R4)  # changed code invalidates old rows
+    green -= set(entry_mod._CHANGED)  # changed code invalidates old rows
     if green:
         stranded = [n for n in ordered[50:] if n not in green]
         assert not stranded, (
