@@ -64,6 +64,10 @@ _CHANGED = [
     "q9_product_profit",
     "q11_important_stock",
     "q20_excess_availability",
+    # NEW in r5: training-data assembly ops (sequence packing via
+    # distributed prefix sum; deterministic content-hash shuffle-sharding)
+    "pack_sequences",
+    "shuffle_shard_assign",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -93,12 +97,13 @@ _R3_STALE = [
 ]
 
 # r3-green trivial single-table scans/aggs, deferred to round 6 (50-slot
-# cap: 7 changed/new + 6 r2-deferrals + 46 - 9 = 50). They lead the r6
+# cap: 9 changed/new + 6 r2-deferrals + 46 - 11 = 50). They lead the r6
 # rotation; at r5 their r3 rows are still within the 2-round freshness bar.
 _R3_TRUSTED = [
     "scan_filter_project", "filter_like_between", "agg_global",
     "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
+    "unpivot_part_metrics", "exists_subquery",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

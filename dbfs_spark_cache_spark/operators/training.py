@@ -1,0 +1,141 @@
+"""Training-data assembly operators ([NS]): sequence packing and
+deterministic shuffle-sharding — the last mile between a deduped corpus
+and a pretraining data loader.
+
+Both are pure DataFrame compositions (no UDFs) and both are exactly
+replayable by the DuckDB oracle: packing is a distributed prefix sum over
+a deterministic document order, sharding is content-hash partitioning (the
+same md5-portable discipline as ``sample_bernoulli`` — stable under any
+partition layout, task retry, or engine, unlike seeded ``df.sample``).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+SEQ_BUDGET = 2048  # tokens per packed training sequence
+_PACK_BUCKET = 64  # docs per prefix-sum bucket (tune to partition size)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - n_tokens AS seq_start
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           seq_start // {SEQ_BUDGET} AS seq_id,
+           seq_start % {SEQ_BUDGET} AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences by
+    contiguous concatenation in doc_id order (GPT-style pretraining
+    packing): each document gets the sequence id and in-sequence offset
+    where its tokens start.
+
+    The semantics are a single global running sum, but the plan is NOT a
+    single-partition window (the 100 TB killer): documents are bucketed by
+    doc_id range, the running sum runs per bucket in parallel, and only
+    the per-bucket totals — one row per bucket — pass through the tiny
+    ordered window that turns them into bucket prefix offsets, which then
+    broadcast back onto the per-bucket sums. Same distributed prefix-sum
+    shape as ``scale.distributed_percentiles``; the oracle spells the
+    equivalent global window directly.
+    """
+    docs = load_table(spark, sf, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_BUCKET}").alias("bucket"),
+    )
+    w_in = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_cum = tokens.withColumn("cum_in_bucket", F.sum("n_tokens").over(w_in))
+    bucket_totals = tokens.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    # Ordered window over one row per bucket — tiny by construction.
+    w_prev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    bucket_offsets = bucket_totals.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_prev), F.lit(0)).alias(
+            "bucket_offset"
+        ),
+    )
+    return (
+        with_cum.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn(
+            "seq_start", F.col("bucket_offset") + F.col("cum_in_bucket") - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"seq_start div {SEQ_BUDGET}").alias("seq_id"),
+            (F.col("seq_start") % SEQ_BUDGET).alias("seq_offset"),
+        )
+    )
+
+
+@register(
+    "shuffle_shard_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hkey FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(hkey, 1, 1)) - 1 AS BIGINT)
+               AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY substr(hkey, 1, 1)
+                                   ORDER BY hkey, doc_id) AS BIGINT)
+               AS shard_pos
+    FROM h
+    """,
+)
+def shuffle_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training:
+    every document gets a shard (here 16, one hex nibble of its content
+    hash) and a stable position within the shard (ordered by the full
+    hash) — a reproducible random permutation of the corpus with no RNG
+    state anywhere.
+
+    Content hashing, not seeded sampling, is the reproducible primitive at
+    scale (same rationale as ``sample_bernoulli``: seeded RNG streams are
+    partition-layout-dependent). Scale shape: the hash is map-side; the
+    only shuffle is the per-shard ordering. At 100 TB extend the prefix to
+    more nibbles (256/4096/65536 shards) so each shard's sort fits one
+    task — shard count is the parallelism knob, and the data loader reads
+    shards independently. md5 here is the oracle-portable family; swap via
+    SPARK_GRAFT_HASH_FAMILY for xxhash64 in production (hashing.py).
+    """
+    docs = load_table(spark, sf, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    shard = (F.expr("locate(substr(hkey, 1, 1), '0123456789abcdef')") - 1).cast(
+        "long"
+    )
+    w = W.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        hashed.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "shard_pos")
+    )

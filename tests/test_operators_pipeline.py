@@ -2,6 +2,7 @@
 oracle: MinHash/SimHash recall on planted near-duplicates, IVF recall vs
 brute force, multimodal plumbing determinism, HLL accuracy."""
 import os
+import re
 import shutil
 
 import pytest
@@ -389,3 +390,50 @@ def test_stratified_split_exact_proportions(spark):
         assert heldout == math.ceil(n / 5), f"{lang}: {heldout}/{n}"
     again = {(r.doc_id, r.split) for r in sample_stratified(spark, SF_SMOKE).collect()}
     assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must reproduce the global prefix sum (bucketed plan ==
+    global semantics), respect the budget for offsets, and never use a
+    corpus-sized single-partition window."""
+    from dbfs_spark_cache_spark.operators.training import (
+        SEQ_BUDGET,
+        pack_sequences,
+    )
+
+    rows = sorted(
+        pack_sequences(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id
+    )
+    assert len(rows) == 500
+    cum = 0
+    for r in rows:
+        assert r.seq_id == cum // SEQ_BUDGET
+        assert r.seq_offset == cum % SEQ_BUDGET
+        cum += r.n_tokens
+    # the corpus spans multiple sequences at the smoke SF
+    assert rows[-1].seq_id > 0
+
+    plan = pack_sequences(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs
+    # every corpus-sized window is bucket-partitioned; only the per-bucket
+    # totals (one row per bucket) may ride an unpartitioned window
+    unpartitioned = [s for s in specs if not s.lstrip().lstrip("_").startswith("bucket#")]
+    assert len(unpartitioned) <= 1, f"global windows over the corpus: {unpartitioned}"
+
+
+def test_shuffle_shard_assign_is_permutation(spark):
+    """Sharding must be a deterministic permutation: every doc exactly
+    once, shard positions dense 1..n per shard, stable across runs."""
+    from dbfs_spark_cache_spark.operators.training import shuffle_shard_assign
+
+    out1 = {r.doc_id: (r.shard, r.shard_pos) for r in shuffle_shard_assign(spark, SF_SMOKE).collect()}
+    out2 = {r.doc_id: (r.shard, r.shard_pos) for r in shuffle_shard_assign(spark, SF_SMOKE).collect()}
+    assert out1 == out2
+    assert len(out1) == 500
+    assert {s for s, _ in out1.values()} <= set(range(16))
+    by_shard = {}
+    for s, p in out1.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} positions not dense"
