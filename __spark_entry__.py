@@ -68,6 +68,8 @@ _CHANGED = [
     # distributed prefix sum; deterministic content-hash shuffle-sharding)
     "pack_sequences",
     "shuffle_shard_assign",
+    # NEW in r5: Gopher-style duplicate-trigram repetition quality signal
+    "text_repetition_scores",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -97,13 +99,13 @@ _R3_STALE = [
 ]
 
 # r3-green trivial single-table scans/aggs, deferred to round 6 (50-slot
-# cap: 9 changed/new + 6 r2-deferrals + 46 - 11 = 50). They lead the r6
+# cap: 10 changed/new + 6 r2-deferrals + 46 - 12 = 50). They lead the r6
 # rotation; at r5 their r3 rows are still within the 2-round freshness bar.
 _R3_TRUSTED = [
     "scan_filter_project", "filter_like_between", "agg_global",
     "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
-    "unpivot_part_metrics", "exists_subquery",
+    "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

@@ -427,3 +427,68 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "tfidf", "rank")
     )
+
+
+@register(
+    "text_repetition_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                       || toks[i + 2])
+               ELSE [] END AS trigrams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(trigrams)) AS BIGINT) AS n_distinct_trigrams,
+           CASE WHEN len(trigrams) > 0 THEN
+               ROUND(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                           / len(trigrams), 6)
+           ELSE 0.0 END AS dup_trigram_fraction,
+           len(trigrams) > 0
+               AND 1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+                         / len(trigrams) > 0.5 AS flag_repetitive
+    FROM g
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition-based quality signal (Gopher-style): the fraction of
+    duplicated token trigrams per document, plus a filter flag at the
+    >0.5 threshold published for web-scale corpora. Boilerplate, template
+    spam, and degenerate generations all light this up while ordinary
+    prose stays low.
+
+    Scale shape: map-only — one split, one in-row trigram construction
+    (sequence + transform over the token array, no explode, no shuffle),
+    sizes from array_distinct. The whole scorer fuses into the scan's
+    codegen stage; rounding before the flag threshold keeps the double
+    arithmetic engine-exact against the oracle.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    trigrams = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", trigrams.alias("trigrams"))
+    n = F.size("trigrams").cast("long")
+    nd = F.size(F.array_distinct("trigrams")).cast("long")
+    dup_frac = F.when(
+        n > 0, F.round(1.0 - nd.cast("double") / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    flag = (n > 0) & (1.0 - nd.cast("double") / n.cast("double") > 0.5)
+    return g.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        nd.alias("n_distinct_trigrams"),
+        dup_frac.alias("dup_trigram_fraction"),
+        flag.alias("flag_repetitive"),
+    )

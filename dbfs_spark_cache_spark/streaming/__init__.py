@@ -188,6 +188,24 @@ def sliding_counts(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact deduplication on the event key — the stream twin of
+    the batch dedup family: at-least-once sources (Kafka redeliveries,
+    file-source replays, producer retries) become exactly-once rows.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id and, unlike
+    plain ``dropDuplicates``, BOUNDS the dedup state: keys older than the
+    watermark are evicted, so state holds ~(event rate x watermark) keys
+    regardless of stream length — the property that keeps this viable on a
+    100 TB/day feed. Duplicates arriving within the watermark of the
+    original are dropped; later than that they are out of contract (size
+    the watermark to the source's redelivery horizon).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def hourly_user_counts(
     events: DataFrame, watermark: str = "2 hours", max_user_id: int = 20
 ) -> DataFrame:

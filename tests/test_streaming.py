@@ -323,3 +323,38 @@ def test_streaming_session_windows_match_batch(spark):
         for r in sessionization(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate event files delivered as separate micro-batches must
+    collapse to the batch-distinct row set: dropDuplicatesWithinWatermark
+    suppresses redeliveries while keeping bounded state."""
+    import shutil
+
+    from dbfs_spark_cache_spark.sources import normalize_event_ts
+    from dbfs_spark_cache_spark.streaming import (
+        dedup_events_stream,
+        run_to_memory_sink,
+    )
+
+    # two identical files => every event delivered twice across batches
+    src = f"{SF_SMOKE}/events.parquet"
+    stream_dir = tmp_path / "dup_events"
+    stream_dir.mkdir()
+    shutil.copy(src, stream_dir / "a.parquet")
+    shutil.copy(src, stream_dir / "b.parquet")
+
+    raw_schema = spark.read.parquet(str(stream_dir)).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(stream_dir))
+    )
+    deduped = dedup_events_stream(normalize_event_ts(stream, ntz=False))
+    result = run_to_memory_sink(deduped, "t_dedup", output_mode="append")
+
+    n_distinct = spark.read.parquet(src).select("event_id").distinct().count()
+    got = result.select("event_id").collect()
+    assert len(got) == n_distinct, "duplicates across micro-batches survived"
+    assert len({r.event_id for r in got}) == n_distinct
