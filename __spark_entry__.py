@@ -70,6 +70,10 @@ _CHANGED = [
     "shuffle_shard_assign",
     # NEW in r5: Gopher-style duplicate-trigram repetition quality signal
     "text_repetition_scores",
+    # NEW in r5: single-shuffle as-of (union + window twin of the join
+    # form, same oracle) and per-vector int8 embedding quantization
+    "asof_join_union_window",
+    "embedding_quantize_int8",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -98,14 +102,15 @@ _R3_STALE = [
     "window_running_frames", "window_topk_per_group",
 ]
 
-# r3-green trivial single-table scans/aggs, deferred to round 6 (50-slot
-# cap: 10 changed/new + 6 r2-deferrals + 46 - 12 = 50). They lead the r6
+# r3-green trivial single-table queries, deferred to round 6 (50-slot
+# cap: 12 changed/new + 6 r2-deferrals + 46 - 14 = 50). They lead the r6
 # rotation; at r5 their r3 rows are still within the 2-round freshness bar.
 _R3_TRUSTED = [
     "scan_filter_project", "filter_like_between", "agg_global",
     "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
+    "window_lag_lead", "window_rank_dense",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

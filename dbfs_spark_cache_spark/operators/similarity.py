@@ -447,3 +447,70 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
         "cluster",
         F.round(F.col("d") / (float(_KM_Q) * _KM_Q), 6).alias("dist2"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(list_max(list_transform(embedding, x -> abs(x)))
+                    AS DOUBLE) AS scale,
+               embedding
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, dim, scale,
+               CASE WHEN scale > 0 THEN
+                   list_transform(embedding,
+                                  x -> CAST(round(x * 127.0 / scale) AS BIGINT))
+               ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        FROM q
+    )
+    SELECT vec_id, dim, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM quant
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression pass for embedding corpora (4x smaller than float32, and
+    int8 dot products SIMD-accelerate downstream). Each vector carries its
+    own scale (max |x| -> 127); the query emits the scale plus summary
+    stats of the quantized codes so the oracle value-checks the actual
+    quantized values without hashing a list cell (driver canonicalizer
+    cannot hash list-valued columns — r2 finding).
+
+    Scale shape: map-only (transform + aggregate inside the row, no
+    explode, no shuffle); fuses into the scan. Float->double promotion is
+    IEEE-identical in Spark and DuckDB, so round() sees the same double on
+    both engines; q_min/q_max also pin the [-127, 127] range.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x))
+    ).cast("double")
+    with_scale = emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        scale.alias("scale"),
+        "embedding",
+    )
+    quantize = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * 127.0 / F.col("scale")).cast("long"),
+        ),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0).cast("long")))
+    quant = with_scale.withColumn("qv", quantize)
+    return quant.select(
+        "vec_id",
+        "dim",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

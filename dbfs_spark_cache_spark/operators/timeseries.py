@@ -57,6 +57,55 @@ def asof_join_prior_view(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_join_union_window",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           MAX(v.ts) AS prior_view_ts,
+           COUNT(v.event_id) AS n_prior_views
+    FROM events p
+    LEFT JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def asof_join_union_window(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME as-of semantics as ``asof_join_prior_view`` (identical
+    oracle), in the single-shuffle plan shape the join form's docstring
+    promises for 100 TB: union both event roles, ONE shuffle on user_id,
+    and a per-user ordered window that carries the latest prior view and
+    the running view count to each purchase row.
+
+    The join form expands per-user pairs (quadratic in per-user activity)
+    before aggregating them away; this form's work is linear in events.
+    Strictness (``v.ts < p.ts``) falls out of the sort order: ties on ts
+    sort purchases (kind 0) before views (kind 1), so a same-timestamp
+    view is never in a purchase's preceding frame.
+    """
+    events = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    return (
+        tagged.withColumn("prior_view_ts", F.max(view_ts).over(w))
+        .withColumn("n_prior_views", F.count(view_ts).over(w))
+        .where(F.col("kind") == 0)
+        .select("event_id", "user_id", "prior_view_ts", "n_prior_views")
+    )
+
+
+@register(
     "range_join_pairs",
     oracle="""
     SELECT e1.user_id, COUNT(*) AS n_pairs
