@@ -74,6 +74,10 @@ _CHANGED = [
     # form, same oracle) and per-vector int8 embedding quantization
     "asof_join_union_window",
     "embedding_quantize_int8",
+    # NEW in r5: fuzzy matching, value-frame windows, canonical cleaning
+    "fn_edit_distance",
+    "window_value_frames",
+    "text_clean_normalize",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -102,15 +106,17 @@ _R3_STALE = [
     "window_running_frames", "window_topk_per_group",
 ]
 
-# r3-green trivial single-table queries, deferred to round 6 (50-slot
-# cap: 12 changed/new + 6 r2-deferrals + 46 - 14 = 50). They lead the r6
-# rotation; at r5 their r3 rows are still within the 2-round freshness bar.
+# r3-green single-table / single-shape queries, deferred to round 6
+# (50-slot cap: 15 changed/new + 6 r2-deferrals + 46 - 17 = 50). They
+# lead the r6 rotation; at r5 their r3 rows are still within the 2-round
+# freshness bar.
 _R3_TRUSTED = [
     "scan_filter_project", "filter_like_between", "agg_global",
     "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
-    "window_lag_lead", "window_rank_dense",
+    "window_lag_lead", "window_rank_dense", "window_topk_per_group",
+    "window_running_frames", "join_semi",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

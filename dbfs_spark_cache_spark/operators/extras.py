@@ -4,7 +4,7 @@ pandas UDAF, applyInPandas grouped map, Python UDTF)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
@@ -182,4 +182,92 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token "
         "FROM udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )
+
+
+@register(
+    "fn_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy string matching via Levenshtein distance — the record-linkage
+    primitive (catalog reconciliation, near-identical entity names) that
+    complements the set-based dedup family.
+
+    Scale shape: the brand equi-key blocks the self-join (never all-pairs;
+    the quadratic edit-distance only runs inside same-brand blocks), the
+    p_partkey < p_partkey ordering halves the pair space, and names are
+    short so each O(len^2) distance is constant-bounded. Spark's
+    levenshtein and DuckDB's agree exactly — unit edit costs, no
+    transpositions.
+    """
+    part = load_table(spark, sf, "part")
+    a = part.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .where(dist <= 3)
+        .select(
+            "part_a", "part_b", "name_a", "name_b",
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "window_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderdate) OVER w_full AS first_order_ts,
+           LAST_VALUE(o_orderdate) OVER w_full AS last_order_ts,
+           NTH_VALUE(o_totalprice, 2) OVER w_full AS second_order_price
+    FROM orders
+    WINDOW w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value over explicit full-partition
+    frames — each order row annotated with its customer's first order
+    date, last order date, and second-order price (NULL for single-order
+    customers). Completes the window-function family alongside
+    rank/lag/running-frame/percentile queries.
+
+    One shuffle on o_custkey; the frame is per-customer and bounded by
+    order count. Tie-break on o_orderkey keeps the frame order (and so
+    nth_value) engine-deterministic.
+    """
+    orders = load_table(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_ts"),
+        F.last("o_orderdate").over(w).alias("last_order_ts"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
     )

@@ -492,3 +492,53 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
         dup_frac.alias("dup_trigram_fraction"),
         flag.alias("flag_repetitive"),
     )
+
+
+@register(
+    "text_clean_normalize",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '  +', ' ', 'g')) AS clean
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           CAST(length(clean) - length(replace(clean, ' ', '')) + 1
+                AS BIGINT) AS clean_tokens
+    FROM cleaned
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text cleaning — lowercase, strip non-alphanumerics,
+    collapse whitespace, trim — the normalization pass that fronts every
+    exact-dedup and fingerprint stage (two documents differing only in
+    case/punctuation/spacing canonicalize to the same md5 here).
+
+    Map-only; the regexes ([^a-z0-9 ] and '  +') mean the same thing in
+    Java regex and RE2, so Spark and DuckDB produce identical cleaned
+    strings — pinned by comparing md5 of the full cleaned text, not just
+    summary stats.
+    """
+    docs = load_table(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), "  +", " "
+        )
+    )
+    cleaned = docs.select("doc_id", clean.alias("clean"))
+    return cleaned.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("clean_len"),
+        (
+            F.length("clean")
+            - F.length(F.replace(F.col("clean"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("clean_tokens"),
+    )
