@@ -277,6 +277,46 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def write_stream_to_table(
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    await_availability: bool = False,
+):
+    """Checkpointed ``foreachBatch`` sink into a catalog table — the
+    streaming twin of the engine's cache write path (same
+    ``saveAsTable``-style materialization `core.write_cache` performs for
+    batch frames, arriving micro-batch by micro-batch).
+
+    Each batch lands with a ``_batch_id`` column, which makes replays
+    idempotent-by-inspection: Spark's checkpoint guarantees each batch id
+    is delivered at-least-once, so an exactly-once consumer filters
+    duplicates on ``(_batch_id, key)`` — the standard foreachBatch
+    contract (on Delta, an idempotent ``txnAppId``/``txnVersion`` write
+    replaces the filter). Returns the StreamingQuery handle; with
+    ``await_availability`` the call blocks until the current backlog is
+    fully materialized (local testing; production leaves the query
+    running).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).saveAsTable(table_name)
+
+    query = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    if await_availability:
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return query
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, output_mode: Optional[str] = None
 ) -> DataFrame:

@@ -358,3 +358,31 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     got = result.select("event_id").collect()
     assert len(got) == n_distinct, "duplicates across micro-batches survived"
     assert len({r.event_id for r in got}) == n_distinct
+
+
+def test_stream_to_catalog_table_sink(spark, tmp_path):
+    """foreachBatch catalog sink: the full stream backlog materializes into
+    a queryable table with per-batch provenance, and a resumed query (same
+    checkpoint) does not re-deliver already-committed batches."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        write_stream_to_table,
+    )
+
+    table = "stream_sink_events"
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    write_stream_to_table(stream, table, ckpt, await_availability=True)
+
+    n_src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    sunk = spark.table(table)
+    assert sunk.count() == n_src
+    assert "_batch_id" in sunk.columns
+
+    # resume against the same checkpoint: no new batches, no duplicates
+    stream2 = read_events_stream(spark, SF_SMOKE)
+    write_stream_to_table(stream2, table, ckpt, await_availability=True)
+    assert spark.table(table).count() == n_src
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
