@@ -223,6 +223,36 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     )
 
 
+def banded_signatures(
+    sigs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(doc_id, sig, band, bucket): each signature exploded into its LSH
+    band buckets. Shared by the batch candidate-pair self-join below and
+    the streaming corpus-dedup path (streaming.stream_corpus_near_dup_
+    matches), which joins an incoming stream's banded rows against a
+    staged static index with identical band geometry. Pure map + explode —
+    works unchanged on batch and streaming frames."""
+    rows_per_band = n_hashes // n_bands
+
+    def band_bucket(band: int):
+        elems = [
+            F.element_at("sig", band * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        return _h62_col(F.concat_ws(",", *elems))
+
+    band_cols = [
+        F.struct(F.lit(band).alias("band"), band_bucket(band).alias("bucket"))
+        for band in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        "doc_id", "sig",
+        F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     threshold: float = 0.5,
@@ -254,25 +284,7 @@ def lsh_candidate_pairs(
     8.16s (same pairs; BENCH_NOTES.md round 3) — switch to slim rows for
     signatures of ~128 hashes and up.
     """
-    rows_per_band = n_hashes // n_bands
-
-    def band_bucket(band: int):
-        elems = [
-            F.element_at("sig", band * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        return _h62_col(F.concat_ws(",", *elems))
-
-    band_cols = [
-        F.struct(F.lit(band).alias("band"), band_bucket(band).alias("bucket"))
-        for band in range(n_bands)
-    ]
-    banded = sigs.select(
-        "doc_id", "sig", F.explode(F.array(*band_cols)).alias("b")
-    ).select(
-        "doc_id", "sig",
-        F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"),
-    )
+    banded = banded_signatures(sigs, n_hashes, n_bands)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -277,6 +277,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged LSH band index of the historical documents corpus: MinHash
+    signatures exploded into band buckets, materialized through the cache
+    engine (corpus-keyed — a changed corpus rebuilds the index, an
+    unchanged one is a table scan). The static side of the stream-static
+    dedup join below."""
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.staging import stage_cache
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = banded_signatures(minhash_signatures(docs)).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    ).withColumnRenamed("sig", "corpus_sig")
+    return stage_cache(index, "corpus_band_index")
+
+
+def stream_corpus_near_dup_matches(
+    docs_stream: DataFrame, corpus_index: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Streaming near-duplicate detection against a historical corpus:
+    each incoming document's MinHash signature (map-only, same expressions
+    as batch) is banded and stream-static joined to the staged corpus
+    index on (band, bucket); colliding pairs verify by estimated Jaccard.
+    Emits (doc_id, corpus_doc_id, est_jaccard) match records — route them
+    to a quarantine sink, or anti-filter the batch inside a foreachBatch
+    sink for the clean stream.
+
+    Scale shape: signatures are per-row compute on the stream; the static
+    index is corpus-sized but the join is bucket-equi-keyed, so each
+    micro-batch touches only its colliding buckets. No streaming state at
+    all — the corpus side is static, so no watermark is needed. A pair
+    colliding in multiple bands emits once per band (dedup downstream if
+    exact-once matters; distinct on a stream would need a watermark).
+    """
+    from ..operators.dedup import N_MINHASH, banded_signatures, minhash_signatures
+
+    sigs = minhash_signatures(docs_stream)
+    banded = banded_signatures(sigs)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("corpus_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        banded.join(corpus_index, ["band", "bucket"])
+        .where(F.col("doc_id") != F.col("corpus_doc_id"))
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def write_stream_to_table(
     stream_df: DataFrame,
     table_name: str,

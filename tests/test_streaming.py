@@ -386,3 +386,61 @@ def test_stream_to_catalog_table_sink(spark, tmp_path):
     write_stream_to_table(stream2, table, ckpt, await_availability=True)
     assert spark.table(table).count() == n_src
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_near_dup_detection_against_corpus(spark, tmp_path):
+    """Incoming documents that near-duplicate the historical corpus must be
+    flagged by the stream-static LSH join; genuinely novel documents must
+    not. Mirrors the batch planted-dup recall test, but with the dups
+    arriving as a stream against the staged corpus index."""
+    from dbfs_spark_cache_spark.streaming import (
+        corpus_band_index,
+        run_to_memory_sink,
+        stream_corpus_near_dup_matches,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # incoming batch: 20 near-copies of corpus docs (~5% token mutation,
+    # same recipe as the batch planted-dup tests) + 5 novel docs
+    mutated = docs.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(split(text, ' '), (t, i) -> IF(i % 20 = 0, 'zzzz', t))"),
+        ).alias("text"),
+    )
+    novel = spark.range(5).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array(*[F.concat(F.lit("novel"), (F.col("id") * 31 + i) % 977) for i in range(40)]),
+        ).alias("text"),
+    )
+    incoming_dir = tmp_path / "incoming"
+    mutated.unionByName(novel).write.mode("overwrite").parquet(str(incoming_dir))
+
+    index = corpus_band_index(spark, SF_SMOKE)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .load(str(incoming_dir))
+    )
+    matches = run_to_memory_sink(
+        stream_corpus_near_dup_matches(stream, index), "t_corpus_dedup",
+        output_mode="append",
+    )
+    rows = matches.collect()
+    flagged = {r.doc_id for r in rows}
+    planted = {i + 1_000_000 for i in range(20)}
+    recall = len(flagged & planted) / len(planted)
+    assert recall >= 0.8, f"stream near-dup recall {recall}"
+    assert not any(d >= 2_000_000 for d in flagged), "novel docs falsely flagged"
+    # each planted doc's true source is among its matches (other corpus
+    # docs may legitimately collide too — the fixture corpus has high
+    # baseline token overlap)
+    matched_sources = {}
+    for r in rows:
+        assert r.est_jaccard >= 0.5
+        matched_sources.setdefault(r.doc_id, set()).add(r.corpus_doc_id)
+    for d in flagged & planted:
+        assert (d - 1_000_000) in matched_sources[d]
