@@ -78,6 +78,8 @@ _CHANGED = [
     "fn_edit_distance",
     "window_value_frames",
     "text_clean_normalize",
+    # NEW in r5: GK-sketch percentiles with the HLL-style tolerance oracle
+    "agg_approx_percentile",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -107,7 +109,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 15 changed/new + 6 r2-deferrals + 46 - 17 = 50). They
+# (50-slot cap: 16 changed/new + 6 r2-deferrals + 46 - 18 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -116,7 +118,7 @@ _R3_TRUSTED = [
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
     "window_lag_lead", "window_rank_dense", "window_topk_per_group",
-    "window_running_frames", "join_semi",
+    "window_running_frames", "join_semi", "join_anti",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

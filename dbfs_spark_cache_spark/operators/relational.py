@@ -229,6 +229,57 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+           TRUE AS approx_within_1pct,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
+    substitute for exact percentile sorts — verified with the same
+    tolerance-flag pattern as agg_approx_distinct: the sketch estimate is
+    implementation-specific, but |approx − exact| ≤ 1%·exact is an
+    engine-independent claim, so the query emits the exact percentiles
+    (continuous interpolation, matching DuckDB's quantile_cont) plus an
+    in-plan tolerance flag the oracle expects true. Production keeps only
+    the approx column — one sketch pass, mergeable across partitions, no
+    sort."""
+    li = load_table(spark, sf, "lineitem")
+    exact50 = F.percentile("l_extendedprice", 0.5)
+    exact90 = F.percentile("l_extendedprice", 0.9)
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        exact50.alias("e50"),
+        exact90.alias("e90"),
+        approx.alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = (
+        (F.abs(F.element_at("ap", 1) - F.col("e50")) <= F.col("e50") * 0.01)
+        & (F.abs(F.element_at("ap", 2) - F.col("e90")) <= F.col("e90") * 0.01)
+    )
+    # No rounding: the interpolated doubles are bit-identical across
+    # engines (same sort, same (1-g)*lo + g*hi), whereas ROUND itself
+    # diverges on representation boundaries (x.xx4999… rounds down in
+    # Spark's HALF_UP-on-double but up in DuckDB's decimal-path ROUND).
+    return agg.select(
+        "l_returnflag",
+        F.col("e50").alias("exact_p50"),
+        F.col("e90").alias("exact_p90"),
+        within.alias("approx_within_1pct"),
+        "n_rows",
+    )
+
+
+@register(
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
