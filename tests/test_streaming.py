@@ -444,3 +444,36 @@ def test_stream_near_dup_detection_against_corpus(spark, tmp_path):
         matched_sources.setdefault(r.doc_id, set()).add(r.corpus_doc_id)
     for d in flagged & planted:
         assert (d - 1_000_000) in matched_sources[d]
+
+
+def test_normalize_event_ts_vintage_equivalence(spark):
+    """The two fixture vintages — LONG nanos (legacy TIMESTAMP(NANOS) under
+    nanosAsLong) and native microsecond timestamps — must normalize to the
+    SAME instants in both flavors (batch NTZ, streaming LTZ). This is the
+    exact divergence that produced the r4 January-1970 streaming bug."""
+    import datetime as dt
+
+    from dbfs_spark_cache_spark.sources import normalize_event_ts
+
+    instants = [
+        dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+        dt.datetime(1999, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2031, 1, 1, 0, 0, 0, 1),
+    ]
+    nanos_df = spark.createDataFrame(
+        [(i, int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000)
+         for i, t in enumerate(instants)],
+        "event_id long, ts long",
+    )
+    us_df = spark.createDataFrame(
+        list(enumerate(instants)), "event_id long, ts timestamp"
+    )
+    for ntz, want_type in ((True, "timestamp_ntz"), (False, "timestamp")):
+        a = normalize_event_ts(nanos_df, ntz=ntz)
+        b = normalize_event_ts(us_df, ntz=ntz)
+        assert dict(a.dtypes)["ts"] == want_type
+        assert dict(b.dtypes)["ts"] == want_type
+        va = {r.event_id: r.ts for r in a.collect()}
+        vb = {r.event_id: r.ts for r in b.collect()}
+        assert va == vb, f"vintages diverge under ntz={ntz}: {va} vs {vb}"
+        assert va[0] == instants[0]
