@@ -80,6 +80,8 @@ _CHANGED = [
     "text_clean_normalize",
     # NEW in r5: GK-sketch percentiles with the HLL-style tolerance oracle
     "agg_approx_percentile",
+    # NEW in r5: the skew-salting helper under the correctness gate
+    "join_salted_skew",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -109,7 +111,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 16 changed/new + 6 r2-deferrals + 46 - 18 = 50). They
+# (50-slot cap: 17 changed/new + 6 r2-deferrals + 46 - 19 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -118,7 +120,7 @@ _R3_TRUSTED = [
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
     "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
     "window_lag_lead", "window_rank_dense", "window_topk_per_group",
-    "window_running_frames", "join_semi", "join_anti",
+    "window_running_frames", "join_semi", "join_anti", "join_left",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

@@ -6,8 +6,10 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .registry import register
 
 
 def salted_join(
@@ -160,4 +162,47 @@ def distributed_global_percentiles(
             (n_le.cast("double") / n.cast("double")).alias(cume_col),
             tile.cast("long").alias(tile_col),
         )
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT p.p_type,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """The salted join under the correctness gate: fact lineitem joined to
+    part through :func:`salted_join` (16 salts), then aggregated per part
+    type. Salting is semantics-free by construction — every salt
+    assignment yields the same join result — so the plain-join oracle
+    value-checks the helper end to end, and the query documents the shape
+    you reach for when one join key is pathological beyond AQE's skew
+    splitting. DECIMAL sums keep the revenue reduction order-independent
+    under the salt-spread partitioning."""
+    from ..sources import load_table
+
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    part = (
+        load_table(spark, sf, "part")
+        .select("p_partkey", "p_type")
+        .withColumnRenamed("p_partkey", "l_partkey")
+    )
+    joined = salted_join(li, part, "l_partkey", n_salts=16)
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_type")
     )

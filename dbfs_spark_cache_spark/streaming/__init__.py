@@ -277,6 +277,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_purchase_view_pairs(
+    purchases: DataFrame,
+    views: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: each purchase matched to the same
+    user's views from the preceding ``horizon`` — attribution joins where
+    BOTH sides arrive continuously (the stream-static joins elsewhere in
+    this module cover the static-dimension case; this covers two live
+    feeds).
+
+    The time-range predicate plus both watermarks is what makes unbounded
+    state safe: Spark derives from ``v_ts >= p_ts - horizon`` how long a
+    buffered view can still find a future purchase partner, and evicts
+    state older than watermark + horizon. Without the range condition the
+    state would grow with the stream; with it, steady-state memory is
+    (event rate x (watermark + horizon)) per side regardless of stream
+    length. Emits matched pairs in append mode.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "v_ts",
+    )
+
+
 def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged LSH band index of the historical documents corpus: MinHash
     signatures exploded into band buckets, materialized through the cache

@@ -477,3 +477,49 @@ def test_normalize_event_ts_vintage_equivalence(spark):
         vb = {r.event_id: r.ts for r in b.collect()}
         assert va == vb, f"vintages diverge under ntz={ntz}: {va} vs {vb}"
         assert va[0] == instants[0]
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Two live streams (purchases, views) joined on user + time range must
+    produce exactly the batch pair set — the stream-stream interval join
+    with watermark-bounded state."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_purchase_view_pairs,
+    )
+
+    purchases = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    views = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "view"
+    )
+    result = run_to_memory_sink(
+        stream_purchase_view_pairs(purchases, views), "t_ss_join",
+        output_mode="append",
+    )
+    got = {(r.purchase_id, r.view_id) for r in result.collect()}
+
+    ev = _batch_events(spark)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    expected = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") < F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "fixture should contain purchase/view pairs in horizon"
