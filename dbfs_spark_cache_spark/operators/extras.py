@@ -271,3 +271,52 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.last("o_orderdate").over(w).alias("last_order_ts"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
     )
+
+
+@register(
+    "events_value_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS value_z
+    FROM events e JOIN stats s USING (event_type)
+    """,
+)
+def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score normalization — the standard feature-scaling pass
+    before model training. The mean/variance are computed from DECIMAL
+    power sums (sum x, sum x^2) instead of the built-in stddev aggregate:
+    decimal sums are association-independent, so the statistics — and
+    therefore every normalized value — are bit-reproducible under any
+    partitioning and match the oracle exactly, where a float stddev's
+    result depends on partition reduction order.
+
+    Scale shape: one grouped aggregation over the fact (map-side partials),
+    then the tiny per-group stats table broadcast back onto the fact rows —
+    the same one-shuffle + broadcast pattern as the tf-idf scorer.
+    """
+    events = load_table(spark, sf, "events")
+    stats = events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - mean) / std, 6).alias("value_z"),
+        )
+    )
