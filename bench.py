@@ -48,6 +48,13 @@ HEADLINE = [
     "multimodal_decode_features",
     "window_percentiles",
     "pipeline_dedup_survivors",
+    # round-5 additions (headline grew 18 -> 23 timed queries here; compare
+    # per-query across rounds, not the raw total)
+    "q2_min_cost_supplier",
+    "join_salted_skew",
+    "pack_sequences",
+    "text_repetition_scores",
+    "embedding_quantize_int8",
 ]
 
 
