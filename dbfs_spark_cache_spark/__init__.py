@@ -27,6 +27,7 @@ from .core import (  # noqa: F401
 from .extensions import extend_dataframe_methods  # noqa: F401
 from .hashing import hash_input_data  # noqa: F401
 from .management import (  # noqa: F401
+    cache_stats,
     clear_cache_for_hash,
     clear_caches_older_than,
     clear_inconsistent_cache,

@@ -230,3 +230,40 @@ def clear_inconsistent_cache(
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
         list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
     return orphans
+
+
+def cache_stats(
+    spark: SparkSession, num_threads: Optional[int] = None
+) -> dict:
+    """One-call cache health summary: entry counts from both registries
+    (catalog tables and metadata sidecars), their consistency overlap, and
+    the storage footprint — the numbers an operator wants before deciding
+    whether to run eviction (`clear_caches_older_than`) or repair
+    (`clear_inconsistent_cache`). Read-only; safe on a live cache.
+
+    Sizes come from a shallow per-entry listing (data files live directly
+    in each cache dir), parallelized like every other registry scan here.
+    """
+    meta = get_cached_dataframe_metadata(num_threads=num_threads)
+    tables = get_cached_tables(spark, num_threads=num_threads)
+    meta_hashes = set(meta["hash_name"]) if not meta.empty else set()
+    table_hashes = set(tables["hash_name"]) if not tables.empty else set()
+
+    def entry_size(hash_name: str) -> int:
+        path = f"{config.SPARK_CACHE_DIR.rstrip('/')}/{hash_name}"
+        return sum(s.size for s in fs.list_dir(path) if not s.is_dir)
+
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        sizes = dict(zip(meta_hashes, pool.map(entry_size, meta_hashes)))
+
+    times = list(meta["creationTime"]) if not meta.empty else []
+    return {
+        "n_metadata_entries": len(meta_hashes),
+        "n_catalog_tables": len(table_hashes),
+        "n_consistent": len(meta_hashes & table_hashes),
+        "n_orphans": len(meta_hashes ^ table_hashes),
+        "total_cache_bytes": sum(sizes.values()),
+        "largest_entry_bytes": max(sizes.values(), default=0),
+        "oldest_entry": min(times, default=None),
+        "newest_entry": max(times, default=None),
+    }

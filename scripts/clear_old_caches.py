@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--force", action="store_true",
                     help="bypass the diverged-registry safety rails during "
                          "--repair-inconsistent")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the cache health summary (counts, overlap, "
+                         "footprint) and exit without deleting anything")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
@@ -46,6 +49,12 @@ def main() -> int:
     from dbfs_spark_cache_spark.session import get_spark
 
     spark = get_spark(app_name="cache_maintenance")
+
+    if args.stats:
+        stats = management.cache_stats(spark, num_threads=args.threads)
+        for key, value in stats.items():
+            log.info("%s: %s", key, value)
+        return 0
 
     before = management.get_cached_tables(spark, num_threads=args.threads)
     log.info("%d cache tables before maintenance", len(before))

@@ -58,3 +58,33 @@ print("SCRIPT_OK")
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "SCRIPT_OK" in proc.stdout
+
+
+def test_cache_stats_summary(spark, clean_cache):
+    """cache_stats must report consistent counts, sizes, and ages for a
+    freshly written cache, and flag orphans after a table-only delete."""
+    from dbfs_spark_cache_spark import write_cache
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.management import cache_stats
+
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    write_cache(df)
+    write_cache(df.selectExpr("r_regionkey"))
+
+    stats = cache_stats(spark)
+    assert stats["n_metadata_entries"] == 2
+    assert stats["n_catalog_tables"] == 2
+    assert stats["n_consistent"] == 2
+    assert stats["n_orphans"] == 0
+    assert stats["total_cache_bytes"] > 0
+    assert stats["largest_entry_bytes"] <= stats["total_cache_bytes"]
+    assert stats["oldest_entry"] is not None
+
+    # drop one catalog table out from under its metadata -> one orphan
+    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
+    spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{victim.tableName}")
+    stats2 = cache_stats(spark)
+    assert stats2["n_orphans"] == 1
+    assert stats2["n_consistent"] == 1
