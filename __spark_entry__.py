@@ -84,6 +84,9 @@ _CHANGED = [
     "join_salted_skew",
     # NEW in r5: reproducible per-group z-score feature scaling
     "events_value_zscore",
+    # NEW in r5: association-mining support counts + RFM feature block
+    "market_basket_pairs",
+    "customer_rfm_features",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -113,7 +116,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 18 changed/new + 6 r2-deferrals + 46 - 20 = 50). They
+# (50-slot cap: 20 changed/new + 6 r2-deferrals + 46 - 22 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -123,7 +126,7 @@ _R3_TRUSTED = [
     "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
     "window_lag_lead", "window_rank_dense", "window_topk_per_group",
     "window_running_frames", "join_semi", "join_anti", "join_left",
-    "join_full_outer",
+    "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

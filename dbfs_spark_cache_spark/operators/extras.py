@@ -320,3 +320,95 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
             F.round((F.col("value") - mean) / std, 6).alias("value_z"),
         )
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders_together
+    FROM pairs
+    GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders_together DESC, part_a, part_b
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least two orders — the support-counting core of association-rule
+    mining (and of co-occurrence embeddings).
+
+    Scale shape: the self-join is equi-keyed on l_orderkey, so pair
+    generation is quadratic only in LINES PER ORDER (~7 in TPC-H shapes,
+    bounded by basket size — a per-key constant), never in the table; the
+    l_partkey < l_partkey ordering halves it. One shuffle on the order
+    key, one on the pair for the count; the HAVING threshold prunes the
+    long tail before any downstream join.
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "part_a")
+    b = li.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
+        "l_orderkey", "r_orderkey"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .where(F.col("n_orders_together") >= 2)
+        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+    )
+
+
+@register(
+    "customer_rfm_features",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS max_date FROM orders)
+    SELECT o.o_custkey,
+           CAST(date_diff('day', MAX(o.o_orderdate),
+                          (SELECT max_date FROM maxd)) AS BIGINT)
+               AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+               AS monetary
+    FROM orders o
+    GROUP BY o.o_custkey
+    """,
+)
+def customer_rfm_features(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) per customer — the canonical
+    behavioral feature block for churn/LTV models. Recency is measured
+    against the corpus max date, kept in-plan as a broadcast single-row
+    aggregate (no driver collect, no data-dependent literal in the cache
+    fingerprint); DECIMAL sums make monetary exact.
+
+    One grouped aggregation over orders (map-side partials); the max-date
+    row broadcasts onto the grouped output, not the fact.
+    """
+    orders = load_table(spark, sf, "orders")
+    max_date = orders.agg(F.max("o_orderdate").alias("max_date"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff("max_date", "last_order").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
