@@ -87,6 +87,8 @@ _CHANGED = [
     # NEW in r5: association-mining support counts + RFM feature block
     "market_basket_pairs",
     "customer_rfm_features",
+    # NEW in r5: content-hash weighted sampling (quality-proportional)
+    "sample_weighted",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -116,7 +118,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 20 changed/new + 6 r2-deferrals + 46 - 22 = 50). They
+# (50-slot cap: 21 changed/new + 6 r2-deferrals + 46 - 23 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -127,6 +129,7 @@ _R3_TRUSTED = [
     "window_lag_lead", "window_rank_dense", "window_topk_per_group",
     "window_running_frames", "join_semi", "join_anti", "join_left",
     "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
+    "udf_pandas_scalar",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

@@ -542,3 +542,53 @@ def text_clean_normalize(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("clean_tokens"),
     )
+
+
+_U6 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hkey, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+_SAMPLE_WEIGHTED_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS hkey,
+               CAST(n_chars AS DOUBLE)
+                   / (SELECT MAX(n_chars) FROM documents) AS keep_p
+        FROM documents
+    )
+    SELECT doc_id, n_chars, keep_p
+    FROM w
+    WHERE CAST({_U6} AS DOUBLE) / 16777216.0 < keep_p
+"""
+
+
+@register("sample_weighted", oracle=_SAMPLE_WEIGHTED_ORACLE)
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted Bernoulli sampling — keep probability proportional to a
+    per-row weight (here document length, standing in for a quality
+    score): the pass that up-weights high-value documents when
+    subsampling a corpus for training.
+
+    Same reproducibility discipline as ``sample_bernoulli``: the uniform
+    draw is a content hash (first 6 md5 nibbles / 16^6), not an RNG, so
+    the sample is identical under any partition layout, retry, or engine
+    — and therefore exactly verifiable. The max weight stays in-plan as a
+    broadcast single-row aggregate. Map-only plus one tiny broadcast.
+    """
+    docs = load_table(spark, sf, "documents")
+    max_chars = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16 ** 6))
+    return (
+        docs.crossJoin(F.broadcast(max_chars))
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.col("max_chars")).alias("keep_p"),
+            u.alias("u"),
+        )
+        .where(F.col("u") < F.col("keep_p"))
+        .drop("u")
+    )
