@@ -36,6 +36,9 @@ BNLJ_OK = {
     "embedding_kmeans_assign",
     # single-row total-stock-value broadcast for the HAVING threshold
     "q11_important_stock",
+    # single-row corpus-max broadcasts (recency anchor / weight normalizer)
+    "customer_rfm_features",
+    "sample_weighted",
 }
 
 
