@@ -384,6 +384,7 @@ def write_stream_to_table(
     table_name: str,
     checkpoint_dir: str,
     await_availability: bool = False,
+    available_now: bool = False,
 ):
     """Checkpointed ``foreachBatch`` sink into a catalog table — the
     streaming twin of the engine's cache write path (same
@@ -399,6 +400,13 @@ def write_stream_to_table(
     ``await_availability`` the call blocks until the current backlog is
     fully materialized (local testing; production leaves the query
     running).
+
+    ``available_now=True`` runs with ``Trigger.AvailableNow``: process
+    everything currently available in (possibly many rate-limited)
+    micro-batches, then STOP — the scheduled-incremental-batch pattern
+    (cron the job hourly; each run checkpoints forward from where the
+    last one stopped). Blocks until termination, since stopping is the
+    trigger's contract.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -406,16 +414,28 @@ def write_stream_to_table(
             "append"
         ).saveAsTable(table_name)
 
-    query = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    def refresh() -> None:
+        # foreachBatch appends run in an isolated session clone; the
+        # caller's session keeps its pre-append file listing for the table
+        # and silently serves stale counts until refreshed (observed: a
+        # second AvailableNow run's rows invisible to spark.table()).
+        stream_df.sparkSession.catalog.refreshTable(table_name)
+
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        refresh()
+        return query
+    query = writer.start()
     if await_availability:
         try:
             query.processAllAvailable()
         finally:
             query.stop()
+        refresh()
     return query
 
 

@@ -1,88 +1,16 @@
 #!/usr/bin/env python
-"""Scheduled cache maintenance: evict aged entries, optionally repair
-half-present ones (cron-able twin of the reference's maintenance notebook,
-reference: scripts/clear_old_caches.py — list, clear_caches_older_than,
-clear_inconsistent_cache, list again).
-
-Usage:
-    python scripts/clear_old_caches.py [--days 7] [--threads 16]
-        [--database NAME] [--dry-run] [--repair-inconsistent] [--force]
-
-All the work is driver-side metadata operations plus DROP TABLEs — safe to
-run while jobs are reading caches (entries are immutable for their key; a
-reader of a just-dropped entry re-computes and re-writes it).
-"""
+"""Repo-local shim for the cache maintenance CLI — the logic lives in
+dbfs_spark_cache_spark.maintenance_cli (installed as the
+`spark-cache-maintenance` console script); this path form needs no
+install step. See that module's docstring for usage."""
 from __future__ import annotations
 
-import argparse
-import logging
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def main() -> int:
-    ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--days", type=int, default=7,
-                    help="evict entries older than this many days (default 7)")
-    ap.add_argument("--threads", type=int, default=16)
-    ap.add_argument("--database", default=None,
-                    help="scope eviction to one cache database")
-    ap.add_argument("--dry-run", action="store_true",
-                    help="report what would be evicted without deleting")
-    ap.add_argument("--repair-inconsistent", action="store_true",
-                    help="also remove metadata-without-table / "
-                         "table-without-metadata orphans")
-    ap.add_argument("--force", action="store_true",
-                    help="bypass the diverged-registry safety rails during "
-                         "--repair-inconsistent")
-    ap.add_argument("--stats", action="store_true",
-                    help="print the cache health summary (counts, overlap, "
-                         "footprint) and exit without deleting anything")
-    args = ap.parse_args()
-
-    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
-    log = logging.getLogger("clear_old_caches")
-
-    from dbfs_spark_cache_spark import management
-    from dbfs_spark_cache_spark.session import get_spark
-
-    spark = get_spark(app_name="cache_maintenance")
-
-    if args.stats:
-        stats = management.cache_stats(spark, num_threads=args.threads)
-        for key, value in stats.items():
-            log.info("%s: %s", key, value)
-        return 0
-
-    before = management.get_cached_tables(spark, num_threads=args.threads)
-    log.info("%d cache tables before maintenance", len(before))
-
-    evicted = management.clear_caches_older_than(
-        spark,
-        num_days=args.days,
-        num_threads=args.threads,
-        specific_database=args.database,
-        confirm_delete=not args.dry_run,
-    )
-    log.info("%s %d entries older than %d days%s",
-             "would evict" if args.dry_run else "evicted",
-             len(evicted), args.days,
-             f": {evicted}" if evicted else "")
-
-    if args.repair_inconsistent and not args.dry_run:
-        repaired = management.clear_inconsistent_cache(
-            spark, num_threads=args.threads, force=args.force
-        )
-        log.info("repaired %d inconsistent entries%s", len(repaired),
-                 f": {repaired}" if repaired else "")
-
-    after = management.get_cached_tables(spark, num_threads=args.threads)
-    log.info("%d cache tables after maintenance", len(after))
-    spark.stop()
-    return 0
-
+from dbfs_spark_cache_spark.maintenance_cli import main
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -523,3 +523,40 @@ def test_stream_stream_interval_join_matches_batch(spark):
     }
     assert got == expected
     assert expected, "fixture should contain purchase/view pairs in horizon"
+
+
+def test_available_now_incremental_batch(spark, tmp_path):
+    """Trigger.AvailableNow: first run drains the current backlog and
+    stops; a later run (same checkpoint) picks up ONLY files that arrived
+    in between — the scheduled-incremental-batch contract."""
+    import shutil
+    import time
+
+    from dbfs_spark_cache_spark.streaming import write_stream_to_table
+
+    table = "incr_events"
+    ckpt = str(tmp_path / "ckpt")
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    src = f"{SF_SMOKE}/events.parquet"
+    shutil.copy(src, src_dir / "day1.parquet")
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    def run_once():
+        stream = spark.readStream.format("parquet").schema(schema).load(str(src_dir))
+        write_stream_to_table(stream, table, ckpt, available_now=True)
+
+    n_file = spark.read.parquet(src).count()
+    run_once()
+    assert spark.table(table).count() == n_file
+
+    time.sleep(1.2)  # mtime resolution: day2 must sort after run 1's scan
+    shutil.copy(src, src_dir / "day2.parquet")
+    run_once()
+    sunk = spark.table(table)
+    assert sunk.count() == 2 * n_file
+    # the second run contributed new batch ids, not re-deliveries
+    assert sunk.select("_batch_id").distinct().count() >= 2
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
