@@ -183,3 +183,93 @@ def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     )
     survivors = exact_survivors.join(near_dup_losers, "doc_id", "left_anti")
     return survivors.select("doc_id", "lang", "source", "n_chars")
+
+
+_TRAINING_CORPUS_ORACLE = """
+    WITH cleaned AS (
+        SELECT doc_id, lang, source,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '  +', ' ', 'g')) AS clean
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, source, clean,
+               string_split(clean, ' ') AS t
+        FROM cleaned
+    ), scored AS (
+        SELECT doc_id, lang, source, clean,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CASE WHEN len(t) >= 3 THEN
+                   1.0 - CAST(len(list_distinct(
+                       list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i + 1] || ' '
+                                           || t[i + 2]))) AS DOUBLE)
+                         / (len(t) - 2)
+               ELSE 0.0 END AS dup_frac
+        FROM toks
+    ), gated AS (
+        SELECT doc_id, lang, source, clean, n_tokens
+        FROM scored
+        WHERE n_tokens >= 20 AND dup_frac <= 0.5
+    ), keepers AS (
+        SELECT md5(clean) AS clean_md5, MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_exact_dups
+        FROM gated GROUP BY md5(clean)
+    )
+    SELECT g.doc_id, g.lang, g.source, g.n_tokens,
+           k.clean_md5, k.n_exact_dups
+    FROM gated g JOIN keepers k ON k.doc_id = g.doc_id"""
+
+
+@register("pipeline_training_corpus", oracle=_TRAINING_CORPUS_ORACLE)
+def pipeline_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-5 capstone composition — the front half of a training-
+    corpus builder, assembled from this round's operators: canonical
+    cleaning (lower/strip/collapse/trim) -> token + duplicate-trigram
+    quality gate (Gopher-style, computed on the CLEANED tokens) -> exact
+    dedup on the canonical md5 (so case/punctuation/spacing variants
+    collapse to one keeper). Emits the surviving documents with their
+    canonical fingerprint and exact-dup multiplicity.
+
+    Like pipeline_dedup_survivors, the cleaned+gated stage materializes
+    through the content-addressed cache: both consumers (the keeper
+    aggregation and the final join) read the cached table, and re-runs
+    are pure cache hits. Everything else is map-only expressions — the
+    only shuffles are the md5 group-by (16-byte keys) and the keeper
+    join.
+    """
+    docs = load_table(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), "  +", " "
+        )
+    )
+    toks = docs.select(
+        "doc_id", "lang", "source", clean.alias("clean")
+    ).withColumn("t", F.split("clean", " "))
+    n_tokens = F.size("t").cast("long")
+    trigrams = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> concat_ws(' ', slice(t, i, 3)))"
+    )
+    dup_frac = F.when(
+        F.size("t") >= 3,
+        1.0
+        - F.size(F.array_distinct(trigrams)).cast("double")
+        / (F.size("t") - 2),
+    ).otherwise(F.lit(0.0))
+    gated = (
+        toks.withColumn("n_tokens", n_tokens)
+        .withColumn("dup_frac", dup_frac)
+        .where((F.col("n_tokens") >= 20) & (F.col("dup_frac") <= 0.5))
+        .select("doc_id", "lang", "source", "clean", "n_tokens")
+    )
+    gated = _stage_cache(gated, "training_corpus_gated")
+    keepers = gated.groupBy(F.md5("clean").alias("clean_md5")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_exact_dups"),
+    )
+    return (
+        gated.join(keepers, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "clean_md5", "n_exact_dups")
+    )
