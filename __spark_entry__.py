@@ -91,6 +91,8 @@ _CHANGED = [
     "sample_weighted",
     # NEW in r5: capstone composition of the r5 text ops, cache-staged
     "pipeline_training_corpus",
+    # NEW in r5: event-time RANGE INTERVAL window frames
+    "window_time_range_rolling",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -120,7 +122,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 22 changed/new + 6 r2-deferrals + 46 - 24 = 50). They
+# (50-slot cap: 23 changed/new + 6 r2-deferrals + 46 - 25 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -131,7 +133,7 @@ _R3_TRUSTED = [
     "window_lag_lead", "window_rank_dense", "window_topk_per_group",
     "window_running_frames", "join_semi", "join_anti", "join_left",
     "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
-    "udf_pandas_scalar", "udtf_tokenize",
+    "udf_pandas_scalar", "udtf_tokenize", "dedup_simhash",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

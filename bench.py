@@ -55,6 +55,7 @@ HEADLINE = [
     "pack_sequences",
     "text_repetition_scores",
     "embedding_quantize_int8",
+    "pipeline_training_corpus",
 ]
 
 

@@ -324,3 +324,44 @@ def densify_hourly(hourly: DataFrame) -> DataFrame:
             F.col("n_events").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
+               AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-based window frames: per-user rolling count and sum over the
+    trailing hour, bounded by EVENT TIME (RANGE + INTERVAL), not row
+    position — the rolling-feature shape ROWS frames cannot express when
+    events arrive irregularly. Rows sharing a timestamp share a frame
+    (RANGE semantics), which also makes the result ordering-tie-proof.
+
+    One shuffle on user_id; the frame scan is per-user and bounded by the
+    hour horizon. DECIMAL sums keep the rolling values exact. Registered
+    via Spark SQL — the DataFrame API's rangeBetween takes only numeric
+    offsets, while SQL accepts interval literals on timestamp ordering;
+    both engines implement identical RANGE semantics.
+    """
+    from ..sources import register_views
+
+    register_views(spark, sf, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_last_hour,
+               CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
+                   AS value_last_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
