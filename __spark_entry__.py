@@ -93,6 +93,9 @@ _CHANGED = [
     "pipeline_training_corpus",
     # NEW in r5: event-time RANGE INTERVAL window frames
     "window_time_range_rolling",
+    # NEW in r5: incremental ingest-vs-corpus near-dup (batch twin of the
+    # streaming corpus dedup)
+    "dedup_incremental_vs_corpus",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -122,7 +125,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 23 changed/new + 6 r2-deferrals + 46 - 25 = 50). They
+# (50-slot cap: 24 changed/new + 6 r2-deferrals + 46 - 26 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -134,6 +137,7 @@ _R3_TRUSTED = [
     "window_running_frames", "join_semi", "join_anti", "join_left",
     "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
     "udf_pandas_scalar", "udtf_tokenize", "dedup_simhash",
+    "dedup_ngram_jaccard",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

@@ -879,3 +879,48 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+_INCREMENTAL_ORACLE = (
+    _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    + """
+    SELECT LEAST(doc_a, doc_b) AS corpus_doc_id,
+           GREATEST(doc_a, doc_b) AS incoming_doc_id,
+           est_jaccard
+    FROM cand
+    WHERE est_jaccard >= 0.5
+      AND (doc_a % 5 = 0) != (doc_b % 5 = 0)
+      AND GREATEST(doc_a, doc_b) % 5 = 0"""
+)
+
+
+@register("dedup_incremental_vs_corpus", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_vs_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch dedup: near-dup matches BETWEEN an incoming
+    partition and the established corpus (fixture split: every fifth
+    doc_id plays the incoming batch), ignoring pairs within either side —
+    the batch twin of ``streaming.stream_corpus_near_dup_matches``, and
+    the shape a daily ingest job runs before appending to the corpus.
+
+    Plan shape is the standard banded bucket join; the cross-set
+    restriction is a post-filter on the collision pairs, so the work is
+    identical to the full LSH pass (at scale, band the corpus once into a
+    cache-staged index — ``streaming.corpus_band_index`` — and band only
+    the incoming batch per run; this query keeps the one-shot form so the
+    whole composition stays inside a single exactly-replayable oracle).
+    Output keeps only pairs whose HIGHER id is incoming so each match
+    reads corpus-doc <- incoming-doc.
+    """
+    docs = load_table(spark, sf, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    incoming_a = F.col("doc_a") % 5 == 0
+    incoming_b = F.col("doc_b") % 5 == 0
+    return (
+        pairs.where(incoming_a != incoming_b)
+        .where(F.greatest("doc_a", "doc_b") % 5 == 0)
+        .select(
+            F.least("doc_a", "doc_b").alias("corpus_doc_id"),
+            F.greatest("doc_a", "doc_b").alias("incoming_doc_id"),
+            "est_jaccard",
+        )
+    )
