@@ -96,6 +96,8 @@ _CHANGED = [
     # NEW in r5: incremental ingest-vs-corpus near-dup (batch twin of the
     # streaming corpus dedup)
     "dedup_incremental_vs_corpus",
+    # NEW in r5: null-preserving explode
+    "fn_array_explode_outer",
 ]
 
 # r2-green, untouched, trivial single-input projections: deferred from the
@@ -125,7 +127,7 @@ _R3_STALE = [
 ]
 
 # r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 24 changed/new + 6 r2-deferrals + 46 - 26 = 50). They
+# (50-slot cap: 25 changed/new + 6 r2-deferrals + 46 - 27 = 50). They
 # lead the r6 rotation; at r5 their r3 rows are still within the 2-round
 # freshness bar.
 _R3_TRUSTED = [
@@ -137,7 +139,7 @@ _R3_TRUSTED = [
     "window_running_frames", "join_semi", "join_anti", "join_left",
     "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
     "udf_pandas_scalar", "udtf_tokenize", "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "text_rolling_hash_shingles",
 ]
 _R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 

@@ -87,3 +87,32 @@ def fn_array_explode(spark: SparkSession, sf: str) -> DataFrame:
     return emb.select(
         "vec_id", F.posexplode("embedding").alias("dim_idx", "dim_value")
     )
+
+
+@register(
+    "fn_array_explode_outer",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t LIKE 'w%') AS ws
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w_token
+    FROM f
+    """,
+)
+def fn_array_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """explode_outer: null-preserving row generation — documents whose
+    filtered token array is EMPTY still produce one row (token NULL),
+    where plain explode would drop them. The distinction matters whenever
+    the exploded side is optional (a document with no matching entities,
+    an order with no promo lines) and downstream counts must keep the
+    parent row. The oracle emulates outer-unnest by substituting [NULL]
+    for empty lists.
+    """
+    docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 100)
+    ws = F.filter(F.split("text", " "), lambda t: t.startswith("w"))
+    return docs.select(
+        "doc_id", F.explode_outer(ws).alias("w_token")
+    )
