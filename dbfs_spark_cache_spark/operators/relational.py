@@ -642,8 +642,13 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
     """The multi-operator flagship: scan -> filter -> 3 joins (dims
     broadcast) -> per-group window rank over the fact rows (top-500 lines
     per nation+flag) -> grouped multi-agg with distinct -> second window ->
-    sort. One fact shuffle for the window/agg; dims broadcast. This is the
-    query the cache-engine benchmarks profile."""
+    sort. One fact shuffle for the window/agg. Only the BOUNDED dim
+    (nation, 25 rows at every SF) carries an explicit broadcast hint; the
+    customer leg GROWS with the corpus (~15 M rows / GBs at sf100), so a
+    forced broadcast there would OOM at the 100x target (VERDICT r5 #3) —
+    AQE auto-broadcasts it at small SFs and falls back to shuffle join
+    when it exceeds the threshold, which is the size-conditional behavior
+    we want. This is the query the cache-engine benchmarks profile."""
     li = load_table(spark, sf, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
@@ -653,7 +658,7 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
     dims = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .select(
             "n_name",
             "l_returnflag",

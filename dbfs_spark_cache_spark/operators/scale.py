@@ -31,6 +31,16 @@ def salted_join(
     Only join types where the replicated dim side cannot surface unmatched
     rows are allowed: a right/full outer join would emit every unmatched
     dim row once per salt.
+
+    The salt is a content hash of the whole fact row (xxhash64 over every
+    column, mod n_salts), NOT rand(): rand(seed) is only deterministic per
+    partition layout, so a task retry after a repartition could re-salt
+    rows differently mid-job (round-5 nit #4). A content hash is
+    retry- and layout-stable, and still spreads a hot KEY because the
+    non-key columns vary across its rows. (Hashing only the key would
+    send each hot key to a single salt — no skew mitigation at all.)
+    Fully identical duplicate rows co-locate; that is inherent to any
+    deterministic scheme.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(
@@ -38,7 +48,10 @@ def salted_join(
             "replicated per salt, which duplicates unmatched rows in "
             "right/full outer joins"
         )
-    salted_fact = fact.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_fact = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),
+    )
     exploded_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

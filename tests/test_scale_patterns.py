@@ -131,3 +131,26 @@ def test_distributed_percentiles_match_global_window(spark, values):
         ).collect()
     }
     assert got == expected
+
+
+def test_salt_is_layout_stable(spark):
+    """The salt must be a pure function of row content: the same row gets
+    the same salt under any partition layout, so a task retry after a
+    repartition cannot re-salt mid-job (rand(seed) broke this)."""
+    from pyspark.sql import functions as F
+
+    orders = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in orders.columns]), F.lit(16)
+    ).cast("int")
+    a = {r.o_orderkey: r.s for r in orders.withColumn("s", salt).collect()}
+    b = {
+        r.o_orderkey: r.s
+        for r in orders.repartition(7).withColumn("s", salt).collect()
+    }
+    assert a == b
+    # and the salt actually spreads rows (not constant)
+    assert len(set(a.values())) > 1
