@@ -437,3 +437,45 @@ def test_shuffle_shard_assign_is_permutation(spark):
         by_shard.setdefault(s, []).append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} positions not dense"
+
+
+def test_staged_incremental_dedup_matches_one_shot(spark, clean_cache):
+    """The staged incremental form (cache-staged corpus band index; only
+    the incoming batch is signed and banded per run) must return exactly
+    the matches of the one-shot oracle query `dedup_incremental_vs_corpus`
+    — the staged shape is what a daily ingest job runs at 100 TB, so it
+    needs its own correctness pin, not just the one-shot's driver row.
+    The one-shot form keeps only pairs whose higher id is incoming, so
+    the staged result is filtered the same way before comparing."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        dedup_incremental_vs_corpus,
+        incremental_near_dup_matches,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+
+    staged = incremental_near_dup_matches(corpus, incoming)
+    got = {
+        (r.corpus_doc_id, r.incoming_doc_id, round(r.est_jaccard, 9))
+        for r in staged.where(
+            F.col("incoming_doc_id") > F.col("corpus_doc_id")
+        ).collect()
+    }
+    expected = {
+        (r.corpus_doc_id, r.incoming_doc_id, round(r.est_jaccard, 9))
+        for r in dedup_incremental_vs_corpus(spark, SF_SMOKE).collect()
+    }
+    assert got == expected and expected, "staged form diverged from one-shot"
+
+    # and the corpus index really staged through the cache engine: a second
+    # build's plan reads a cache table instead of recomputing signatures
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.hashing import find_cache_table_in_text
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    again = incremental_near_dup_matches(corpus, incoming)
+    assert find_cache_table_in_text(canonical_plan(again), config.CACHE_DATABASE), (
+        "second build does not read the staged corpus index"
+    )
