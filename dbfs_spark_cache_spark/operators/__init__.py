@@ -40,3 +40,4 @@ from . import similarity  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import source_scans  # noqa: E402,F401
