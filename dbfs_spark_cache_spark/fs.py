@@ -106,6 +106,23 @@ def file_size(path: str) -> Optional[int]:
         return None
 
 
+def tree_size(path: str) -> int:
+    """Total bytes of every file under ``path``, recursing into
+    subdirectories (partitioned/bucketed cache tables nest their data
+    files; a shallow listing under-reports them). Built on
+    :func:`list_dir`, so it works on local and Hadoop-scheme paths alike.
+    """
+    total = 0
+    stack = [path]
+    while stack:
+        for stat in list_dir(stack.pop()):
+            if stat.is_dir:
+                stack.append(stat.path)
+            else:
+                total += stat.size
+    return total
+
+
 def max_mtime(path: str, skip_names: tuple = ("_delta_log",)) -> Optional[datetime]:
     """Latest modification time of entries directly under ``path``.
 

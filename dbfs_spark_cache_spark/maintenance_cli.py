@@ -67,12 +67,22 @@ def main() -> int:
              len(evicted), args.days,
              f": {evicted}" if evicted else "")
 
-    if args.repair_inconsistent and not args.dry_run:
-        repaired = management.clear_inconsistent_cache(
-            spark, num_threads=args.threads, force=args.force
-        )
-        log.info("repaired %d inconsistent entries%s", len(repaired),
-                 f": {repaired}" if repaired else "")
+    if args.repair_inconsistent:
+        if args.dry_run:
+            # Detection is read-only, so a dry run can show the operator
+            # exactly which orphans a real run would delete instead of
+            # silently skipping the repair half.
+            orphans = management.find_inconsistent_entries(
+                spark, num_threads=args.threads
+            )
+            log.info("would repair %d inconsistent entries%s", len(orphans),
+                     f": {orphans}" if orphans else "")
+        else:
+            repaired = management.clear_inconsistent_cache(
+                spark, num_threads=args.threads, force=args.force
+            )
+            log.info("repaired %d inconsistent entries%s", len(repaired),
+                     f": {repaired}" if repaired else "")
 
     after = management.get_cached_tables(spark, num_threads=args.threads)
     log.info("%d cache tables after maintenance", len(after))

@@ -219,6 +219,14 @@ def clear_inconsistent_cache(
                 "force=True)", overlap * 100, len(meta), len(tables),
             )
             return []
+    orphans = _orphan_entries(meta, tables)
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
+    return orphans
+
+
+def _orphan_entries(meta: pd.DataFrame, tables: pd.DataFrame) -> List[str]:
+    """Entries present in exactly one registry (metadata xor catalog)."""
     merged = pd.merge(
         meta[["hash_name"]],
         tables[["hash_name"]],
@@ -226,10 +234,18 @@ def clear_inconsistent_cache(
         how="outer",
         indicator=True,
     )
-    orphans = list(merged[merged["_merge"] != "both"]["hash_name"])
-    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
-    return orphans
+    return list(merged[merged["_merge"] != "both"]["hash_name"])
+
+
+def find_inconsistent_entries(
+    spark: SparkSession, num_threads: Optional[int] = None
+) -> List[str]:
+    """Read-only detection half of :func:`clear_inconsistent_cache`: the
+    half-present entries a repair run would delete, without deleting
+    anything — what ``--dry-run --repair-inconsistent`` previews."""
+    meta = get_cached_dataframe_metadata(num_threads=num_threads)
+    tables = get_cached_tables(spark, num_threads=num_threads)
+    return _orphan_entries(meta, tables)
 
 
 def cache_stats(
@@ -241,20 +257,24 @@ def cache_stats(
     whether to run eviction (`clear_caches_older_than`) or repair
     (`clear_inconsistent_cache`). Read-only; safe on a live cache.
 
-    Sizes come from a shallow per-entry listing (data files live directly
-    in each cache dir), parallelized like every other registry scan here.
+    Sizes recurse into each entry's directory tree (partitioned/bucketed
+    cache tables nest their files), and cover the UNION of both registries
+    — a catalog-only orphan's storage still counts, and the orphans are
+    named, so the footprint stays honest in exactly the diverged-registry
+    situations these stats diagnose. Parallelized like every other
+    registry scan here.
     """
     meta = get_cached_dataframe_metadata(num_threads=num_threads)
     tables = get_cached_tables(spark, num_threads=num_threads)
     meta_hashes = set(meta["hash_name"]) if not meta.empty else set()
     table_hashes = set(tables["hash_name"]) if not tables.empty else set()
+    all_hashes = meta_hashes | table_hashes
 
     def entry_size(hash_name: str) -> int:
-        path = f"{config.SPARK_CACHE_DIR.rstrip('/')}/{hash_name}"
-        return sum(s.size for s in fs.list_dir(path) if not s.is_dir)
+        return fs.tree_size(f"{config.SPARK_CACHE_DIR.rstrip('/')}/{hash_name}")
 
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        sizes = dict(zip(meta_hashes, pool.map(entry_size, meta_hashes)))
+        sizes = dict(zip(all_hashes, pool.map(entry_size, all_hashes)))
 
     times = list(meta["creationTime"]) if not meta.empty else []
     return {
@@ -262,6 +282,8 @@ def cache_stats(
         "n_catalog_tables": len(table_hashes),
         "n_consistent": len(meta_hashes & table_hashes),
         "n_orphans": len(meta_hashes ^ table_hashes),
+        "orphans_metadata_only": sorted(meta_hashes - table_hashes),
+        "orphans_catalog_only": sorted(table_hashes - meta_hashes),
         "total_cache_bytes": sum(sizes.values()),
         "largest_entry_bytes": max(sizes.values(), default=0),
         "oldest_entry": min(times, default=None),

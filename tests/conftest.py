@@ -4,8 +4,18 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
+
+# Pin the host process to UTC before any JVM/session starts: collect()
+# renders TimestampType (LTZ) in the OS zone while TIMESTAMP_NTZ collects
+# naive, so the streaming LTZ-vs-NTZ parity assertions only hold when the
+# driver host zone is UTC. The session TZ is already pinned UTC in
+# get_spark; this makes the PYTHON side match on non-UTC dev machines.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMOKE = f"{TESTDATA}/sf0.001"

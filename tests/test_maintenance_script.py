@@ -88,3 +88,28 @@ def test_cache_stats_summary(spark, clean_cache):
     stats2 = cache_stats(spark)
     assert stats2["n_orphans"] == 1
     assert stats2["n_consistent"] == 1
+    # the orphan is NAMED (operators need the hash to inspect it), and the
+    # metadata-only orphan's storage still counts toward the footprint
+    assert stats2["orphans_metadata_only"] == [victim.tableName]
+    assert stats2["orphans_catalog_only"] == []
+    assert stats2["total_cache_bytes"] == stats["total_cache_bytes"]
+
+
+def test_dry_run_previews_repair(spark, clean_cache):
+    """--dry-run --repair-inconsistent must PREVIEW the orphan set a real
+    run would delete (detection is read-only), not silently skip repair."""
+    from dbfs_spark_cache_spark import write_cache
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.management import find_inconsistent_entries
+
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    write_cache(df)
+    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
+    spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{victim.tableName}")
+
+    orphans = find_inconsistent_entries(spark)
+    assert orphans == [victim.tableName]
+    # and nothing was deleted: the metadata sidecar is still on disk
+    assert os.path.isdir(f"{config.SPARK_CACHE_DIR}{victim.tableName}")
