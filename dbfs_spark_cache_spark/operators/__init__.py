@@ -41,3 +41,4 @@ from . import text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import source_scans  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401

@@ -592,3 +592,54 @@ def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("u") < F.col("keep_p"))
         .drop("u")
     )
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing — regex-mask emails and phone-like digit runs, the
+    redaction pass every training-data pipeline runs before a corpus
+    leaves quarantine. The fixture text is synthetic word soup with no
+    natural PII, so each document is first enriched with a deterministic
+    email + phone derived from its doc_id; the scrubber then has known
+    planted targets and the oracle replays the whole enrich -> count ->
+    mask chain exactly. Patterns stay in the shared Java-regex/RE2
+    subset; Spark's regexp_replace is global by default, DuckDB needs the
+    explicit 'g' flag. Pure map-side string work — fuses into the scan.
+    """
+    docs = load_table(spark, sf, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(body, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(body, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

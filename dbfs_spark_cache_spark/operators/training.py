@@ -139,3 +139,57 @@ def shuffle_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("shard_pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "shard_pos")
     )
+
+
+def _split_oracle() -> str:
+    from .dedup import duck_h62
+
+    b = duck_h62("'split:' || doc_id") + " % 100"
+    return f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN {b} < 80 THEN 'train'
+                    WHEN {b} < 90 THEN 'val'
+                    ELSE 'test' END AS split_label
+        FROM documents
+    )
+    SELECT split_label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY split_label
+    """
+
+
+@register("train_val_test_split", oracle=_split_oracle())
+def train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) — the assignment is
+    a content hash of the salted doc_id, NOT an RNG draw, so every row
+    lands in the same split under any partition layout, task retry,
+    cluster size, or engine. That is the property a training pipeline
+    needs: re-running corpus prep must not leak documents across splits
+    (a rand(seed)-based split reshuffles whenever the layout changes —
+    the same failure mode the salted-join fix removed). The 'split:' salt
+    decorrelates this hash from every other doc_id-hash use in the
+    pipeline (sampling, sharding), so splits stay independent of sample
+    membership. Map-side hash + tiny 3-group aggregate; the per-doc
+    assignment (the ungrouped `assigned` frame) is what a real pipeline
+    joins against, summarized here for the oracle."""
+    from .dedup import h62_sql
+
+    docs = load_table(spark, sf, "documents")
+    bucket = F.expr(h62_sql("concat('split:', cast(doc_id as string))")) % 100
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split_label"),
+    )
+    return assigned.groupBy("split_label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
