@@ -43,94 +43,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # setdefault so an explicit caller override still wins.
 os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 
-# The driver verifies queries in registration order with a per-round cap of
-# 50. Round-5 rotation (VERDICT r4 #5): after r4's sweep, every r1/r2 row
-# except the 6 _R2_TRUSTED deferrals is r3-or-fresher. This round's
-# candidates: the 2 queries changed in r5 (multimodal_decode_features got a
-# real SGB1 decoder + new oracle; events_resample_gapfill's fill join was
-# rewritten through densify_hourly), the 6 r2-vintage deferrals, and the 46
-# other queries whose latest green is r3 — 54 for 50 slots. The 4 deferred
-# (_R3_TRUSTED) are trivial single-table relational basics untouched since
-# their r3 greens; they lead the r6 rotation.
+# The driver verifies queries in registration order with a per-round cap
+# of 50. Round-6 rotation (VERDICT r5 next-round #1): the window is
+# _CHANGED (code changed or newly added in r6) + the 27 _R3_TRUSTED
+# deferrals whose r3 greens are now the oldest rows in the repo, then a
+# handful of the oldest r4-vintage rows to get ahead of the r7 refresh.
+# Slot arithmetic is asserted below from the real list lengths (the r5
+# narrative drifted from the code — ADVICE r5 #1).
 _CHANGED = [
-    # sha256 stub replaced by a real struct-unpack SGB1 decoder + byte stats
-    "multimodal_decode_features",
-    # fill join now goes through densify_hourly with explicit disambiguation
-    "events_resample_gapfill",
-    # NEW in r5 (no prior driver rows): derived-partsupp catalog + the four
-    # partsupp-joining TPC-H analogues it unblocks (VERDICT r4 missing #1)
-    "partsupp_catalog",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q20_excess_availability",
-    # NEW in r5: training-data assembly ops (sequence packing via
-    # distributed prefix sum; deterministic content-hash shuffle-sharding)
-    "pack_sequences",
-    "shuffle_shard_assign",
-    # NEW in r5: Gopher-style duplicate-trigram repetition quality signal
-    "text_repetition_scores",
-    # NEW in r5: single-shuffle as-of (union + window twin of the join
-    # form, same oracle) and per-vector int8 embedding quantization
-    "asof_join_union_window",
-    "embedding_quantize_int8",
-    # NEW in r5: fuzzy matching, value-frame windows, canonical cleaning
+    # r6 code changes to already-green queries:
+    # composite (brand, length-band) blocking replaced brand-only blocking
     "fn_edit_distance",
-    "window_value_frames",
-    "text_clean_normalize",
-    # NEW in r5: GK-sketch percentiles with the HLL-style tolerance oracle
-    "agg_approx_percentile",
-    # NEW in r5: the skew-salting helper under the correctness gate
+    # forced customer broadcast hint dropped (AQE decides that leg now)
+    "flagship_wide",
+    # salt derives from a row content hash instead of rand(seed)
     "join_salted_skew",
-    # NEW in r5: reproducible per-group z-score feature scaling
-    "events_value_zscore",
-    # NEW in r5: association-mining support counts + RFM feature block
-    "market_basket_pairs",
-    "customer_rfm_features",
-    # NEW in r5: content-hash weighted sampling (quality-proportional)
-    "sample_weighted",
-    # NEW in r5: capstone composition of the r5 text ops, cache-staged
-    "pipeline_training_corpus",
-    # NEW in r5: event-time RANGE INTERVAL window frames
-    "window_time_range_rolling",
-    # NEW in r5: incremental ingest-vs-corpus near-dup (batch twin of the
-    # streaming corpus dedup)
-    "dedup_incremental_vs_corpus",
-    # NEW in r5: null-preserving explode
-    "fn_array_explode_outer",
+    # NEW in r6: JSON / CSV source connectors under the exact oracle
+    "scan_json_source",
+    "scan_csv_source",
+    # NEW in r6: distribution windows, FILTER aggregation, growth,
+    # histogram, date spine, datetime parts, exact-power-sum stats,
+    # regexp extract-all, array set ops
+    "window_ntile_cume",
+    "agg_count_if_filtered",
+    "orders_year_over_year",
+    "events_value_histogram",
+    "calendar_spine_orders",
+    "fn_datetime_parts",
+    "stats_corr_covar",
+    "fn_regexp_extract_all",
+    "fn_array_set_ops",
+    # NEW in r6: PII scrubbing + deterministic train/val/test split
+    "text_pii_scrub",
+    "train_val_test_split",
 ]
 
-# r2-green, untouched, trivial single-input projections: deferred from the
-# r4 window; their rows are the oldest in the repo, so re-check first.
-_R2_TRUSTED = [
-    "fn_array_explode", "fn_map_ops", "fn_from_json_struct",
-    "embedding_norms", "multimodal_binary_meta", "text_stats",
-]
-
-# every remaining query whose latest green row is round 3, minus the 4
-# deferred below
-_R3_STALE = [
-    "agg_collect_sorted", "agg_cube", "agg_distinct", "agg_grouped_multi",
-    "agg_grouping_sets", "agg_percentile_exact", "agg_rollup",
-    "correlated_subquery_min", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_token_jaccard", "embedding_kmeans_assign",
-    "exists_subquery", "flagship_wide", "grouped_map_pandas", "join_anti",
-    "join_broadcast_dim", "join_full_outer", "join_inner", "join_left",
-    "join_semi", "multimodal_frame_sample", "pipeline_dedup_survivors",
-    "pivot_status_qty", "q1_pricing_summary", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "sample_stratified",
-    "scalar_subquery_above_avg", "sort_limit_topk",
-    "text_rolling_hash_shingles", "text_tfidf_topk", "text_vocabulary",
-    "udaf_grouped_pandas", "udf_pandas_scalar", "udtf_tokenize",
-    "unpivot_part_metrics", "window_lag_lead", "window_rank_dense",
-    "window_running_frames", "window_topk_per_group",
-]
-
-# r3-green single-table / single-shape queries, deferred to round 6
-# (50-slot cap: 25 changed/new + 6 r2-deferrals + 46 - 27 = 50). They
-# lead the r6 rotation; at r5 their r3 rows are still within the 2-round
-# freshness bar.
-_R3_TRUSTED = [
+# r3-green queries deferred from the r5 window (_R3_TRUSTED then); their
+# r3 rows are the repo's oldest, so they fill the middle of the window.
+_R3_REFRESH = [
     "scan_filter_project", "filter_like_between", "agg_global",
     "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
     "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
@@ -141,9 +91,21 @@ _R3_TRUSTED = [
     "udf_pandas_scalar", "udtf_tokenize", "dedup_simhash",
     "dedup_ngram_jaccard", "text_rolling_hash_shingles",
 ]
-_R3_STALE = [n for n in _R3_STALE if n not in _R3_TRUSTED]
 
-_PRIORITY = _CHANGED + _R2_TRUSTED + _R3_STALE
+# Oldest r4-vintage rows (scalar-function family + streaming-window
+# oracles), pulled forward into r6's spare slots so the r7 refresh of the
+# remaining r4 rows fits one window.
+_R4_EARLY = [
+    "fn_string", "fn_date", "fn_math", "fn_json", "fn_conditional",
+    "fn_hash", "window_tumbling",
+]
+
+_PRIORITY = _CHANGED + _R3_REFRESH + _R4_EARLY
+assert len(_PRIORITY) == len(set(_PRIORITY)) and len(_PRIORITY) == 50, (
+    f"r6 window must fill exactly the 50 verification slots; got "
+    f"{len(_PRIORITY)} ({len(_CHANGED)} changed/new + {len(_R3_REFRESH)} "
+    f"r3 refresh + {len(_R4_EARLY)} early r4)"
+)
 
 
 def _rotated(mapping: dict) -> dict:

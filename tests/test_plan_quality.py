@@ -160,6 +160,7 @@ def test_verification_priority_names_resolve():
     for fname in (
         "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
+        "CORRECTNESS_r05.json",
     ):
         path = os.path.join(base, fname)
         if os.path.exists(path):
