@@ -56,6 +56,12 @@ HEADLINE = [
     "text_repetition_scores",
     "embedding_quantize_int8",
     "pipeline_training_corpus",
+    # round-6 additions (headline 24 -> 29 timed queries)
+    "fn_edit_distance",
+    "window_ntile_cume",
+    "stats_corr_covar",
+    "text_pii_scrub",
+    "train_val_test_split",
 ]
 
 
@@ -96,10 +102,18 @@ def main() -> None:
             materialize(QUERIES[name](spark, SF_DIR))
             return time.time() - t0
 
+        # Escalate whenever the spread exceeds the best run (subsumes the
+        # old 3x rule, and also covers cache-staged queries whose FIRST run
+        # pays the stage-cache write — r5's pipeline_dedup_survivors spread
+        # 2.69 s vs value 1.62 s): re-run and discard the worst, up to two
+        # extra runs, so neither a contention outlier nor a one-time cache
+        # write survives into the best or the reported spread.
         runs = [timed_run(), timed_run()]
-        if max(runs) > 3 * min(runs):
+        for _ in range(2):
+            if max(runs) - min(runs) <= min(runs):
+                break
             runs.append(timed_run())
-            runs.remove(max(runs))  # discard the contention outlier
+            runs.remove(max(runs))  # discard the outlier / cold write
         best = min(runs)
         timings[name] = round(best, 3)
         spread[name] = round(max(runs) - best, 3)
