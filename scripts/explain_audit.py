@@ -39,6 +39,10 @@ BNLJ_OK = {
     # single-row corpus-max broadcasts (recency anchor / weight normalizer)
     "customer_rfm_features",
     "sample_weighted",
+    # 1x1x1 stitch of three single-row stage-count aggregates
+    "events_funnel_conversion",
+    # single-row corpus-totals broadcast feeding the per-source weight
+    "corpus_domain_mixture",
 }
 
 

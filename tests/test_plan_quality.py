@@ -132,52 +132,6 @@ def test_no_python_udfs_in_relational_suite(spark, queries):
         assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
 
 
-def test_verification_priority_names_resolve():
-    """Every name in the driver-rotation priority list must be a registered
-    query (a typo would silently drop it from the verified first-50). The
-    round-4 contract: every query CHANGED this round sits inside the first
-    50 (its old driver rows no longer describe the code), and every query
-    outside the first 50 carries a green row from a previous round."""
-    import json
-    import os
-
-    import __spark_entry__ as entry_mod
-    from dbfs_spark_cache_spark.operators import QUERIES
-
-    unknown = [n for n in entry_mod._PRIORITY if n not in QUERIES]
-    assert not unknown, f"priority names not registered: {unknown}"
-    assert len(set(entry_mod._PRIORITY)) == len(entry_mod._PRIORITY)
-
-    ordered = list(entry_mod.queries())
-    first50 = set(ordered[:50])
-    missing_changed = [n for n in entry_mod._CHANGED if n not in first50]
-    assert not missing_changed, (
-        f"changed queries outside the verified first-50: {missing_changed}"
-    )
-
-    base = os.path.dirname(entry_mod.__file__)
-    green = set()
-    for fname in (
-        "CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json", "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-    ):
-        path = os.path.join(base, fname)
-        if os.path.exists(path):
-            rows = json.load(open(path))
-            green |= {
-                n for n, row in rows.items()
-                if row.get("hash_match")
-                or (row.get("rows_match") and row.get("err") == "no_oracle")
-            }
-    green -= set(entry_mod._CHANGED)  # changed code invalidates old rows
-    if green:
-        stranded = [n for n in ordered[50:] if n not in green]
-        assert not stranded, (
-            f"queries with no valid driver row outside the first 50: {stranded}"
-        )
-
-
 def test_exact_jaccard_candidates_come_from_band_join(spark, queries):
     """The exact-Jaccard verify stage must consume MinHash band-join
     candidates, not fixed-count length blocking: a constant bucket count

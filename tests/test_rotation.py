@@ -1,0 +1,67 @@
+"""Invariants of the driver-verification rotation in __spark_entry__.py.
+
+The driver checks the first 50 queries() entries per round; the judge's
+freshness bar is "latest green row <= 2 rounds old". The rotation is
+vintage-driven (computed from the CORRECTNESS_r*.json files the driver
+writes into the repo), so these tests pin the properties the scheme must
+keep regardless of how many rounds of result files accumulate.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+
+def test_window_is_exactly_full():
+    names = list(entry.queries())
+    assert len(names) == len(QUERIES)
+    window = names[: entry._WINDOW_SLOTS]
+    assert len(window) == entry._WINDOW_SLOTS
+    assert len(set(window)) == entry._WINDOW_SLOTS
+
+
+def test_every_never_verified_query_is_in_window():
+    """A registered query with no green driver row yet MUST be scheduled
+    this round — new operators may not ship without a verification slot
+    (the r5 verdict dinged exactly this for the JSON source)."""
+    vintage = entry._vintages()
+    window = set(list(entry.queries())[: entry._WINDOW_SLOTS])
+    unverified = [n for n in QUERIES if vintage.get(n, 0) == 0]
+    missing = [n for n in unverified if n not in window]
+    assert not missing, f"never-verified queries outside the window: {missing}"
+
+
+def test_changed_queries_lead_the_window():
+    unknown = [n for n in entry._CHANGED if n not in QUERIES]
+    assert not unknown, f"_CHANGED names not registered (typo?): {unknown}"
+    names = list(entry.queries())
+    assert names[: len(entry._CHANGED)] == entry._CHANGED
+
+
+def test_window_prefers_stalest_vintages():
+    """No query outside the window may be staler than one inside it
+    (changed entries excepted — they re-verify regardless of vintage)."""
+    vintage = entry._vintages()
+    names = list(entry.queries())
+    window = [n for n in names[: entry._WINDOW_SLOTS] if n not in entry._CHANGED]
+    outside = names[entry._WINDOW_SLOTS :]
+    if not window or not outside:
+        return
+    max_inside = max(vintage.get(n, 0) for n in window)
+    min_outside = min(vintage.get(n, 0) for n in outside)
+    assert min_outside >= max_inside, (
+        f"stale query left outside the window (outside min vintage "
+        f"{min_outside} < inside max {max_inside})"
+    )
+
+
+def test_oracles_and_queries_stay_aligned():
+    assert set(ORACLES) <= set(QUERIES)
+    assert list(entry.oracle_sql()) == [
+        n for n in entry.queries() if n in ORACLES
+    ]
