@@ -62,6 +62,10 @@ HEADLINE = [
     "stats_corr_covar",
     "text_pii_scrub",
     "train_val_test_split",
+    # round-6 corpus-analytics additions (headline 29 -> 32)
+    "split_contamination_check",
+    "text_chunk_sliding",
+    "events_retention_cohorts",
 ]
 
 

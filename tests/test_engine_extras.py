@@ -440,3 +440,56 @@ def test_delta_cache_roundtrip_when_jars_present(extended):
     finally:
         config.CACHE_FORMAT = original
         core._FORMAT_FALLBACK.clear()
+
+
+def test_delta_log_guard_blocks_stale_parquet_path_read(extended):
+    """The transactional-format guard (core.py:154-168) must hold in a
+    JAR-LESS session: a cache directory carrying a _delta_log (written by
+    a Delta-enabled cluster sharing the cache prefix) must never be served
+    by the raw-parquet path fallback — Delta keeps superseded parquet
+    files in place, so a raw read would present duplicated/stale rows as
+    a valid hit. Jar-free twin of the environment-skipped Delta roundtrip:
+    the guard's miss branch is exactly what a parquet-only session must do
+    when it encounters a transactional table."""
+    import os as _os
+
+    from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    df = _agg_query(extended)
+    write_cache(df)
+    h = core.resolve_table_hash(df)
+    loc = core._table_location(extended, h).replace("file:", "")
+
+    # Simulate a catalog death with surviving files (the in-memory-catalog
+    # scenario the path fallback exists for): stash the data dir, DROP the
+    # managed table (which deletes the files), restore the files.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    stash = _tempfile.mkdtemp(prefix="delta_guard_stash_")
+    _shutil.copytree(loc, f"{stash}/data")
+    extended.sql(
+        f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{core.table_name_for_hash(h).split('.')[-1]}"
+    )
+    _shutil.copytree(f"{stash}/data", loc, dirs_exist_ok=True)
+    _shutil.rmtree(stash, ignore_errors=True)
+    served = read_cache_if_exist(_agg_query(extended))
+    assert served is not None and served.count() == df.count(), (
+        "path-read parquet fallback should serve a plain cache dir"
+    )
+
+    # Same directory now looks transactional: the parquet fallback must
+    # refuse it and report a miss instead of a stale hit.
+    log_dir = f"{loc}/_delta_log"
+    _os.makedirs(log_dir, exist_ok=True)
+    with open(f"{log_dir}/00000000000000000000.json", "w") as fh:
+        fh.write('{"commitInfo": {"operation": "WRITE"}}\n')
+    try:
+        assert read_cache_if_exist(_agg_query(extended)) is None, (
+            "_delta_log-guarded directory must MISS in a jar-less session"
+        )
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(log_dir, ignore_errors=True)
