@@ -310,6 +310,13 @@ def split_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     its token count.
     """
     docs = load_table(spark, sf, "documents")
+    return contamination_report(docs)
+
+
+def contamination_report(docs: DataFrame) -> DataFrame:
+    """DataFrame-level form of :func:`split_contamination_check` — takes
+    any (doc_id, text) relation so the planted-overlap recall pytest can
+    feed a corpus with known cross-split contamination."""
     bucket = F.expr(
         _split_bucket_sql(h62_sql("concat('split:', cast(doc_id as string))"))
     )
