@@ -90,12 +90,15 @@ def _vintages() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and not row.get("err")
-            ):
+            if not isinstance(row, dict):
+                continue
+            # Green = the value hash matched, or the weaker rows-only check
+            # passed for a query that has no oracle. A hash MISMATCH must
+            # never count — the query needs a re-slot, not a deferral.
+            green = bool(row.get("hash_match")) or (
+                row.get("rows_match") and row.get("err") == "no_oracle"
+            )
+            if green:
                 vintage[name] = max(vintage.get(name, 0), rnd)
     return vintage
 
