@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..sources import load_table
 from .dedup import duck_h62, h62_sql
@@ -415,6 +414,9 @@ def corpus_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_TOPK_BUCKETS = 16  # 100 TB knob: bounds per-task candidate-set size
+
+
 @register(
     "text_ngram_topk",
     oracle="""
@@ -447,11 +449,18 @@ def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     rank orders by (count DESC, bigram ASC), a total order.
 
     Scale shape: bigrams are built map-side from one tokenize (slice
-    inside transform — no re-split per gram), counted with a partial agg
-    keyed (source, bigram), then ranked inside source partitions only.
-    The window runs over per-source distinct-bigram counts — already
-    aggregated, orders of magnitude smaller than the corpus; no
-    unpartitioned window (test_plan_quality bans those).
+    inside transform — no re-split per gram) and counted with a partial
+    agg keyed (source, bigram). The top-5 is then a BUCKETED two-stage
+    selection, not a per-source window: a `row_number over (partition by
+    source)` sorts each source's entire distinct-bigram set (billions of
+    rows per source at corpus scale) in ONE task, while here stage 1 keeps
+    the 5 best per (source, bigram-hash bucket) — per-task state bounded
+    by distinct-bigrams/B — and stage 2 ranks the <= 5*B survivors per
+    source, a constant. Global top-5 ⊆ union of per-bucket top-5s, so the
+    result is exact. Same pattern as distributed_global_percentiles /
+    pack_sequences; B (=16) is the scale knob. The struct sort key
+    (-n, bigram) makes sort_array deliver (count DESC, bigram ASC)
+    directly.
     """
     docs = load_table(spark, sf, "documents")
     bigram_expr = F.expr(
@@ -465,11 +474,25 @@ def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("bigram"))
-    return (
-        counted.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= 5)
-        .select("source", "bigram", "n", "rk")
+    key = F.struct((-F.col("n")).alias("negn"), F.col("bigram"), F.col("n"))
+    stage1 = (
+        counted.withColumn(
+            "bkt", F.pmod(F.expr(h62_sql("bigram")), F.lit(_TOPK_BUCKETS))
+        )
+        .groupBy("source", "bkt")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, 5).alias("head"))
+        .select("source", F.explode("head").alias("k"))
+    )
+    final = stage1.groupBy("source").agg(
+        F.slice(F.sort_array(F.collect_list("k")), 1, 5).alias("head")
+    )
+    return final.select(
+        "source", F.posexplode("head").alias("pos", "k")
+    ).select(
+        "source",
+        F.col("k.bigram").alias("bigram"),
+        F.col("k.n").alias("n"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
     )
 
 
@@ -501,12 +524,18 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     flat string — the driver canonicalizer hashes scalars, not lists).
 
     Scale shape: explode+count keyed (token, doc_id) with map-side
-    combine, then one reduce per token. The postings head is bounded at
-    10 ids BEFORE stringification, so a stop-word token carries O(10)
-    bytes out of the aggregate, not its full postings list — the bound is
-    what makes a driver-visible index summary safe at 100 TB (full
-    postings would be a table you'd write partitioned by token prefix,
-    not collect).
+    combine. df/total_tf are plain partial aggregates (constant state).
+    The postings head is a BUCKETED two-stage min-10: a naive
+    `sort_array(collect_list(doc_id))[:10]` gathers a stop-word token's
+    ENTIRE postings list into one aggregation buffer before slicing (the
+    bound would apply after the blow-up, not before); instead stage 1
+    keeps the 10 smallest doc_ids per (token, doc_id-hash bucket) —
+    buffer bounded by postings/B — and stage 2 selects the 10 smallest of
+    the <= 10*B survivors, a constant. Global min-10 ⊆ union of
+    per-bucket min-10s, so the head is exact. B (=16) is the 100 TB knob,
+    same pattern as distributed_global_percentiles. Full postings at
+    scale are a TABLE you write partitioned by token prefix, not an
+    aggregate — this query is the driver-visible summary.
     """
     docs = load_table(spark, sf, "documents")
     tf = (
@@ -514,10 +543,22 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    return tf.groupBy("token").agg(
+    stats = tf.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
-        F.concat_ws(
-            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
-        ).alias("postings_head"),
+    )
+    heads = (
+        tf.withColumn("bkt", F.pmod("doc_id", F.lit(_TOPK_BUCKETS)))
+        .groupBy("token", "bkt")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("h"))
+        .select("token", F.explode("h").alias("doc_id"))
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(heads, "token").select(
+        "token", "df", "total_tf", "postings_head"
     )

@@ -88,6 +88,21 @@ def test_chunking_covers_every_token_with_fixed_overlap(spark, queries):
         assert len(rows) == expected_chunks, f"doc {doc_id}: {len(rows)} != {expected_chunks}"
 
 
+@pytest.mark.parametrize("name", ["text_ngram_topk", "text_inverted_index"])
+def test_topk_heads_are_bucketed_not_windowed(spark, queries, name):
+    """The top-k head selection must be the bucketed two-stage form: a
+    per-key window (or a single collect_list over the full postings)
+    funnels a stop-word-grade key's entire list through one task at
+    corpus scale. Pin: no window specs in the plan, and the bucket column
+    participates in the first aggregation."""
+    df = queries[name](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition" not in analyzed.lower(), (
+        f"{name}: per-key window resurfaced"
+    )
+    assert "bkt" in analyzed, f"{name}: bucketed stage-1 aggregation missing"
+
+
 def test_funnel_stage_counts_are_monotone(spark, queries):
     row = queries["events_funnel_conversion"](spark, SF_ORACLE).collect()[0]
     assert row["n_view_users"] >= row["n_click_users"] >= row["n_purchase_users"] > 0

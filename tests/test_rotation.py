@@ -60,6 +60,32 @@ def test_window_prefers_stalest_vintages():
     )
 
 
+def test_rotation_advances_after_a_round(monkeypatch):
+    """Simulate the driver writing this round's results: once the current
+    window is green at round N, the NEXT import must schedule the stalest
+    remaining vintage (the r4 block) without any manual list edits."""
+    real = entry._vintages()
+    names = list(QUERIES)
+    window_now = list(entry.queries())[: entry._WINDOW_SLOTS]
+    simulated = dict(real)
+    for n in window_now:
+        simulated[n] = 6
+    monkeypatch.setattr(entry, "_vintages", lambda: simulated)
+    next_window = entry._priority(names)
+    # changed queries stay pinned first even when freshly green
+    assert next_window[: len(entry._CHANGED)] == [
+        n for n in entry._CHANGED if n in names
+    ]
+    rest = next_window[len(entry._CHANGED) :]
+    stalest = min(simulated[n] for n in names if n not in next_window)
+    assert all(simulated[n] <= stalest for n in rest), (
+        "next round's window must take the stalest vintages first"
+    )
+    assert all(simulated[n] == 4 for n in rest), (
+        "after a green r6, the r4 rows are the due cohort"
+    )
+
+
 def test_oracles_and_queries_stay_aligned():
     assert set(ORACLES) <= set(QUERIES)
     assert list(entry.oracle_sql()) == [
