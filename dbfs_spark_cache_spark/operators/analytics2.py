@@ -34,20 +34,82 @@ def window_ntile_cume(spark: SparkSession, sf: str) -> DataFrame:
     relative rank (percent_rank) and cumulative distribution (cume_dist)
     of each order's price within its priority class. Completes the
     ranking-window family (row_number/rank/dense_rank already covered).
-    One shuffle on the partition key; the o_orderkey tie-break makes the
-    frame order unique, so all three functions are engine-deterministic.
+
+    Scale shape: o_orderpriority has FIVE values, so the textbook
+    ``Window.partitionBy(priority)`` funnels ~1/5 of the fact through one
+    sort task each — partitioned in name only. This is the grouped twin
+    of ``scale.distributed_global_percentiles`` instead: range-band the
+    price within each priority (per-priority bounds broadcast), per-band
+    counts -> cumulative offsets via a tiny broadcast self-join, a LOCAL
+    row_number per (priority, band) — task state bounded by band
+    population, 32 bands is the knob — then global rank = offset + local
+    row_number, and ntile/percent_rank/cume_dist follow arithmetically
+    (the o_orderkey tie-break makes the order unique, so rank ==
+    row_number and the SQL-standard formulas apply exactly: pct =
+    (r-1)/(n-1), cume = r/n, ntile = first n%k tiles one bigger).
     """
     orders = load_table(spark, sf, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    part = "o_orderpriority"
+    n_bands = 32
+    base = orders.select("o_orderkey", part, "o_totalprice")
+    bounds = base.groupBy(part).agg(
+        F.min("o_totalprice").alias("__lo"),
+        F.max("o_totalprice").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    return orders.select(
+    v = F.col("o_totalprice").cast("double")
+    step = (F.col("__hi") - F.col("__lo")).cast("double") / n_bands
+    band = (
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(F.lit(n_bands - 1), F.floor((v - F.col("__lo")) / step))
+        )
+        .cast("int")
+    )
+    banded = base.join(F.broadcast(bounds), part).withColumn("__band", band)
+
+    counts = banded.groupBy(part, "__band").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            (F.col(f"a.{part}") == F.col(f"b.{part}"))
+            & (F.col("b.__band") < F.col("a.__band")),
+            "left",
+        )
+        .groupBy(F.col(f"a.{part}").alias(part), F.col("a.__band").alias("__band"))
+        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
+    )
+
+    # Ascending local order (price asc, key desc) is the exact reverse of
+    # the target (price desc, key asc): r_desc = n - r_asc + 1.
+    w_local = W.partitionBy(part, "__band").orderBy(
+        F.asc("o_totalprice"), F.desc("o_orderkey")
+    )
+    ranked = (
+        banded.join(F.broadcast(offsets), [part, "__band"])
+        .withColumn("__r_asc", F.col("__off") + F.row_number().over(w_local))
+        .withColumn("__r", F.col("__n") - F.col("__r_asc") + 1)
+    )
+
+    n, r = F.col("__n"), F.col("__r")
+    k = 4
+    size = F.floor(n / k)
+    rem = n % k
+    big = rem * (size + 1)
+    tile = F.when(
+        (r - 1) < big, F.floor((r - 1) / (size + 1)) + 1
+    ).otherwise(rem + F.floor((r - 1 - big) / F.greatest(size, F.lit(1))) + 1)
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        (r - 1).cast("double") / (n - 1).cast("double")
+    )
+    return ranked.select(
         "o_orderkey",
-        "o_orderpriority",
+        part,
         "o_totalprice",
-        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        tile.cast("bigint").alias("price_quartile"),
+        pct.alias("pct_rank"),
+        (r.cast("double") / n.cast("double")).alias("cume"),
     )
 
 

@@ -668,6 +668,10 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
         )
     )
+    # 75 (nation, flag) groups: acceptable sort-task granularity through
+    # bench scale; the 100 TB conversion is the banded top-k (rank within
+    # (group, net-band) + band offsets, keep offset+rn <= 500) — the same
+    # grouped distributed-rank pattern as analytics2.window_ntile_cume.
     w_line = W.partitionBy("n_name", "l_returnflag").orderBy(
         F.desc("net"), F.asc("l_orderkey"), F.asc("l_linenumber")
     )

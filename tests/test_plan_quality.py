@@ -89,6 +89,20 @@ def test_window_percentiles_no_global_window(spark, queries):
         )
 
 
+def test_ntile_cume_windows_are_banded(spark, queries):
+    """window_ntile_cume partitions by a FIVE-value key, so a plain
+    partitionBy(priority) window is one sort task per priority at corpus
+    scale. Pin the grouped distributed-rank form: every window spec in
+    the plan must carry the price band alongside the priority."""
+    plan = plan_text(queries["window_ntile_cume"](spark, SF_ORACLE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected a (bounded) local window in the plan"
+    for spec in specs:
+        assert "__band" in spec, (
+            f"window not banded: windowspecdefinition({spec}..."
+        )
+
+
 def test_no_driver_collect_in_query_builders():
     """Query builders must emit ONE distributed plan: no driver-side
     ``collect()`` to fetch scalars mid-build (it splits the query into two
