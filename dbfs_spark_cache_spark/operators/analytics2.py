@@ -21,95 +21,60 @@ from .registry import dec, register
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            CAST(o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile,
-           PERCENT_RANK() OVER w AS pct_rank,
-           CUME_DIST() OVER w AS cume
+           CAST(NTILE(4) OVER wt AS BIGINT) AS price_quartile,
+           PERCENT_RANK() OVER wv AS pct_rank,
+           CUME_DIST() OVER wv AS cume
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey)
+    WINDOW wv AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+           wt AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def window_ntile_cume(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution window functions — quartile bucketing (ntile),
     relative rank (percent_rank) and cumulative distribution (cume_dist)
-    of each order's price within its priority class. Completes the
-    ranking-window family (row_number/rank/dense_rank already covered).
+    of each order's price within its priority class, with the standard
+    tie semantics (pct/cume treat equal prices as peers; ntile's
+    row-placement is made deterministic by the o_orderkey tie-break).
+    Completes the ranking-window family.
 
     Scale shape: o_orderpriority has FIVE values, so the textbook
     ``Window.partitionBy(priority)`` funnels ~1/5 of the fact through one
-    sort task each — partitioned in name only. This is the grouped twin
-    of ``scale.distributed_global_percentiles`` instead: range-band the
-    price within each priority (per-priority bounds broadcast), per-band
-    counts -> cumulative offsets via a tiny broadcast self-join, a LOCAL
-    row_number per (priority, band) — task state bounded by band
-    population, 32 bands is the knob — then global rank = offset + local
-    row_number, and ntile/percent_rank/cume_dist follow arithmetically
-    (the o_orderkey tie-break makes the order unique, so rank ==
-    row_number and the SQL-standard formulas apply exactly: pct =
-    (r-1)/(n-1), cume = r/n, ntile = first n%k tiles one bigger).
+    sort task each — partitioned in name only. This delegates to
+    ``scale.distributed_global_percentiles(partition_cols=[priority])``:
+    price bands within each priority, per-band counts -> broadcast
+    offsets, local windows bounded by band population (32 bands is the
+    knob), distribution values from (global rank, n) arithmetically —
+    semantics equal to the plain window, verified against Spark's own
+    window form in tests/test_scale_patterns.py and against DuckDB here.
+    Descending order rides the negated price.
     """
+    from .scale import distributed_global_percentiles
+
     orders = load_table(spark, sf, "orders")
-    part = "o_orderpriority"
-    n_bands = 32
-    base = orders.select("o_orderkey", part, "o_totalprice")
-    bounds = base.groupBy(part).agg(
-        F.min("o_totalprice").alias("__lo"),
-        F.max("o_totalprice").alias("__hi"),
-        F.count(F.lit(1)).alias("__n"),
+    base = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (-F.col("o_totalprice")).alias("__negprice"),
     )
-    v = F.col("o_totalprice").cast("double")
-    step = (F.col("__hi") - F.col("__lo")).cast("double") / n_bands
-    band = (
-        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-        .otherwise(
-            F.least(F.lit(n_bands - 1), F.floor((v - F.col("__lo")) / step))
-        )
-        .cast("int")
-    )
-    banded = base.join(F.broadcast(bounds), part).withColumn("__band", band)
-
-    counts = banded.groupBy(part, "__band").agg(F.count(F.lit(1)).alias("__cnt"))
-    offsets = (
-        counts.alias("a")
-        .join(
-            F.broadcast(counts.alias("b")),
-            (F.col(f"a.{part}") == F.col(f"b.{part}"))
-            & (F.col("b.__band") < F.col("a.__band")),
-            "left",
-        )
-        .groupBy(F.col(f"a.{part}").alias(part), F.col("a.__band").alias("__band"))
-        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
-    )
-
-    # Ascending local order (price asc, key desc) is the exact reverse of
-    # the target (price desc, key asc): r_desc = n - r_asc + 1.
-    w_local = W.partitionBy(part, "__band").orderBy(
-        F.asc("o_totalprice"), F.desc("o_orderkey")
-    )
-    ranked = (
-        banded.join(F.broadcast(offsets), [part, "__band"])
-        .withColumn("__r_asc", F.col("__off") + F.row_number().over(w_local))
-        .withColumn("__r", F.col("__n") - F.col("__r_asc") + 1)
-    )
-
-    n, r = F.col("__n"), F.col("__r")
-    k = 4
-    size = F.floor(n / k)
-    rem = n % k
-    big = rem * (size + 1)
-    tile = F.when(
-        (r - 1) < big, F.floor((r - 1) / (size + 1)) + 1
-    ).otherwise(rem + F.floor((r - 1 - big) / F.greatest(size, F.lit(1))) + 1)
-    pct = F.when(n == 1, F.lit(0.0)).otherwise(
-        (r - 1).cast("double") / (n - 1).cast("double")
+    ranked = distributed_global_percentiles(
+        base,
+        value_col="__negprice",
+        tiebreak_col="o_orderkey",
+        n_tiles=4,
+        pct_col="pct_rank",
+        cume_col="cume",
+        tile_col="price_quartile",
+        partition_cols=["o_orderpriority"],
     )
     return ranked.select(
         "o_orderkey",
-        part,
+        "o_orderpriority",
         "o_totalprice",
-        tile.cast("bigint").alias("price_quartile"),
-        pct.alias("pct_rank"),
-        (r.cast("double") / n.cast("double")).alias("cume"),
+        F.col("price_quartile").cast("bigint").alias("price_quartile"),
+        "pct_rank",
+        "cume",
     )
 
 

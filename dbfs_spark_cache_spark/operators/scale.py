@@ -88,8 +88,19 @@ def distributed_global_percentiles(
     pct_col: str = "pct_rank",
     cume_col: str = "cume_dist",
     tile_col: str = "tile",
+    partition_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Global percent_rank / cume_dist / ntile WITHOUT a global window.
+
+    With ``partition_cols`` it is the GROUPED variant: distribution ranks
+    within each partition-key combination, for LOW-cardinality keys (a
+    5-value priority, a region, a status) where a plain
+    ``Window.partitionBy(key)`` is partitioned in name only — each key's
+    entire population still sorts in one task. Bounds/counts/offsets then
+    key on (partition, bucket); the broadcast stages stay tiny because
+    |keys| x n_buckets is small — that's the contract. For
+    HIGH-cardinality keys, use a plain window: partitions are already
+    parallel and banding adds cost for nothing.
 
     ``Window.orderBy`` with no partitionBy funnels the whole table through
     one task (Exchange SinglePartition -> one WindowExec) — the classic
@@ -118,7 +129,16 @@ def distributed_global_percentiles(
     """
     from pyspark.sql import Window as W
 
-    bounds = df.agg(F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi"))
+    parts: List[str] = list(partition_cols or [])
+
+    if parts:
+        bounds = df.groupBy(*parts).agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
+    else:
+        bounds = df.agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
     v = F.col(value_col).cast("double")
     step = (F.col("__hi") - F.col("__lo")).cast("double") / n_buckets
     bucket = (
@@ -128,28 +148,41 @@ def distributed_global_percentiles(
             F.least(F.lit(n_buckets - 1), F.floor((v - F.col("__lo")) / step))
         )
     )
-    bucketed = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("__bucket", bucket.cast("int"))
-        .drop("__lo", "__hi")
+    joined = (
+        df.join(F.broadcast(bounds), parts)
+        if parts
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    bucketed = joined.withColumn("__bucket", bucket.cast("int")).drop(
+        "__lo", "__hi"
     )
 
-    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
-    totals = counts.agg(F.sum("__cnt").alias("__n"))
+    counts = bucketed.groupBy(*parts, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    if parts:
+        totals = counts.groupBy(*parts).agg(F.sum("__cnt").alias("__n"))
+    else:
+        totals = counts.agg(F.sum("__cnt").alias("__n"))
+    from functools import reduce as _reduce
+
+    same_part = [F.col(f"a.{p}") == F.col(f"b.{p}") for p in parts]
+    cond = _reduce(
+        lambda a, b: a & b, same_part + [F.col("b.__bucket") < F.col("a.__bucket")]
+    )
     offsets = (
         counts.alias("a")
-        .join(
-            F.broadcast(counts.alias("b")),
-            F.col("b.__bucket") < F.col("a.__bucket"),
-            "left",
+        .join(F.broadcast(counts.alias("b")), cond, "left")
+        .groupBy(
+            *[F.col(f"a.{p}").alias(p) for p in parts],
+            F.col("a.__bucket").alias("__bucket"),
         )
-        .groupBy(F.col("a.__bucket").alias("__bucket"))
         .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
     )
 
-    w_val = W.partitionBy("__bucket").orderBy(value_col)
+    w_val = W.partitionBy(*parts, "__bucket").orderBy(value_col)
     w_le = w_val.rangeBetween(W.unboundedPreceding, W.currentRow)
-    w_det = W.partitionBy("__bucket").orderBy(value_col, tiebreak_col)
+    w_det = W.partitionBy(*parts, "__bucket").orderBy(value_col, tiebreak_col)
 
     n = F.col("__n")
     g_rank = F.col("__offset") + F.rank().over(w_val)
@@ -164,17 +197,19 @@ def distributed_global_percentiles(
     ).otherwise(rem + F.floor((rn - rem * (tile_sz + 1) - 1) / tile_sz) + 1)
 
     out_cols = list(df.columns)
-    return (
-        bucketed.join(F.broadcast(offsets), "__bucket")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            *out_cols,
-            F.when(n == 1, F.lit(0.0))
-            .otherwise((g_rank - 1).cast("double") / (n - 1).cast("double"))
-            .alias(pct_col),
-            (n_le.cast("double") / n.cast("double")).alias(cume_col),
-            tile.cast("long").alias(tile_col),
-        )
+    with_offsets = bucketed.join(F.broadcast(offsets), [*parts, "__bucket"])
+    with_totals = (
+        with_offsets.join(F.broadcast(totals), parts)
+        if parts
+        else with_offsets.crossJoin(F.broadcast(totals))
+    )
+    return with_totals.select(
+        *out_cols,
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((g_rank - 1).cast("double") / (n - 1).cast("double"))
+        .alias(pct_col),
+        (n_le.cast("double") / n.cast("double")).alias(cume_col),
+        tile.cast("long").alias(tile_col),
     )
 
 

@@ -98,7 +98,7 @@ def test_ntile_cume_windows_are_banded(spark, queries):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert specs, "expected a (bounded) local window in the plan"
     for spec in specs:
-        assert "__band" in spec, (
+        assert "__bucket" in spec, (
             f"window not banded: windowspecdefinition({spec}..."
         )
 

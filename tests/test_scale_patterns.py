@@ -133,6 +133,57 @@ def test_distributed_percentiles_match_global_window(spark, values):
     assert got == expected
 
 
+def test_grouped_percentiles_match_partitioned_window(spark):
+    """partition_cols mode must reproduce Spark's own
+    Window.partitionBy(key) distribution functions EXACTLY, across
+    adversarial group shapes living side by side: a singleton group, an
+    all-equal group, a group with tie runs crossing band boundaries, and
+    a group smaller than n_tiles."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+    )
+
+    groups = {
+        "singleton": [5.0],
+        "allequal": [3.0] * 9,
+        "ties": [-2.0, 0.0, 0.0, 0.0, 1.5, 1.5, 9.0, 9.0, 9.0, 9.0, 10.0],
+        "tiny": [2.0, 1.0],  # fewer rows than n_tiles
+    }
+    rows = [
+        (g, i, v)
+        for g, vals in groups.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r.g, r.id): (r.pct_rank, r.cume_dist, r.tile)
+        for r in distributed_global_percentiles(
+            df,
+            value_col="v",
+            tiebreak_col="id",
+            n_buckets=3,
+            n_tiles=4,
+            partition_cols=["g"],
+        ).collect()
+    }
+    w_val = W.partitionBy("g").orderBy("v")
+    w_det = W.partitionBy("g").orderBy("v", "id")
+    expected = {
+        (r.g, r.id): (r.pct_rank, r.cume_dist, r.tile)
+        for r in df.select(
+            "g",
+            "id",
+            F.percent_rank().over(w_val).alias("pct_rank"),
+            F.cume_dist().over(w_val).alias("cume_dist"),
+            F.ntile(4).over(w_det).cast("long").alias("tile"),
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_salt_is_layout_stable(spark):
     """The salt must be a pure function of row content: the same row gets
     the same salt under any partition layout, so a task retry after a
