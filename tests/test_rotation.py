@@ -86,6 +86,28 @@ def test_rotation_advances_after_a_round(monkeypatch):
     )
 
 
+def test_helper_refactor_queries_lead_the_overflow():
+    """_CHANGED_HELPER names (shared helper refactored result-identically,
+    re-verified locally) must not displace genuinely-stale vintages from
+    the window, but must sort ahead of every same-or-fresher vintage, so
+    driver capacity beyond the window re-attests them first."""
+    vintage = entry._vintages()
+    names = list(entry.queries())
+    for n in entry._CHANGED_HELPER:
+        assert n in QUERIES, f"_CHANGED_HELPER name not registered: {n}"
+        pos = names.index(n)
+        before = [
+            m
+            for m in names[:pos]
+            if m not in entry._CHANGED and m not in entry._CHANGED_HELPER
+        ]
+        after = [m for m in names[pos + 1 :] if m not in entry._CHANGED_HELPER]
+        # everything ranked ahead (barring changed/helper peers) is staler
+        assert all(vintage.get(m, 0) < vintage.get(n, 0) for m in before)
+        # nothing staler is left behind it
+        assert all(vintage.get(m, 0) >= vintage.get(n, 0) for m in after)
+
+
 def test_oracles_and_queries_stay_aligned():
     assert set(ORACLES) <= set(QUERIES)
     assert list(entry.oracle_sql()) == [
