@@ -82,6 +82,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="check exactly the current driver verification window "
+        "(the first _WINDOW_SLOTS queries() entries)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -102,6 +108,8 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     selected = [s for s in args.only.split(",") if s]
+    if args.window:
+        selected = list(queries)[: entry_mod._WINDOW_SLOTS]
 
     n_pass = n_fail = n_rows_only = 0
     failures = []
