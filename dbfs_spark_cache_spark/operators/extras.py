@@ -217,25 +217,52 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     Spark's levenshtein and DuckDB's agree exactly — unit edit costs, no
     transpositions.
     """
-    band_width = 4  # > max edit distance 3, so |band diff| <= 1
     part = load_table(spark, sf, "part")
-    a = part.select(
-        F.col("p_partkey").alias("part_a"),
-        F.col("p_brand").alias("brand_a"),
-        F.col("p_name").alias("name_a"),
-        (F.length("p_name") / band_width).cast("int").alias("band_a"),
+    return banded_edit_pairs(
+        part, key_col="p_partkey", block_col="p_brand", name_col="p_name"
     )
-    base_band = (F.length("p_name") / band_width).cast("int")
-    b = part.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_brand").alias("brand_b"),
-        F.col("p_name").alias("name_b"),
+
+
+def banded_edit_pairs(
+    df: DataFrame,
+    key_col: str,
+    block_col: str,
+    name_col: str,
+    max_dist: int = 3,
+    band_width: int = 4,
+) -> DataFrame:
+    """All pairs within ``max_dist`` edits sharing ``block_col``, blocked
+    by (block, length band). Output columns: part_a/part_b (keys),
+    name_a/name_b, edit_dist. band_width must exceed max_dist so any
+    qualifying pair's band keys differ by at most 1 (the probe side fans
+    out to the three adjacent bands). Completeness against a brute-force
+    self-join is pinned on adversarial band-boundary data in
+    tests/test_scale_patterns.py; the fixture query's DuckDB oracle
+    re-proves it on real data every round."""
+    if band_width <= max_dist:
+        raise ValueError(
+            f"band_width ({band_width}) must exceed max_dist ({max_dist}): "
+            "a qualifying pair could otherwise span non-adjacent bands and "
+            "be missed by the 3-band fan-out"
+        )
+    spark = df.sparkSession
+    a = df.select(
+        F.col(key_col).alias("part_a"),
+        F.col(block_col).alias("brand_a"),
+        F.col(name_col).alias("name_a"),
+        (F.length(name_col) / band_width).cast("int").alias("band_a"),
+    )
+    base_band = (F.length(name_col) / band_width).cast("int")
+    b = df.select(
+        F.col(key_col).alias("part_b"),
+        F.col(block_col).alias("brand_b"),
+        F.col(name_col).alias("name_b"),
         F.explode(
             F.array(base_band - 1, base_band, base_band + 1)
         ).alias("band_b"),
     )
     # Thresholded levenshtein (returns -1 above the threshold) early-exits
-    # at O(len * 3) per pair instead of O(len^2); the cheap guards
+    # at O(len * max_dist) per pair instead of O(len^2); the cheap guards
     # (ordering halves the pair space, the length band implies most of the
     # |len diff| filter) sit BEFORE it in the conjunction so codegen
     # short-circuits. The probe side repartitions so the per-block
@@ -243,7 +270,7 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     # otherwise scans as ONE task and serializes every distance eval
     # (at real scale the input splits naturally; this keeps the plan
     # shape honest at bench scale too).
-    dist3 = F.levenshtein("name_a", "name_b", 3)
+    dist_t = F.levenshtein("name_a", "name_b", max_dist)
     return (
         a.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
         .join(
@@ -251,12 +278,12 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("brand_a") == F.col("brand_b"))
             & (F.col("band_a") == F.col("band_b"))
             & (F.col("part_a") < F.col("part_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= 3),
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist),
         )
-        .where(dist3 >= 0)
+        .where(dist_t >= 0)
         .select(
             "part_a", "part_b", "name_a", "name_b",
-            dist3.cast("long").alias("edit_dist"),
+            dist_t.cast("long").alias("edit_dist"),
         )
     )
 

@@ -205,3 +205,63 @@ def test_salt_is_layout_stable(spark):
     assert a == b
     # and the salt actually spreads rows (not constant)
     assert len(set(a.values())) > 1
+
+
+def test_banded_edit_pairs_complete_at_band_boundaries(spark):
+    """Adversarial completeness check for the composite (block, length
+    band) edit-distance blocking: names engineered so qualifying pairs
+    straddle every band boundary (lengths 3/4, 7/8, 11/12 with width 4 —
+    band indexes 0/1, 1/2, 2/3), plus max-gap pairs (|len diff| = 3
+    exactly), identical-length pairs, cross-block decoys, and
+    just-over-threshold pairs. The banded result must equal a brute-force
+    all-pairs filter — the fixture oracle proves this on real data; this
+    pins it on data chosen to break the fan-out arithmetic."""
+    from dbfs_spark_cache_spark.operators.extras import banded_edit_pairs
+
+    rows = [
+        # (key, block, name) — bands at width 4: len 3 -> 0, 4 -> 1, 7 -> 1,
+        # 8 -> 2, 11 -> 2, 12 -> 3
+        (1, "B1", "abc"),            # len 3, band 0
+        (2, "B1", "abcd"),           # len 4, band 1: boundary pair with 1 (dist 1)
+        (3, "B1", "abcdef"),         # len 6, band 1: dist 3 from 1 (max gap)
+        (4, "B1", "abcdefg"),        # len 7, band 1
+        (5, "B1", "abcdefgh"),       # len 8, band 2: boundary pair with 4 (dist 1)
+        (6, "B1", "abcdefghijk"),    # len 11, band 2: dist 3 from 5
+        (7, "B1", "abcdefghijkl"),   # len 12, band 3: boundary pair with 6 (dist 1)
+        (8, "B1", "abcdefghijklmnop"),  # len 16, band 4: beyond threshold from all
+        (9, "B2", "abcd"),           # same name-shape, different block: no pair with 2
+        (10, "B1", "zzzzzzz"),       # len 7, band 1: same band as 4 but dist > 3
+        (11, "B1", "XbcdefgX"),      # len 8: near both bands 1 and 2 members
+    ]
+    df = spark.createDataFrame(rows, ["k", "blk", "nm"])
+
+    banded = {
+        (r.part_a, r.part_b, r.edit_dist)
+        for r in banded_edit_pairs(df, "k", "blk", "nm").collect()
+    }
+
+    a = df.selectExpr("k AS ka", "blk AS ba", "nm AS na")
+    b = df.selectExpr("k AS kb", "blk AS bb", "nm AS nb")
+    brute = {
+        (r.ka, r.kb, r.d)
+        for r in a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ka") < F.col("kb")))
+        .withColumn("d", F.levenshtein("na", "nb").cast("long"))
+        .where(F.col("d") <= 3)
+        .collect()
+    }
+
+    assert banded == brute, (
+        f"banded != brute force: missing={brute - banded} extra={banded - brute}"
+    )
+    # sanity: the adversarial set must actually exercise boundary pairs
+    boundary_pairs = {(1, 2), (4, 5), (6, 7)}
+    assert boundary_pairs <= {(x, y) for x, y, _ in brute}
+
+
+def test_banded_edit_pairs_rejects_unsound_band_width():
+    import pytest as _pytest
+
+    from dbfs_spark_cache_spark.operators.extras import banded_edit_pairs
+
+    with _pytest.raises(ValueError, match="band_width"):
+        banded_edit_pairs(None, "k", "blk", "nm", max_dist=4, band_width=4)
