@@ -366,3 +366,34 @@ def test_lambda_normalization_spares_real_columns(spark, lineitem_copy):
         )
 
     assert canonical_plan(hof()) == canonical_plan(hof())
+
+
+def test_corrupt_metadata_sidecar_heals_on_next_write(spark, clean_cache, lineitem_copy):
+    """A torn/corrupted cache_metadata.txt (partial upload, truncated copy)
+    must not poison the entry: the read path keys on the DataFrame's OWN
+    fingerprint (sidecar existence is only the liveness signal, mirroring
+    the reference's head+tableExists check), so hits keep serving; and the
+    next write_cache sees non-identical metadata bytes, so the
+    skip-if-identical branch does NOT fire and the sidecar is rewritten
+    with the canonical document."""
+    from dbfs_spark_cache_spark import read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    df = _flagship(spark, lineitem_copy)
+    write_cache(df)
+    expected = sorted(map(tuple, df.collect()))
+
+    (entry,) = os.listdir(config.SPARK_CACHE_DIR)
+    meta = f"{config.SPARK_CACHE_DIR}{entry}/cache_metadata.txt"
+    good = open(meta).read()
+    with open(meta, "w") as fh:
+        fh.write(good[: len(good) // 2] + "\x00GARBAGE")
+
+    # Hit still serves (identity comes from the df, not the sidecar bytes).
+    hit = read_cache_if_exist(_flagship(spark, lineitem_copy))
+    assert hit is not None
+    assert sorted(map(tuple, hit.collect())) == expected
+
+    # The next write repairs the sidecar back to the canonical document.
+    write_cache(_flagship(spark, lineitem_copy))
+    assert open(meta).read() == good
