@@ -38,6 +38,24 @@ from .plans.fingerprint import (
 
 log = logging.getLogger(__name__)
 
+# Per-cache-key write locks: Spark drivers legitimately run jobs from many
+# threads (our own staged pipelines do), and two concurrent ``overwrite``
+# writes to one table location can interleave their delete/commit phases
+# into a mix of both jobs' part-files. Serializing per key turns the race
+# into first-writer-writes / later-writers-hit-skip-if-identical (the
+# metadata document is content-addressed, so all racers carry identical
+# bytes). Cross-process writers on a shared filesystem still race exactly
+# like the reference; a transactional CACHE_FORMAT (delta) closes that too.
+import threading
+
+_KEY_LOCKS: dict = {}
+_KEY_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for_key(key: str) -> threading.Lock:
+    with _KEY_LOCKS_GUARD:
+        return _KEY_LOCKS.setdefault(key, threading.Lock())
+
 
 def exc_summary(exc: BaseException, width: int = 120) -> str:
     """First line of an exception message, safe for exceptions whose
@@ -219,14 +237,18 @@ def write_cache(
     )
     table = table_name_for_hash(key)
 
-    existing = fs.read_text(metadata_path)
-    if existing == metadata_txt and _read_cache_table(spark, key) is not None:
-        log.info("Cache %s already current; skipping write", key)
-    else:
-        if existing is not None and existing != metadata_txt:
-            log.info("Cache %s metadata changed; rewriting", key)
-        _save_as_cache_table(df, table, key, partition_by=partition_by)
-        fs.write_text(metadata_path, metadata_txt)
+    with _lock_for_key(key):
+        # Probe INSIDE the lock: a racer that lost the lock re-reads the
+        # winner's (identical, content-addressed) metadata and skips the
+        # duplicate distributed write entirely.
+        existing = fs.read_text(metadata_path)
+        if existing == metadata_txt and _read_cache_table(spark, key) is not None:
+            log.info("Cache %s already current; skipping write", key)
+        else:
+            if existing is not None and existing != metadata_txt:
+                log.info("Cache %s metadata changed; rewriting", key)
+            _save_as_cache_table(df, table, key, partition_by=partition_by)
+            fs.write_text(metadata_path, metadata_txt)
 
     if replace:
         cached = _read_cache_table(spark, key)
@@ -376,20 +398,21 @@ def create_cached_dataframe(
     cache_dir = f"{config.SPARK_CACHE_DIR}{cache_hash_name}/"
     metadata_path = f"{cache_dir}cache_metadata.txt"
 
-    cached = _read_cache_table(spark, cache_hash_name)
-    if cached is not None and fs.read_text(metadata_path) is not None:
-        log.info("Direct-data cache hit: %s", table)
-    else:
-        log.info("Direct-data cache miss; creating %s", table)
-        source = spark.createDataFrame(data, schema=schema, **kwargs)
-        _save_as_cache_table(source, table, cache_hash_name)
-        metadata_txt = (
-            "CACHE TYPE: Direct Data Input\n"
-            f"DATA HASH: {data_hash}\n"
-            f"CREATION TIME: {datetime.now():%Y-%m-%d %H:%M:%S}"
-        )
-        fs.write_text(metadata_path, metadata_txt)
-        cached = spark.read.table(table)
+    with _lock_for_key(cache_hash_name):
+        cached = _read_cache_table(spark, cache_hash_name)
+        if cached is not None and fs.read_text(metadata_path) is not None:
+            log.info("Direct-data cache hit: %s", table)
+        else:
+            log.info("Direct-data cache miss; creating %s", table)
+            source = spark.createDataFrame(data, schema=schema, **kwargs)
+            _save_as_cache_table(source, table, cache_hash_name)
+            metadata_txt = (
+                "CACHE TYPE: Direct Data Input\n"
+                f"DATA HASH: {data_hash}\n"
+                f"CREATION TIME: {datetime.now():%Y-%m-%d %H:%M:%S}"
+            )
+            fs.write_text(metadata_path, metadata_txt)
+            cached = spark.read.table(table)
 
     assert cached is not None
     setattr(cached, "_is_direct_data_cache", True)

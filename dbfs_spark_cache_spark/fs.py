@@ -171,20 +171,58 @@ def read_text(path: str) -> Optional[str]:
         return None
 
 
+def _temp_sibling(path: str) -> str:
+    """A writer-unique temp name in the same directory as ``path`` (rename
+    is only atomic within a filesystem/directory)."""
+    import threading
+
+    return f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+
+
 def write_text(path: str, content: str) -> None:
+    """Write ``content`` so that no reader can ever observe a torn file.
+
+    Concurrent readers of a metadata sidecar (another session probing the
+    same cache key mid-update) must see either the old document or the new
+    one — a half-written sidecar reads as a corrupt entry. Locally that is
+    ``os.replace`` (atomic POSIX rename). On Hadoop filesystems the temp
+    file is renamed into place; HDFS rename is atomic, and where the target
+    must be deleted first the transient state is *absence* (a clean cache
+    miss for readers), never a torn read.
+    """
     if is_local(path):
         local = strip_scheme(path)
         os.makedirs(os.path.dirname(local), exist_ok=True)
-        with open(local, "w", encoding="utf-8") as fh:
-            fh.write(content)
+        tmp = _temp_sibling(local)
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(content)
+            os.replace(tmp, local)
+        finally:
+            if os.path.exists(tmp):  # replace failed; don't leak the temp
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         return
     jfs, jpath = _active_jvm_fs(path)
     jfs.mkdirs(jpath.getParent())
-    stream = jfs.create(jpath, True)
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm  # type: ignore[union-attr]
+    jtmp = jvm.org.apache.hadoop.fs.Path(_temp_sibling(path))
+    stream = jfs.create(jtmp, True)
     try:
         stream.write(bytearray(content.encode("utf-8")))
     finally:
         stream.close()
+    # Hadoop rename does not overwrite: clear the target first. The
+    # reader-visible intermediate state is a missing sidecar (= miss).
+    if jfs.exists(jpath):
+        jfs.delete(jpath, False)
+    if not jfs.rename(jtmp, jpath):
+        jfs.delete(jtmp, False)
+        raise OSError(f"rename {jtmp} -> {jpath} failed")
 
 
 def remove(path: str, recursive: bool = True) -> bool:

@@ -397,3 +397,123 @@ def test_corrupt_metadata_sidecar_heals_on_next_write(spark, clean_cache, lineit
     # The next write repairs the sidecar back to the canonical document.
     write_cache(_flagship(spark, lineitem_copy))
     assert open(meta).read() == good
+
+
+def test_concurrent_writers_one_write_all_correct(spark, clean_cache, lineitem_copy):
+    """Four threads race write_cache on the same fingerprint. The per-key
+    lock (core._lock_for_key) serializes them and the in-lock re-probe
+    makes the losers take skip-if-identical: exactly ONE distributed write
+    happens, every caller gets the correct cached rows, and the sidecar
+    holds the canonical document. (Spark drivers legitimately run jobs
+    from many threads; unserialized `overwrite` writes to one location can
+    interleave their delete/commit phases.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dbfs_spark_cache_spark import core, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    expected = sorted(map(tuple, _flagship(spark, lineitem_copy).collect()))
+
+    writes = []
+    real_save = core._save_as_cache_table
+
+    def counting_save(*a, **kw):
+        writes.append(1)
+        return real_save(*a, **kw)
+
+    core._save_as_cache_table = counting_save
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            results = list(
+                ex.map(
+                    lambda _: sorted(
+                        map(tuple, write_cache(_flagship(spark, lineitem_copy)).collect())
+                    ),
+                    range(4),
+                )
+            )
+    finally:
+        core._save_as_cache_table = real_save
+
+    assert len(writes) == 1
+    assert all(r == expected for r in results)
+
+    (entry,) = os.listdir(config.SPARK_CACHE_DIR)
+    meta_doc = open(f"{config.SPARK_CACHE_DIR}{entry}/cache_metadata.txt").read()
+    assert meta_doc.startswith("INPUT SOURCES MODIFICATION DATETIMES:")
+    assert "DATAFRAME QUERY PLAN:" in meta_doc
+
+
+def test_write_text_is_atomic_under_concurrent_reads(tmp_path):
+    """A reader polling the sidecar while a writer flips it between two
+    documents must only ever observe a complete document (or absence) —
+    never a torn mix. Pins the temp+os.replace contract of fs.write_text."""
+    import threading
+
+    from dbfs_spark_cache_spark import fs
+
+    path = str(tmp_path / "meta" / "cache_metadata.txt")
+    doc_a = "DOC-A\n" + ("a" * 64 + "\n") * 200
+    doc_b = "DOC-B\n" + ("b" * 64 + "\n") * 200
+
+    stop = threading.Event()
+    torn = []
+
+    def reader():
+        while not stop.is_set():
+            seen = fs.read_text(path)
+            if seen is not None and seen not in (doc_a, doc_b):
+                torn.append(seen[:80])
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(300):
+            fs.write_text(path, doc_a)
+            fs.write_text(path, doc_b)
+    finally:
+        stop.set()
+        t.join()
+
+    assert torn == [], f"reader observed a torn document: {torn!r}"
+    assert fs.read_text(path) == doc_b
+    # No leaked temp siblings.
+    assert [p for p in os.listdir(tmp_path / "meta") if ".tmp." in p] == []
+
+
+def test_concurrent_direct_data_cache_single_materialization(spark, clean_cache):
+    """createCachedDataFrame racers on identical driver-local data share
+    one materialization: the content hash is the key, so the lock +
+    in-lock re-probe gives one save and N hits."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pandas as pd
+
+    from dbfs_spark_cache_spark import core, create_cached_dataframe
+
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": ["x", "y", "z"]})
+
+    writes = []
+    real_save = core._save_as_cache_table
+
+    def counting_save(*a, **kw):
+        writes.append(1)
+        return real_save(*a, **kw)
+
+    core._save_as_cache_table = counting_save
+    try:
+        with ThreadPoolExecutor(4) as ex:
+            results = list(
+                ex.map(
+                    lambda _: sorted(
+                        map(tuple, create_cached_dataframe(spark, pdf).collect())
+                    ),
+                    range(4),
+                )
+            )
+    finally:
+        core._save_as_cache_table = real_save
+
+    assert len(writes) == 1
+    assert all(r == [(1, "x"), (2, "y"), (3, "z")] for r in results)
