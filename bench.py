@@ -126,22 +126,40 @@ def main() -> None:
     # Cache-engine profile on the multi-operator flagship query. DataFrame
     # construction (file listing + analysis) happens outside the timers:
     # BASELINE's methodology times repeated actions on a built DataFrame.
+    # The trio (uncached / write+read / hit) is measured twice against
+    # DISJOINT cache namespaces — a write is one-shot per key, so a repeat
+    # needs a fresh key space — and the attempt with the faster uncached
+    # run wins whole (ratios must come from one self-consistent trio; the
+    # per-query escalation rule above cannot cover these single-shot
+    # phases, and one contended attempt previously skewed the profile).
     flagship = QUERIES["flagship_wide"]
 
-    df_a = flagship(spark, SF_DIR)
-    t0 = time.time()
-    materialize(df_a)
-    t_uncached = time.time() - t0
+    def profile_attempt(i: int) -> tuple:
+        reconfigure(
+            SPARK_CACHE_DIR=f"{bench_root}/cache{i}/",
+            CACHE_DATABASE=f"bench_cache_db{i}",
+        )
+        spark.sql(f"DROP DATABASE IF EXISTS bench_cache_db{i} CASCADE")
 
-    df_b = flagship(spark, SF_DIR)
-    t0 = time.time()
-    materialize(cache_dataframe(df_b, override_prefer_spark_cache=True))
-    t_write_and_read = time.time() - t0
+        df_a = flagship(spark, SF_DIR)
+        t0 = time.time()
+        materialize(df_a)
+        t_uncached = time.time() - t0
 
-    df_c = flagship(spark, SF_DIR)
-    t0 = time.time()
-    materialize(cache_dataframe(df_c, override_prefer_spark_cache=True))
-    t_hit = time.time() - t0
+        df_b = flagship(spark, SF_DIR)
+        t0 = time.time()
+        materialize(cache_dataframe(df_b, override_prefer_spark_cache=True))
+        t_write_and_read = time.time() - t0
+
+        df_c = flagship(spark, SF_DIR)
+        t0 = time.time()
+        materialize(cache_dataframe(df_c, override_prefer_spark_cache=True))
+        t_hit = time.time() - t0
+        return t_uncached, t_write_and_read, t_hit
+
+    t_uncached, t_write_and_read, t_hit = min(
+        (profile_attempt(i) for i in range(2)), key=lambda t: t[0]
+    )
 
     timings["cache_uncached_run"] = round(t_uncached, 3)
     timings["cache_write_and_read"] = round(t_write_and_read, 3)
