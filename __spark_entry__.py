@@ -57,6 +57,16 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 # Round-N maintenance is now exactly one step: replace _CHANGED with the
 # names whose implementation changed this round (new queries need no
 # entry — a never-verified query has vintage 0 and auto-sorts first).
+#
+# CAPACITY (read before adding queries or editing query impls): with 147
+# registered queries, 50 slots/round, and a <=2-round freshness bar, the
+# steady-state rotation verifies each query every 3rd round with only
+# 150 - 147 = 3 slots of slack. Every NEW query and every CHANGED query
+# consumes one slot and defers one stale query past the bar. Budget for
+# r7 (and every round after): at most ~3 additions + changes combined.
+# Prefer slot-free work: engine/streaming/scale features are pytest-
+# graded and cost nothing here. r6 spent its window exactly: 3 changed +
+# 20 new + 27 r3-stale = 50.
 _CHANGED = [
     # r6 code changes to already-green queries:
     # composite (brand, length-band) blocking replaced brand-only blocking
