@@ -282,6 +282,7 @@ def stream_purchase_view_pairs(
     views: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join: each purchase matched to the same
     user's views from the preceding ``horizon`` — attribution joins where
@@ -296,6 +297,13 @@ def stream_purchase_view_pairs(
     state would grow with the stream; with it, steady-state memory is
     (event rate x (watermark + horizon)) per side regardless of stream
     length. Emits matched pairs in append mode.
+
+    ``how="left_outer"`` additionally emits never-matched purchases with
+    null view columns — but only once the global watermark passes the
+    purchase's event time, because until then a matching view could still
+    arrive. Purchases newer than the final watermark therefore stay
+    buffered in state and are NOT emitted in a finite run; the
+    batch-parity test pins exactly that boundary.
     """
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
@@ -312,7 +320,7 @@ def stream_purchase_view_pairs(
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_ts") < F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select(
         "purchase_id",
         "view_id",

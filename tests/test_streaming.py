@@ -560,3 +560,76 @@ def test_available_now_incremental_batch(spark, tmp_path):
     # the second run contributed new batch ids, not re-deliveries
     assert sunk.select("_batch_id").distinct().count() >= 2
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_stream_left_outer_join_emits_after_watermark(spark):
+    """Left-outer stream-stream join: matched pairs equal the batch inner
+    join exactly; never-matched purchases emit null-padded — but ONLY
+    those whose event time the final global watermark has passed (a newer
+    purchase could still meet a matching view, so it stays in state).
+    Pins the eviction boundary, the subtlest outer-join semantic."""
+    import datetime
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_purchase_view_pairs,
+    )
+
+    purchases = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    views = read_events_stream(spark, SF_SMOKE).where(
+        F.col("event_type") == "view"
+    )
+    result = run_to_memory_sink(
+        stream_purchase_view_pairs(purchases, views, how="left_outer"),
+        "t_ss_left_join",
+        output_mode="append",
+    )
+    rows = result.collect()
+    got_pairs = {(r.purchase_id, r.view_id) for r in rows if r.view_id is not None}
+    got_unmatched = {r.purchase_id for r in rows if r.view_id is None}
+
+    ev = _batch_events(spark)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    expected_pairs = {
+        (r.purchase_id, r.view_id)
+        for r in joined.where(F.col("view_id").isNotNull()).collect()
+    }
+    unmatched_ts = {
+        r.purchase_id: r.p_ts
+        for r in joined.where(F.col("view_id").isNull()).collect()
+    }
+
+    # Global watermark after draining both (equal-delay) inputs.
+    max_p = p.agg(F.max("p_ts")).first()[0]
+    max_v = v.agg(F.max("v_ts")).first()[0]
+    final_wm = min(max_p, max_v) - datetime.timedelta(hours=2)
+
+    assert got_pairs == expected_pairs
+    # Emitted unmatched rows are genuine batch-unmatched purchases, none
+    # newer than the final watermark (state still open for those).
+    assert got_unmatched <= set(unmatched_ts)
+    margin = datetime.timedelta(seconds=1)
+    assert all(unmatched_ts[pid] <= final_wm + margin for pid in got_unmatched)
+    # Everything safely below the final watermark HAS been flushed.
+    must_emit = {pid for pid, ts in unmatched_ts.items() if ts < final_wm - margin}
+    assert must_emit, "fixture should contain unmatched purchases below the watermark"
+    assert must_emit <= got_unmatched
