@@ -479,3 +479,76 @@ def _infer_output_mode(df: DataFrame) -> str:
     if "Aggregate" in plan:
         return "complete"
     return "append"
+
+
+def exactly_once_append_sink(base_path: str):
+    """foreachBatch function with a per-batch commit ledger: Spark's
+    checkpoint redelivers a batch id at-least-once after a sink-side
+    crash; this sink collapses redelivery to exactly-once file output
+    for NON-transactional stores (on Delta, ``txnAppId``/``txnVersion``
+    replaces all of this).
+
+    Protocol, crash-safe at every step:
+      1. a redelivered id whose ledger marker exists returns before
+         touching data (the batch is fully committed);
+      2. data lands in a per-batch directory with ``overwrite`` — a crash
+         between data and marker leaves a partial dir that the redelivery
+         simply overwrites (same id, same checkpointed content);
+      3. the marker commits LAST, via the atomic rename in
+         ``fs.write_text``, so a marker's existence always means complete
+         data.
+    One marker file per batch id — no read-modify-write on a shared
+    ledger document, so concurrent sinks on disjoint ids never conflict.
+    Readers that want the exactly-once view go through
+    :func:`read_exactly_once_output`, which lists the ledger and reads
+    only committed batch directories.
+    """
+    from .. import fs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{base_path}/_committed/{batch_id}.txt"
+        if fs.read_text(marker) is not None:
+            return
+        batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+        fs.write_text(marker, f"batch {batch_id} committed")
+
+    return write_batch
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drive ``stream_df`` into :func:`exactly_once_append_sink` under a
+    checkpoint. ``available_now`` (default) drains the current backlog and
+    stops — the scheduled-incremental-batch pattern; pass False to leave
+    the query running and manage its lifecycle yourself."""
+    writer = stream_df.writeStream.foreachBatch(
+        exactly_once_append_sink(base_path)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
+    """The exactly-once view of an :func:`exactly_once_append_sink`
+    output: only batch directories whose ledger marker committed. Returns
+    None when nothing has committed yet. Partial directories from a
+    crashed batch are invisible until their redelivery commits."""
+    from .. import fs
+
+    committed = sorted(
+        int(s.name[: -len(".txt")])
+        for s in fs.list_dir(f"{base_path}/_committed")
+        if s.name.endswith(".txt")
+    )
+    if not committed:
+        return None
+    return spark.read.option("basePath", base_path).parquet(
+        *[f"{base_path}/batch_id={i}" for i in committed]
+    )

@@ -633,3 +633,48 @@ def test_stream_stream_left_outer_join_emits_after_watermark(spark):
     must_emit = {pid for pid, ts in unmatched_ts.items() if ts < final_wm - margin}
     assert must_emit, "fixture should contain unmatched purchases below the watermark"
     assert must_emit <= got_unmatched
+
+
+def test_exactly_once_sink_end_to_end_and_redelivery(spark, tmp_path):
+    """The commit-ledger foreachBatch sink: (1) a drained stream's
+    committed output equals the batch row set; (2) a redelivered batch id
+    short-circuits on its marker — even with different data, output is
+    unchanged; (3) a crash between data and marker (partial dir, no
+    marker) is invisible to readers and healed by redelivery overwrite."""
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+        read_events_stream,
+        write_stream_exactly_once,
+    )
+
+    base = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_stream_exactly_once(stream, base, ckpt)
+
+    got = read_exactly_once_output(spark, base)
+    assert got is not None
+    batch = _batch_events(spark).select("event_id", "user_id", "event_type", "value")
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+    # (2) redelivery of a committed id is a no-op, even with other data.
+    committed_rows = got.count()
+    sink = exactly_once_append_sink(base)
+    decoy = batch.limit(5)
+    sink(decoy, 0)  # batch 0 already committed by the stream run
+    refreshed = read_exactly_once_output(spark, base)
+    assert refreshed.count() == committed_rows
+
+    # (3) crash mid-batch: data dir written, marker never committed.
+    partial_id = 9999
+    decoy.write.mode("overwrite").parquet(f"{base}/batch_id={partial_id}")
+    invisible = read_exactly_once_output(spark, base)
+    assert invisible.count() == committed_rows  # reader can't see it
+    sink(batch.limit(3), partial_id)  # redelivery overwrites + commits
+    healed = read_exactly_once_output(spark, base)
+    assert healed.count() == committed_rows + 3
