@@ -517,3 +517,40 @@ def test_concurrent_direct_data_cache_single_materialization(spark, clean_cache)
 
     assert len(writes) == 1
     assert all(r == [(1, "x"), (2, "y"), (3, "z")] for r in results)
+
+
+def test_failed_table_write_leaves_no_sidecar(spark, clean_cache, lineitem_copy):
+    """Metadata commits AFTER the table write: if the distributed write
+    dies, no sidecar may exist (a sidecar is the liveness signal — one
+    without a table would read as a broken entry), and the next attempt
+    must retry the write and heal the entry completely."""
+    from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config
+
+    real_save = core._save_as_cache_table
+
+    def failing_save(*a, **kw):
+        raise RuntimeError("simulated executor failure mid-write")
+
+    core._save_as_cache_table = failing_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated"):
+            write_cache(_flagship(spark, lineitem_copy))
+    finally:
+        core._save_as_cache_table = real_save
+
+    # No sidecar anywhere — the entry simply does not exist yet.
+    leftovers = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(config.SPARK_CACHE_DIR)
+        for f in files
+    ]
+    assert leftovers == []
+    assert read_cache_if_exist(_flagship(spark, lineitem_copy)) is None
+
+    # Retry heals: full write, correct rows, sidecar present.
+    cached = write_cache(_flagship(spark, lineitem_copy))
+    expected = sorted(map(tuple, _flagship(spark, lineitem_copy).collect()))
+    assert sorted(map(tuple, cached.collect())) == expected
+    (entry,) = os.listdir(config.SPARK_CACHE_DIR)
+    assert os.path.exists(f"{config.SPARK_CACHE_DIR}{entry}/cache_metadata.txt")
