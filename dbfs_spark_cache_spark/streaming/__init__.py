@@ -509,6 +509,11 @@ def exactly_once_append_sink(base_path: str):
         marker = f"{base_path}/_committed/{batch_id}.txt"
         if fs.read_text(marker) is not None:
             return
+        # A compacted id's marker is folded into the manifest (see
+        # compact_commit_ledger) — redelivery must still short-circuit.
+        manifest_ids, _ = _ledger_state(fs, base_path)
+        if batch_id in manifest_ids:
+            return
         batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
         fs.write_text(marker, f"batch {batch_id} committed")
 
@@ -542,13 +547,55 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
     crashed batch are invisible until their redelivery commits."""
     from .. import fs
 
-    committed = sorted(
-        int(s.name[: -len(".txt")])
-        for s in fs.list_dir(f"{base_path}/_committed")
-        if s.name.endswith(".txt")
-    )
+    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    committed = sorted(manifest_ids | marker_ids)
     if not committed:
         return None
     return spark.read.option("basePath", base_path).parquet(
         *[f"{base_path}/batch_id={i}" for i in committed]
     )
+
+
+_LEDGER_MANIFEST = "manifest.txt"
+
+
+def _ledger_state(fs_mod, base_path: str):
+    """(manifest_ids, marker_ids) for an exactly-once sink ledger."""
+    ledger = f"{base_path}/_committed"
+    manifest_ids: set = set()
+    manifest_txt = fs_mod.read_text(f"{ledger}/{_LEDGER_MANIFEST}")
+    if manifest_txt:
+        manifest_ids = {int(line) for line in manifest_txt.split() if line.strip()}
+    marker_ids = {
+        int(s.name[: -len(".txt")])
+        for s in fs_mod.list_dir(ledger)
+        if s.name.endswith(".txt") and s.name != _LEDGER_MANIFEST
+    }
+    return manifest_ids, marker_ids
+
+
+def compact_commit_ledger(base_path: str) -> int:
+    """Fold per-batch marker files into one manifest document.
+
+    The ledger grows one marker per micro-batch; on an always-on stream
+    that is ~10k files/week of listing overhead. Compaction rewrites the
+    manifest to the union of (previous manifest + current markers) via
+    the atomic ``fs.write_text`` rename, THEN deletes the folded markers
+    — crash-safe in both directions: dying before the manifest rename
+    leaves all markers in place (old state), dying mid-marker-delete
+    leaves ids present in both (the reader unions, so duplicates in the
+    ledger never mean duplicate data). A sink writer racing compaction is
+    also safe: its marker lands either before the listing (folded now) or
+    after (folded next time). Returns the number of markers folded.
+    """
+    from .. import fs
+
+    ledger = f"{base_path}/_committed"
+    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    if not marker_ids:
+        return 0
+    merged = sorted(manifest_ids | marker_ids)
+    fs.write_text(f"{ledger}/{_LEDGER_MANIFEST}", "\n".join(map(str, merged)))
+    for i in marker_ids:
+        fs.remove(f"{ledger}/{i}.txt")
+    return len(marker_ids)

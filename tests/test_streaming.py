@@ -1,6 +1,8 @@
 """Structured Streaming smoke + batch-parity: the streaming window queries
 must produce the same aggregates as their batch twins once the stream is
 fully processed."""
+import os
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, TESTDATA
@@ -678,3 +680,45 @@ def test_exactly_once_sink_end_to_end_and_redelivery(spark, tmp_path):
     sink(batch.limit(3), partial_id)  # redelivery overwrites + commits
     healed = read_exactly_once_output(spark, base)
     assert healed.count() == committed_rows + 3
+
+
+def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
+    """Folding per-batch markers into the manifest must not change the
+    committed view, must keep redelivery of a folded id a no-op, and must
+    keep accepting (and later folding) new batches."""
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        exactly_once_append_sink,
+        read_events_stream,
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    base = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    write_stream_exactly_once(stream, base, ckpt)
+    before = read_exactly_once_output(spark, base).count()
+    assert before > 0
+
+    folded = compact_commit_ledger(base)
+    assert folded >= 1
+    ledger_files = os.listdir(f"{base}/_committed")
+    assert ledger_files == ["manifest.txt"]  # every marker folded
+    assert read_exactly_once_output(spark, base).count() == before
+
+    # Redelivery of a folded id: still a no-op (manifest consulted).
+    sink = exactly_once_append_sink(base)
+    sink(_batch_events(spark).select("event_id", "user_id", "event_type", "value").limit(7), 0)
+    assert read_exactly_once_output(spark, base).count() == before
+
+    # A genuinely new batch still lands, and the next compaction folds it.
+    sink(_batch_events(spark).select("event_id", "user_id", "event_type", "value").limit(4), 555)
+    assert read_exactly_once_output(spark, base).count() == before + 4
+    assert compact_commit_ledger(base) == 1
+    assert os.listdir(f"{base}/_committed") == ["manifest.txt"]
+    assert read_exactly_once_output(spark, base).count() == before + 4
+    # Idempotent when nothing new to fold.
+    assert compact_commit_ledger(base) == 0
