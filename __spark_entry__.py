@@ -86,8 +86,16 @@ _CHANGED = [
 # driver capacity beyond the window re-attests them before anything fresh.
 # r6: scale.distributed_global_percentiles grew a grouped
 # (partition_cols) mode; the ungrouped path window_percentiles uses is the
-# same algorithm with parts=[].
-_CHANGED_HELPER = ["window_percentiles"]
+# same algorithm with parts=[]. The three cache-staged queries route
+# through core.write_cache, whose r6 concurrency hardening (per-key lock,
+# atomic sidecar rename) is semantics-free — re-attested exact at
+# sf0.001 + sf0.01 post-change.
+_CHANGED_HELPER = [
+    "window_percentiles",
+    "pipeline_dedup_survivors",
+    "pipeline_training_corpus",
+    "dedup_incremental_vs_corpus",
+]
 
 _WINDOW_SLOTS = 50
 
