@@ -219,3 +219,51 @@ def test_minhash_family_estimates_jaccard(base, keep_fraction):
     est = sum(1 for x, y in zip(ma, mb) if x == y) / len(ma)
     # 32 permutations: std ~ sqrt(j(1-j)/32) <= 0.09; allow 4 sigma.
     assert abs(est - true_j) <= 0.36
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("commit"), st.integers(0, 30)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_commit_ledger_never_loses_or_duplicates_ids(ops):
+    """The exactly-once sink's ledger under arbitrary commit/compact
+    interleavings: the committed-id view (manifest union markers) always
+    equals the set of ids ever committed — compaction neither drops ids
+    nor resurrects them, and re-committing an id is absorbed by the set
+    semantics."""
+    import tempfile
+
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.streaming import (
+        _LEDGER_MANIFEST,
+        _ledger_state,
+        compact_commit_ledger,
+    )
+
+    with tempfile.TemporaryDirectory() as base:
+        committed: set = set()
+        for op, arg in ops:
+            if op == "commit":
+                # Mirror the sink's redelivery short-circuit: marker or
+                # manifest hit -> no-op (a folded id must not re-mark).
+                manifest_ids, marker_ids = _ledger_state(fs, base)
+                if arg not in manifest_ids and arg not in marker_ids:
+                    fs.write_text(
+                        f"{base}/_committed/{arg}.txt", f"batch {arg} committed"
+                    )
+                committed.add(arg)
+            else:
+                folded = compact_commit_ledger(base)
+                manifest_ids, marker_ids = _ledger_state(fs, base)
+                if folded:
+                    assert marker_ids == set()  # every marker folded
+            manifest_ids, marker_ids = _ledger_state(fs, base)
+            assert manifest_ids | marker_ids == committed
+            assert manifest_ids & marker_ids == set()  # no id in both tiers
