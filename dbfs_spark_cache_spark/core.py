@@ -100,12 +100,22 @@ def _save_as_cache_table(
     table: str,
     hash_name: str,
     partition_by: Optional[List[str]] = None,
+    bucket_by: Optional[List[str]] = None,
+    n_buckets: int = 16,
+    bucket_sort_by: Optional[List[str]] = None,
 ) -> None:
     """Materialize a DataFrame as a managed columnar table.
 
     Unpartitioned overwrite, like the reference. At 100 TB callers should
     pre-``repartition`` on a natural key before caching; the write itself is
     a single distributed job either way.
+
+    ``bucket_by`` buckets (and optionally sorts) the materialized table by
+    its join key: downstream joins between same-bucketed cached tables run
+    WITHOUT a shuffle on either side (see ``operators.scale.write_bucketed``
+    — this is that pre-computation fused into the cache write). Bucketing
+    metadata lives in the catalog; the path-read fallback still returns
+    correct rows but loses the shuffle elimination.
 
     Durability note: with Spark's default in-memory catalog the table entry
     dies with the session while its files survive in the warehouse. A stale
@@ -127,6 +137,10 @@ def _save_as_cache_table(
             # full scan; partitioning on a natural key turns filtered
             # re-reads into partition-pruned scans.
             writer = writer.partitionBy(*partition_by)
+        if bucket_by:
+            writer = writer.bucketBy(n_buckets, *bucket_by)
+            if bucket_sort_by:
+                writer = writer.sortBy(*bucket_sort_by)
         return writer
 
     try:
@@ -218,6 +232,9 @@ def write_cache(
     hash_name: Optional[str] = None,
     cache_path: Optional[str] = None,
     partition_by: Optional[List[str]] = None,
+    bucket_by: Optional[List[str]] = None,
+    n_buckets: int = 16,
+    bucket_sort_by: Optional[List[str]] = None,
     verbose: bool = False,
 ) -> DataFrame:
     """Materialize ``df`` under its content hash and return the cached scan.
@@ -225,8 +242,10 @@ def write_cache(
     Skips the (expensive, distributed) write when the stored metadata is
     byte-identical — the cache is already current (reference:
     core_caching.py:100-102). ``partition_by`` partitions the materialized
-    table (partition-pruned re-reads at scale); it does not participate in
-    the fingerprint — same result, same cache key, regardless of layout.
+    table (partition-pruned re-reads at scale) and ``bucket_by``/
+    ``n_buckets``/``bucket_sort_by`` bucket it by a join key (shuffle-free
+    joins between same-bucketed caches); layout options do not participate
+    in the fingerprint — same result, same cache key, regardless of layout.
     """
     spark = df.sparkSession
     plan = query_plan or canonical_plan(df)
@@ -247,7 +266,15 @@ def write_cache(
         else:
             if existing is not None and existing != metadata_txt:
                 log.info("Cache %s metadata changed; rewriting", key)
-            _save_as_cache_table(df, table, key, partition_by=partition_by)
+            _save_as_cache_table(
+                df,
+                table,
+                key,
+                partition_by=partition_by,
+                bucket_by=bucket_by,
+                n_buckets=n_buckets,
+                bucket_sort_by=bucket_sort_by,
+            )
             fs.write_text(metadata_path, metadata_txt)
 
     if replace:
@@ -365,6 +392,9 @@ def cache_dataframe(
         hash_name=kwargs.get("hash_name"),
         cache_path=kwargs.get("cache_path"),
         partition_by=kwargs.get("partition_by"),
+        bucket_by=kwargs.get("bucket_by"),
+        n_buckets=kwargs.get("n_buckets", 16),
+        bucket_sort_by=kwargs.get("bucket_sort_by"),
         verbose=verbose,
     )
 

@@ -265,3 +265,42 @@ def test_banded_edit_pairs_rejects_unsound_band_width():
 
     with _pytest.raises(ValueError, match="band_width"):
         banded_edit_pairs(None, "k", "blk", "nm", max_dist=4, band_width=4)
+
+
+def test_bucketed_cache_write_joins_without_shuffle(spark, clean_cache):
+    """cache-level bucketing: two caches written bucket_by the same key
+    join shuffle-free through their catalog scans, the fingerprint is
+    layout-independent (same key bucketed or not), and the hit path
+    returns the bucketed table."""
+    from dbfs_spark_cache_spark import resolve_table_hash, write_cache
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+
+    # Layout must not shift the content hash.
+    assert resolve_table_hash(orders) == resolve_table_hash(orders)
+    h_plain = resolve_table_hash(orders)
+
+    c_orders = write_cache(orders, bucket_by=["o_orderkey"], n_buckets=8,
+                           bucket_sort_by=["o_orderkey"])
+    c_li = write_cache(li, bucket_by=["o_orderkey"], n_buckets=8)
+    assert resolve_table_hash(orders) == h_plain
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = c_orders.join(c_li, "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, "bucketed caches still shuffle"
+        assert "Bucketed: true" in plan
+        expected = (
+            orders.join(li, "o_orderkey").count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
