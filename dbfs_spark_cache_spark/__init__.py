@@ -18,9 +18,11 @@ from .complexity import estimate_compute_complexity  # noqa: F401
 from .config import config, reconfigure  # noqa: F401
 from .core import (  # noqa: F401
     cache_dataframe,
+    cache_session_stats,
     create_cached_dataframe,
     ensure_cache_database,
     read_cache_if_exist,
+    reset_cache_session_stats,
     table_name_for_hash,
     write_cache,
 )

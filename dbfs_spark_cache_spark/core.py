@@ -57,6 +57,43 @@ def _lock_for_key(key: str) -> threading.Lock:
         return _KEY_LOCKS.setdefault(key, threading.Lock())
 
 
+# Session-level cache effectiveness counters [NS]: at 100 TB a pipeline
+# whose hit rate silently drops to zero pays full recompute on every run —
+# these make that visible without log spelunking. Driver-side only, one
+# dict bump per cache_dataframe/write_cache call; never on the data path.
+_SESSION_STATS = {
+    "hits": 0,          # probe found a live materialized cache
+    "misses": 0,        # probe found nothing (a write MAY follow the gates)
+    "writes": 0,        # distributed materializations actually performed
+    "write_skips": 0,   # write short-circuited (metadata identical / racer)
+    "spark_cache": 0,   # served from the in-memory tier instead
+    "threshold_skips": 0,  # cost gate declined to cache
+}
+_STATS_LOCK = threading.Lock()
+
+
+def _bump(counter: str) -> None:
+    with _STATS_LOCK:
+        _SESSION_STATS[counter] += 1
+
+
+def cache_session_stats() -> dict:
+    """Snapshot of this session's cache-effectiveness counters, plus the
+    derived hit rate over completed probes (hits / (hits + misses);
+    0.0 before any probe)."""
+    with _STATS_LOCK:
+        snap = dict(_SESSION_STATS)
+    probes = snap["hits"] + snap["misses"]
+    snap["hit_rate"] = (snap["hits"] / probes) if probes else 0.0
+    return snap
+
+
+def reset_cache_session_stats() -> None:
+    with _STATS_LOCK:
+        for k in _SESSION_STATS:
+            _SESSION_STATS[k] = 0
+
+
 def exc_summary(exc: BaseException, width: int = 120) -> str:
     """First line of an exception message, safe for exceptions whose
     message is empty (``str(exc).splitlines()`` is ``[]`` then — indexing
@@ -263,6 +300,7 @@ def write_cache(
         existing = fs.read_text(metadata_path)
         if existing == metadata_txt and _read_cache_table(spark, key) is not None:
             log.info("Cache %s already current; skipping write", key)
+            _bump("write_skips")
         else:
             if existing is not None and existing != metadata_txt:
                 log.info("Cache %s metadata changed; rewriting", key)
@@ -276,6 +314,7 @@ def write_cache(
                 bucket_sort_by=bucket_sort_by,
             )
             fs.write_text(metadata_path, metadata_txt)
+            _bump("writes")
 
     if replace:
         cached = _read_cache_table(spark, key)
@@ -326,7 +365,9 @@ def cache_dataframe(
     hit = read_cache_if_exist(df, query_plan=plan, input_info=info)
     if hit is not None:
         log.info("Cache hit; replacing plan with table scan")
+        _bump("hits")
         return hit
+    _bump("misses")
 
     from .complexity import estimate_compute_complexity
 
@@ -348,6 +389,7 @@ def cache_dataframe(
     ):
         log.info("Complexity %.2f below threshold %s; not caching", complexity,
                  complexity_threshold)
+        _bump("threshold_skips")
         return df
     if (
         multiplier is not None
@@ -357,6 +399,7 @@ def cache_dataframe(
     ):
         log.info("Multiplier %.2f below threshold %s; not caching", multiplier,
                  multiplier_threshold)
+        _bump("threshold_skips")
         return df
 
     plain_udfs = find_plain_udfs(df)
@@ -380,6 +423,7 @@ def cache_dataframe(
 
     if not override_prefer_spark_cache and should_prefer_spark_cache():
         log.info("Using Spark in-memory cache tier")
+        _bump("spark_cache")
         return df.cache()
 
     # Keep cached-input path markers alongside datetimes — the probe above

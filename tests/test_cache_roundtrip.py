@@ -554,3 +554,40 @@ def test_failed_table_write_leaves_no_sidecar(spark, clean_cache, lineitem_copy)
     assert sorted(map(tuple, cached.collect())) == expected
     (entry,) = os.listdir(config.SPARK_CACHE_DIR)
     assert os.path.exists(f"{config.SPARK_CACHE_DIR}{entry}/cache_metadata.txt")
+
+
+def test_cache_session_stats_counters(spark, clean_cache, lineitem_copy):
+    """The session-effectiveness counters track the real decision path:
+    miss+write on first cacheToDbfs, hit on the second, write_skip when
+    write_cache re-runs an identical entry, threshold_skip on a gated
+    call, spark_cache on the in-memory tier."""
+    from dbfs_spark_cache_spark import (
+        cache_dataframe,
+        cache_session_stats,
+        reset_cache_session_stats,
+        write_cache,
+    )
+
+    reset_cache_session_stats()
+    df = _flagship(spark, lineitem_copy)
+
+    cache_dataframe(df, override_prefer_spark_cache=True)          # miss+write
+    cache_dataframe(_flagship(spark, lineitem_copy),
+                    override_prefer_spark_cache=True)              # hit
+    write_cache(_flagship(spark, lineitem_copy))                   # identical -> skip
+    cache_dataframe(_flagship(spark, lineitem_copy).limit(1),
+                    complexity_threshold=10_000.0)                 # gated
+    out = cache_dataframe(_flagship(spark, lineitem_copy).limit(2))  # spark tier
+    out.unpersist()
+
+    s = cache_session_stats()
+    assert s["hits"] == 1
+    assert s["misses"] == 3          # first call + gated call + tier call
+    assert s["writes"] == 1
+    assert s["write_skips"] == 1
+    assert s["threshold_skips"] == 1
+    assert s["spark_cache"] == 1
+    assert s["hit_rate"] == 0.25
+
+    reset_cache_session_stats()
+    assert cache_session_stats()["hits"] == 0
