@@ -722,3 +722,52 @@ def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
     assert read_exactly_once_output(spark, base).count() == before + 4
     # Idempotent when nothing new to fold.
     assert compact_commit_ledger(base) == 0
+
+
+def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
+    """AvailableNow + the exactly-once sink across two scheduled runs: the
+    second drain (same checkpoint) lands ONLY the files that arrived in
+    between, in NEW batch directories — earlier committed batches are
+    untouched (same ids, same content)."""
+    import shutil
+    import time
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    base = str(tmp_path / "eo_incr")
+    ckpt = str(tmp_path / "eo_incr_ckpt")
+    src_dir = tmp_path / "arrivals"
+    src_dir.mkdir()
+    src = f"{SF_SMOKE}/events.parquet"
+    shutil.copy(src, src_dir / "day1.parquet")
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    def run_once():
+        stream = (
+            spark.readStream.format("parquet").schema(schema).load(str(src_dir))
+        )
+        write_stream_exactly_once(stream, base, ckpt)
+
+    n_file = spark.read.parquet(src).count()
+    run_once()
+    first_ids = sorted(
+        int(f[: -len(".txt")])
+        for f in os.listdir(f"{base}/_committed")
+        if f != "manifest.txt"
+    )
+    assert read_exactly_once_output(spark, base).count() == n_file
+
+    time.sleep(1.2)  # mtime resolution: day2 must sort after run 1's scan
+    shutil.copy(src, src_dir / "day2.parquet")
+    run_once()
+    second_ids = sorted(
+        int(f[: -len(".txt")])
+        for f in os.listdir(f"{base}/_committed")
+        if f != "manifest.txt"
+    )
+    assert read_exactly_once_output(spark, base).count() == 2 * n_file
+    assert set(first_ids) < set(second_ids)  # old ids intact, new ids added
+    assert max(second_ids) > max(first_ids)
