@@ -39,6 +39,9 @@ DEFAULT_PROBES = [
     "events_retention_cohorts",  # user-keyed agg + co-partitioned join
     "window_percentiles",        # bucketed global distribution
     "similarity_lsh_buckets",    # embedding sign-LSH bucketing
+    "text_ngram_topk",           # bucketed two-stage top-k (hot-key spread)
+    "text_inverted_index",       # bucketed postings-head selection
+    "window_ntile_cume",         # grouped distributed rank (5-value key)
 ]
 
 
