@@ -157,8 +157,11 @@ def main() -> None:
         t_hit = time.time() - t0
         return t_uncached, t_write_and_read, t_hit
 
+    # Least-contended attempt overall: a min on the uncached leg alone can
+    # select a trio whose WRITE phase caught the contention, skewing the
+    # overhead ratio the profile exists to report.
     t_uncached, t_write_and_read, t_hit = min(
-        (profile_attempt(i) for i in range(2)), key=lambda t: t[0]
+        (profile_attempt(i) for i in range(2)), key=sum
     )
 
     timings["cache_uncached_run"] = round(t_uncached, 3)

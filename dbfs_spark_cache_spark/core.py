@@ -300,6 +300,15 @@ def write_cache(
         existing = fs.read_text(metadata_path)
         if existing == metadata_txt and _read_cache_table(spark, key) is not None:
             log.info("Cache %s already current; skipping write", key)
+            if partition_by or bucket_by:
+                # Layout is not part of the identity: an existing entry is
+                # served as-written. Re-layout by clearing the entry first.
+                log.info(
+                    "Cache %s served with its existing layout; "
+                    "partition_by/bucket_by apply only when the entry is "
+                    "(re)written",
+                    key,
+                )
             _bump("write_skips")
         else:
             if existing is not None and existing != metadata_txt:
