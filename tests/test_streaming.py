@@ -771,3 +771,39 @@ def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
     assert read_exactly_once_output(spark, base).count() == 2 * n_file
     assert set(first_ids) < set(second_ids)  # old ids intact, new ids added
     assert max(second_ids) > max(first_ids)
+
+
+def test_exactly_once_sink_many_microbatches(spark, tmp_path):
+    """Rate-limited trigger: N source files drain as N micro-batches, each
+    landing in its own committed batch directory — row parity with batch,
+    a marker per batch, and compaction folds the whole ledger at once."""
+    import shutil
+
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    src_dir = tmp_path / "multi"
+    src_dir.mkdir()
+    src = f"{SF_SMOKE}/events.parquet"
+    for i in range(4):
+        shutil.copy(src, src_dir / f"part{i}.parquet")
+    schema = spark.read.parquet(str(src_dir)).schema
+
+    base = str(tmp_path / "eo_multi")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src_dir))
+    )
+    write_stream_exactly_once(stream, base, str(tmp_path / "eo_multi_ckpt"))
+
+    markers = [f for f in os.listdir(f"{base}/_committed") if f != "manifest.txt"]
+    assert len(markers) == 4  # one committed batch per file
+    n_file = spark.read.parquet(src).count()
+    assert read_exactly_once_output(spark, base).count() == 4 * n_file
+    assert compact_commit_ledger(base) == 4
+    assert read_exactly_once_output(spark, base).count() == 4 * n_file
