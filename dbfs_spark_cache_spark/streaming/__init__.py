@@ -599,3 +599,77 @@ def compact_commit_ledger(base_path: str) -> int:
     for i in marker_ids:
         fs.remove(f"{ledger}/{i}.txt")
     return len(marker_ids)
+
+
+def stateful_session_flush(
+    events: DataFrame, gap_hours: int = 12, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom sessionizer via ``applyInPandasWithState`` + EVENT-TIME
+    TIMEOUT: per-user sessions close after ``gap_hours`` of inactivity and
+    are emitted exactly once, when the watermark passes the session's
+    timeout — the pattern for stateful logic that must FLUSH on silence,
+    which no built-in aggregation expresses (``F.session_window`` emits
+    aggregates; this emits whole session records with arbitrary Python
+    state transitions, here (start, last, count)).
+
+    State is one tuple per OPEN session per user — bounded by key
+    cardinality; closed sessions leave state immediately. In a finite run
+    a session whose timeout the final watermark never passes stays open
+    and is NOT emitted (same boundary as the left-outer join's unmatched
+    rows); the parity test pins that boundary. Emits
+    (user_id, session_start, session_end, n_events) in append mode.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    gap_us = gap_hours * 3600 * 1_000_000
+
+    def update(key, batches, state: GroupState):
+        import pandas as pd  # worker-side import
+
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            out.append((key[0], start_us, last_us, n))
+            state.remove()
+        else:
+            rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us = last_us = n = None
+            for ts in rows["ts"]:
+                us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, last_us, n = us, us, 1
+                elif us - last_us > gap_us:
+                    out.append((key[0], start_us, last_us, n))
+                    start_us, last_us, n = us, us, 1
+                else:
+                    last_us, n = us, n + 1
+            state.update((start_us, last_us, n))
+            # Flush when the watermark passes last-event + gap (timeout API
+            # takes epoch MILLIS; round up so it never undershoots the gap).
+            state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    flushed = (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, start_us long, end_us long, n_events long",
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+    return flushed.select(
+        "user_id",
+        F.timestamp_micros("start_us").alias("session_start"),
+        F.timestamp_micros("end_us").alias("session_end"),
+        "n_events",
+    )

@@ -807,3 +807,66 @@ def test_exactly_once_sink_many_microbatches(spark, tmp_path):
     assert read_exactly_once_output(spark, base).count() == 4 * n_file
     assert compact_commit_ledger(base) == 4
     assert read_exactly_once_output(spark, base).count() == 4 * n_file
+
+
+def test_stateful_session_flush_matches_batch_sessions(spark):
+    """Timeout-flushed sessions equal the batch gap-sessionization exactly
+    for every session the final watermark could close; sessions whose
+    timeout lies beyond it stay open (never emitted). Pins the event-time
+    timeout semantics of applyInPandasWithState."""
+    import datetime
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    result = run_to_memory_sink(
+        stateful_session_flush(stream), "t_session_flush", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in result.collect()
+    }
+
+    # Batch twin: same 12h-gap sessions via lag + cumulative flag.
+    from pyspark.sql import Window as W
+
+    ev = _batch_events(spark).select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 12 HOURS")),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    sessions = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    final_wm = max_ts - datetime.timedelta(hours=2)
+    gap = datetime.timedelta(hours=12)
+    margin = datetime.timedelta(seconds=1)
+
+    # Everything emitted is a genuine batch session, closeable by the wm.
+    assert set(got) <= set(sessions)
+    assert all(got[k] == sessions[k] for k in got)
+    assert all(k[2] + gap <= final_wm + margin for k in got)
+    # Every safely-closeable session HAS been flushed.
+    must_flush = {
+        k for k in sessions if k[2] + gap < final_wm - margin
+    }
+    assert must_flush, "fixture should contain closeable sessions"
+    assert must_flush <= set(got)
