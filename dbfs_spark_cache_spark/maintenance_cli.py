@@ -10,6 +10,7 @@ just-dropped entry re-computes and re-writes it).
 Usage:
     spark-cache-maintenance [--days 7] [--threads 16] [--database NAME]
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
+        [--compact-ledger PATH]
 """
 from __future__ import annotations
 
@@ -36,10 +37,25 @@ def main() -> int:
     ap.add_argument("--stats", action="store_true",
                     help="print the cache health summary (counts, overlap, "
                          "footprint) and exit without deleting anything")
+    ap.add_argument("--compact-ledger", metavar="PATH", default=None,
+                    help="fold an exactly-once streaming sink's per-batch "
+                         "commit markers at PATH into its manifest and exit "
+                         "(crash-safe; see streaming.compact_commit_ledger)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     log = logging.getLogger("clear_old_caches")
+
+    if args.compact_ledger:
+        # Pure filesystem metadata work on local paths — no SparkSession
+        # needed (remote schemes resolve through the active session's JVM,
+        # so a cluster cron job runs this inside its Spark app instead).
+        from dbfs_spark_cache_spark.streaming import compact_commit_ledger
+
+        folded = compact_commit_ledger(args.compact_ledger)
+        log.info("folded %d commit markers into the manifest at %s/_committed",
+                 folded, args.compact_ledger.rstrip("/"))
+        return 0
 
     from dbfs_spark_cache_spark import management
     from dbfs_spark_cache_spark.session import get_spark

@@ -113,3 +113,28 @@ def test_dry_run_previews_repair(spark, clean_cache):
     assert orphans == [victim.tableName]
     # and nothing was deleted: the metadata sidecar is still on disk
     assert os.path.isdir(f"{config.SPARK_CACHE_DIR}{victim.tableName}")
+
+
+def test_cli_compact_ledger(tmp_path, monkeypatch, caplog):
+    """--compact-ledger folds a sink ledger without needing a SparkSession."""
+    import importlib
+    import logging
+    import sys as _sys
+
+    from dbfs_spark_cache_spark import fs
+
+    base = str(tmp_path / "sink")
+    for i in range(3):
+        fs.write_text(f"{base}/_committed/{i}.txt", f"batch {i} committed")
+
+    from dbfs_spark_cache_spark import maintenance_cli
+
+    monkeypatch.setattr(
+        _sys, "argv", ["spark-cache-maintenance", "--compact-ledger", base]
+    )
+    with caplog.at_level(logging.INFO):
+        assert maintenance_cli.main() == 0
+    import os as _os
+
+    assert _os.listdir(f"{base}/_committed") == ["manifest.txt"]
+    assert open(f"{base}/_committed/manifest.txt").read().split() == ["0", "1", "2"]
