@@ -32,6 +32,7 @@ from .management import (  # noqa: F401
     cache_stats,
     clear_cache_for_hash,
     clear_caches_older_than,
+    evict_to_size_budget,
     clear_inconsistent_cache,
     get_cached_dataframe_metadata,
     get_cached_tables,

@@ -10,7 +10,7 @@ just-dropped entry re-computes and re-writes it).
 Usage:
     spark-cache-maintenance [--days 7] [--threads 16] [--database NAME]
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
-        [--compact-ledger PATH]
+        [--size-budget-bytes N] [--compact-ledger PATH]
 """
 from __future__ import annotations
 
@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--stats", action="store_true",
                     help="print the cache health summary (counts, overlap, "
                          "footprint) and exit without deleting anything")
+    ap.add_argument("--size-budget-bytes", type=int, default=None,
+                    help="after age eviction, evict oldest-first until the "
+                         "cache footprint fits this many bytes")
     ap.add_argument("--compact-ledger", metavar="PATH", default=None,
                     help="fold an exactly-once streaming sink's per-batch "
                          "commit markers at PATH into its manifest and exit "
@@ -82,6 +85,18 @@ def main() -> int:
              "would evict" if args.dry_run else "evicted",
              len(evicted), args.days,
              f": {evicted}" if evicted else "")
+
+    if args.size_budget_bytes is not None:
+        sized = management.evict_to_size_budget(
+            spark,
+            max_bytes=args.size_budget_bytes,
+            num_threads=args.threads,
+            confirm_delete=not args.dry_run,
+        )
+        log.info("%s %d entries to fit %d bytes%s",
+                 "would evict" if args.dry_run else "evicted",
+                 len(sized), args.size_budget_bytes,
+                 f": {sized}" if sized else "")
 
     if args.repair_inconsistent:
         if args.dry_run:

@@ -289,3 +289,57 @@ def cache_stats(
         "oldest_entry": min(times, default=None),
         "newest_entry": max(times, default=None),
     }
+
+
+def evict_to_size_budget(
+    spark: SparkSession,
+    max_bytes: int,
+    num_threads: Optional[int] = None,
+    confirm_delete: bool = True,
+) -> List[str]:
+    """Evict oldest-first until the cache footprint fits ``max_bytes``.
+
+    The age-based policy (:func:`clear_caches_older_than`) bounds staleness
+    but not cost; a shared cache prefix on an object store is billed and
+    quota'd by BYTES. This walks the registry oldest-first (the same
+    LRU-by-creation ordering the registry frame already carries), summing
+    per-entry materialized table sizes, and evicts entries until the
+    remainder fits the budget. Sizes come from the warehouse tree — one
+    recursive listing per entry, driver-side metadata only [NS: the
+    reference has no size-based policy].
+
+    Returns evicted (or, with ``confirm_delete=False``, would-evict)
+    hashes, oldest first.
+    """
+    registry = get_cached_dataframe_metadata(num_threads=num_threads)
+    if registry.empty:
+        return []
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    db_root = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db"
+
+    def entry_bytes(hash_name: str) -> int:
+        return fs.tree_size(f"{db_root}/{hash_name}") + fs.tree_size(
+            f"{config.SPARK_CACHE_DIR}{hash_name}/"
+        )
+
+    hashes = list(registry["hash_name"])  # oldest first (sorted by creation)
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        sizes = dict(zip(hashes, pool.map(entry_bytes, hashes)))
+
+    total = sum(sizes.values())
+    to_evict: List[str] = []
+    for h in hashes:
+        if total <= max_bytes:
+            break
+        to_evict.append(h)
+        total -= sizes[h]
+
+    if not confirm_delete:
+        log.info(
+            "Dry run: would evict %d entries (%d bytes) to fit %d",
+            len(to_evict), sum(sizes[h] for h in to_evict), max_bytes,
+        )
+        return to_evict
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        list(pool.map(lambda h: clear_cache_for_hash(spark, h), to_evict))
+    return to_evict

@@ -591,3 +591,51 @@ def test_cache_session_stats_counters(spark, clean_cache, lineitem_copy):
 
     reset_cache_session_stats()
     assert cache_session_stats()["hits"] == 0
+
+
+def test_evict_to_size_budget_oldest_first(spark, clean_cache, lineitem_copy):
+    """Size-budget eviction walks oldest-first: with three entries and a
+    budget that fits only the newest two, exactly the oldest is evicted;
+    an unlimited budget evicts nothing; dry-run reports without deleting."""
+    from dbfs_spark_cache_spark import evict_to_size_budget, write_cache
+    from dbfs_spark_cache_spark.management import get_cached_dataframe_metadata
+
+    base = spark.read.parquet(lineitem_copy)
+    for i, flag in enumerate(["A", "N", "R"]):
+        write_cache(
+            base.where(F.col("l_returnflag") == flag)
+            .groupBy("l_linestatus")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        time.sleep(1.1)  # sidecar mtime = creation order at 1s resolution
+
+    registry = get_cached_dataframe_metadata()
+    assert len(registry) == 3
+    oldest = registry.iloc[0]["hash_name"]
+
+    assert evict_to_size_budget(spark, max_bytes=10**12) == []
+
+    # Budget below total: dry-run names the oldest, deletes nothing.
+    would = evict_to_size_budget(spark, max_bytes=1, confirm_delete=False)
+    assert would[0] == oldest and len(get_cached_dataframe_metadata()) == 3
+
+    # Real run with a budget that only the newest two can fit: per-entry
+    # footprints are near-equal here, so total*2/3 forces exactly one out.
+    import os as _os
+
+    from dbfs_spark_cache_spark.config import config
+
+    from dbfs_spark_cache_spark.fs import strip_scheme
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    db_root = strip_scheme(f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db")
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for top in (db_root, config.SPARK_CACHE_DIR)
+        for root, _, files in _os.walk(top)
+        for f in files
+    )
+    evicted = evict_to_size_budget(spark, max_bytes=int(total * 2 / 3))
+    assert evicted == [oldest]
+    left = get_cached_dataframe_metadata()
+    assert len(left) == 2 and oldest not in set(left["hash_name"])
