@@ -673,3 +673,46 @@ def stateful_session_flush(
         F.timestamp_micros("end_us").alias("session_end"),
         "n_events",
     )
+
+
+def attach_progress_collector(spark: SparkSession):
+    """Per-micro-batch progress telemetry: returns ``(records, listener)``
+    where ``records`` is a live list the listener appends one dict per
+    completed batch to — input rows, trigger duration, total stateful rows.
+    This is how a production job watches throughput and STATE GROWTH (the
+    number that creeps when a watermark is mis-set and state never
+    evicts); alert on `state_rows` trending up. Detach with
+    ``spark.streams.removeListener(listener)``. Listener delivery is
+    asynchronous — tests poll briefly after stopping the query.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    records: list = []
+
+    class _Collector(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            records.append(
+                {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "trigger_ms": (p.durationMs or {}).get("triggerExecution"),
+                    "state_rows": sum(
+                        s.numRowsTotal for s in (p.stateOperators or [])
+                    ),
+                }
+            )
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+    listener = _Collector()
+    spark.streams.addListener(listener)
+    return records, listener

@@ -870,3 +870,37 @@ def test_stateful_session_flush_matches_batch_sessions(spark):
     }
     assert must_flush, "fixture should contain closeable sessions"
     assert must_flush <= set(got)
+
+
+def test_progress_collector_reports_rows_and_state(spark):
+    """The listener sees every micro-batch: input-row totals equal the
+    source row count, and a stateful query reports nonzero state rows —
+    the state-growth signal a mis-set watermark shows up in."""
+    import time
+
+    from dbfs_spark_cache_spark.streaming import (
+        attach_progress_collector,
+        read_events_stream,
+        run_to_memory_sink,
+        running_user_totals,
+    )
+
+    records, listener = attach_progress_collector(spark)
+    try:
+        stream = read_events_stream(spark, SF_SMOKE)
+        run_to_memory_sink(running_user_totals(stream), "t_progress")
+        n_events = _batch_events(spark).count()
+        n_users = _batch_events(spark).select("user_id").distinct().count()
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            data_batches = [r for r in records if r["num_input_rows"] > 0]
+            if sum(r["num_input_rows"] for r in data_batches) >= n_events:
+                break
+            time.sleep(0.2)
+
+        assert sum(r["num_input_rows"] for r in data_batches) == n_events
+        assert max(r["state_rows"] for r in records) == n_users
+        assert all(r["trigger_ms"] is not None for r in records)
+    finally:
+        spark.streams.removeListener(listener)
