@@ -493,3 +493,64 @@ def test_delta_log_guard_blocks_stale_parquet_path_read(extended):
         import shutil as _shutil
 
         _shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def test_expectations_report_single_pass(spark):
+    """Every rule family counted correctly from one aggregation: nulls,
+    duplicate surplus (null-blind), inclusive range over non-nulls, and
+    not-TRUE custom conditions; `passed` flips with the data."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.quality import expectations_report
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", 150.0),   # range violation
+        (2, "c", 50.0),    # duplicate id
+        (None, "d", None), # null id; null value must NOT hit the range rule
+        (4, None, 20.0),   # null name feeds the custom rule's not-TRUE
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, value double")
+
+    report = expectations_report(
+        df,
+        not_null=["id"],
+        unique=["id"],
+        ranges={"value": (0.0, 100.0)},
+        custom={"name_is_short": F.length("name") <= 3},
+    )
+    assert report == {
+        "n_rows": 5,
+        "null_id": 1,
+        "dup_id": 1,        # ids 1,2,2,4 -> 4 non-null, 3 distinct
+        "range_value": 1,   # only 150.0; NULL value excluded
+        "name_is_short": 1, # NULL name is not-TRUE
+        "passed": False,
+    }
+
+    clean = df.where(F.col("id").isNotNull() & (F.col("value") <= 100)).where(
+        F.col("id") != 2
+    )
+    ok = expectations_report(clean, not_null=["id"], unique=["id"],
+                             ranges={"value": (0.0, 100.0)})
+    assert ok["passed"] and ok["n_rows"] == 2
+
+
+def test_expectations_frame_scans_input_once(spark):
+    """All rules fold into ONE aggregation over ONE scan of the input —
+    not one action per rule (N full passes at 100 TB)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dbfs_spark_cache_spark.quality import expectations_frame
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    frame = expectations_frame(
+        df, not_null=["k"], unique=["k"], ranges={"k": (0, 999)}
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        frame.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("+- Range") == 1  # the source appears exactly once
+    assert frame.first()["n_rows"] == 1000
