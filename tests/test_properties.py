@@ -267,3 +267,39 @@ def test_commit_ledger_never_loses_or_duplicates_ids(ops):
             manifest_ids, marker_ids = _ledger_state(fs, base)
             assert manifest_ids | marker_ids == committed
             assert manifest_ids & marker_ids == set()  # no id in both tiers
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-5, 5)),
+            st.one_of(st.none(), st.floats(-100, 200, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_expectations_report_matches_python_ground_truth(spark, rows):
+    """Property: the one-pass Spark report equals rule-by-rule python
+    counts for arbitrary null-riddled frames. (The session-scoped spark
+    fixture is reused across examples — no per-example state.)"""
+    from dbfs_spark_cache_spark.quality import expectations_report
+
+    df = spark.createDataFrame(rows, "k int, v double")
+    report = expectations_report(
+        df, not_null=["k"], unique=["k"], ranges={"v": (0.0, 100.0)}
+    )
+
+    ks = [k for k, _ in rows]
+    vs = [v for _, v in rows]
+    non_null_ks = [k for k in ks if k is not None]
+    assert report["n_rows"] == len(rows)
+    assert report["null_k"] == sum(k is None for k in ks)
+    assert report["dup_k"] == len(non_null_ks) - len(set(non_null_ks))
+    assert report["range_v"] == sum(
+        v is not None and not (0.0 <= v <= 100.0) for v in vs
+    )
+    assert report["passed"] == (
+        report["null_k"] == report["dup_k"] == report["range_v"] == 0
+    )
