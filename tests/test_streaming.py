@@ -904,3 +904,68 @@ def test_progress_collector_reports_rows_and_state(spark):
         assert all(r["trigger_ms"] is not None for r in records)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stateful_session_flush_across_microbatches(spark, tmp_path):
+    """Sessions that SPAN micro-batches: events split into two time-halves
+    delivered as separate batches must produce the same flushed sessions
+    as the single-batch delivery — state carries the open session across
+    the batch boundary instead of closing it at the split."""
+    from dbfs_spark_cache_spark.sources import normalize_event_ts
+    from dbfs_spark_cache_spark.streaming import (
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    ev = _batch_events(spark).select("user_id", "ts")
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = tmp_path / "halves"
+    # Lexicographic file order must match time order: the file source lists
+    # a directory's files by modification time per batch; write halves as
+    # separate dirs and stream the parent so half_a lands first.
+    ev.where(F.col("ts") <= mid).coalesce(1).write.parquet(f"{src}/h=a")
+    ev.where(F.col("ts") > mid).coalesce(1).write.parquet(f"{src}/h=b")
+    # Pin delivery order: the file source processes oldest-mtime first, and
+    # back-to-back writes can land inside one mtime granule.
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for half, age in (("h=a", 60), ("h=b", 0)):
+        for root, _, files in _os.walk(f"{src}/{half}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (now - age, now - age))
+
+    schema = spark.read.parquet(f"{src}/h=a").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .load(str(src))
+    )
+    stream = normalize_event_ts(stream, ntz=False)
+    result = run_to_memory_sink(
+        stateful_session_flush(stream), "t_session_split", output_mode="append"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in result.collect()
+    }
+
+    whole = run_to_memory_sink(
+        stateful_session_flush(
+            normalize_event_ts(
+                spark.readStream.format("parquet").schema(schema).load(str(src)),
+                ntz=False,
+            )
+        ),
+        "t_session_whole",
+        output_mode="append",
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in whole.collect()
+    }
+    assert got == expected
+    assert expected, "fixture should flush at least one session"
