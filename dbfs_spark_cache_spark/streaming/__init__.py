@@ -716,3 +716,45 @@ def attach_progress_collector(spark: SparkSession):
     listener = _Collector()
     spark.streams.addListener(listener)
     return records, listener
+
+
+def validated_exactly_once_sink(base_path: str, valid: "Column"):
+    """Exactly-once sink with a per-batch QUALITY GATE: rows where
+    ``valid`` is TRUE land in the committed batch directory; the rest are
+    quarantined to ``_quarantine/batch_id=N`` for inspection instead of
+    poisoning the corpus or failing the stream (the streaming twin of a
+    batch ingest's expectations gate — same not-TRUE-is-invalid
+    semantics as ``quality.expectations_report``).
+
+    The split is ONE pass per batch: the validity flag is computed once
+    and both writes filter on it. The ledger marker commits LAST and
+    records the per-batch clean/quarantined row counts, so the marker
+    doubles as a per-batch quality audit trail; redelivery
+    short-circuits exactly like :func:`exactly_once_append_sink`.
+    """
+    from .. import fs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = f"{base_path}/_committed/{batch_id}.txt"
+        if fs.read_text(marker) is not None:
+            return
+        manifest_ids, _ = _ledger_state(fs, base_path)
+        if batch_id in manifest_ids:
+            return
+        flagged = batch_df.withColumn(
+            "__valid", F.coalesce(valid, F.lit(False))
+        )
+        clean = flagged.where("__valid").drop("__valid")
+        bad = flagged.where("NOT __valid").drop("__valid")
+        clean.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                f"{base_path}/_quarantine/batch_id={batch_id}"
+            )
+        fs.write_text(
+            marker,
+            f"batch {batch_id} committed\nquarantined: {n_bad}",
+        )
+
+    return write_batch

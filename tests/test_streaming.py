@@ -969,3 +969,41 @@ def test_stateful_session_flush_across_microbatches(spark, tmp_path):
     }
     assert got == expected
     assert expected, "fixture should flush at least one session"
+
+
+def test_validated_sink_quarantines_invalid_rows(spark, tmp_path):
+    """The quality-gated sink: clean rows commit, invalid rows (including
+    NULL predicate results — not-TRUE semantics) land in quarantine, the
+    marker records the audit count, and redelivery stays a no-op."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        read_exactly_once_output,
+        validated_exactly_once_sink,
+    )
+
+    base = str(tmp_path / "gated")
+    stream = read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sink = validated_exactly_once_sink(base, F.col("value") >= 20)
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "gated_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    ev = _batch_events(spark)
+    n_clean = ev.where("value >= 20").count()
+    n_bad = ev.where("value < 20 OR value IS NULL").count()
+    assert n_clean and n_bad, "predicate must split the fixture both ways"
+    assert read_exactly_once_output(spark, base).count() == n_clean
+    q = spark.read.parquet(f"{base}/_quarantine/batch_id=0")
+    assert q.count() == n_bad
+    marker = open(f"{base}/_committed/0.txt").read()
+    assert f"quarantined: {n_bad}" in marker
+
+    # Redelivery of the committed id: untouched output, no double writes.
+    sink(ev.limit(3).select("event_id", "user_id", "event_type", "value"), 0)
+    assert read_exactly_once_output(spark, base).count() == n_clean
