@@ -33,10 +33,16 @@ def expectations_frame(
     unique: Sequence[str] = (),
     ranges: Optional[Mapping[str, Tuple[float, float]]] = None,
     custom: Optional[Mapping[str, Column]] = None,
+    group_by: Sequence[str] = (),
 ) -> DataFrame:
-    """The 1-row aggregation :func:`expectations_report` collects — exposed
-    so callers can compose it (union reports across partitions/days) and
-    tests can pin that the plan scans the input exactly once."""
+    """The aggregation :func:`expectations_report` collects — exposed so
+    callers can compose it (union reports across partitions/days) and
+    tests can pin that the plan scans the input exactly once.
+
+    ``group_by`` produces one report row per key combination (per-source
+    corpus QA, per-day ingest audits) — still one pass, still map-side
+    partial-aggregated; ``unique`` then means unique WITHIN each group.
+    """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col in not_null:
         aggs.append(_violations(F.col(col).isNotNull()).alias(f"null_{col}"))
@@ -48,6 +54,8 @@ def expectations_frame(
         aggs.append(_violations(in_range).alias(f"range_{col}"))
     for name, cond in (custom or {}).items():
         aggs.append(_violations(cond).alias(name))
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
 
 

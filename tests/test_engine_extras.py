@@ -554,3 +554,28 @@ def test_expectations_frame_scans_input_once(spark):
     plan = buf.getvalue()
     assert plan.count("+- Range") == 1  # the source appears exactly once
     assert frame.first()["n_rows"] == 1000
+
+
+def test_expectations_frame_grouped(spark):
+    """group_by yields one report row per key; unique applies within the
+    group (the same id in two groups is not a duplicate)."""
+    from dbfs_spark_cache_spark.quality import expectations_frame
+
+    rows = [
+        ("web", 1, 10.0), ("web", 1, 20.0),   # dup within web
+        ("web", None, 30.0),
+        ("pdf", 1, 500.0),                     # same id, other group: no dup
+        ("pdf", 2, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, id int, value double")
+    got = {
+        r["source"]: r.asDict()
+        for r in expectations_frame(
+            df, not_null=["id"], unique=["id"], ranges={"value": (0.0, 100.0)},
+            group_by=["source"],
+        ).collect()
+    }
+    assert got["web"] == {"source": "web", "n_rows": 3, "null_id": 1,
+                          "dup_id": 1, "range_value": 0}
+    assert got["pdf"] == {"source": "pdf", "n_rows": 2, "null_id": 0,
+                          "dup_id": 0, "range_value": 1}
