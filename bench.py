@@ -161,7 +161,7 @@ def main() -> None:
     # select a trio whose WRITE phase caught the contention, skewing the
     # overhead ratio the profile exists to report.
     t_uncached, t_write_and_read, t_hit = min(
-        (profile_attempt(i) for i in range(2)), key=sum
+        (profile_attempt(i) for i in range(3)), key=sum
     )
 
     timings["cache_uncached_run"] = round(t_uncached, 3)
