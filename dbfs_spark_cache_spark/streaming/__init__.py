@@ -758,3 +758,22 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
         )
 
     return write_batch
+
+
+def read_quarantine(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
+    """Quarantined rows of a :func:`validated_exactly_once_sink` output —
+    only from COMMITTED batches (a crash mid-batch leaves no marker, and
+    its partial quarantine dir is overwritten on redelivery just like the
+    data dir). Returns None when nothing is quarantined. The re-ingest
+    path: fix upstream, then feed these rows back through the gate."""
+    from .. import fs
+
+    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    dirs = [
+        f"{base_path}/_quarantine/batch_id={i}"
+        for i in sorted(manifest_ids | marker_ids)
+        if fs.exists(f"{base_path}/_quarantine/batch_id={i}")
+    ]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", f"{base_path}/_quarantine").parquet(*dirs)

@@ -1007,3 +1007,40 @@ def test_validated_sink_quarantines_invalid_rows(spark, tmp_path):
     # Redelivery of the committed id: untouched output, no double writes.
     sink(ev.limit(3).select("event_id", "user_id", "event_type", "value"), 0)
     assert read_exactly_once_output(spark, base).count() == n_clean
+
+
+def test_read_quarantine_returns_committed_bad_rows(spark, tmp_path):
+    """read_quarantine surfaces exactly the gated-out rows of committed
+    batches, and returns None for a sink with no quarantined data."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        read_quarantine,
+        validated_exactly_once_sink,
+    )
+
+    base = str(tmp_path / "gated2")
+    stream = read_events_stream(spark, SF_SMOKE).select("event_id", "value")
+    sink = validated_exactly_once_sink(base, F.col("value") >= 20)
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "gated2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    q = read_quarantine(spark, base)
+    assert q is not None
+    assert q.count() == _batch_events(spark).where("value < 20").count()
+    assert q.where("value >= 20").count() == 0
+
+    clean_base = str(tmp_path / "gated3")
+    sink_all = validated_exactly_once_sink(clean_base, F.lit(True))
+    (
+        read_events_stream(spark, SF_SMOKE).select("event_id", "value")
+        .writeStream.foreachBatch(sink_all)
+        .option("checkpointLocation", str(tmp_path / "gated3_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert read_quarantine(spark, clean_base) is None
