@@ -60,41 +60,38 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #
 # CAPACITY (read before adding queries or editing query impls): with 147
 # registered queries, 50 slots/round, and a <=2-round freshness bar, the
-# steady-state rotation verifies each query every 3rd round with only
-# 150 - 147 = 3 slots of slack. Every NEW query and every CHANGED query
-# consumes one slot and defers one stale query past the bar. Budget for
-# r7 (and every round after): at most ~3 additions + changes combined.
+# steady-state rotation verifies each query every 3rd round. The HARD
+# CEILING is 150 registered queries: at 150 the 50-slot/2-round rotation
+# has ZERO permanent slack — any further addition, or any implementation
+# change to a registered query, must displace a due query past the
+# freshness bar. Per-round slack is the round's due-cohort size
+# subtracted from 50, and it is NOT constant:
+#   r7: 50 r4-vintage queries come due -> 0 slack (so r7 registers
+#       nothing and changes nothing; the CHANGELOG's earlier "~3 slots at
+#       r7" note was wrong — the slack is at r8).
+#   r8: 47 r5-vintage queries come due -> exactly 3 slack slots,
+#       reserved for similarity_topk_batch, events_anomaly_mad,
+#       text_unigram_logprob (pre-built + pytest-pinned in r7; register
+#       them in r8 by adding to operators/__init__.py, nothing else).
+# Always recompute the due-cohort size from _vintages() before budgeting;
+# hand-kept arithmetic drifted twice (ADVICE r5 #1, VERDICT r6 #2).
 # Prefer slot-free work: engine/streaming/scale features are pytest-
-# graded and cost nothing here. r6 spent its window exactly: 3 changed +
-# 20 new + 27 r3-stale = 50.
-_CHANGED = [
-    # r6 code changes to already-green queries:
-    # composite (brand, length-band) blocking replaced brand-only blocking
-    "fn_edit_distance",
-    # forced customer broadcast hint dropped (AQE decides that leg now)
-    "flagship_wide",
-    # salt derives from a row content hash instead of rand(seed)
-    "join_salted_skew",
+# graded and cost nothing here.
+_CHANGED: list[str] = [
+    # r7: no registered query's implementation changed this round.
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
 # refactored this round in a result-identical way (pinned by pytest and
-# re-verified exact against the oracle locally at sf0.001+sf0.01 via
-# scripts/selfcheck.py). They stay OUT of the hard window when it is full
-# of genuinely-stale vintages, but sort FIRST among the remainder (an
-# effective vintage between the stale cohort and the fresh one), so any
-# driver capacity beyond the window re-attests them before anything fresh.
-# r6: scale.distributed_global_percentiles grew a grouped
-# (partition_cols) mode; the ungrouped path window_percentiles uses is the
-# same algorithm with parts=[]. The three cache-staged queries route
-# through core.write_cache, whose r6 concurrency hardening (per-key lock,
-# atomic sidecar rename) is semantics-free — re-attested exact at
-# sf0.001 + sf0.01 post-change.
-_CHANGED_HELPER = [
-    "window_percentiles",
-    "pipeline_dedup_survivors",
-    "pipeline_training_corpus",
-    "dedup_incremental_vs_corpus",
+# re-verified exact against the oracle locally via scripts/selfcheck.py).
+# They take a half-step vintage penalty in _full_order: they never
+# displace a genuinely-staler vintage from the window, but when the due
+# cohort is SMALLER than the window (spare slots exist this round) they
+# fill those slots ahead of any fresher query. That is the only capacity
+# that exists — the driver checks exactly _WINDOW_SLOTS queries, never
+# more, so there is no "overflow" beyond the window.
+_CHANGED_HELPER: list[str] = [
+    # r7: no shared-helper refactors touching registered queries.
 ]
 
 _WINDOW_SLOTS = 50
