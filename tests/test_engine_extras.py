@@ -536,6 +536,33 @@ def test_expectations_report_single_pass(spark):
     assert ok["passed"] and ok["n_rows"] == 2
 
 
+def test_expectations_report_empty_batch_passes(spark):
+    """An EMPTY ingest batch yields zero violations and passed=True for
+    every rule kind — not a TypeError. SUM over zero rows is NULL, so
+    each not_null/range/custom count must coalesce to 0 (ADVICE r6 #1;
+    an always-on pipeline sees empty micro-batches routinely)."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.quality import expectations_report
+
+    empty = spark.createDataFrame([], "id int, value double")
+    report = expectations_report(
+        empty,
+        not_null=["id"],
+        unique=["id"],
+        ranges={"value": (0.0, 100.0)},
+        custom={"value_positive": F.col("value") > 0},
+    )
+    assert report == {
+        "n_rows": 0,
+        "null_id": 0,
+        "dup_id": 0,
+        "range_value": 0,
+        "value_positive": 0,
+        "passed": True,
+    }
+
+
 def test_expectations_frame_scans_input_once(spark):
     """All rules fold into ONE aggregation over ONE scan of the input —
     not one action per rule (N full passes at 100 TB)."""

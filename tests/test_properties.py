@@ -276,14 +276,17 @@ def test_commit_ledger_never_loses_or_duplicates_ids(ops):
             st.one_of(st.none(), st.integers(-5, 5)),
             st.one_of(st.none(), st.floats(-100, 200, allow_nan=False)),
         ),
-        min_size=1,
+        min_size=0,
         max_size=30,
     )
 )
 def test_expectations_report_matches_python_ground_truth(spark, rows):
     """Property: the one-pass Spark report equals rule-by-rule python
-    counts for arbitrary null-riddled frames. (The session-scoped spark
-    fixture is reused across examples — no per-example state.)"""
+    counts for arbitrary null-riddled frames, INCLUDING the empty frame
+    (an empty ingest batch must report zero violations and pass — SUM
+    over zero rows is NULL and used to crash the int() conversion).
+    (The session-scoped spark fixture is reused across examples — no
+    per-example state.)"""
     from dbfs_spark_cache_spark.quality import expectations_report
 
     df = spark.createDataFrame(rows, "k int, v double")
