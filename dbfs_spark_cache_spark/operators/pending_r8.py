@@ -1,0 +1,309 @@
+"""Queries pre-built for round 8 — deliberately NOT registered yet.
+
+The verification rotation has zero slack this round (50 queries come due,
+50 driver slots — see the capacity note in ``__spark_entry__.py``), so
+these three land here fully implemented and pytest-pinned, and REGISTER AT
+R8 whose due cohort is 47 + exactly 3 free slots. Registration is a
+two-line move per query: wrap with ``@register(name, oracle=...)`` from
+``.registry`` (the dicts below carry the exact names and oracle SQL) and
+import this module from ``operators/__init__.py``.
+
+This module must NOT be imported by ``operators/__init__.py`` until r8:
+nothing here touches the global registry by construction (no ``register``
+calls), so an accidental import cannot consume a verification slot.
+
+The three shapes (the r6 CHANGELOG ranking, endorsed by the r6 verdict):
+
+* ``similarity_topk_batch`` — multi-query ANN: a BATCH of query vectors
+  scored against the corpus in one broadcast pass (the registered
+  ``similarity_topk_cosine`` is single-query; batch is the genuinely
+  missing similarity shape — embedding-dedup and retrieval-eval both
+  score thousands of queries at once).
+* ``events_anomaly_mad`` — median-absolute-deviation outlier screen per
+  event type, medians computed with the GROUPED distributed-rank helper
+  (``scale.distributed_global_percentiles``) so no per-type population
+  ever funnels through a single sort task.
+* ``text_unigram_logprob`` — corpus-LM quality proxy: per-document mean
+  unigram log-probability under the corpus unigram distribution (the
+  classic cheap perplexity stand-in for filtering web-scale text).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import textwrap
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vec_dot as _dot, vec_sq_norm as _sq_norm
+from ..sources import load_table
+
+QUERIES_R8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES_R8: Dict[str, str] = {}
+
+
+def _pending(name: str, oracle: str):
+    """Local twin of ``registry.register`` that records into the R8 dicts
+    instead of the live registry (keeps these out of the driver window)."""
+
+    def decorator(fn):
+        QUERIES_R8[name] = fn
+        ORACLES_R8[name] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return decorator
+
+
+@_pending(
+    "similarity_topk_batch",
+    oracle="""
+    WITH qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+    q AS (
+        SELECT e.vec_id AS q_id, e.embedding AS q_emb
+        FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM qids)
+    ),
+    corpus AS (
+        SELECT * FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM qids)
+    ),
+    scored AS (
+        SELECT q.q_id, c.vec_id, c.label,
+               ROUND(
+                 list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(list_sum(list_transform(q.q_emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cosine
+        FROM corpus c CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, label, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT q_id, vec_id, label, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for a BATCH of query vectors in one pass.
+
+    Scale shape: the query batch (here the 5 lowest vec_ids — in
+    production the day's incoming queries) broadcasts with its norms
+    precomputed; scoring is a single map-side pass over the corpus (one
+    scan, no corpus shuffle). The top-k itself is TWO-STAGE: a first
+    window partitioned by (q_id, vec_id mod 8) keeps 10 candidates per
+    bucket, so the final per-q_id window ranks at most 8x10 rows per
+    query instead of the whole corpus — a plain partitionBy(q_id) window
+    would funnel every corpus row for a query through one sort task,
+    which with a handful of queries is a single-task scan of 100 TB.
+    Cosine rounds to 4 decimals before ranking; ties break on vec_id, so
+    the ordering is engine-exact (same discipline as
+    ``similarity_topk_cosine``, similarity.py).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf, "embeddings")
+    # Query selection stays IN-plan (no driver collect): lowest 5 ids.
+    qids = emb.select("vec_id").orderBy("vec_id").limit(5)
+    queries = emb.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
+    )
+    corpus = emb.join(F.broadcast(qids), "vec_id", "left_anti")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        "label",
+        F.round(
+            _dot("embedding", "q_emb")
+            / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
+            4,
+        ).alias("cosine"),
+    )
+    w_bucket = W.partitionBy("q_id", F.pmod(F.col("vec_id"), F.lit(8))).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    candidates = (
+        scored.withColumn("__rn", F.row_number().over(w_bucket))
+        .where(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+    w_final = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "label", "cosine", "rank")
+    )
+
+
+def _grouped_exact_median(
+    df: DataFrame, value_col: str, part_col: str, out_name: str
+) -> DataFrame:
+    """Exact per-group median (DuckDB/SQL interpolating semantics: the
+    mean of the two middle values for even counts) WITHOUT a per-group
+    global sort.
+
+    Rides ``scale.distributed_global_percentiles`` in grouped mode: each
+    row gets its tie-inclusive cumulative count via banded, partitioned
+    windows; the k-th smallest value of a group is then the MIN value
+    whose cumulative count reaches k — one conditional aggregation, no
+    single-task WindowExec anywhere (the helper's standing plan pin).
+    cume_dist arrives as n_le/n in DOUBLE; multiplying back by n and
+    rounding recovers the integer n_le exactly (|error| ~ ulp, far
+    below 0.5 for any realistic group size).
+    """
+    from .scale import distributed_global_percentiles
+
+    ranked = distributed_global_percentiles(
+        df,
+        value_col,
+        tiebreak_col="event_id",
+        partition_cols=[part_col],
+        pct_col="__pct",
+        cume_col="__cume",
+        tile_col="__tile",
+    )
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(F.broadcast(counts), part_col)
+    n_le = F.round(F.col("__cume") * F.col("__n")).cast("long")
+    k_lo = F.floor((F.col("__n") + 1) / 2)  # lower middle (== upper if odd)
+    k_hi = F.floor(F.col("__n") / 2) + 1  # upper middle
+    return j.groupBy(part_col).agg(
+        (
+            (
+                F.min(F.when(n_le >= k_lo, F.col(value_col)))
+                + F.min(F.when(n_le >= k_hi, F.col(value_col)))
+            )
+            / 2
+        ).alias(out_name)
+    )
+
+
+@_pending(
+    "events_anomaly_mad",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+    med AS (
+        SELECT event_type, median(value) AS median_value
+        FROM ev GROUP BY event_type
+    ),
+    d AS (
+        SELECT ev.event_type, ev.value, med.median_value,
+               ABS(ev.value - med.median_value) AS dev
+        FROM ev JOIN med USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           ROUND(MIN(d.median_value), 6) AS median_value,
+           ROUND(MIN(mad.mad), 6) AS mad,
+           CAST(COUNT(CASE WHEN d.dev > 3 * mad.mad THEN 1 END) AS BIGINT)
+               AS n_outliers,
+           COUNT(*) AS n_events
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type outlier screen: flag events whose value deviates
+    from the type median by more than 3x the median absolute deviation —
+    the standard robust alternative to z-scores (mean/stddev move with
+    the outliers they are supposed to catch; the median/MAD pair does
+    not).
+
+    Scale shape: two grouped exact medians (value, then |value - median|)
+    through the banded distributed-rank helper — event_type is a
+    low-cardinality key, exactly the population a naive
+    ``Window.partitionBy(event_type)`` would funnel through one sort task
+    per type. Both median frames are per-type tiny and broadcast back;
+    the final screen is one map-side pass + one grouped aggregation.
+    Outlier comparison uses the UNROUNDED median/MAD (bit-identical in
+    both engines: the same two doubles averaged, the same subtraction);
+    the reported median/mad round to 6 decimals for display only.
+    """
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    med = _grouped_exact_median(ev, "value", "event_type", "median_value")
+    with_dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = _grouped_exact_median(with_dev, "__dev", "event_type", "mad")
+    return (
+        with_dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("median_value"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("__dev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_pending(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    total AS (SELECT SUM(cnt) AS total FROM vocab),
+    logp AS (
+        SELECT token,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS logp
+        FROM vocab CROSS JOIN total
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(l.logp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+    FROM toks t JOIN logp l ON t.token = l.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM quality score: per-document mean unigram log-probability
+    under the corpus's own unigram distribution — the cheap perplexity
+    proxy used to rank web-scale text before an expensive model-based
+    filter (gibberish and boilerplate score far below median prose).
+
+    Scale shape: one explode + map-side token counts build the vocabulary
+    (vocabulary-sized, broadcast); the corpus total rides a broadcast
+    single-row cross join (in-plan, no driver collect); scoring is the
+    token stream joined against the broadcast vocab and aggregated by
+    doc_id — partial map-side, one shuffle on doc_id. Float discipline:
+    each token's ln(p) rounds to 6 decimals and SUMS AS DECIMAL(18,6)
+    (association-independent, so the per-doc mean is identical under any
+    partitioning and matches the oracle exactly); the mean divides in
+    DOUBLE on both engines.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    return (
+        toks.join(F.broadcast(logp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""The three r8-slot queries (operators/pending_r8.py): oracle parity,
+plan shape, and the stay-out-of-the-registry contract.
+
+These are pre-built in r7 because the r7 verification window has zero
+slack (the full r4 cohort comes due); they register at r8 where exactly 3
+slots are free. Parity here runs the same sorted-signature comparison the
+driver and scripts/selfcheck.py use, at two scale factors, so flipping
+them into the registry at r8 is a no-risk two-line move per query.
+"""
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+
+from conftest import SF_ORACLE, SF_SMOKE  # noqa: E402
+from selfcheck import compare  # noqa: E402  (same comparator the harness uses)
+
+from dbfs_spark_cache_spark.operators import ORACLES, QUERIES  # noqa: E402
+from dbfs_spark_cache_spark.operators.pending_r8 import (  # noqa: E402
+    ORACLES_R8,
+    QUERIES_R8,
+)
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in _TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def test_pending_queries_stay_unregistered():
+    """Until r8 these must NOT appear in the live registry — each one
+    registered early displaces a due query past the freshness bar (the
+    r7 window has zero slack). The module avoids ``register`` entirely,
+    so even importing it cannot leak a slot; this test pins that."""
+    assert set(QUERIES_R8) == {
+        "similarity_topk_batch",
+        "events_anomaly_mad",
+        "text_unigram_logprob",
+    }
+    assert set(ORACLES_R8) == set(QUERIES_R8)
+    leaked = set(QUERIES_R8) & set(QUERIES)
+    assert not leaked, f"pending queries leaked into the registry: {leaked}"
+    assert not set(ORACLES_R8) & set(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_R8))
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_pending_query_matches_oracle(spark, name, sf_dir):
+    """Row-count + schema + sorted exact-value parity against the DuckDB
+    oracle — the driver's own comparison, via selfcheck's comparator."""
+    spark_pdf = QUERIES_R8[name](spark, sf_dir).toPandas()
+    con = _duck(sf_dir)
+    duck_pdf = con.execute(ORACLES_R8[name]).df()
+    problems = compare(name, spark_pdf, duck_pdf, verbose=True)
+    assert not problems, f"{name} @ {sf_dir}: {problems}"
+    assert len(spark_pdf) > 0, f"{name} returned no rows"
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_topk_batch_windows_are_bucketed(spark):
+    """The batch top-k must never rank a whole corpus partition-by-q_id:
+    the first window carries the vec_id bucket next to q_id, and the
+    final window only sees the <= n_buckets x k candidate survivors."""
+    plan = _plan_text(QUERIES_R8["similarity_topk_batch"](spark, SF_SMOKE))
+    assert "pmod" in plan, "vec_id bucket expression missing from the plan"
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window specs in the plan"
+    # Spark projects pmod(vec_id, 8) into a _w<N> attribute before the
+    # window; the first-stage spec must carry that bucket attribute as a
+    # second partition key next to q_id.
+    bucketed = [s for s in specs if re.search(r"_w\d+#", s)]
+    assert bucketed, (
+        "first-stage top-k window lost its vec_id bucket — a plain "
+        "partitionBy(q_id) window funnels the corpus through one task "
+        f"per query: {specs}"
+    )
+
+
+def test_anomaly_mad_windows_are_banded(spark):
+    """Both median passes ride the grouped distributed-rank helper: every
+    window spec must carry the value band (__bucket), never a bare
+    partitionBy(event_type) sort of a whole type's population."""
+    plan = _plan_text(QUERIES_R8["events_anomaly_mad"](spark, SF_SMOKE))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert "__bucket" in spec, f"unbanded window spec: {spec}"
+
+
+def test_unigram_logprob_vocab_is_broadcast(spark):
+    """The vocabulary join must broadcast the vocab side (vocabulary-sized)
+    into the token stream — a shuffle join on token re-shuffles the whole
+    exploded corpus for a dictionary-sized build side."""
+    plan = _plan_text(QUERIES_R8["text_unigram_logprob"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
