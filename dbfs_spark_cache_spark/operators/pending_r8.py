@@ -143,43 +143,13 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
 def _grouped_exact_median(
     df: DataFrame, value_col: str, part_col: str, out_name: str
 ) -> DataFrame:
-    """Exact per-group median (DuckDB/SQL interpolating semantics: the
-    mean of the two middle values for even counts) WITHOUT a per-group
-    global sort.
+    """Events-keyed wrapper over :func:`scale.grouped_exact_median` (the
+    banded no-global-sort exact median; semantics and edge cases
+    documented and pinned there)."""
+    from .scale import grouped_exact_median
 
-    Rides ``scale.distributed_global_percentiles`` in grouped mode: each
-    row gets its tie-inclusive cumulative count via banded, partitioned
-    windows; the k-th smallest value of a group is then the MIN value
-    whose cumulative count reaches k — one conditional aggregation, no
-    single-task WindowExec anywhere (the helper's standing plan pin).
-    cume_dist arrives as n_le/n in DOUBLE; multiplying back by n and
-    rounding recovers the integer n_le exactly (|error| ~ ulp, far
-    below 0.5 for any realistic group size).
-    """
-    from .scale import distributed_global_percentiles
-
-    ranked = distributed_global_percentiles(
-        df,
-        value_col,
-        tiebreak_col="event_id",
-        partition_cols=[part_col],
-        pct_col="__pct",
-        cume_col="__cume",
-        tile_col="__tile",
-    )
-    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n"))
-    j = ranked.join(F.broadcast(counts), part_col)
-    n_le = F.round(F.col("__cume") * F.col("__n")).cast("long")
-    k_lo = F.floor((F.col("__n") + 1) / 2)  # lower middle (== upper if odd)
-    k_hi = F.floor(F.col("__n") / 2) + 1  # upper middle
-    return j.groupBy(part_col).agg(
-        (
-            (
-                F.min(F.when(n_le >= k_lo, F.col(value_col)))
-                + F.min(F.when(n_le >= k_hi, F.col(value_col)))
-            )
-            / 2
-        ).alias(out_name)
+    return grouped_exact_median(
+        df, value_col, part_col, out_name, tiebreak_col="event_id"
     )
 
 
@@ -223,6 +193,16 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     Outlier comparison uses the UNROUNDED median/MAD (bit-identical in
     both engines: the same two doubles averaged, the same subtraction);
     the reported median/mad round to 6 decimals for display only.
+
+    Pass count: MAD is irreducibly sequential (median -> deviations ->
+    median-of-deviations -> flag), and each banded median adds its
+    bounds/counts aggregate scans — all map-side and pruned to three
+    columns, but still rescans of the fact table. At 100 TB, stage the
+    deviation frame through the cache engine (``staging.stage_cache``,
+    as the pipeline_* queries do) so the second median and the final
+    screen read the staged columns instead of re-deriving them; at
+    bench scale the probe shows the cost is stage latency, not data
+    (4.1 s at sf0.001 vs 4.3 s at sf0.1 — flat).
     """
     ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
     med = _grouped_exact_median(ev, "value", "event_type", "median_value")

@@ -213,6 +213,53 @@ def distributed_global_percentiles(
     )
 
 
+def grouped_exact_median(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    out_name: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact per-group median (SQL/DuckDB interpolating semantics: the
+    mean of the two middle values for even counts) WITHOUT a per-group
+    global sort — for LOW-cardinality group keys, the same contract as
+    :func:`distributed_global_percentiles` grouped mode, which this rides.
+
+    Each row gets its tie-inclusive cumulative count via the banded,
+    partitioned windows; the k-th smallest value of a group is then the
+    MIN value whose cumulative count reaches k — one conditional
+    aggregation, no single-task WindowExec anywhere. cume_dist arrives as
+    n_le/n in DOUBLE; multiplying back by n and rounding recovers the
+    integer n_le exactly (|error| ~ ulp, far below 0.5 for any realistic
+    group size). Edge cases (singletons, all-equal, ties straddling the
+    middle, even/odd counts) are pinned against ``statistics.median`` in
+    tests/test_pending_r8.py.
+    """
+    ranked = distributed_global_percentiles(
+        df,
+        value_col,
+        tiebreak_col=tiebreak_col,
+        partition_cols=[part_col],
+        pct_col="__pct",
+        cume_col="__cume",
+        tile_col="__tile",
+    )
+    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(F.broadcast(counts), part_col)
+    n_le = F.round(F.col("__cume") * F.col("__n")).cast("long")
+    k_lo = F.floor((F.col("__n") + 1) / 2)  # lower middle (== upper if odd)
+    k_hi = F.floor(F.col("__n") / 2) + 1  # upper middle
+    return j.groupBy(part_col).agg(
+        (
+            (
+                F.min(F.when(n_le >= k_lo, F.col(value_col)))
+                + F.min(F.when(n_le >= k_hi, F.col(value_col)))
+            )
+            / 2
+        ).alias(out_name)
+    )
+
+
 @register(
     "join_salted_skew",
     oracle="""

@@ -387,6 +387,69 @@ def stream_corpus_near_dup_matches(
     )
 
 
+def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust baseline (exact median + median absolute deviation)
+    of the historical events table, materialized through the cache engine:
+    a changed history recomputes it, an unchanged one is a table scan. The
+    static side of the stream-static outlier screen below — the batch twin
+    of the screen is the (pending-r8) ``events_anomaly_mad`` query, built
+    on the same banded-median helper.
+    """
+    from ..operators.scale import grouped_exact_median
+    from ..operators.staging import stage_cache
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = grouped_exact_median(
+        ev, "value", "event_type", "median_value", tiebreak_col="event_id"
+    )
+    with_dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__dev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = grouped_exact_median(
+        with_dev, "__dev", "event_type", "mad", tiebreak_col="event_id"
+    )
+    return stage_cache(med.join(mad, "event_type"), "robust_outlier_baseline")
+
+
+def robust_outlier_stream(
+    events: DataFrame, baseline: DataFrame, k: float = 3.0
+) -> DataFrame:
+    """Streaming robust-outlier screen: flag incoming events whose value
+    deviates from their type's historical median by more than ``k`` x the
+    historical MAD — the robust alternative to z-scoring a stream (a
+    mean/stddev baseline moves with the very outliers it should catch; a
+    median/MAD baseline holds still).
+
+    Scale shape: stateless stream-static broadcast join — the baseline is
+    |event types| rows, each micro-batch is one map-side pass, no
+    watermark and no streaming state at all. Refresh cadence is the
+    baseline's: restart the query after re-staging (foreachBatch callers
+    can re-read it per batch instead). Emits the flagged events with
+    their deviation in MAD units (``score``); NULL values never flag
+    (the comparison is not-TRUE for them, same tri-state discipline as
+    the quality gate).
+    """
+    dev = F.abs(F.col("value") - F.col("median_value"))
+    return (
+        events.join(F.broadcast(baseline), "event_type")
+        .where(dev > k * F.col("mad"))
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            # A type with constant history has MAD 0: ANY deviation flags
+            # (consistent with the batch twin's dev > k*0 count) and the
+            # score is NULL rather than Infinity.
+            F.when(
+                F.col("mad") > 0, F.round(dev / F.col("mad"), 4)
+            ).alias("score"),
+        )
+    )
+
+
 def write_stream_to_table(
     stream_df: DataFrame,
     table_name: str,

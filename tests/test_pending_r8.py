@@ -116,6 +116,49 @@ def test_anomaly_mad_windows_are_banded(spark):
         assert "__bucket" in spec, f"unbanded window spec: {spec}"
 
 
+def test_grouped_exact_median_matches_python(spark):
+    """Property: the banded no-global-sort median equals
+    ``statistics.median`` (the same interpolating semantics DuckDB's
+    ``median()`` uses) on hostile group shapes — singletons, all-equal
+    values, heavy ties straddling the middle, even/odd counts, negatives.
+    Deterministic example table rather than @given: a Spark job per
+    hypothesis example is prohibitively slow, and the failure modes are
+    group-shape-driven, not value-driven."""
+    import statistics
+
+    from dbfs_spark_cache_spark.operators.pending_r8 import (
+        _grouped_exact_median,
+    )
+
+    groups = {
+        "singleton": [7.5],
+        "pair": [1.0, 2.0],
+        "all_equal": [3.0] * 6,
+        "ties_at_middle_even": [1.0, 2.0, 2.0, 2.0, 2.0, 9.0],
+        "ties_at_middle_odd": [1.0, 2.0, 2.0, 2.0, 9.0],
+        "negatives": [-5.0, -1.0, -3.0, 0.0],
+        "odd_spread": [10.0, -10.0, 0.5, 2.5, 100.0],
+        "even_spread": [4.0, 8.0, 15.0, 16.0, 23.0, 42.0],
+        "two_values_skewed": [1.0] * 9 + [2.0],
+    }
+    rows = [
+        (f"{g}-{i}", g, v)
+        for g, vals in groups.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id string, grp string, value double"
+    )
+    got = {
+        r["grp"]: r["med"]
+        for r in _grouped_exact_median(df, "value", "grp", "med").collect()
+    }
+    for g, vals in groups.items():
+        assert got[g] == pytest.approx(statistics.median(vals), abs=0), (
+            f"group {g}: got {got[g]}, want {statistics.median(vals)}"
+        )
+
+
 def test_unigram_logprob_vocab_is_broadcast(spark):
     """The vocabulary join must broadcast the vocab side (vocabulary-sized)
     into the token stream — a shuffle join on token re-shuffles the whole

@@ -1044,3 +1044,55 @@ def test_read_quarantine_returns_committed_bad_rows(spark, tmp_path):
         .awaitTermination()
     )
     assert read_quarantine(spark, clean_base) is None
+
+
+def test_robust_outlier_stream_matches_batch(spark, clean_cache):
+    """Stream-static MAD screen parity: streaming the events table against
+    its own staged baseline must flag EXACTLY the rows a pure-batch
+    computation of the same screen flags, with identical MAD-unit scores.
+    Also pins the degenerate contract: a constant-history type (MAD 0)
+    flags any deviation with a NULL score instead of Infinity."""
+    from dbfs_spark_cache_spark.operators.scale import grouped_exact_median
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        robust_outlier_baseline,
+        robust_outlier_stream,
+        run_to_memory_sink,
+    )
+
+    baseline = robust_outlier_baseline(spark, SF_SMOKE)
+    # batch twin of the screen, straight from the same baseline
+    ev = _batch_events(spark).where(F.col("value").isNotNull())
+    dev = F.abs(F.col("value") - F.col("median_value"))
+    expected = {
+        (r.event_id, r.score)
+        for r in ev.join(baseline, "event_type")
+        .where(dev > 3.0 * F.col("mad"))
+        .select(
+            "event_id",
+            F.when(F.col("mad") > 0, F.round(dev / F.col("mad"), 4)).alias(
+                "score"
+            ),
+        )
+        .collect()
+    }
+
+    flagged = run_to_memory_sink(
+        robust_outlier_stream(read_events_stream(spark, SF_SMOKE), baseline),
+        "t_robust_outliers",
+        output_mode="append",
+    )
+    got = {(r.event_id, r.score) for r in flagged.collect()}
+    assert got == expected
+    assert expected, "fixture produced no outliers — screen untested"
+
+    # Degenerate MAD-0 contract on a hand-built constant-history type.
+    const_baseline = spark.createDataFrame(
+        [("steady", 5.0, 0.0)], "event_type string, median_value double, mad double"
+    )
+    probe = spark.createDataFrame(
+        [(1, None, 1, "steady", 5.0), (2, None, 2, "steady", 5.1)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = robust_outlier_stream(probe, const_baseline).collect()
+    assert [(r.event_id, r.score) for r in rows] == [(2, None)]
