@@ -1,15 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries + cache-engine metrics at one scale
-factor. Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>}
+factor. Prints TWO JSON lines — diagnostics first, then the compact
+machine contract LAST (the driver tail-captures stdout, so the last line
+must stay small):
+
+  {"diagnostics": {"run_spread": {...}, "profile_legs": {...},
+                   "hash_family": ...}}
+  {"metric": "headline_suite_wall_seconds", "value": <total sec>,
+   "unit": "sec", "queries": {...per-query sec + cache metrics...},
+   "sf": <sf>}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 
-Cache metrics mirror BASELINE.md's profile: `cache_write_overhead` is
-(write+read)/uncached-recompute for the flagship query, `cached_speedup` is
-uncached-recompute/cache-hit-read. Targets: overhead <= ~1.5x, speedup >= ~10x.
+Cache metrics mirror BASELINE.md's profile, measured on a bench-local
+138k-row rollup (see profile_query below): `cache_write_overhead_ratio`
+is (write+read)/uncached-recompute, `cache_write_overhead_sec` the same
+as absolute seconds, `cached_speedup` is uncached-recompute/hit-read.
+Targets: ratio <= ~1.5x (aim <= 1.2), speedup >= ~10x.
 """
 from __future__ import annotations
 

@@ -87,14 +87,14 @@ def list_dir(path: str) -> List[FileStat]:
     # A missing path lists as empty, mirroring the local branch — Hadoop's
     # listStatus instead throws FileNotFoundException, which would fail the
     # FIRST batch of any sink whose ledger dir doesn't exist yet on remote
-    # storage (local tests never hit this branch). The exists() probe covers
-    # the common case; the catch covers a delete racing the listing.
-    if not jfs.exists(jpath):
-        return []
+    # storage (local tests never hit this branch). Catch rather than probe:
+    # an exists() pre-check would double the metadata RPCs on every listing
+    # (list_dir runs once per micro-batch in _ledger_state and recursively
+    # under tree_size) to save nothing the catch doesn't already handle.
     out = []
     try:
         statuses = jfs.listStatus(jpath)
-    except Exception as exc:  # pragma: no cover - remote-only race
+    except Exception as exc:
         if "FileNotFoundException" in str(exc):
             return []
         raise
@@ -236,11 +236,17 @@ def write_text(path: str, content: str) -> None:
     if not jfs.rename(jtmp, jpath):
         jfs.delete(jtmp, False)
         # Cross-process race: another writer's rename can land between our
-        # delete and rename. Sidecar writes are content-addressed (same key
-        # -> same document), so if the target exists now the goal state is
-        # already in place — succeed silently, as create(overwrite=True)
-        # and the reference's dbutils.fs.put always did.
-        if jfs.exists(jpath):
+        # delete and rename. Metadata sidecars are content-addressed (same
+        # key -> same document), so when the target now holds EXACTLY our
+        # content the goal state is in place — succeed silently, as
+        # create(overwrite=True) and the reference's dbutils.fs.put always
+        # did. The content check is load-bearing, not pedantry: the ledger
+        # manifest is a MUTABLE document at a fixed path, and silently
+        # "succeeding" over a racer's different manifest would let a
+        # compactor proceed to delete markers its surviving manifest never
+        # absorbed (dropping committed batch ids). Different content ->
+        # raise, exactly as before.
+        if read_text(path) == content:
             return
         raise OSError(f"rename {jtmp} -> {jpath} failed")
 

@@ -140,19 +140,6 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _grouped_exact_median(
-    df: DataFrame, value_col: str, part_col: str, out_name: str
-) -> DataFrame:
-    """Events-keyed wrapper over :func:`scale.grouped_exact_median` (the
-    banded no-global-sort exact median; semantics and edge cases
-    documented and pinned there)."""
-    from .scale import grouped_exact_median
-
-    return grouped_exact_median(
-        df, value_col, part_col, out_name, tiebreak_col="event_id"
-    )
-
-
 @_pending(
     "events_anomaly_mad",
     oracle="""
@@ -204,21 +191,20 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     bench scale the probe shows the cost is stage latency, not data
     (4.1 s at sf0.001 vs 4.3 s at sf0.1 — flat).
     """
+    from .scale import grouped_median_mad
+
     ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
-    med = _grouped_exact_median(ev, "value", "event_type", "median_value")
-    with_dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "__dev", F.abs(F.col("value") - F.col("median_value"))
+    baseline = grouped_median_mad(
+        ev, "value", "event_type", tiebreak_col="event_id"
     )
-    mad = _grouped_exact_median(with_dev, "__dev", "event_type", "mad")
+    dev = F.abs(F.col("value") - F.col("median_value"))
     return (
-        with_dev.join(F.broadcast(mad), "event_type")
+        ev.join(F.broadcast(baseline), "event_type")
         .groupBy("event_type")
         .agg(
             F.round(F.min("median_value"), 6).alias("median_value"),
             F.round(F.min("mad"), 6).alias("mad"),
-            F.count(F.when(F.col("__dev") > 3 * F.col("mad"), 1)).alias(
-                "n_outliers"
-            ),
+            F.count(F.when(dev > 3 * F.col("mad"), 1)).alias("n_outliers"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -89,6 +89,7 @@ def distributed_global_percentiles(
     cume_col: str = "cume_dist",
     tile_col: str = "tile",
     partition_cols: Optional[List[str]] = None,
+    count_col: Optional[str] = None,
 ) -> DataFrame:
     """Global percent_rank / cume_dist / ntile WITHOUT a global window.
 
@@ -126,6 +127,11 @@ def distributed_global_percentiles(
     NULL values get their own lowest bucket. Without that, ``F.least``
     skips NULL operands and ``least(n_buckets-1, floor(NULL))`` would
     silently rank NULL rows at the TOP.
+
+    ``count_col`` additionally emits each row's (partition-)total N —
+    already computed internally for the rank arithmetic, so consumers
+    that need it (:func:`grouped_exact_median`) get it for free instead
+    of re-scanning the input for a separate count aggregate.
     """
     from pyspark.sql import Window as W
 
@@ -203,6 +209,7 @@ def distributed_global_percentiles(
         if parts
         else with_offsets.crossJoin(F.broadcast(totals))
     )
+    extra = [n.cast("long").alias(count_col)] if count_col else []
     return with_totals.select(
         *out_cols,
         F.when(n == 1, F.lit(0.0))
@@ -210,6 +217,7 @@ def distributed_global_percentiles(
         .alias(pct_col),
         (n_le.cast("double") / n.cast("double")).alias(cume_col),
         tile.cast("long").alias(tile_col),
+        *extra,
     )
 
 
@@ -243,13 +251,12 @@ def grouped_exact_median(
         pct_col="__pct",
         cume_col="__cume",
         tile_col="__tile",
+        count_col="__n",  # free ride on the helper's internal total
     )
-    counts = df.groupBy(part_col).agg(F.count(F.lit(1)).alias("__n"))
-    j = ranked.join(F.broadcast(counts), part_col)
     n_le = F.round(F.col("__cume") * F.col("__n")).cast("long")
     k_lo = F.floor((F.col("__n") + 1) / 2)  # lower middle (== upper if odd)
     k_hi = F.floor(F.col("__n") / 2) + 1  # upper middle
-    return j.groupBy(part_col).agg(
+    return ranked.groupBy(part_col).agg(
         (
             (
                 F.min(F.when(n_le >= k_lo, F.col(value_col)))
@@ -258,6 +265,36 @@ def grouped_exact_median(
             / 2
         ).alias(out_name)
     )
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group robust baseline: exact median of ``value_col`` plus the
+    median absolute deviation from it — one frame of
+    ``(part_col, median_value, mad)``, |groups| rows.
+
+    The single source of the median->deviation->MAD math: the batch
+    anomaly screen (``events_anomaly_mad``) and the streaming screen's
+    staged baseline (``streaming.robust_outlier_baseline``) both call
+    this, so their batch/stream parity can never drift. MAD is
+    irreducibly two sequential banded-median passes; both ride
+    :func:`grouped_exact_median` (low-cardinality ``part_col`` contract,
+    no single-task sorts).
+    """
+    med = grouped_exact_median(
+        df, value_col, part_col, "median_value", tiebreak_col=tiebreak_col
+    )
+    with_dev = df.join(F.broadcast(med), part_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("median_value"))
+    )
+    mad = grouped_exact_median(
+        with_dev, "__dev", part_col, "mad", tiebreak_col=tiebreak_col
+    )
+    return med.join(mad, part_col)
 
 
 @register(

@@ -395,25 +395,22 @@ def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the screen is the (pending-r8) ``events_anomaly_mad`` query, built
     on the same banded-median helper.
     """
-    from ..operators.scale import grouped_exact_median
+    from ..operators.scale import grouped_median_mad
     from ..operators.staging import stage_cache
     from ..sources import load_table
 
     ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    med = grouped_exact_median(
-        ev, "value", "event_type", "median_value", tiebreak_col="event_id"
+    baseline = grouped_median_mad(
+        ev, "value", "event_type", tiebreak_col="event_id"
     )
-    with_dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "__dev", F.abs(F.col("value") - F.col("median_value"))
-    )
-    mad = grouped_exact_median(
-        with_dev, "__dev", "event_type", "mad", tiebreak_col="event_id"
-    )
-    return stage_cache(med.join(mad, "event_type"), "robust_outlier_baseline")
+    return stage_cache(baseline, "robust_outlier_baseline")
 
 
 def robust_outlier_stream(
-    events: DataFrame, baseline: DataFrame, k: float = 3.0
+    events: DataFrame,
+    baseline: DataFrame,
+    k: float = 3.0,
+    flag_unknown_types: bool = True,
 ) -> DataFrame:
     """Streaming robust-outlier screen: flag incoming events whose value
     deviates from their type's historical median by more than ``k`` x the
@@ -421,28 +418,36 @@ def robust_outlier_stream(
     mean/stddev baseline moves with the very outliers it should catch; a
     median/MAD baseline holds still).
 
-    Scale shape: stateless stream-static broadcast join — the baseline is
-    |event types| rows, each micro-batch is one map-side pass, no
-    watermark and no streaming state at all. Refresh cadence is the
-    baseline's: restart the query after re-staging (foreachBatch callers
-    can re-read it per batch instead). Emits the flagged events with
-    their deviation in MAD units (``score``); NULL values never flag
-    (the comparison is not-TRUE for them, same tri-state discipline as
-    the quality gate).
+    Scale shape: stateless stream-static LEFT broadcast join — the
+    baseline is |event types| rows, each micro-batch is one map-side
+    pass, no watermark and no streaming state at all. Refresh cadence is
+    the baseline's: restart the query after re-staging (foreachBatch
+    callers can re-read it per batch instead).
+
+    Flag contract: emits the flagged events with their deviation in MAD
+    units (``score``). An event whose TYPE the baseline has never seen is
+    itself anomalous — by default it flags with a NULL score (set
+    ``flag_unknown_types=False`` to drop such events instead; an inner
+    join would do that silently, which is exactly the surprise this
+    parameter makes explicit). A type with constant history (MAD 0) flags
+    any deviation, also with a NULL score rather than Infinity. NULL
+    values never flag (the comparison is not-TRUE for them, same
+    tri-state discipline as the quality gate).
     """
     dev = F.abs(F.col("value") - F.col("median_value"))
+    unknown = F.col("median_value").isNull()
+    flagged = dev > k * F.col("mad")
+    if flag_unknown_types:
+        flagged = flagged | (unknown & F.col("value").isNotNull())
     return (
-        events.join(F.broadcast(baseline), "event_type")
-        .where(dev > k * F.col("mad"))
+        events.join(F.broadcast(baseline), "event_type", "left")
+        .where(flagged)
         .select(
             "event_id",
             "ts",
             "user_id",
             "event_type",
             "value",
-            # A type with constant history has MAD 0: ANY deviation flags
-            # (consistent with the batch twin's dev > k*0 count) and the
-            # score is NULL rather than Infinity.
             F.when(
                 F.col("mad") > 0, F.round(dev / F.col("mad"), 4)
             ).alias("score"),
@@ -650,6 +655,14 @@ def compact_commit_ledger(base_path: str) -> int:
     ledger never mean duplicate data). A sink writer racing compaction is
     also safe: its marker lands either before the listing (folded now) or
     after (folded next time). Returns the number of markers folded.
+
+    NOT safe: two compactors racing EACH OTHER. Manifest writes are
+    last-writer-wins (a filesystem without compare-and-swap cannot do
+    better), so compactor B folding a stale listing can overwrite the
+    manifest ids compactor A just folded AFTER A deleted their markers.
+    Run compaction from a single maintenance owner (cron job, CLI) —
+    the same single-operator contract every registry maintenance op in
+    ``management.py`` carries.
     """
     from .. import fs
 

@@ -110,43 +110,72 @@ def test_list_dir_remote_lists_existing_entries(fake_fs):
     assert names == {"1.txt", "2.txt"}
 
 
-def test_write_text_lost_rename_race_with_existing_target_is_silent(
-    fake_fs, monkeypatch
-):
-    """A racer's identical sidecar landing between our delete and rename
-    makes our rename return False WITH the target present — the goal
-    state is in place (content-addressed writes are byte-identical per
-    key), so the caller's job must not fail."""
+def _install_fake_jvm(monkeypatch, fake_fs):
+    """Wire the fake FileSystem into write_text's and read_text's JVM
+    plumbing: create() returns a write stream, open()+IOUtils.toString
+    serve the stored content back (write_text re-reads the target to
+    verify a lost race left IDENTICAL content before succeeding
+    silently)."""
 
-    class _Stream:
+    class _WriteStream:
         def write(self, data):
             pass
 
         def close(self):
             pass
 
-    fake_fs.create = lambda jpath, overwrite: _Stream()
+    class _ReadStream:
+        def __init__(self, content):
+            self.content = content
 
-    class _FakeJvmPathFactory:
+        def close(self):
+            pass
+
+    fake_fs.create = lambda jpath, overwrite: _WriteStream()
+    fake_fs.open = lambda jpath: _ReadStream(
+        fake_fs.files.get(jpath.toString())
+    )
+
+    class _IOUtils:
+        @staticmethod
+        def toString(stream, encoding):
+            if stream.content is None:
+                raise RuntimeError("java.io.FileNotFoundException")
+            return stream.content
+
+    class _FakeJvm:
         class org:
             class apache:
                 class hadoop:
                     class fs:
                         Path = _FakePath
 
+                class commons:
+                    class io:
+                        IOUtils = _IOUtils
+
     class _FakeSession:
-        _jvm = _FakeJvmPathFactory
+        _jvm = _FakeJvm
 
     monkeypatch.setattr(
         "pyspark.sql.SparkSession.getActiveSession",
         classmethod(lambda cls: _FakeSession()),
     )
 
+
+def test_write_text_lost_rename_race_with_identical_content_is_silent(
+    fake_fs, monkeypatch
+):
+    """A racer's IDENTICAL sidecar landing between our delete and rename
+    makes our rename return False with the goal state already in place
+    (content-addressed writes are byte-identical per key) — the caller's
+    job must not fail."""
+    _install_fake_jvm(monkeypatch, fake_fs)
     target = "s3a://bucket/cache/key.meta.txt"
 
     def losing_rename(src, dst):
         fake_fs.files.pop(src.toString(), None)
-        fake_fs.files[dst.toString()] = "racer-wrote-identical-content"
+        fake_fs.files[target] = "racer-wrote-identical-content"
         return False
 
     fake_fs.rename = losing_rename
@@ -154,35 +183,33 @@ def test_write_text_lost_rename_race_with_existing_target_is_silent(
     assert fake_fs.files[target] == "racer-wrote-identical-content"
 
 
+def test_write_text_lost_rename_race_with_different_content_raises(
+    fake_fs, monkeypatch
+):
+    """The silent path is content-gated: losing a rename race to a
+    DIFFERENT document (the mutable ledger manifest, not a
+    content-addressed sidecar) must raise, or a compactor would proceed
+    to delete markers its surviving manifest never absorbed."""
+    _install_fake_jvm(monkeypatch, fake_fs)
+    target = "s3a://bucket/sink/_committed/manifest.txt"
+
+    def losing_rename(src, dst):
+        fake_fs.files.pop(src.toString(), None)
+        fake_fs.files[target] = "1\n2\n3"
+        return False
+
+    fake_fs.rename = losing_rename
+    with pytest.raises(OSError):
+        fs.write_text(target, "1\n2\n3\n7")
+    assert fake_fs.files[target] == "1\n2\n3"  # racer's document intact
+
+
 def test_write_text_rename_failure_without_target_still_raises(
     fake_fs, monkeypatch
 ):
     """A rename that fails with NO replacement in place is a real error —
     the silent-success path is strictly for the won-by-someone-else race."""
-
-    class _Stream:
-        def write(self, data):
-            pass
-
-        def close(self):
-            pass
-
-    fake_fs.create = lambda jpath, overwrite: _Stream()
-
-    class _FakeJvmPathFactory:
-        class org:
-            class apache:
-                class hadoop:
-                    class fs:
-                        Path = _FakePath
-
-    class _FakeSession:
-        _jvm = _FakeJvmPathFactory
-
-    monkeypatch.setattr(
-        "pyspark.sql.SparkSession.getActiveSession",
-        classmethod(lambda cls: _FakeSession()),
-    )
+    _install_fake_jvm(monkeypatch, fake_fs)
 
     def broken_rename(src, dst):
         fake_fs.files.pop(src.toString(), None)

@@ -126,9 +126,7 @@ def test_grouped_exact_median_matches_python(spark):
     group-shape-driven, not value-driven."""
     import statistics
 
-    from dbfs_spark_cache_spark.operators.pending_r8 import (
-        _grouped_exact_median,
-    )
+    from dbfs_spark_cache_spark.operators.scale import grouped_exact_median
 
     groups = {
         "singleton": [7.5],
@@ -151,7 +149,9 @@ def test_grouped_exact_median_matches_python(spark):
     )
     got = {
         r["grp"]: r["med"]
-        for r in _grouped_exact_median(df, "value", "grp", "med").collect()
+        for r in grouped_exact_median(
+            df, "value", "grp", "med", tiebreak_col="event_id"
+        ).collect()
     }
     for g, vals in groups.items():
         assert got[g] == pytest.approx(statistics.median(vals), abs=0), (

@@ -1086,13 +1086,25 @@ def test_robust_outlier_stream_matches_batch(spark, clean_cache):
     assert got == expected
     assert expected, "fixture produced no outliers — screen untested"
 
-    # Degenerate MAD-0 contract on a hand-built constant-history type.
+    # Degenerate contracts on a hand-built baseline: a constant-history
+    # type (MAD 0) flags any deviation with a NULL score; a type the
+    # baseline never saw flags by default (an unseen type IS the anomaly)
+    # and drops only when explicitly asked to.
     const_baseline = spark.createDataFrame(
         [("steady", 5.0, 0.0)], "event_type string, median_value double, mad double"
     )
     probe = spark.createDataFrame(
-        [(1, None, 1, "steady", 5.0), (2, None, 2, "steady", 5.1)],
+        [
+            (1, None, 1, "steady", 5.0),
+            (2, None, 2, "steady", 5.1),
+            (3, None, 3, "never_seen", 1e9),
+            (4, None, 4, "never_seen", None),  # NULL value: never flags
+        ],
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
     rows = robust_outlier_stream(probe, const_baseline).collect()
-    assert [(r.event_id, r.score) for r in rows] == [(2, None)]
+    assert sorted((r.event_id, r.score) for r in rows) == [(2, None), (3, None)]
+    dropped = robust_outlier_stream(
+        probe, const_baseline, flag_unknown_types=False
+    ).collect()
+    assert [(r.event_id, r.score) for r in dropped] == [(2, None)]
