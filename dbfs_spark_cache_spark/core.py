@@ -16,6 +16,7 @@ core_caching.py:113-114) is intentionally NOT reproduced.
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 from datetime import datetime
 from typing import Any, List, Mapping, Optional, Tuple, Union
@@ -28,6 +29,7 @@ from .config import config
 from .hashing import hash_input_data
 from .plans.fingerprint import (
     DIRECT_DATA_CACHE_KEY,
+    INPUT_LISTING_FAILED_KEY,
     canonical_plan,
     find_plain_udfs,
     input_dir_mod_datetime,
@@ -242,17 +244,26 @@ def read_cache_if_exist(
     df: DataFrame,
     query_plan: Optional[str] = None,
     input_info: Optional[Mapping[str, Union[datetime, bool]]] = None,
+    hash_name: Optional[str] = None,
+    cache_path: Optional[str] = None,
 ) -> Optional[DataFrame]:
     """Return the materialized cache for ``df``'s fingerprint, or None.
 
     Hit requires BOTH the metadata sidecar and the catalog table to exist
-    (reference: core_caching.py:409-471).
+    (reference: core_caching.py:409-471). ``hash_name``/``cache_path``
+    must mirror whatever the write used — a custom-keyed cache
+    (``cacheToStorage(hash_name=...)``) is invisible to a default-keyed
+    probe, which previously sent every such call down the miss path
+    (re-materializing or landing in the Spark-cache tier) even though
+    the table existed.
     """
     spark = df.sparkSession
     plan = query_plan if query_plan is not None else canonical_plan(df)
     info = input_info if input_info is not None else input_dir_mod_datetime(df, plan)
 
-    key, _, metadata_path, _ = table_cache_info(info, plan)
+    key, _, metadata_path, _ = table_cache_info(
+        info, plan, hash_name=hash_name, cache_path_base=cache_path
+    )
     if fs.read_text(metadata_path) is None:
         return None
     cached = _read_cache_table(spark, key)
@@ -370,8 +381,20 @@ def cache_dataframe(
     info = input_dir_mod_datetime(df, plan)
     if info == {DIRECT_DATA_CACHE_KEY: True}:  # sentinel kept for parity
         return df
+    if INPUT_LISTING_FAILED_KEY in info:
+        # The input listing failed, so the fingerprint is unmatchable:
+        # writing would create an entry no later (correct) key ever finds.
+        # Skip caching this run rather than leak orphans.
+        log.warning("Input listing failed; skipping cache for this run")
+        return df
 
-    hit = read_cache_if_exist(df, query_plan=plan, input_info=info)
+    hit = read_cache_if_exist(
+        df,
+        query_plan=plan,
+        input_info=info,
+        hash_name=kwargs.get("hash_name"),
+        cache_path=kwargs.get("cache_path"),
+    )
     if hit is not None:
         log.info("Cache hit; replacing plan with table scan")
         _bump("hits")
@@ -474,8 +497,22 @@ def create_cached_dataframe(
     Hashes the driver-local input; on a hit reads the existing ``data_*``
     table, on a miss creates + materializes it. The returned DataFrame is
     tagged so later fingerprinting short-circuits to the data hash.
+
+    An explicit ``schema`` participates in the key (a deviation from the
+    reference, which hashes only the data — core_caching.py:140): for
+    list/tuple input the pandas conversion infers one dtype regardless of
+    the declared schema, so ``schema='a INT'`` and ``schema='b BIGINT'``
+    over the same rows would otherwise collide on one table and the
+    second call would return the first call's column names and types.
     """
     data_hash = hash_input_data(data)
+    if schema is not None:
+        schema_repr = (
+            schema.simpleString() if hasattr(schema, "simpleString") else str(schema)
+        )
+        data_hash = hashlib.md5(
+            f"{data_hash};schema={schema_repr}".encode("utf-8")
+        ).hexdigest()
     cache_hash_name = f"data_{data_hash}"
     table = table_name_for_hash(cache_hash_name)
     cache_dir = f"{config.SPARK_CACHE_DIR}{cache_hash_name}/"
@@ -489,10 +526,16 @@ def create_cached_dataframe(
             log.info("Direct-data cache miss; creating %s", table)
             source = spark.createDataFrame(data, schema=schema, **kwargs)
             _save_as_cache_table(source, table, cache_hash_name)
+            # Deterministic document — NO wall-clock line: every racer on
+            # this key must produce byte-identical content, because both
+            # the per-key lock's re-probe and fs.write_text's lost-rename
+            # recovery treat "target holds my exact bytes" as success
+            # (creation time lives in the sidecar file's own mtime, which
+            # is where the registry reads it from anyway).
             metadata_txt = (
                 "CACHE TYPE: Direct Data Input\n"
                 f"DATA HASH: {data_hash}\n"
-                f"CREATION TIME: {datetime.now():%Y-%m-%d %H:%M:%S}"
+                f"SCHEMA: {source.schema.simpleString()}"
             )
             fs.write_text(metadata_path, metadata_txt)
             cached = spark.read.table(table)

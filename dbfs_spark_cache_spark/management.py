@@ -134,16 +134,31 @@ def get_cached_dataframe_metadata(num_threads: Optional[int] = None) -> pd.DataF
     )
 
 
-def clear_cache_for_hash(spark: SparkSession, hash_name: str) -> None:
-    """Drop the cache table and remove its metadata directory."""
+def clear_cache_for_hash(
+    spark: SparkSession, hash_name: str, database: Optional[str] = None
+) -> None:
+    """Drop the cache table and remove its metadata directory.
+
+    ``database`` scopes the DROP; the metadata sidecar is removed only
+    when clearing the CONFIGURED database, because sidecars live in the
+    single ``SPARK_CACHE_DIR`` namespace and the cache key excludes the
+    database name — an equivalent query cached in two databases shares
+    the hash, so a scoped eviction deleting the shared sidecar would
+    orphan the other database's (still live) entry. Deviation from the
+    reference, which restores ``config.CACHE_DATABASE`` before deleting
+    and therefore drops scoped evictions from the DEFAULT database
+    (reference: cache_management.py:163-173 lists the scoped database but
+    290-311 deletes via the restored config)."""
     if not hash_name:
         return
-    table = f"{config.CACHE_DATABASE}.{hash_name}"
+    db = database or config.CACHE_DATABASE
+    table = f"{db}.{hash_name}"
     try:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     except Exception as exc:
         log.warning("DROP TABLE %s failed: %s", table, exc)
-    fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
+    if db == config.CACHE_DATABASE:
+        fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
 
 
 def clear_caches_older_than(
@@ -173,7 +188,14 @@ def clear_caches_older_than(
         log.info("Dry run: would evict %d entries", len(hashes))
         return hashes
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(pool.map(lambda h: clear_cache_for_hash(spark, h), hashes))
+        list(
+            pool.map(
+                lambda h: clear_cache_for_hash(
+                    spark, h, database=specific_database
+                ),
+                hashes,
+            )
+        )
     return hashes
 
 
@@ -248,6 +270,18 @@ def find_inconsistent_entries(
     return _orphan_entries(meta, tables)
 
 
+def _entry_bytes(spark: SparkSession, hash_name: str) -> int:
+    """Full on-disk footprint of one cache entry: the warehouse table
+    directory (the data — partitioned/bucketed tables nest, hence the
+    recursive tree size) PLUS the metadata sidecar directory. Either half
+    may be absent (orphans); tree_size of a missing path is 0."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    db_root = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db"
+    return fs.tree_size(f"{db_root}/{hash_name}") + fs.tree_size(
+        f"{config.SPARK_CACHE_DIR}{hash_name}/"
+    )
+
+
 def cache_stats(
     spark: SparkSession, num_threads: Optional[int] = None
 ) -> dict:
@@ -270,11 +304,10 @@ def cache_stats(
     table_hashes = set(tables["hash_name"]) if not tables.empty else set()
     all_hashes = meta_hashes | table_hashes
 
-    def entry_size(hash_name: str) -> int:
-        return fs.tree_size(f"{config.SPARK_CACHE_DIR.rstrip('/')}/{hash_name}")
-
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        sizes = dict(zip(all_hashes, pool.map(entry_size, all_hashes)))
+        sizes = dict(
+            zip(all_hashes, pool.map(lambda h: _entry_bytes(spark, h), all_hashes))
+        )
 
     times = list(meta["creationTime"]) if not meta.empty else []
     return {
@@ -308,23 +341,34 @@ def evict_to_size_budget(
     recursive listing per entry, driver-side metadata only [NS: the
     reference has no size-based policy].
 
+    The candidate set is the UNION of both registries: a catalog-only
+    orphan (table with no sidecar — a crash between table write and
+    sidecar write, or a wiped SPARK_CACHE_DIR) still occupies billed
+    bytes, so it must count toward the footprint and be evictable.
+    Orphans with no readable creation time sort FIRST (evicted before any
+    dated entry): an undated orphan is a repair candidate, not a cache
+    hit anyone will get.
+
     Returns evicted (or, with ``confirm_delete=False``, would-evict)
     hashes, oldest first.
     """
-    registry = get_cached_dataframe_metadata(num_threads=num_threads)
-    if registry.empty:
+    meta = get_cached_dataframe_metadata(num_threads=num_threads)
+    tables = get_cached_tables(spark, num_threads=num_threads)
+    frames = [f for f in (meta, tables) if not f.empty]
+    if not frames:
         return []
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    db_root = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db"
-
-    def entry_bytes(hash_name: str) -> int:
-        return fs.tree_size(f"{db_root}/{hash_name}") + fs.tree_size(
-            f"{config.SPARK_CACHE_DIR}{hash_name}/"
-        )
+    registry = (
+        pd.concat(frames, ignore_index=True)
+        .drop_duplicates("hash_name", keep="first")  # sidecar date wins
+        .sort_values("creationTime", na_position="first")
+        .reset_index(drop=True)
+    )
 
     hashes = list(registry["hash_name"])  # oldest first (sorted by creation)
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        sizes = dict(zip(hashes, pool.map(entry_bytes, hashes)))
+        sizes = dict(
+            zip(hashes, pool.map(lambda h: _entry_bytes(spark, h), hashes))
+        )
 
     total = sum(sizes.values())
     to_evict: List[str] = []

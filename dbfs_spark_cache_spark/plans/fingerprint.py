@@ -35,6 +35,12 @@ log = logging.getLogger(__name__)
 # Sentinel keys used in the input-fingerprint mapping.
 SCHEMA_CHANGED_KEY = "<schema_changed_placeholder>"
 DIRECT_DATA_CACHE_KEY = "<direct_data_cache>"
+# inputFiles() failed for a reason OTHER than schema change (transient
+# metastore/FS error). The fingerprint must become unmatchable — degrading
+# to a plan-only key would both WRITE an entry that later (correct) keys
+# never find AND, worse, HIT such an entry after the inputs changed,
+# serving stale data with no warning.
+INPUT_LISTING_FAILED_KEY = "<input_listing_failed>"
 # Value recorded for input directories that are themselves cache entries:
 # the *path* (which embeds the 32-hex cache hash) participates in the
 # fingerprint, the mtime does not (cache content is immutable for its key,
@@ -177,7 +183,11 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     except Exception as exc:
         if "SCHEMA_CHANGE" in str(exc).upper():
             return {SCHEMA_CHANGED_KEY: datetime.now()}
-        return {}
+        log.warning(
+            "inputFiles() failed (%s); fingerprint made unmatchable — "
+            "this run cannot hit or create a reusable cache entry", exc
+        )
+        return {INPUT_LISTING_FAILED_KEY: datetime.now()}
 
     if not files:
         return {}
@@ -189,10 +199,17 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     # path embeds the cache hash — see CACHED_INPUT_MARKER). Two layouts
     # qualify: the metadata dir (reference layout) and the warehouse table
     # dirs (this engine's data location).
+    # Trailing (/.*)? : a partition_by cache's data files live in partition
+    # SUBDIRECTORIES of the hash dir (…/<hash>/day=2026-08-14/), and those
+    # paths must take the mtime-free marker too — anchoring the hash dir at
+    # end-of-path made children of partitioned caches embed volatile
+    # mtimes, spuriously invalidating them on any parent rewrite/repair.
     cache_base = re.escape(config.SPARK_CACHE_DIR.rstrip("/"))
-    skip_res = [re.compile(rf"^{cache_base}/(data_)?[a-f0-9]{{32}}/?$")]
+    skip_res = [re.compile(rf"^{cache_base}/(data_)?[a-f0-9]{{32}}(/.*)?$")]
     skip_res.append(
-        re.compile(rf"/{re.escape(config.CACHE_DATABASE)}\.db/(data_)?[a-f0-9]{{32}}/?$")
+        re.compile(
+            rf"/{re.escape(config.CACHE_DATABASE)}\.db/(data_)?[a-f0-9]{{32}}(/.*)?$"
+        )
     )
 
     result: Dict[str, Union[datetime, str]] = {}

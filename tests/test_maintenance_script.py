@@ -88,11 +88,14 @@ def test_cache_stats_summary(spark, clean_cache):
     stats2 = cache_stats(spark)
     assert stats2["n_orphans"] == 1
     assert stats2["n_consistent"] == 1
-    # the orphan is NAMED (operators need the hash to inspect it), and the
-    # metadata-only orphan's storage still counts toward the footprint
+    # the orphan is NAMED (operators need the hash to inspect it). Sizing
+    # covers data + sidecar (it used to measure only the ~100-byte sidecar
+    # dir and report a near-zero footprint for gigabytes of tables), so
+    # dropping the table genuinely reclaims its data bytes while the
+    # orphan's sidecar still counts: smaller than before, not zero.
     assert stats2["orphans_metadata_only"] == [victim.tableName]
     assert stats2["orphans_catalog_only"] == []
-    assert stats2["total_cache_bytes"] == stats["total_cache_bytes"]
+    assert 0 < stats2["total_cache_bytes"] < stats["total_cache_bytes"]
 
 
 def test_dry_run_previews_repair(spark, clean_cache):
