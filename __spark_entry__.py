@@ -91,7 +91,15 @@ _CHANGED: list[str] = [
 # that exists — the driver checks exactly _WINDOW_SLOTS queries, never
 # more, so there is no "overflow" beyond the window.
 _CHANGED_HELPER: list[str] = [
-    # r7: no shared-helper refactors touching registered queries.
+    # r7: the cache-probe/custom-key fixes in core.py (review findings —
+    # probe accepts hash_name, input-listing-failure sentinel) are on the
+    # stage_cache path these three ride. Result-identical (re-verified
+    # exact vs the oracle at sf0.01 post-change via scripts/selfcheck.py);
+    # they are r5-vintage and therefore in r8's due cohort regardless —
+    # this listing just orders them directly behind the r7 due window.
+    "pipeline_dedup_survivors",
+    "pipeline_training_corpus",
+    "dedup_incremental_vs_corpus",
 ]
 
 _WINDOW_SLOTS = 50
