@@ -1,17 +1,31 @@
 """Static query-cost estimation driving the auto-cache trigger.
 
-complexity = (total input GB) x (plan-derived multiplier). The multiplier is
-a keyword-count model over the lowercased canonical plan; constants are an
-exact behavioral match of the reference model (reference:
-dbfs_spark_cache/query_complexity_estimation.py:86-257), pinned by unit tests:
+complexity = (total input GB) x (plan-derived multiplier). The multiplier
+model's CONSTANTS are an exact match of the reference
+(dbfs_spark_cache/query_complexity_estimation.py:86-257), pinned by unit
+tests:
 
 * baseline 0.6 (bare scan/projection);
 * per-op factor ``(base / 0.6) * inc^(count-1)`` multiplied in per op class:
   join 2.0/1.5, window 2.5/1.8, simple agg 1.0/1.1, complex agg 1.6/1.4,
   sort 1.4/1.3, distinct 1.5/1.4, udf 1.2/1.2;
-* an aggregate is "complex" iff the plan has grouping expressions or more
-  than one ``agg`` substring;
+* an aggregate is "complex" iff it groups (or the plan has several
+  aggregate nodes);
 * calibration: ``count()`` over 1 GB of parquet => complexity exactly 1.0.
+
+COUNTING deviates from the reference deliberately: the reference counts
+raw substrings over ``explain(mode="extended")`` output — four duplicated
+plan sections, where one window expression matches "window" three times
+per section and a grouped aggregate never matches its
+"groupingexpressions" test (that token appears in NO Spark plan
+rendering, so the complex-aggregate branch was dead and every grouped
+rollup was under-costed 1.6x; meanwhile DISTINCT prints as "Deduplicate"
+and was never counted at all). This engine counts one occurrence per
+LOGICAL NODE on the canonical analyzed plan — "window [", "aggregate [",
+"deduplicate", "sort", "join", "udf" — which is the model's stated
+intent ("count operations"), applied to text where nodes are countable.
+The calibration anchor is preserved: a bare count() is one ungrouped
+aggregate node => multiplier exactly 1.0.
 
 File sizes come from ``df.inputFiles()`` + a per-file stat through the FS
 layer. That is driver-side metadata only — no job runs. **[NS]** note: Spark's
@@ -48,30 +62,60 @@ OP_FACTORS: Dict[str, Tuple[float, float]] = {
 
 
 def get_input_file_sizes(df: DataFrame) -> List[float]:
-    """Per-input-file sizes in GB (driver-side metadata calls only)."""
+    """Per-input-file sizes in GB (driver-side metadata calls only).
+
+    One ``list_dir`` per input DIRECTORY, not one stat per file: a table
+    with thousands of files costs thousands of sequential getFileStatus
+    round-trips on remote storage otherwise — a multi-second driver stall
+    ahead of every cache-miss cost gate (the fingerprint path next door
+    already advertises O(#directories) for the same inputs)."""
+    import os
+
     try:
         files = df.inputFiles()
     except Exception as exc:
         log.warning("inputFiles() failed: %s", exc)
         return []
-    sizes: List[float] = []
+    wanted: Dict[str, set] = {}
     for path in files:
-        nbytes = fs.file_size(path)
-        if nbytes is not None:
-            sizes.append(nbytes / _GB)
+        wanted.setdefault(os.path.dirname(path), set()).add(
+            os.path.basename(path)
+        )
+    sizes: List[float] = []
+    for d, names in wanted.items():
+        listed = {s.name: s for s in fs.list_dir(d)}
+        for name in names:
+            stat = listed.get(name)
+            if stat is not None:
+                sizes.append(stat.size / _GB)
+            else:  # racing compaction/rename: fall back to a direct stat
+                nbytes = fs.file_size(f"{d}/{name}")
+                if nbytes is not None:
+                    sizes.append(nbytes / _GB)
     return sizes
 
 
+import re as _re
+
+# One match per logical node in the canonical analyzed plan (see module
+# docstring for why this replaces the reference's raw-substring counts).
+_GROUPED_AGG_RE = _re.compile(r"aggregate \[[^\]]*\], \[")
+
+
 def plan_cost_multiplier(plan_lowercase: str) -> float:
-    """Keyword-count multiplier over a lowercased canonical plan."""
+    """Per-logical-node multiplier over a lowercased canonical plan."""
     plan = plan_lowercase
     counts = {
-        "join": plan.count("join"),
-        "window": plan.count("window"),
-        "sort": plan.count("sort") + plan.count("order by"),
-        # The reference double-counts "distinct " (with trailing space) on top
-        # of the bare keyword; kept for behavioral parity.
-        "distinct": plan.count("distinct") + plan.count("distinct "),
+        # "join inner," / "join leftouter," … — one per Join node.
+        "join": plan.count("join "),
+        # The Window NODE prints "window [exprs], [partition], [order]";
+        # its windowspecdefinition/specifiedwindowframe sub-expressions
+        # must not count again.
+        "window": plan.count("window ["),
+        "sort": plan.count("sort ") + plan.count("order by"),
+        # DISTINCT prints as a Deduplicate node; "distinct " additionally
+        # counts distinct-aggregate expressions (count(distinct x)).
+        "distinct": plan.count("deduplicate") + plan.count("distinct "),
         "udf": plan.count("udf"),
     }
     multiplier = MULTIPLIER_BASE
@@ -81,9 +125,11 @@ def plan_cost_multiplier(plan_lowercase: str) -> float:
         base, inc = OP_FACTORS[op]
         multiplier *= base * inc ** (count - 1)
 
-    agg_count = plan.count("aggregate")
+    agg_count = plan.count("aggregate [")
     if agg_count > 0:
-        complex_agg = "groupingexpressions" in plan or plan.count("agg") > 1
+        # A grouped Aggregate prints TWO bracket lists ("aggregate
+        # [keys], [exprs]"); a global one prints only the output list.
+        complex_agg = bool(_GROUPED_AGG_RE.search(plan)) or agg_count > 1
         base, inc = OP_FACTORS["agg_complex" if complex_agg else "agg_simple"]
         multiplier *= base * inc ** (agg_count - 1)
     return multiplier

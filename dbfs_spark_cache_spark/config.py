@@ -97,4 +97,8 @@ def reconfigure(**overrides) -> Settings:
         setattr(config, key, value)
     if not config.SPARK_CACHE_DIR.endswith("/"):
         config.SPARK_CACHE_DIR += "/"
+    # Keep the derived test-database name in sync with a CACHE_DATABASE
+    # override (mirrors __post_init__), unless the caller set it explicitly.
+    if "CACHE_DATABASE" in overrides and "CACHE_DATABASE_TEST" not in overrides:
+        config.CACHE_DATABASE_TEST = f"{config.CACHE_DATABASE}_test"
     return config

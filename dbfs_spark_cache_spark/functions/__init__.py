@@ -96,19 +96,41 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
     Fixes a documented reference gap (reference: core_caching.py:318-319,
     README.md:196 — "UDF code changes don't change the hash, warning only"):
     the UDF name appears in the logical-plan text, so embedding the code
-    hash there makes the cache fingerprint sensitive to body changes. Free
-    variables captured by closure are hashed via their repr.
+    hash there makes the cache fingerprint sensitive to body changes.
+
+    The tag must be STABLE ACROSS PROCESSES or it defeats the persistent
+    cache it protects (a session-dependent name means a new fingerprint
+    every run, so no disk cache is ever hit again). Raw ``repr`` of
+    constants and closure values is NOT stable — nested lambdas repr as
+    ``<code object … at 0x7f…>`` and default object reprs embed
+    addresses — so nested code objects hash structurally (their own
+    bytecode + consts, recursively) and every other repr has its memory
+    addresses scrubbed. Two closure values whose reprs differ only by
+    address collide, which is acceptable: the tag is an invalidation aid,
+    and such reprs carry no content to distinguish anyway.
     """
     import hashlib
+    import re as _re
+
+    _addr = _re.compile(r"0x[0-9a-f]+")
+
+    def _feed(digest, obj):
+        if hasattr(obj, "co_code"):  # nested code object (lambda/def)
+            digest.update(obj.co_code)
+            digest.update(repr(obj.co_names).encode())
+            for const in obj.co_consts:
+                _feed(digest, const)
+        else:
+            digest.update(_addr.sub("0x", repr(obj)).encode())
 
     code = fn.__code__
     digest = hashlib.md5()
     digest.update(code.co_code)
-    digest.update(repr(code.co_consts).encode())
+    for const in code.co_consts:
+        _feed(digest, const)
     if fn.__closure__:
-        digest.update(
-            repr([c.cell_contents for c in fn.__closure__]).encode()
-        )
+        for cell in fn.__closure__:
+            _feed(digest, cell.cell_contents)
     tag = digest.hexdigest()[:10]
     name = f"{fn.__name__}__{tag}"
 
@@ -119,6 +141,11 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
     renamed = types.FunctionType(
         code, fn.__globals__, name, fn.__defaults__, fn.__closure__
     )
+    # FunctionType() drops keyword-only defaults and function attributes;
+    # without the copy a wrapped `def fn(s, *, scale=2.0)` raises
+    # TypeError for the missing kw-only argument at executor run time.
+    renamed.__kwdefaults__ = fn.__kwdefaults__
+    renamed.__dict__.update(fn.__dict__)
     if vectorized:
         return F.pandas_udf(renamed, returnType=return_type)
     return F.udf(renamed, returnType=return_type)
@@ -132,11 +159,11 @@ def tokenize(text) -> Column:
 
 
 def token_shingles(text, k: int = 3) -> Column:
-    """Array of k-token shingles (strings), built JVM-side."""
-    return F.expr(
-        f"transform(sequence(0, greatest(size(split({text}, ' ')) - {k}, 0)), "
-        f"i -> concat_ws(' ', slice(split({text}, ' '), i + 1, {k})))"
-    ) if isinstance(text, str) else _shingles_col(text, k)
+    """Array of k-token shingles (strings), built JVM-side. A string
+    argument is a column NAME (resolved via F.col, so names needing
+    backticks work; the former raw-SQL branch duplicated the transform
+    logic and broke on names with spaces)."""
+    return _shingles_col(F.col(text) if isinstance(text, str) else text, k)
 
 
 def _shingles_col(text_col: Column, k: int) -> Column:

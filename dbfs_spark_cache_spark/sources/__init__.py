@@ -32,7 +32,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception as exc:
         # Sessions built outside session.get_spark may lack the nanos
         # setting; it is a runtime SQL conf, so self-heal and retry.
-        if "TIMESTAMP(NANOS" in str(exc) or "PARQUET_TYPE_ILLEGAL" in str(exc):
+        if "TIMESTAMP(NANOS" in str(exc) or "ILLEGAL_PARQUET_TYPE" in str(exc):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         else:
@@ -66,21 +66,28 @@ def normalize_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
     dt = dict(df.dtypes).get("ts")
     if dt is None:
         return df
-    spark = df.sparkSession
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     target = "timestamp_ntz" if ntz else "timestamp"
     if dt == "bigint":  # legacy TIMESTAMP(NANOS) fixture surfaced as nanos
         col = F.timestamp_micros(F.expr("ts div 1000"))
     elif dt != target:  # native timestamp[us] fixture, wrong tz flavor
         col = F.col("ts")
     else:
+        # Already in the target flavor: pure pass-through. The UTC pin
+        # below is only needed when a tz-sensitive cast actually runs —
+        # flipping a foreign session's timezone on this path would
+        # silently change rendering for all their unrelated queries.
         return df
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return df.withColumn("ts", col.cast(target))
 
 
 def register_views(
     spark: SparkSession, sf_dir: str, names: Optional[Iterable[str]] = None
 ) -> None:
-    for name in names or TABLES:
+    # `names or TABLES` would silently register all ten tables for an
+    # explicitly-empty iterable (a dynamically computed list that came up
+    # empty should be a no-op).
+    for name in TABLES if names is None else names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,8 +1,14 @@
-"""Pin the cost-model constants (reference behavior, SURVEY.md §4.2).
+"""Pin the cost-model constants (reference constants, SURVEY.md §4.2) on
+REALISTIC canonical-analyzed-plan fragments.
 
 Expected multipliers derive from: baseline 0.6; per-op factor
 (base/0.6) * inc^(n-1); complexity = GB * multiplier; calibration
-count() on 1 GB => 1.0."""
+count() on 1 GB => 1.0. The plan snippets mirror what Spark's analyzed
+plan actually prints (one "window [" per Window node with its
+windowspecdefinition sub-expressions, "deduplicate" for DISTINCT,
+"aggregate [keys], [exprs]" for grouped aggregates) — the earlier
+synthetic strings contained tokens like "groupingexpressions" that no
+real plan ever prints, so they pinned branches real queries never hit."""
 import pytest
 
 from dbfs_spark_cache_spark.complexity import (
@@ -11,24 +17,39 @@ from dbfs_spark_cache_spark.complexity import (
     plan_cost_multiplier,
 )
 
+W1 = (
+    "window [row_number() windowspecdefinition(k, o asc nulls first, "
+    "specifiedwindowframe(rowframe, unboundedpreceding$(), currentrow$())) "
+    "as rn], [k], [o asc nulls first]"
+)
+W2 = (
+    "window [rank() windowspecdefinition(k, o asc nulls first, "
+    "specifiedwindowframe(rowframe, unboundedpreceding$(), currentrow$())) "
+    "as r], [k], [o asc nulls first]"
+)
+
 CASES = [
     # (lowercased plan text, expected multiplier)
-    ("aggregate [count(1)]", 1.00),                      # calibration anchor
-    ("join inner, aggregate", 3.33),
-    ("window [row_number]", 2.50),
-    ("join inner, window [row_number]", 8.33),
-    ("aggregate [sum(x)], groupingexpressions", 1.60),
-    ("join inner, aggregate [sum(x)], groupingexpressions", 5.33),
-    ("sort [x asc]", 1.40),
-    ("aggregate [count(1)], distinct", 2.50),
-    ("udf pythoneval", 1.20),
-    ("join inner, join inner, aggregate", 5.00),
-    ("window [row_number], window [rank]", 4.50),
-    ("aggregate [sum(x)], groupingexpressions, aggregate [max(y)], groupingexpressions", 2.24),
-    ("sort [x asc], sort [y desc]", 1.82),
-    ("join inner, sort [x asc], join inner, sort [y desc]", 9.10),
-    ("aggregate [count(1)], distinct, distinct", 3.50),
-    ("udf pythoneval, udf pythoneval", 1.44),
+    ("aggregate [count(1) as n]", 1.00),                 # calibration anchor
+    ("join inner, (k = k) +- aggregate [count(1) as n]", 3.33),
+    (W1, 2.50),  # ONE window node = one count despite 3 'window' tokens
+    (f"join inner, (k = k) +- {W1}", 8.33),
+    ("aggregate [k], [k, sum(x) as s]", 1.60),           # grouped => complex
+    ("join inner, (k = k) +- aggregate [k], [k, sum(x) as s]", 5.33),
+    ("sort [x asc nulls first], true", 1.40),
+    ("aggregate [count(1) as n] +- deduplicate [k]", 2.50),
+    ("project [udf_scorer(x) as y]", 1.20),
+    ("join inner, (a = a) +- join inner, (b = b) +- aggregate [count(1) as n]", 5.00),
+    (f"{W1} +- {W2}", 4.50),
+    ("aggregate [k], [k, sum(x) as s] +- aggregate [y], [y, max(y) as m]", 2.24),
+    ("sort [x asc nulls first], true +- sort [y desc nulls last], true", 1.82),
+    (
+        "join inner, (a = a) +- sort [x asc nulls first], true "
+        "+- join inner, (b = b) +- sort [y desc nulls last], true",
+        9.10,
+    ),
+    ("aggregate [count(1) as n] +- deduplicate [k] +- deduplicate [j]", 3.50),
+    ("project [udf_a(x) as y, udf_b(y) as z]", 1.44),
 ]
 
 
@@ -52,6 +73,37 @@ def test_complexity_scales_with_size():
 def test_count_on_one_gb_is_exactly_one():
     complexity, _ = complexity_from_plan("aggregate [count(1)]", 1.0)
     assert complexity == pytest.approx(1.0)
+
+
+def test_real_plan_classification(spark):
+    """The counting must hold on plans Spark ACTUALLY prints: a grouped
+    rollup classifies complex (1.6), a bare count stays at the 1.0
+    anchor, one window expression counts once (2.5 not ~13.5), and
+    distinct is seen through its Deduplicate node."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+
+    def mult(d):
+        return plan_cost_multiplier(canonical_plan(d).lower())
+
+    assert mult(df.agg(F.count(F.lit(1)).alias("n"))) == pytest.approx(1.0)
+    assert mult(
+        df.groupBy("r_regionkey").agg(F.sum("r_regionkey").alias("s"))
+    ) == pytest.approx(1.6)
+    assert mult(
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("r_regionkey").orderBy("r_name")
+            ),
+        )
+    ) == pytest.approx(2.5)
+    assert mult(df.select("r_regionkey").distinct()) == pytest.approx(1.5)
 
 
 def test_estimate_on_real_files(spark):

@@ -275,6 +275,66 @@ def test_content_addressed_udf_identity(spark, clean_cache):
     assert all(abs(r.adj) >= 0 for r in got)
 
 
+def test_content_addressed_udf_tag_is_process_stable(spark):
+    """The tag must not depend on memory addresses, or every new Python
+    process computes a new UDF name -> new plan text -> new fingerprint,
+    and no disk cache is ever hit again. Nested lambdas (code objects
+    whose repr embeds an id) and closures over default-repr objects are
+    the hazard; building the same source twice via exec yields distinct
+    code objects at different addresses — the tags must still agree. A
+    changed nested-lambda BODY must still change the tag."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    src = (
+        "def fn(s):\n"
+        "    inner = lambda v: v * 2.0\n"
+        "    return s.map(inner)\n"
+    )
+    changed = src.replace("* 2.0", "* 3.0")
+
+    def build(source):
+        ns: dict = {}
+        exec(source, ns)
+        return content_addressed_udf(ns["fn"], DoubleType())
+
+    def tag(udf):
+        return udf.func.__name__.rsplit("__", 1)[1]
+
+    assert tag(build(src)) == tag(build(src))
+    assert tag(build(src)) != tag(build(changed))
+
+
+def test_content_addressed_udf_keeps_kwonly_defaults(spark):
+    """The renamed function copy must retain keyword-only defaults —
+    FunctionType() drops __kwdefaults__, which surfaced as a TypeError
+    at executor run time for `def fn(s, *, scale=2.0)` style UDFs."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    def scaled(s, *, scale=3.0):
+        return s * scale
+
+    udf = content_addressed_udf(scaled, DoubleType())
+    df = spark.createDataFrame([(2.0,), (5.0,)], "v double")
+    got = sorted(r.out for r in df.select(udf("v").alias("out")).collect())
+    assert got == [6.0, 15.0]
+
+
+def test_token_shingles_accepts_awkward_column_names(spark):
+    """A string argument is a column NAME resolved via F.col — the former
+    raw-SQL branch could not express names that need backticks."""
+    from dbfs_spark_cache_spark.functions import token_shingles
+
+    df = spark.createDataFrame([("a b c d",)], ["doc text"])
+    rows = df.select(
+        token_shingles("doc text", k=3).alias("sh")
+    ).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+
+
 def test_registry_warehouse_fallback(extended):
     """get_cached_tables finds cache tables from warehouse files even when
     the catalog lost its entries (non-persistent catalog restart)."""
