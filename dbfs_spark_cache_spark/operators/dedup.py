@@ -79,7 +79,8 @@ def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_fingerprint",
     oracle="""
-    SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fingerprint,
+    SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
+               AS fingerprint,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_docs
     FROM documents
@@ -87,9 +88,18 @@ def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Normalized-content fingerprint: whitespace/case-insensitive dedup."""
+    """Normalized-content fingerprint: whitespace/case-insensitive dedup.
+
+    The whitespace class is EXPLICIT on both engines: Java's ``\\s`` is
+    ``[ \\t\\n\\x0B\\f\\r]`` but RE2's (DuckDB's) ``\\s`` excludes
+    vertical tab, so a document containing U+000B would fingerprint
+    differently per engine under the shorthand — the kind of silent
+    cross-engine drift a content fingerprint cannot afford.
+    """
     docs = load_table(spark, sf, "documents")
-    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    normalized = F.lower(
+        F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " "))
+    )
     return docs.groupBy(F.md5(normalized).alias("fingerprint")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -161,8 +171,9 @@ N_BANDS = 8  # 8 bands x 4 rows: ~0.5 detection threshold around j ~ 0.6
 # and the mod genuinely reorders (a plain affine map without mod would give
 # every permutation the same argmin). Constants fixed by seed for
 # reproducibility — and baked into the generated oracle SQL, so DuckDB runs
-# the very same permutations.
-_MERSENNE_P31 = _P31
+# the very same permutations. (_P31, defined with the hash family above, is
+# both the mask domain and the permutation modulus — intentionally the same
+# Mersenne prime.)
 
 
 def _perm_constants(n: int, seed: int = 0x5EED):
@@ -170,8 +181,8 @@ def _perm_constants(n: int, seed: int = 0x5EED):
 
     rng = random.Random(seed)
     return (
-        [rng.randrange(1, _MERSENNE_P31) for _ in range(n)],
-        [rng.randrange(0, _MERSENNE_P31) for _ in range(n)],
+        [rng.randrange(1, _P31) for _ in range(n)],
+        [rng.randrange(0, _P31) for _ in range(n)],
     )
 
 
@@ -195,7 +206,7 @@ def minhash_sig_from_hashes(
         return F.array_min(
             F.transform(
                 F.col(hashes_col),
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P31)),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P31)),
             )
         )
 
@@ -208,8 +219,11 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
 
     Tokenize ONCE into a column; the shingle lambda slices the materialized
     array instead of re-evaluating split(text) inside every iteration
-    (measured 2.6x on the signature stage). Shingle hashes use the portable
-    md5-62bit scheme so the DuckDB oracle reproduces signatures exactly.
+    (measured 2.6x on the signature stage). Shingle hashes ride the
+    RESOLVED hash family (explicit arg > SPARK_GRAFT_HASH_FAMILY env >
+    xxhash64): under the production default they are xxhash64-derived;
+    oracle replay requires the env pinned to "portable" (md5-62bit), which
+    __spark_entry__ does for every driver correctness run.
     """
     shingle = "concat_ws(' ', slice(toks, i + 1, 3))"
     shingle_hashes = F.expr(
@@ -271,8 +285,14 @@ def lsh_candidate_pairs(
 
     Band geometry is the recall/candidate-volume knob: with r rows per band
     a pair collides with probability 1-(1-j^r)^bands. r=4 (default) targets
-    j ~ 0.6+; r=2 catches j ~ 0.3+ at the cost of busier buckets — used by
-    the two-stage exact-Jaccard queries that need high recall above their
+    j ~ 0.6+; r=2 catches j ~ 0.3+ at the cost of busier buckets. NOTE:
+    the registered two-stage exact-Jaccard queries currently run the
+    DEFAULT r=4 / est>=0.5 geometry (their oracles replay the identical
+    geometry, so the driver check is exact either way) — candidate recall
+    above their lower exact-verify thresholds is therefore bounded by the
+    shingle-level collision curve; switching them to r=2 is queued for the
+    round their verification slot next comes due, because it changes
+    emitted pairs and needs re-attestation alongside their
     verify threshold.
 
     Measured alternative (slim band rows + two sig re-joins to verify):
@@ -842,7 +862,17 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(20):  # >= max component diameter; fixture converges in ~3
+    # Until convergence (n_lowered == 0), with a hard safety cap that
+    # RAISES instead of silently emitting wrong labels: min-label
+    # propagation needs rounds >= max component diameter, and a fixed
+    # quiet cap (the old `range(20)`) meant a ~22-node near-dup chain
+    # would exit by exhaustion with multiple is_keeper rows inside one
+    # real cluster — a wrong answer with no signal. 64 rounds covers any
+    # plausible near-dup component (diameter ~ chain length); a corpus
+    # that genuinely needs more should fail loudly and rerun with
+    # pointer-jumping (label = label-of-label doubles the hop per round),
+    # not ship duplicates into training.
+    for _ in range(64):
         neigh_min = (
             sym.alias("s")
             .join(labels.alias("l"), F.col("s.doc_b") == F.col("l.doc_id"))
@@ -869,6 +899,12 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         labels = new_labels.drop("lowered")
         if n_lowered == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_cluster_keepers: min-label propagation did not converge "
+            "within 64 rounds (a component with diameter > 64 — still "
+            f"{n_lowered} labels moving). Refusing to emit wrong keepers."
+        )
 
     singletons = (
         docs.join(labels.select("doc_id"), "doc_id", "left_anti")
@@ -878,6 +914,56 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def corpus_band_index_frame(
+    corpus: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Banded LSH index of a corpus: ``(corpus_doc_id, corpus_sig, band,
+    bucket)``. The single source of the index construction shared by the
+    staged incremental batch path (:func:`incremental_near_dup_matches`)
+    and the streaming path (``streaming.corpus_band_index``) — one place
+    to change band geometry, so the batch and stream twins cannot drift."""
+    return (
+        banded_signatures(minhash_signatures(corpus, n_hashes), n_hashes, n_bands)
+        .withColumnRenamed("doc_id", "corpus_doc_id")
+        .withColumnRenamed("sig", "corpus_sig")
+    )
+
+
+def est_jaccard_matches(
+    incoming: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Band-bucket join of ``incoming`` documents against a corpus index
+    (from :func:`corpus_band_index_frame`) with the estimated-Jaccard
+    verify: emits ``(doc_id, corpus_doc_id, est_jaccard)`` with one row
+    PER COLLIDING BAND (dedup downstream where exact-once matters —
+    a stream cannot ``distinct`` without a watermark). The single source
+    of the signature-agreement verify shared by the batch and streaming
+    corpus-dedup paths."""
+    banded_in = banded_signatures(
+        minhash_signatures(incoming, n_hashes), n_hashes, n_bands
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig"), F.col("corpus_sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        banded_in.join(index, ["band", "bucket"])
+        .where(F.col("doc_id") != F.col("corpus_doc_id"))
+        .select(
+            "doc_id",
+            "corpus_doc_id",
+            (agree.cast("double") / n_hashes).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -912,32 +998,17 @@ def incremental_near_dup_matches(
     """
     from .staging import stage_cache
 
-    index = (
-        banded_signatures(minhash_signatures(corpus, n_hashes), n_hashes, n_bands)
-        .withColumnRenamed("doc_id", "corpus_doc_id")
-        .withColumnRenamed("sig", "corpus_sig")
-    )
+    index = corpus_band_index_frame(corpus, n_hashes, n_bands)
     if stage is not None:
         index = stage_cache(index, stage)
-    banded_in = banded_signatures(
-        minhash_signatures(incoming, n_hashes), n_hashes, n_bands
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig"), F.col("corpus_sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
     return (
-        banded_in.join(index, ["band", "bucket"])
-        .where(F.col("doc_id") != F.col("corpus_doc_id"))
+        est_jaccard_matches(incoming, index, threshold, n_hashes, n_bands)
         .select(
             "corpus_doc_id",
             F.col("doc_id").alias("incoming_doc_id"),
-            (agree.cast("double") / n_hashes).alias("est_jaccard"),
+            "est_jaccard",
         )
         .distinct()
-        .where(F.col("est_jaccard") >= threshold)
     )
 
 

@@ -507,8 +507,9 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
            md5(clean) AS clean_md5,
            CAST(length(clean) AS BIGINT) AS clean_len,
-           CAST(length(clean) - length(replace(clean, ' ', '')) + 1
-                AS BIGINT) AS clean_tokens
+           CAST(CASE WHEN length(clean) = 0 THEN 0
+                     ELSE length(clean) - length(replace(clean, ' ', '')) + 1
+                END AS BIGINT) AS clean_tokens
     FROM cleaned
     """,
 )
@@ -534,7 +535,11 @@ def text_clean_normalize(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.md5("clean").alias("clean_md5"),
         F.length("clean").cast("long").alias("clean_len"),
-        (
+        # spaces+1 counts tokens only for NON-EMPTY text: a document that
+        # cleans to '' has 0 tokens, not 1 (both engines shared the same
+        # off-by-one, so the oracle check never caught it).
+        F.when(F.length("clean") == 0, F.lit(0))
+        .otherwise(
             F.length("clean")
             - F.length(F.replace(F.col("clean"), F.lit(" "), F.lit("")))
             + 1

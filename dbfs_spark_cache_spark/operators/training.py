@@ -70,8 +70,18 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_cum = tokens.withColumn("cum_in_bucket", F.sum("n_tokens").over(w_in))
-    bucket_totals = tokens.groupBy("bucket").agg(
-        F.sum("n_tokens").alias("bucket_tokens")
+    # Bucket totals derive from the windowed frame (a bucket's total is
+    # its max running sum — the increments are non-negative). NOTE the
+    # plan still re-derives the tokenize upstream for this branch: the
+    # two consumers prune different columns, so their exchange subtrees
+    # are not identical and Catalyst cannot reuse one (verified with AQE
+    # on and off). At bench scale the duplicated pass is map-side and
+    # cheap; at corpus scale, stage the `tokens` frame through the cache
+    # engine (``staging.stage_cache(tokens, ...)``) so both consumers
+    # read the materialization — the same write-once-read-twice lever the
+    # pipeline_* queries demonstrate.
+    bucket_totals = with_cum.groupBy("bucket").agg(
+        F.max("cum_in_bucket").alias("bucket_tokens")
     )
     # Ordered window over one row per bucket — tiny by construction.
     w_prev = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)

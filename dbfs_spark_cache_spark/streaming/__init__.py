@@ -336,15 +336,12 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (corpus-keyed — a changed corpus rebuilds the index, an
     unchanged one is a table scan). The static side of the stream-static
     dedup join below."""
-    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..operators.dedup import corpus_band_index_frame
     from ..operators.staging import stage_cache
     from ..sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    index = banded_signatures(minhash_signatures(docs)).withColumnRenamed(
-        "doc_id", "corpus_doc_id"
-    ).withColumnRenamed("sig", "corpus_sig")
-    return stage_cache(index, "corpus_band_index")
+    return stage_cache(corpus_band_index_frame(docs), "corpus_band_index")
 
 
 def stream_corpus_near_dup_matches(
@@ -365,26 +362,9 @@ def stream_corpus_near_dup_matches(
     colliding in multiple bands emits once per band (dedup downstream if
     exact-once matters; distinct on a stream would need a watermark).
     """
-    from ..operators.dedup import N_MINHASH, banded_signatures, minhash_signatures
+    from ..operators.dedup import est_jaccard_matches
 
-    sigs = minhash_signatures(docs_stream)
-    banded = banded_signatures(sigs)
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig"), F.col("corpus_sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        banded.join(corpus_index, ["band", "bucket"])
-        .where(F.col("doc_id") != F.col("corpus_doc_id"))
-        .select(
-            "doc_id",
-            "corpus_doc_id",
-            (agree.cast("double") / N_MINHASH).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    return est_jaccard_matches(docs_stream, corpus_index, threshold)
 
 
 def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:

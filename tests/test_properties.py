@@ -168,14 +168,14 @@ def _h62_py(s: str) -> int:
 def _minhash_py(shingles, n=32):
     """Pure-python mirror of the Spark MinHash permutation family."""
     from dbfs_spark_cache_spark.operators.dedup import (
-        _MERSENNE_P31,
+        _P31,
         _PERM_MULTIPLIERS,
         _PERM_OFFSETS,
     )
 
-    hashes = [_h62_py(s) & _MERSENNE_P31 for s in shingles]
+    hashes = [_h62_py(s) & _P31 for s in shingles]
     return [
-        min((a * h + b) % _MERSENNE_P31 for h in hashes)
+        min((a * h + b) % _P31 for h in hashes)
         for a, b in zip(_PERM_MULTIPLIERS[:n], _PERM_OFFSETS[:n])
     ]
 
