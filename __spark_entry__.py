@@ -87,6 +87,12 @@ _CHANGED: list[str] = [
     # explicit whitespace class on both engines (Java \s includes \x0B,
     # RE2's does not — cross-engine fingerprint drift on vertical tab)
     "dedup_fingerprint",
+    # shared query-row/cosine helpers extracted (result-identical; the
+    # copy-pasted scoring blocks could drift) — also r4-vintage, also
+    # already in the window:
+    "similarity_topk_cosine",
+    "similarity_multiprobe",
+    "similarity_ivf_search",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -116,6 +122,23 @@ _CHANGED_HELPER: list[str] = [
     # sum == sum, increments non-negative) — same values, fewer moving
     # parts:
     "pack_sequences",
+    # forced customer-side broadcast hints dropped (the r5 flagship
+    # scale-killer class: a hard hint on a corpus-growing table has no
+    # AQE fallback) — plan-only, values identical:
+    "join_inner",
+    "q5_region_revenue",
+    # oracle hardening, values identical on all fixture data: empty-list
+    # list_sum coalesced to match Spark's aggregate-with-init; the
+    # LIKE-precedence hazard rewritten as NOT (… LIKE …):
+    "embedding_quantize_int8",
+    "filter_like_between",
+    # trailing global sort of a corpus-scale result dropped (driver
+    # compare canonicalizes row order; the sort was a pure extra pass):
+    "market_basket_pairs",
+    # two-stage bounded-head pattern extracted into one helper
+    # (result-identical; r6-vintage, re-attested when due):
+    "text_ngram_topk",
+    "text_inverted_index",
 ]
 
 _WINDOW_SLOTS = 50

@@ -417,6 +417,27 @@ def corpus_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
 _TOPK_BUCKETS = 16  # 100 TB knob: bounds per-task candidate-set size
 
 
+def _bucketed_head(df, group_cols, key, k, bucket_expr):
+    """Exact bounded k-smallest-keys-per-group WITHOUT a per-group global
+    sort: stage 1 keeps k candidates per (group, hash-bucket) via
+    sort_array over a collected list that is never larger than the
+    bucket's share; stage 2 re-sorts only the <= _TOPK_BUCKETS * k
+    survivors. Exact because any global head element is a head element
+    within its own bucket. The single source of the two-stage pattern
+    shared by ``text_ngram_topk`` and ``text_inverted_index`` — one place
+    to tune the bucket count or slice bound. Returns one row per group
+    with a sorted ``head`` array of at most k keys."""
+    stage1 = (
+        df.withColumn("__bkt", bucket_expr)
+        .groupBy(*group_cols, "__bkt")
+        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k).alias("__head"))
+        .select(*group_cols, F.explode("__head").alias("__k"))
+    )
+    return stage1.groupBy(*group_cols).agg(
+        F.slice(F.sort_array(F.collect_list("__k")), 1, k).alias("head")
+    )
+
+
 @register(
     "text_ngram_topk",
     oracle="""
@@ -475,16 +496,9 @@ def text_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     key = F.struct((-F.col("n")).alias("negn"), F.col("bigram"), F.col("n"))
-    stage1 = (
-        counted.withColumn(
-            "bkt", F.pmod(F.expr(h62_sql("bigram")), F.lit(_TOPK_BUCKETS))
-        )
-        .groupBy("source", "bkt")
-        .agg(F.slice(F.sort_array(F.collect_list(key)), 1, 5).alias("head"))
-        .select("source", F.explode("head").alias("k"))
-    )
-    final = stage1.groupBy("source").agg(
-        F.slice(F.sort_array(F.collect_list("k")), 1, 5).alias("head")
+    final = _bucketed_head(
+        counted, ["source"], key, 5,
+        F.pmod(F.expr(h62_sql("bigram")), F.lit(_TOPK_BUCKETS)),
     )
     return final.select(
         "source", F.posexplode("head").alias("pos", "k")
@@ -547,18 +561,10 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
     )
-    heads = (
-        tf.withColumn("bkt", F.pmod("doc_id", F.lit(_TOPK_BUCKETS)))
-        .groupBy("token", "bkt")
-        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias("h"))
-        .select("token", F.explode("h").alias("doc_id"))
-        .groupBy("token")
-        .agg(
-            F.concat_ws(
-                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
-            ).alias("postings_head")
-        )
-    )
+    heads = _bucketed_head(
+        tf, ["token"], F.col("doc_id"), 10,
+        F.pmod(F.col("doc_id"), F.lit(_TOPK_BUCKETS)),
+    ).select("token", F.concat_ws(",", "head").alias("postings_head"))
     return stats.join(heads, "token").select(
         "token", "df", "total_tf", "postings_head"
     )

@@ -418,7 +418,12 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders_together"))
         .where(F.col("n_orders_together") >= 2)
-        .orderBy(F.desc("n_orders_together"), "part_a", "part_b")
+        # No trailing global orderBy: the pair set SCALES with the corpus
+        # (unlike the tiny aggregated outputs the qN queries sort), the
+        # driver comparison canonicalizes row order anyway, and a full
+        # range-partitioned sort purely for presentation is a whole extra
+        # shuffle+sort pass at 100 TB. Callers that want "top pairs"
+        # should .orderBy(...).limit(k) — TakeOrdered, not a full sort.
     )
 
 

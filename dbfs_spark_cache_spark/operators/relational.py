@@ -65,7 +65,7 @@ def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     SELECT p_partkey, p_name, p_brand, p_type, p_size
     FROM part
     WHERE p_size BETWEEN 1 AND 25
-      AND p_type LIKE '%SMALL%' = FALSE
+      AND NOT (p_type LIKE '%SMALL%')
       AND p_name LIKE '%bolt%'
     """,
 )
@@ -394,10 +394,14 @@ def unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
 def join_inner(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")
-    # customer is the dimension side: broadcast it so the orders fact table
-    # never shuffles (holds at 100 TB — customers grow ~100x slower).
+    # NO forced broadcast on customer: it GROWS with the corpus (TPC-H
+    # scales customer and orders at a constant 1:10 — at the 100 TB
+    # target customer is billions of rows, and a hard broadcast hint
+    # overrides autoBroadcastJoinThreshold with no AQE fallback: the r5
+    # flagship scale-killer, same class). AQE broadcasts it when actually
+    # small and shuffle-joins otherwise.
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -551,7 +555,12 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join, dims broadcast, one fact shuffle."""
+    """TPC-H Q5 shape: 5-way join — BOUNDED dims (nation x region, <= a
+    few hundred rows forever) carry the broadcast hint; the customer leg,
+    which grows with the corpus, is left to AQE (a forced broadcast of a
+    customer-sized frame is the r5 flagship scale-killer: the hard hint
+    overrides autoBroadcastJoinThreshold with no fallback and OOMs at the
+    100 TB target). One fact shuffle on the join key either way."""
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -564,7 +573,7 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
             F.sum(_dec(revenue, 6)).cast("double").alias("revenue"),

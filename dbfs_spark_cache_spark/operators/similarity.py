@@ -40,6 +40,41 @@ def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _min_id_query_row(frame: DataFrame, extra: dict | None = None) -> DataFrame:
+    """Single-row broadcast query frame ``(q_id, q_emb, q_norm[, extras])``
+    selected IN-plan from the minimum vec_id — no driver ``collect()``
+    (one job instead of two, and the cache fingerprint tracks the query,
+    not a data-dependent literal). The single source of the query-row
+    extraction every single-query search here shares; ``extra`` maps
+    source column -> alias for search-specific columns (e.g. the bucket).
+    """
+    q_id = frame.agg(F.min("vec_id").alias("q_id"))
+    cols = [
+        "q_id",
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
+    ]
+    for src, alias in (extra or {}).items():
+        cols.append(F.col(src).alias(alias))
+    return frame.join(
+        F.broadcast(q_id), F.col("vec_id") == F.col("q_id")
+    ).select(*cols)
+
+
+def _cosine_vs_query():
+    """Rounded cosine of the corpus ``embedding`` against the broadcast
+    query row's ``q_emb``/``q_norm`` — 4 decimals before any ranking so
+    orderings are engine-exact; shared by every scorer in this module
+    (and the pending batch variant)."""
+    return F.round(
+        _dot("embedding", "q_emb")
+        / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
+        4,
+    ).alias("cosine")
+
+
 @register(
     "similarity_topk_cosine",
     oracle="""
@@ -78,29 +113,13 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     and the cache fingerprint tracks the query, not a data-dependent literal.
     """
     emb = load_table(spark, sf, "embeddings")
-    q_id = emb.agg(F.min("vec_id").alias("q_id"))
     # The query norm rides in the broadcast row — computed once, not
     # re-folded against every corpus row.
-    query = (
-        emb.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id"))
-        .select(
-            "q_id",
-            F.col("embedding").alias("q_emb"),
-            F.sqrt(_sq_norm("embedding")).alias("q_norm"),
-        )
-    )
+    query = _min_id_query_row(emb)
     scored = (
         emb.crossJoin(F.broadcast(query))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "vec_id",
-            "label",
-            F.round(
-                _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
-                4,
-            ).alias("cosine"),
-        )
+        .select("vec_id", "label", _cosine_vs_query())
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
 
@@ -209,13 +228,7 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "ann_sign_index",
     )
-    q_id = emb.agg(F.min("vec_id").alias("q_id"))
-    q = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
-        "q_id",
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
-    )
+    q = _min_id_query_row(bucketed, extra={"bucket": "q_bucket"})
     probes = q.select(
         "q_id",
         "q_emb",
@@ -232,16 +245,7 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
             F.broadcast(probes),
             (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
         )
-        .select(
-            "vec_id",
-            "label",
-            "bucket",
-            F.round(
-                _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
-                4,
-            ).alias("cosine"),
-        )
+        .select("vec_id", "label", "bucket", _cosine_vs_query())
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
@@ -294,28 +298,13 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
         for i in range(4)
     ]
     bucketed = emb.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
-    q_id = emb.agg(F.min("vec_id").alias("q_id"))
-    query = bucketed.join(F.broadcast(q_id), F.col("vec_id") == F.col("q_id")).select(
-        "q_id",
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
-    )
+    query = _min_id_query_row(bucketed, extra={"bucket": "q_bucket"})
     return (
         bucketed.join(
             F.broadcast(query),
             (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
         )
-        .select(
-            "vec_id",
-            "label",
-            "bucket",
-            F.round(
-                _dot("embedding", "q_emb")
-                / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
-                4,
-            ).alias("cosine"),
-        )
+        .select("vec_id", "label", "bucket", _cosine_vs_query())
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(5)
     )
@@ -468,7 +457,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
         FROM q
     )
     SELECT vec_id, dim, scale,
-           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(COALESCE(list_sum(qv), 0) AS BIGINT) AS q_sum,
            CAST(list_min(qv) AS BIGINT) AS q_min,
            CAST(list_max(qv) AS BIGINT) AS q_max
     FROM quant
