@@ -403,7 +403,7 @@ def fn_array_set_ops(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.split("text", " ")
     head = F.array_distinct(F.slice(toks, 1, 10))
     tail = F.array_distinct(
-        F.expr("slice(split(text, ' '), greatest(size(split(text, ' ')) - 9, 1), 10)")
+        F.slice(toks, F.greatest(F.size(toks) - 9, F.lit(1)), F.lit(10))
     )
     n_common = F.size(F.array_intersect(head, tail))
     n_union = F.size(F.array_union(head, tail))

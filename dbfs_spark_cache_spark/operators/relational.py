@@ -5,9 +5,14 @@ pruning, and join selection; broadcast hints are applied where a dimension
 side is known-small (scales to 100 TB: the fact side streams, dims ship).
 
 Scale notes that apply throughout:
-* joins on TPC-H keys shuffle-hash/sort-merge on the fact tables and
-  broadcast dimensions (region/nation/customer/part) — at sf100k the same
-  hints hold because dims grow slower than facts;
+* joins on TPC-H keys shuffle-hash/sort-merge on the fact tables; HARD
+  broadcast hints go only on BOUNDED dims (region: 5 rows, nation: 25 —
+  constant at every scale factor). customer/supplier/part all grow
+  linearly with the scale factor (TPC-H holds their ratios to orders/
+  lineitem constant), so they carry no hint — AQE broadcasts them while
+  they fit and shuffle-joins beyond that, with a fallback a hard hint
+  does not have (``join_broadcast_dim`` keeps its hint deliberately, as
+  the named demonstration of the hint mechanism, plan-pinned);
 * aggregates are expressed so partial (map-side) aggregation applies;
 * DECIMAL sums keep results association-independent, so the values are
   reproducible under any partitioning/AQE re-plan — required both for the
@@ -529,7 +534,8 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # growing table: no hard hint, AQE decides (r5 scale-killer class)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_dec(revenue, 6)).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

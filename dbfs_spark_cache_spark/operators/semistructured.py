@@ -35,18 +35,22 @@ def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         F.element_at(m, "price").alias("price_from_map"),
         F.element_at(m, "cust").alias("cust_from_map"),
-        F.size(m).alias("n_keys"),
+        F.size(m).alias("n_keys"),  # size() already returns IntegerType
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
-    ).withColumn("n_keys", F.col("n_keys").cast("int"))
+    )
 
 
 @register(
     "fn_from_json_struct",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value,
-           json_valid(props) AS is_valid
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS BIGINT)
+               AS k_value,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.missing') END AS BIGINT)
+               AS missing_value,
+           COALESCE(json_valid(props), FALSE) AS is_valid
     FROM events
     """,
 )
@@ -61,11 +65,21 @@ def fn_from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
     the pattern for every expensive shared expression."""
     events = load_table(spark, sf, "events")
     parsed = F.from_json("props", "k BIGINT, missing BIGINT")
-    return events.select("event_id", parsed.alias("p")).select(
+    # Validity must actually test validity: PERMISSIVE from_json returns a
+    # struct of NULL fields for malformed input, so struct-isNotNull is
+    # True for garbage. get_json_object returns NULL exactly when the
+    # document does not parse (and for NULL input), matching the oracle's
+    # COALESCE(json_valid(..), FALSE); TRY_CAST on the oracle side mirrors
+    # from_json's null-on-type-mismatch for a non-numeric k.
+    return events.select(
+        "event_id",
+        parsed.alias("p"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    ).select(
         "event_id",
         F.col("p.k").alias("k_value"),
         F.col("p.missing").alias("missing_value"),
-        F.col("p").isNotNull().alias("is_valid"),
+        "is_valid",
     )
 
 
@@ -98,7 +112,8 @@ def fn_array_explode(spark: SparkSession, sf: str) -> DataFrame:
         FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
-           unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w_token
+           unnest(CASE WHEN ws IS NULL OR len(ws) = 0 THEN [NULL] ELSE ws
+                  END) AS w_token
     FROM f
     """,
 )

@@ -34,19 +34,38 @@ _JSON_DIR = os.path.join(SIDECAR_ROOT, "supplier_json")
 _CSV_DIR = os.path.join(SIDECAR_ROOT, "customer_csv")
 
 
-def _ensure_sidecar(df: DataFrame, path: str, fmt: str, sf: str) -> None:
+def _sf_fingerprint(sf: str, table: str) -> str:
+    """sf dir + the source parquet's (mtime, size): a regenerated fixture
+    at the SAME path must rebuild the sidecar — a path-only marker would
+    silently keep serving the stale conversion to BOTH engines (the
+    oracle would still 'pass' while testing yesterday's data)."""
+    src = os.path.join(sf, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        return f"{sf};mtime={int(st.st_mtime)};size={st.st_size}"
+    except OSError:
+        return sf
+
+
+def _ensure_sidecar(
+    df: DataFrame, path: str, fmt: str, sf: str, table: str
+) -> None:
     """Write ``df`` as a single-file sidecar at ``path`` unless one built
-    from the same sf dir is already there (marker file)."""
+    from the same fixture CONTENT is already there (marker carries the
+    source parquet's mtime+size, not just the directory path)."""
     marker = os.path.join(path, "_SF_SOURCE")
-    if os.path.exists(marker) and open(marker).read() == sf:
-        return
+    stamp = _sf_fingerprint(sf, table)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return
     writer = df.coalesce(1).write.mode("overwrite")
     if fmt == "json":
         writer.json(path)
     else:
         writer.option("header", True).csv(path)
     with open(marker, "w") as fh:
-        fh.write(sf)
+        fh.write(stamp)
 
 
 @register(
@@ -68,7 +87,7 @@ def scan_json_source(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey", "s_name", F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
         "s_acctbal",
     )
-    _ensure_sidecar(supplier, _JSON_DIR, "json", sf)
+    _ensure_sidecar(supplier, _JSON_DIR, "json", sf, "supplier")
     return (
         spark.read.schema(
             "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
@@ -102,7 +121,7 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
     )
-    _ensure_sidecar(customer, _CSV_DIR, "csv", sf)
+    _ensure_sidecar(customer, _CSV_DIR, "csv", sf, "customer")
     return (
         spark.read.schema("c_custkey bigint, c_mktsegment string, acctbal_cents bigint")
         .option("header", True)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table, register_views
+from ..sources import load_table
 from .registry import dec as _dec, register
 
 
@@ -141,7 +141,8 @@ def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
     promo_sum = F.sum(F.when(F.col("p_type") == "PROMO", _dec(net, 6))).cast("double")
     total_sum = F.sum(_dec(net, 6)).cast("double")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * promo_sum / total_sum).alias("promo_share_pct"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -182,7 +183,10 @@ def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer GROWS with the corpus (TPC-H scales it 1:10 with orders):
+        # no hard broadcast hint — AQE broadcasts it when actually small
+        # and shuffle-joins otherwise (the r5 flagship scale-killer class).
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "total_qty",
@@ -226,7 +230,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(
             F.sum(_dec(net, 6)).cast("double").alias("revenue"),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table, register_views
+from ..sources import load_table
 from .registry import dec as _dec, register
 
 
@@ -43,7 +43,10 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer GROWS with the corpus (TPC-H scales it 1:10 with orders):
+        # no hard broadcast hint — AQE broadcasts it when actually small
+        # and shuffle-joins otherwise (the r5 flagship scale-killer class).
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_dec(net, 6)).cast("double").alias("revenue"))
@@ -108,7 +111,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & (~F.col("p_size").isin(1, 4, 7))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))

@@ -33,7 +33,8 @@ from .registry import dec as _dec, register
 def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border trade volume — the same fact row joins
     two independent dimension legs (supplier nation, customer nation).
-    All four dims broadcast; the fact table shuffles once for the agg."""
+    Bounded dims (nation) carry broadcast hints; the growing customer/
+    supplier legs are AQE-decided; the fact table shuffles once for the agg."""
     li = load_table(spark, sf, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -50,9 +51,13 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer GROWS with the corpus (TPC-H scales it 1:10 with orders):
+        # no hard broadcast hint — AQE broadcasts it when actually small
+        # and shuffle-joins otherwise (the r5 flagship scale-killer class).
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -111,10 +116,14 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     china_volume = F.when(F.col("supp_nation") == "NATION_7", volume)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer GROWS with the corpus (TPC-H scales it 1:10 with orders):
+        # no hard broadcast hint — AQE broadcasts it when actually small
+        # and shuffle-joins otherwise (the r5 flagship scale-killer class).
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(ncust), F.col("c_nationkey") == F.col("ncust_key"))
         .join(F.broadcast(region), F.col("ncust_region") == region.r_regionkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -220,6 +229,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     supplier = load_table(spark, sf, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
-        .join(F.broadcast(supplier), revenue.l_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        .join(supplier, revenue.l_suppkey == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -133,7 +133,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     region = load_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
     eligible = (
         ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        .join(supplier, ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "ps_supplycost")
@@ -189,7 +190,8 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
@@ -241,7 +243,8 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_name").isin("NATION_7", "NATION_8")
     )
     scoped = (
-        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        ps# supplier grows with the corpus: no hard hint, AQE decides
+        .join(supplier, ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "ps_partkey",
