@@ -192,3 +192,44 @@ def test_flagship_no_forced_broadcast_on_growing_dim(spark, queries):
     assert hints == 1, f"expected exactly 1 explicit broadcast hint (nation), got {hints}"
     # and the auto-broadcast still kicks in at bench scale
     assert "BroadcastHashJoin" in plan_text(df)
+
+
+def test_no_forced_broadcast_of_growing_tables():
+    """Standing policy pin (r7 sweep): hard broadcast hints are reserved
+    for BOUNDED dims (nation: 25 rows, region: 5 — constant at every
+    scale factor). customer/supplier/part/orders/lineitem all grow
+    linearly with the corpus, and F.broadcast() on them overrides the
+    size threshold with no adaptive fallback — the r5 flagship
+    scale-killer class, removed from 14 queries in r7. Source-level scan
+    so a regression is caught the moment it is written, without building
+    147 plans. `join_broadcast_dim` is the single allowed exception: the
+    named, plan-pinned demonstration of the hint mechanism."""
+    import os
+    import re
+
+    ops_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dbfs_spark_cache_spark",
+    )
+    banned = re.compile(
+        r"F\.broadcast\(\s*(customer|supplier|part|orders|li|lineitem)\s*\)"
+    )
+    offenders = []
+    for root, _, files in os.walk(ops_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                for lineno, line in enumerate(fh, 1):
+                    if banned.search(line):
+                        offenders.append(f"{fname}:{lineno}: {line.strip()}")
+    allowed = [o for o in offenders if "join_broadcast_dim" in open(
+        os.path.join(ops_dir, "operators", "relational.py")).read() and
+        o.startswith("relational.py") and "F.broadcast(part)" in o]
+    real = [o for o in offenders if o not in allowed]
+    assert len(allowed) <= 1, f"unexpected extra allowlisted hints: {allowed}"
+    assert not real, (
+        "hard broadcast hint on a corpus-growing table (policy: hints only "
+        f"on bounded nation/region): {real}"
+    )
