@@ -58,7 +58,13 @@ def withCachedDisplay(
     **kwargs,
 ) -> DataFrame:
     """Auto-cache (threshold-gated) then display; returns the (possibly
-    cached) DataFrame so calls chain."""
+    cached) DataFrame so calls chain.
+
+    Positional ``*args`` are accepted and IGNORED — deliberate signature
+    parity with the reference (dataframe_extensions.py:145 defines
+    ``__withCachedDisplay__(self, *args, **kwargs)`` and passes nothing
+    through to display either), so ported call sites run unchanged.
+    Keyword options are the real surface."""
     result = self
     if eager_spark_cache:
         result = result.cache()

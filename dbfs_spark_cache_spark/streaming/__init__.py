@@ -77,8 +77,14 @@ def read_rate_events_stream(
         .option("rowsPerSecond", rows_per_second)
         .load()  # schema: timestamp timestamp, value long
     )
-    type_branches = F.when(F.col("value") % n_event_types == 0, F.lit("view"))
-    for i, name in enumerate(["click", "purchase", "scroll"][: n_event_types - 1], 1):
+    # Named types for the common residues, generated names beyond them:
+    # asking for n_event_types distinct values must yield exactly that
+    # many (the former hard-coded 3-name list silently collapsed residues
+    # 4+ onto "other", doubling its frequency in replayable test data).
+    names = ["view", "click", "purchase", "scroll"]
+    names += [f"type{i}" for i in range(len(names), n_event_types)]
+    type_branches = F.when(F.col("value") % n_event_types == 0, F.lit(names[0]))
+    for i, name in enumerate(names[1:n_event_types], 1):
         type_branches = type_branches.when(
             F.col("value") % n_event_types == i, F.lit(name)
         )
@@ -503,8 +509,11 @@ def run_to_memory_sink(
 
     ``output_mode`` overrides the inferred mode. Inference: stateful
     map-groups plans (applyInPandasWithState prints as
-    FlatMapGroupsInPandasWithState, not Aggregate) need ``update``;
-    aggregations without a watermark need ``complete``; pure
+    FlatMapGroupsInPandasWithState, not Aggregate) need ``update``; ANY
+    aggregation infers ``complete`` (watermarked or not — in complete
+    mode a watermark neither drops late rows nor finalizes windows, so a
+    test exercising watermark-drop semantics MUST pass ``append``
+    explicitly, as the sessionization and interval-join tests do); pure
     transformations ``append``.
     """
     query = (
@@ -554,16 +563,13 @@ def exactly_once_append_sink(base_path: str):
     from .. import fs
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = f"{base_path}/_committed/{batch_id}.txt"
-        if fs.read_text(marker) is not None:
-            return
-        # A compacted id's marker is folded into the manifest (see
-        # compact_commit_ledger) — redelivery must still short-circuit.
-        manifest_ids, _ = _ledger_state(fs, base_path)
-        if batch_id in manifest_ids:
+        if _already_committed(fs, base_path, batch_id):
             return
         batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
-        fs.write_text(marker, f"batch {batch_id} committed")
+        fs.write_text(
+            f"{base_path}/_committed/{batch_id}.txt",
+            f"batch {batch_id} committed",
+        )
 
     return write_batch
 
@@ -599,27 +605,58 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
     committed = sorted(manifest_ids | marker_ids)
     if not committed:
         return None
-    return spark.read.option("basePath", base_path).parquet(
-        *[f"{base_path}/batch_id={i}" for i in committed]
-    )
+    try:
+        return spark.read.option("basePath", base_path).parquet(
+            *[f"{base_path}/batch_id={i}" for i in committed]
+        )
+    except Exception as exc:
+        # Every committed batch can legitimately be EMPTY (a no-data
+        # micro-batch still commits its marker but writes only _SUCCESS):
+        # schema inference then fails. Zero committed ROWS is the same
+        # answer as zero committed batches.
+        if "Unable to infer schema" in str(exc):
+            return None
+        raise
 
 
 _LEDGER_MANIFEST = "manifest.txt"
 
 
+def _manifest_ids(fs_mod, base_path: str) -> set:
+    """Batch ids folded into the compacted manifest (one small read — the
+    per-micro-batch fast path; the full marker listing is for readers and
+    the compactor, not the hot sink loop)."""
+    manifest_txt = fs_mod.read_text(
+        f"{base_path}/_committed/{_LEDGER_MANIFEST}"
+    )
+    if not manifest_txt:
+        return set()
+    return {int(line) for line in manifest_txt.split() if line.strip()}
+
+
 def _ledger_state(fs_mod, base_path: str):
-    """(manifest_ids, marker_ids) for an exactly-once sink ledger."""
+    """(manifest_ids, marker_ids) for an exactly-once sink ledger. Only
+    digit-stem ``<id>.txt`` files count as markers: a stray operator file
+    (notes.txt, a .bak rename) in _committed must not take down every
+    sink and reader with a ValueError."""
     ledger = f"{base_path}/_committed"
-    manifest_ids: set = set()
-    manifest_txt = fs_mod.read_text(f"{ledger}/{_LEDGER_MANIFEST}")
-    if manifest_txt:
-        manifest_ids = {int(line) for line in manifest_txt.split() if line.strip()}
     marker_ids = {
         int(s.name[: -len(".txt")])
         for s in fs_mod.list_dir(ledger)
-        if s.name.endswith(".txt") and s.name != _LEDGER_MANIFEST
+        if s.name.endswith(".txt") and s.name[: -len(".txt")].isdigit()
     }
-    return manifest_ids, marker_ids
+    return _manifest_ids(fs_mod, base_path), marker_ids
+
+
+def _already_committed(fs_mod, base_path: str, batch_id: int) -> bool:
+    """Redelivery short-circuit shared by both exactly-once sinks: the
+    batch's own marker exists, or its id was folded into the manifest by
+    compaction. One marker read + at most one manifest read per
+    micro-batch — never a full ledger listing on the hot path."""
+    marker = f"{base_path}/_committed/{batch_id}.txt"
+    if fs_mod.read_text(marker) is not None:
+        return True
+    return batch_id in _manifest_ids(fs_mod, base_path)
 
 
 def compact_commit_ledger(base_path: str) -> int:
@@ -672,7 +709,13 @@ def stateful_session_flush(
     cardinality; closed sessions leave state immediately. In a finite run
     a session whose timeout the final watermark never passes stays open
     and is NOT emitted (same boundary as the left-outer join's unmatched
-    rows); the parity test pins that boundary. Emits
+    rows); the parity test pins that boundary. Late-data contract: a
+    within-watermark late event lands in the open session with the span
+    CLAMPED (start=min, end=max — never regressed below events already
+    absorbed); a straggler older than start-gap merges into the open
+    session rather than retro-splitting it, because (start, last, n)
+    state cannot reconstruct past events — batch re-sessionization is the
+    exact answer when that matters. Emits
     (user_id, session_start, session_end, n_events) in append mode.
     """
     from pyspark.sql.streaming.state import GroupState
@@ -701,7 +744,17 @@ def stateful_session_flush(
                     out.append((key[0], start_us, last_us, n))
                     start_us, last_us, n = us, us, 1
                 else:
-                    last_us, n = us, n + 1
+                    # A within-watermark LATE event (us < last_us across
+                    # micro-batch boundaries — rows sort within a batch
+                    # only) must never REGRESS the session span: clamping
+                    # keeps session_end at the true max and the timeout
+                    # armed past it (plain assignment flushed the session
+                    # gap-early and emitted end < a contained event). An
+                    # extreme straggler older than start-gap still merges
+                    # rather than retro-splitting — bounded state cannot
+                    # reconstruct the past; boundary documented above.
+                    start_us = min(start_us, us)
+                    last_us, n = max(last_us, us), n + 1
             state.update((start_us, last_us, n))
             # Flush when the watermark passes last-event + gap (timeout API
             # takes epoch MILLIS; round up so it never undershoots the gap).
@@ -794,12 +847,9 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
     from .. import fs
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_committed(fs, base_path, batch_id):
+            return
         marker = f"{base_path}/_committed/{batch_id}.txt"
-        if fs.read_text(marker) is not None:
-            return
-        manifest_ids, _ = _ledger_state(fs, base_path)
-        if batch_id in manifest_ids:
-            return
         flagged = batch_df.withColumn(
             "__valid", F.coalesce(valid, F.lit(False))
         ).persist()

@@ -60,9 +60,32 @@ def backup_spark_cached_to_storage(
     if process_in_reverse_order:
         candidates.reverse()
 
+    from .plans.fingerprint import (
+        INPUT_LISTING_FAILED_KEY,
+        canonical_plan,
+        input_dir_mod_datetime,
+        plan_is_uncacheable,
+    )
+
     eligible: List[Tuple[DataFrame, Optional[Tuple[float, float, float]]]] = []
     for df in candidates:
         if not isinstance(df, DataFrame):
+            continue
+        # Same pre-write guards as cache_dataframe — write_cache is called
+        # directly below, so without these a backup could materialize an
+        # RDD-backed frame under a content-free plan key (two such frames
+        # with the same schema COLLIDE: the second "backup" skip-if-
+        # identicals onto the first frame's rows) or orphan a full
+        # distributed write under an unmatchable listing-failure key.
+        plan = canonical_plan(df)
+        if plan_is_uncacheable(plan):
+            log.info("Skipping RDD-backed frame: content-free plan key")
+            continue
+        if INPUT_LISTING_FAILED_KEY in input_dir_mod_datetime(df, plan):
+            log.warning(
+                "Skipping frame: input listing failed — an unmatchable "
+                "key would orphan the backup"
+            )
             continue
         try:
             df_hash = resolve_table_hash(df)

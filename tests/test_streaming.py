@@ -1108,3 +1108,62 @@ def test_robust_outlier_stream_matches_batch(spark, clean_cache):
         probe, const_baseline, flag_unknown_types=False
     ).collect()
     assert [(r.event_id, r.score) for r in dropped] == [(2, None)]
+
+
+def test_stateful_session_flush_late_event_never_regresses_span(spark, tmp_path):
+    """A within-watermark LATE event arriving in a later micro-batch must
+    not shrink the open session: the span clamps (start=min, end=max) and
+    the timeout stays armed past the true last event. Before the clamp,
+    plain assignment regressed session_end below an event the session
+    already contained and flushed the session gap-early."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from dbfs_spark_cache_spark.streaming import (
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    base = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    src = tmp_path / "late"
+    # batch 1: 09:00 and 10:00; batch 2: a LATE 09:30 (within the 2h
+    # watermark) plus a 23:30 event that closes the session by gap (12h
+    # after 10:00) and a next-day probe to push the watermark past the
+    # session timeout so it flushes.
+    frame([(1, base), (1, base + dt.timedelta(hours=1))]).coalesce(1).write.parquet(f"{src}/b=1")
+    frame(
+        [
+            (1, base + dt.timedelta(minutes=30)),
+            (1, base + dt.timedelta(hours=14, minutes=30)),
+            (1, base + dt.timedelta(hours=40)),
+        ]
+    ).coalesce(1).write.parquet(f"{src}/b=2")
+    now = _time.time()
+    for half, age in (("b=1", 60), ("b=2", 0)):
+        for root, _, files in _os.walk(f"{src}/{half}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (now - age, now - age))
+
+    schema = spark.read.parquet(f"{src}/b=1").schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .load(str(src))
+    )
+    result = run_to_memory_sink(
+        stateful_session_flush(stream), "t_session_late", output_mode="append"
+    )
+    flushed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in result.collect()
+    }
+    # The first session holds 09:00, 09:30 (late), 10:00 — end must be
+    # 10:00, NOT the regressed 09:30 of the pre-clamp behavior.
+    assert (1, base, base + dt.timedelta(hours=1), 3) in flushed, flushed
