@@ -66,13 +66,33 @@ def main() -> int:
     spark = get_spark(app_name="cache_maintenance")
 
     if args.stats:
+        if args.database:
+            log.warning(
+                "--stats reports the CONFIGURED cache database (%s); "
+                "--database scopes eviction only — set CACHE_DATABASE to "
+                "inspect another namespace's health",
+                # the sidecar registry has no per-database dimension
+                __import__("dbfs_spark_cache_spark.config", fromlist=["config"]).config.CACHE_DATABASE,
+            )
         stats = management.cache_stats(spark, num_threads=args.threads)
         for key, value in stats.items():
             log.info("%s: %s", key, value)
         return 0
 
-    before = management.get_cached_tables(spark, num_threads=args.threads)
-    log.info("%d cache tables before maintenance", len(before))
+    # Count the database the eviction actually targets, or the scoped
+    # before/after numbers never move no matter how much was evicted.
+    def _count_tables() -> int:
+        if args.database:
+            return len(
+                management.get_tables_from_database(
+                    spark, database=args.database, num_threads=args.threads
+                )
+            )
+        return len(
+            management.get_cached_tables(spark, num_threads=args.threads)
+        )
+
+    log.info("%d cache tables before maintenance", _count_tables())
 
     evicted = management.clear_caches_older_than(
         spark,
@@ -115,8 +135,7 @@ def main() -> int:
             log.info("repaired %d inconsistent entries%s", len(repaired),
                      f": {repaired}" if repaired else "")
 
-    after = management.get_cached_tables(spark, num_threads=args.threads)
-    log.info("%d cache tables after maintenance", len(after))
+    log.info("%d cache tables after maintenance", _count_tables())
     spark.stop()
     return 0
 

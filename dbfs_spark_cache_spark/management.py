@@ -52,6 +52,14 @@ def get_tables_from_database(
             created = props.get("Created Time", "")
             try:
                 creation_time = pd.to_datetime(created)
+                # Catalog times parse tz-AWARE ('... UTC 2026') while the
+                # sidecar registry carries naive datetimes; one naive
+                # convention at the parse site, or every downstream
+                # comparison (the eviction cutoff, the concat+sort in the
+                # size-budget path) raises TypeError. Session TZ is pinned
+                # UTC, so dropping the zone loses nothing.
+                if getattr(creation_time, "tzinfo", None) is not None:
+                    creation_time = creation_time.tz_localize(None)
             except Exception:
                 creation_time = pd.NaT
             return {
@@ -159,6 +167,13 @@ def clear_cache_for_hash(
         log.warning("DROP TABLE %s failed: %s", table, exc)
     if db == config.CACHE_DATABASE:
         fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
+        # A metadata-only orphan has no catalog entry, so the DROP above
+        # was a no-op and the table FILES survive in the warehouse —
+        # invisible to both registries and all future accounting. Sweep
+        # the data directory too (no-op when the managed DROP already
+        # removed it).
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        fs.remove(f"{warehouse.rstrip('/')}/{db}.db/{hash_name}")
 
 
 def clear_caches_older_than(
@@ -222,29 +237,44 @@ def clear_inconsistent_cache(
     # Include the warehouse-listing fallback so an empty catalog doesn't
     # masquerade as "no tables".
     tables = get_cached_tables(spark, num_threads=num_threads)
-    if not force and meta.empty != tables.empty:
-        log.warning(
-            "clear_inconsistent_cache: one registry is empty (metadata=%d, "
-            "tables=%d) — refusing to mass-delete; check catalog/cache-dir "
-            "visibility (or pass force=True)", len(meta), len(tables),
-        )
+    orphans, refusal = _repair_candidates(meta, tables, min_overlap, force)
+    if refusal:
+        log.warning("clear_inconsistent_cache: %s", refusal)
         return []
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
+    return orphans
+
+
+def _repair_candidates(
+    meta: pd.DataFrame,
+    tables: pd.DataFrame,
+    min_overlap: float,
+    force: bool,
+):
+    """(orphans, refusal_reason) with the safety rails applied — ONE
+    decision shared by the real repair and the --dry-run preview, so the
+    preview can never report a mass-delete the actual run would refuse
+    (previewing "would repair 500 entries" in a refused state both
+    misrepresents the run and nudges an operator straight to --force)."""
+    if not force and meta.empty != tables.empty:
+        return [], (
+            f"one registry is empty (metadata={len(meta)}, "
+            f"tables={len(tables)}) — refusing to mass-delete; check "
+            "catalog/cache-dir visibility (or pass force=True)"
+        )
     if not force and not meta.empty and not tables.empty:
         overlap = len(
             set(meta["hash_name"]).intersection(tables["hash_name"])
         ) / max(len(meta), len(tables))
         if overlap < min_overlap:
-            log.warning(
-                "clear_inconsistent_cache: registries overlap on only %.0f%% "
-                "of entries (metadata=%d, tables=%d) — looks like a diverged "
-                "cache dir/warehouse, refusing to mass-delete (or pass "
-                "force=True)", overlap * 100, len(meta), len(tables),
+            return [], (
+                f"registries overlap on only {overlap:.0%} of entries "
+                f"(metadata={len(meta)}, tables={len(tables)}) — looks "
+                "like a diverged cache dir/warehouse, refusing to "
+                "mass-delete (or pass force=True)"
             )
-            return []
-    orphans = _orphan_entries(meta, tables)
-    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
-    return orphans
+    return _orphan_entries(meta, tables), None
 
 
 def _orphan_entries(meta: pd.DataFrame, tables: pd.DataFrame) -> List[str]:
@@ -260,14 +290,23 @@ def _orphan_entries(meta: pd.DataFrame, tables: pd.DataFrame) -> List[str]:
 
 
 def find_inconsistent_entries(
-    spark: SparkSession, num_threads: Optional[int] = None
+    spark: SparkSession,
+    num_threads: Optional[int] = None,
+    min_overlap: float = 0.5,
+    force: bool = False,
 ) -> List[str]:
     """Read-only detection half of :func:`clear_inconsistent_cache`: the
-    half-present entries a repair run would delete, without deleting
-    anything — what ``--dry-run --repair-inconsistent`` previews."""
+    half-present entries a repair run WOULD delete, without deleting
+    anything — what ``--dry-run --repair-inconsistent`` previews. Applies
+    the SAME safety rails as the real repair (refused states preview as
+    empty, with the refusal logged), so preview and run always agree."""
     meta = get_cached_dataframe_metadata(num_threads=num_threads)
     tables = get_cached_tables(spark, num_threads=num_threads)
-    return _orphan_entries(meta, tables)
+    orphans, refusal = _repair_candidates(meta, tables, min_overlap, force)
+    if refusal:
+        log.warning("find_inconsistent_entries: %s", refusal)
+        return []
+    return orphans
 
 
 def _entry_bytes(spark: SparkSession, hash_name: str) -> int:

@@ -53,6 +53,22 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+def _top_level_fields(schema_body: str) -> int:
+    """Count TOP-LEVEL struct fields: commas inside nested map<>/struct<>
+    type parameters must not count (the old split(',') reported an
+    arbitrary width for any nested-type scan)."""
+    depth = 0
+    n = 1 if schema_body.strip() else 0
+    for ch in schema_body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
 def audit_one(name: str, plan: str) -> tuple[str, list]:
     joins = sorted(set(re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)",
@@ -60,9 +76,17 @@ def audit_one(name: str, plan: str) -> tuple[str, list]:
     )))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     n_pushed = sum(1 for p in pushed if p.strip())
-    exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    widths = [len(s.split(",")) for s in schemas] or [0]
+    # Formatted explain renders each SHUFFLE node in the TREE as
+    # "+- Exchange (7)" - AQE plans print only the tree, no numbered
+    # detail section - with the partitioning on a separate Arguments
+    # line; BroadcastExchange is excluded (shipping a small dim is not
+    # the shuffle this count watches). The original single-line
+    # "Exchange hashpartitioning" regex could never match, so every
+    # audit row reported exchanges=0 and a silently-added shuffle was
+    # invisible.
+    exchanges = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    schemas = re.findall(r"ReadSchema: struct<(.*)>", plan)
+    widths = [_top_level_fields(s) for s in schemas] or [0]
 
     flags = []
     if "CartesianProduct" in joins:

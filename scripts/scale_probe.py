@@ -63,6 +63,11 @@ def main() -> None:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         sys.exit(2)
+    if not names:
+        # an empty --queries list would run zero probes and crash on
+        # max() over nothing — a traceback masquerading as a probe failure
+        print("no queries selected (--queries was empty)", file=sys.stderr)
+        sys.exit(2)
 
     def best_time(fn, sf: str) -> float:
         best = float("inf")

@@ -25,6 +25,8 @@ def canonical_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
+        if math.isinf(v):  # int(inf) raises OverflowError and would kill
+            return repr(v)  # the whole harness instead of failing one row
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
@@ -108,6 +110,12 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     selected = [s for s in args.only.split(",") if s]
+    unknown = [s for s in selected if s not in queries]
+    if unknown:
+        # a typo'd --only would otherwise run ZERO comparisons and exit 0
+        # — a false green from the correctness harness
+        print(f"unknown query names in --only: {unknown}")
+        sys.exit(2)
     if args.window:
         selected = list(queries)[: entry_mod._WINDOW_SLOTS]
 

@@ -99,8 +99,13 @@ def test_cache_stats_summary(spark, clean_cache):
 
 
 def test_dry_run_previews_repair(spark, clean_cache):
-    """--dry-run --repair-inconsistent must PREVIEW the orphan set a real
-    run would delete (detection is read-only), not silently skip repair."""
+    """--dry-run --repair-inconsistent must preview EXACTLY what a real
+    run would delete — including the safety rails. With only one entry,
+    dropping its table empties the catalog registry entirely, which is a
+    refused state (one-registry-empty looks like a visibility problem);
+    the preview must show the refusal (empty), not advertise a delete the
+    run would never perform. With a second consistent entry the rails
+    pass and the single orphan previews; detection stays read-only."""
     from dbfs_spark_cache_spark import write_cache
     from dbfs_spark_cache_spark.config import config
     from dbfs_spark_cache_spark.management import find_inconsistent_entries
@@ -109,6 +114,7 @@ def test_dry_run_previews_repair(spark, clean_cache):
 
     df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
     write_cache(df)
+    write_cache(df.selectExpr("r_regionkey"))  # stays consistent
     victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
     spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{victim.tableName}")
 
@@ -116,6 +122,14 @@ def test_dry_run_previews_repair(spark, clean_cache):
     assert orphans == [victim.tableName]
     # and nothing was deleted: the metadata sidecar is still on disk
     assert os.path.isdir(f"{config.SPARK_CACHE_DIR}{victim.tableName}")
+
+    # Refused state: drop the remaining table too -> catalog registry
+    # empty while metadata has 2 -> preview empty, force previews both.
+    other = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()
+    for row in other:
+        spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{row.tableName}")
+    assert find_inconsistent_entries(spark) == []
+    assert len(find_inconsistent_entries(spark, force=True)) == 2
 
 
 def test_cli_compact_ledger(tmp_path, monkeypatch, caplog):
