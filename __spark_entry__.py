@@ -72,7 +72,8 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #   r8: 47 r5-vintage queries come due -> exactly 3 slack slots,
 #       reserved for similarity_topk_batch, events_anomaly_mad,
 #       text_unigram_logprob (pre-built + pytest-pinned in r7; register
-#       them in r8 by adding to operators/__init__.py, nothing else).
+#       with pending_r8.register_pending() at the END of
+#       operators/__init__.py — one call, nothing else).
 # Always recompute the due-cohort size from _vintages() before budgeting;
 # hand-kept arithmetic drifted twice (ADVICE r5 #1, VERDICT r6 #2).
 # Prefer slot-free work: engine/streaming/scale features are pytest-

@@ -3,10 +3,14 @@
 The verification rotation has zero slack this round (50 queries come due,
 50 driver slots — see the capacity note in ``__spark_entry__.py``), so
 these three land here fully implemented and pytest-pinned, and REGISTER AT
-R8 whose due cohort is 47 + exactly 3 free slots. Registration is a
-two-line move per query: wrap with ``@register(name, oracle=...)`` from
-``.registry`` (the dicts below carry the exact names and oracle SQL) and
-import this module from ``operators/__init__.py``.
+R8 whose due cohort is 47 + exactly 3 free slots. Registration is TWO
+LINES at the end of ``operators/__init__.py``::
+
+    from . import pending_r8
+    pending_r8.register_pending()
+
+(order matters: registration order is the rotation tie-break, and last
+keeps the new entries after the 47 due queries in the stable sort).
 
 This module must NOT be imported by ``operators/__init__.py`` until r8:
 nothing here touches the global registry by construction (no ``register``
@@ -273,3 +277,16 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+def register_pending() -> None:
+    """The r8 registration, as one call: add ``from . import pending_r8``
+    + ``pending_r8.register_pending()`` at the END of
+    ``operators/__init__.py`` (registration order = rotation tie-break
+    order; last keeps the three new entries after the 47 due queries in
+    the stable sort). Idempotent; does nothing it hasn't declared above.
+    """
+    from .registry import ORACLES, QUERIES
+
+    QUERIES.update(QUERIES_R8)
+    ORACLES.update(ORACLES_R8)

@@ -166,3 +166,23 @@ def test_unigram_logprob_vocab_is_broadcast(spark):
     plan = _plan_text(QUERIES_R8["text_unigram_logprob"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_register_pending_installs_and_is_reversible():
+    """The one-call r8 registration adds exactly the three pending
+    entries to the live registry (restored afterwards — this process's
+    other tests assume the 147-query registry)."""
+    from dbfs_spark_cache_spark.operators.pending_r8 import register_pending
+
+    before_q, before_o = dict(QUERIES), dict(ORACLES)
+    try:
+        register_pending()
+        assert set(QUERIES) - set(before_q) == set(QUERIES_R8)
+        assert set(ORACLES) - set(before_o) == set(ORACLES_R8)
+        for name in QUERIES_R8:
+            assert QUERIES[name] is QUERIES_R8[name]
+    finally:
+        for name in QUERIES_R8:
+            QUERIES.pop(name, None)
+            ORACLES.pop(name, None)
+    assert QUERIES == before_q and ORACLES == before_o
