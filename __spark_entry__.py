@@ -66,9 +66,11 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 # change to a registered query, must displace a due query past the
 # freshness bar. Per-round slack is the round's due-cohort size
 # subtracted from 50, and it is NOT constant:
-#   r7: 50 r4-vintage queries come due -> 0 slack (so r7 registers
-#       nothing and changes nothing; the CHANGELOG's earlier "~3 slots at
-#       r7" note was wrong — the slack is at r8).
+#   r7: 50 r4-vintage queries come due -> 0 slack (so r7 registered
+#       nothing; the CHANGELOG's earlier "~3 slots at r7" note was wrong
+#       — the slack is at r8. The r7 review fixes changed impls only
+#       SLOT-NEUTRALLY: r4-vintage queries already in the window, or
+#       result-identical changes re-attested at their normal turn).
 #   r8: 47 r5-vintage queries come due -> exactly 3 slack slots,
 #       reserved for similarity_topk_batch, events_anomaly_mad,
 #       text_unigram_logprob (pre-built + pytest-pinned in r7; register
