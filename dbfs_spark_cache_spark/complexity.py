@@ -95,11 +95,30 @@ def get_input_file_sizes(df: DataFrame) -> List[float]:
     return sizes
 
 
-import re as _re
-
-# One match per logical node in the canonical analyzed plan (see module
-# docstring for why this replaces the reference's raw-substring counts).
-_GROUPED_AGG_RE = _re.compile(r"aggregate \[[^\]]*\], \[")
+def _has_grouped_aggregate(plan: str) -> bool:
+    """True when any Aggregate node prints TWO bracket lists ("aggregate
+    [keys], [exprs]" — grouped) rather than one (global). Bracket-DEPTH
+    matched, not regexed: grouping keys can contain ']' themselves (array
+    access prints as arr[0]), which breaks a [^]]* class, and a
+    non-greedy .*? can run past the node and borrow a LATER node's
+    "], [" — both silently misclassify, under- or over-costing 1.6x."""
+    start = 0
+    while True:
+        i = plan.find("aggregate [", start)
+        if i < 0:
+            return False
+        depth, j = 0, i + len("aggregate ")
+        while j < len(plan):
+            if plan[j] == "[":
+                depth += 1
+            elif plan[j] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if plan[j + 1 : j + 4] == ", [":
+            return True
+        start = i + 1
 
 
 def plan_cost_multiplier(plan_lowercase: str) -> float:
@@ -129,7 +148,7 @@ def plan_cost_multiplier(plan_lowercase: str) -> float:
     if agg_count > 0:
         # A grouped Aggregate prints TWO bracket lists ("aggregate
         # [keys], [exprs]"); a global one prints only the output list.
-        complex_agg = bool(_GROUPED_AGG_RE.search(plan)) or agg_count > 1
+        complex_agg = _has_grouped_aggregate(plan) or agg_count > 1
         base, inc = OP_FACTORS["agg_complex" if complex_agg else "agg_simple"]
         multiplier *= base * inc ** (agg_count - 1)
     return multiplier

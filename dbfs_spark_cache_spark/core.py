@@ -261,10 +261,21 @@ def read_cache_if_exist(
     plan = query_plan if query_plan is not None else canonical_plan(df)
     info = input_info if input_info is not None else input_dir_mod_datetime(df, plan)
 
-    key, _, metadata_path, _ = table_cache_info(
+    key, _, metadata_path, metadata_txt = table_cache_info(
         info, plan, hash_name=hash_name, cache_path_base=cache_path
     )
-    if fs.read_text(metadata_path) is None:
+    # A CUSTOM hash_name pins the metadata path, so a hit must require
+    # the stored document to EQUAL the current one — existence alone
+    # would serve day-1 rows forever after the inputs change (the
+    # equality miss sends the call to write_cache, whose in-lock
+    # comparison rewrites the stale entry). The default content-addressed
+    # key keeps the existence check: the key IS the document hash, so a
+    # changed document lands on a different path anyway, and a corrupted
+    # sidecar under the correct key still identifies a valid
+    # materialization (pinned by the corrupt-sidecar healing test) —
+    # equality there would force a spurious recompute.
+    stored = fs.read_text(metadata_path)
+    if stored is None or (hash_name is not None and stored != metadata_txt):
         return None
     cached = _read_cache_table(spark, key)
     if cached is None:

@@ -112,22 +112,27 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
     import hashlib
     import re as _re
 
-    _addr = _re.compile(r"0x[0-9a-f]+")
+    # Scrub only ADDRESS contexts ("<code object f at 0x7f..>", "<Model
+    # object at 0x7f..>") — a bare 0x[hex] pattern would also collapse
+    # hex string LITERALS, so editing '0xff' to '0xaa' in the body kept
+    # the old tag and served the old UDF's cached output.
+    _addr = _re.compile(r" at 0x[0-9a-f]+")
 
     def _feed(digest, obj):
-        if hasattr(obj, "co_code"):  # nested code object (lambda/def)
+        if hasattr(obj, "co_code"):  # code object (top level or nested)
             digest.update(obj.co_code)
+            # co_names carries referenced globals/attributes: floor->ceil
+            # differs ONLY here (identical bytecode), so omitting it made
+            # those two bodies share a tag.
             digest.update(repr(obj.co_names).encode())
             for const in obj.co_consts:
                 _feed(digest, const)
         else:
-            digest.update(_addr.sub("0x", repr(obj)).encode())
+            digest.update(_addr.sub(" at 0x", repr(obj)).encode())
 
     code = fn.__code__
     digest = hashlib.md5()
-    digest.update(code.co_code)
-    for const in code.co_consts:
-        _feed(digest, const)
+    _feed(digest, code)
     if fn.__closure__:
         for cell in fn.__closure__:
             _feed(digest, cell.cell_contents)

@@ -65,6 +65,8 @@ def main() -> int:
 
     spark = get_spark(app_name="cache_maintenance")
 
+    from dbfs_spark_cache_spark.config import config as _config
+
     if args.stats:
         if args.database:
             log.warning(
@@ -72,7 +74,7 @@ def main() -> int:
                 "--database scopes eviction only — set CACHE_DATABASE to "
                 "inspect another namespace's health",
                 # the sidecar registry has no per-database dimension
-                __import__("dbfs_spark_cache_spark.config", fromlist=["config"]).config.CACHE_DATABASE,
+                _config.CACHE_DATABASE,
             )
         stats = management.cache_stats(spark, num_threads=args.threads)
         for key, value in stats.items():
@@ -123,8 +125,11 @@ def main() -> int:
             # Detection is read-only, so a dry run can show the operator
             # exactly which orphans a real run would delete instead of
             # silently skipping the repair half.
+            # force flows into the preview too: '--dry-run --force' must
+            # show what a forced run WOULD delete, not the refused-empty
+            # state of an unforced one.
             orphans = management.find_inconsistent_entries(
-                spark, num_threads=args.threads
+                spark, num_threads=args.threads, force=args.force
             )
             log.info("would repair %d inconsistent entries%s", len(orphans),
                      f": {orphans}" if orphans else "")

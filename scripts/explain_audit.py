@@ -84,7 +84,9 @@ def audit_one(name: str, plan: str) -> tuple[str, list]:
     # "Exchange hashpartitioning" regex could never match, so every
     # audit row reported exchanges=0 and a silently-added shuffle was
     # invisible.
-    exchanges = len(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    exchanges = len(
+        re.findall(r"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)", plan)
+    )
     schemas = re.findall(r"ReadSchema: struct<(.*)>", plan)
     widths = [_top_level_fields(s) for s in schemas] or [0]
 

@@ -50,6 +50,15 @@ CASES = [
     ),
     ("aggregate [count(1) as n] +- deduplicate [k] +- deduplicate [j]", 3.50),
     ("project [udf_a(x) as y, udf_b(y) as z]", 1.44),
+    # Grouping key containing ']' (array access): still classifies
+    # COMPLEX — a [^]]* regex choked on the inner bracket and returned
+    # the 1.0 simple factor.
+    ("aggregate [arr[0], k], [arr[0], k, sum(x) as s]", 1.60),
+    # Global aggregate followed by a window: the aggregate must stay
+    # SIMPLE — a non-greedy ".*?], [" match would borrow the window's
+    # bracket lists and misclassify it complex (expected: agg_simple x
+    # window = (1.0/0.6)*(2.5/0.6)*0.6 = 4.17).
+    (f"aggregate [count(1) as n] +- {W1}", 4.17),
 ]
 
 

@@ -164,3 +164,43 @@ def test_input_listing_failure_is_unmatchable_and_skips_cache(
     assert out is df  # unchanged plan, nothing written
     stats = cache_session_stats()
     assert stats["writes"] == 0 and stats["hits"] == 0
+
+
+def test_custom_hash_name_invalidates_on_input_change(spark, clean_cache, tmp_path):
+    """A custom-keyed cache pins its metadata PATH, so a hit must require
+    the stored document to EQUAL the current one — existence alone served
+    day-1 rows forever after the inputs changed (the default
+    content-addressed key never hit this: a changed document changes the
+    key, hence the path)."""
+    import shutil
+    import time
+
+    from dbfs_spark_cache_spark import cache_dataframe
+    from dbfs_spark_cache_spark.core import (
+        cache_session_stats,
+        read_cache_if_exist,
+        reset_cache_session_stats,
+    )
+
+    src = str(tmp_path / "inp.parquet")
+    shutil.copyfile(f"{SF_SMOKE}/region.parquet", src)
+
+    def q():
+        return (
+            spark.read.parquet(src).groupBy("r_regionkey").count()
+        )
+
+    reset_cache_session_stats()
+    cache_dataframe(q(), override_prefer_spark_cache=True, hash_name="pinned")
+    assert cache_session_stats()["writes"] == 1
+    # unchanged inputs: fast probe hits
+    assert read_cache_if_exist(q(), hash_name="pinned") is not None
+
+    time.sleep(1.1)  # mtime resolution
+    os.utime(src)
+    # changed inputs: the pinned-path probe must MISS (stored document
+    # no longer equals the current one) and the full call must REWRITE.
+    assert read_cache_if_exist(q(), hash_name="pinned") is None
+    cache_dataframe(q(), override_prefer_spark_cache=True, hash_name="pinned")
+    stats = cache_session_stats()
+    assert stats["writes"] == 2, f"stale custom-key cache not rewritten: {stats}"

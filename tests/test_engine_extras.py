@@ -305,6 +305,20 @@ def test_content_addressed_udf_tag_is_process_stable(spark):
     assert tag(build(src)) == tag(build(src))
     assert tag(build(src)) != tag(build(changed))
 
+    # Name-only body edits must change the tag: floor->ceil differ ONLY
+    # in co_names (identical bytecode), which the top-level hash used to
+    # omit — the cache would silently serve floor() results for ceil().
+    names_a = "import math\ndef fn(s):\n    return math.floor(s)\n"
+    names_b = "import math\ndef fn(s):\n    return math.ceil(s)\n"
+    assert tag(build(names_a)) != tag(build(names_b))
+
+    # Hex string LITERALS are content, not memory addresses: the scrub is
+    # anchored to ' at 0x…' reprs, so editing '0xff' to '0xaa' changes
+    # the tag instead of colliding.
+    hex_a = "def fn(s):\n    return s + '0xff'\n"
+    hex_b = "def fn(s):\n    return s + '0xaa'\n"
+    assert tag(build(hex_a)) != tag(build(hex_b))
+
 
 def test_content_addressed_udf_keeps_kwonly_defaults(spark):
     """The renamed function copy must retain keyword-only defaults —
