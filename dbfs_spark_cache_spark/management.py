@@ -161,10 +161,30 @@ def clear_cache_for_hash(
         return
     db = database or config.CACHE_DATABASE
     table = f"{db}.{hash_name}"
+    dropped = False
     try:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        dropped = True
     except Exception as exc:
         log.warning("DROP TABLE %s failed: %s", table, exc)
+        # A transient metastore error must NOT cascade into deleting the
+        # data files out from under a still-registered catalog entry
+        # (ADVICE r7 #3): sweep below only if the table verifiably does
+        # not exist. An unanswerable catalog stays conservative (skip).
+        try:
+            dropped = not spark.catalog.tableExists(table)
+        except Exception:
+            dropped = False
+    if not dropped:
+        # Leave sidecar AND warehouse files intact: the entry is still
+        # live in the catalog, and removing the sidecar would hide it
+        # from every future eviction scan — a permanent leak instead of
+        # a retry on the next sweep.
+        log.warning(
+            "skipping sidecar+warehouse sweep for %s: DROP failed and "
+            "the catalog entry may still be live", table
+        )
+        return
     if db == config.CACHE_DATABASE:
         fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
         # A metadata-only orphan has no catalog entry, so the DROP above

@@ -43,3 +43,10 @@ from . import training  # noqa: E402,F401
 from . import source_scans  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import corpus_analytics  # noqa: E402,F401
+
+# r8: the three pre-built, pytest-pinned queries enter the registry LAST
+# (registration order is the rotation tie-break; the r8 window is then
+# exactly 47 r5-due + these 3 = 50). See pending_r8.register_pending.
+from . import pending_r8  # noqa: E402,F401
+
+pending_r8.register_pending()

@@ -119,7 +119,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q2 shape: for each qualifying part, the cheapest supplier(s)
     in one region — correlated-min subquery as a partitioned window.
 
-    Scale shape: part/supplier/nation/region are dims and broadcast; the
+    Scale shape: nation/region are bounded dims and hint-broadcast;
+    part/supplier grow with the corpus so AQE decides their side; the
     only shuffle is the window partition on p_partkey over the already
     region-filtered eligible set (the correlated MIN never recomputes per
     row — one pass). Predicates push to the part scan.
@@ -132,7 +133,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     nation = load_table(spark, sf, "nation")
     region = load_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
     eligible = (
-        ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == part.p_partkey)
+        ps.join(part.select("p_partkey"), ps.ps_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides (r8, ADVICE r7 #1)
         # supplier grows with the corpus: no hard hint, AQE decides
         .join(supplier, ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
@@ -174,7 +176,8 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     join fan in the suite (lineitem + orders + part + supplier + nation +
     partsupp on a composite key).
 
-    Scale shape: part (filtered), supplier, nation broadcast; orders and
+    Scale shape: nation is hint-broadcast; part (filtered) and supplier
+    grow with the corpus so AQE decides their side; orders and
     partsupp co-shuffle with lineitem on their respective keys — the fact
     table is shuffled, never replicated. The composite-key partsupp join
     is the shape the reference's multi-join cost-model tests price.
@@ -189,7 +192,8 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         "ps_supplycost"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides (r8, ADVICE r7 #1)
         # supplier grows with the corpus: no hard hint, AQE decides
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
@@ -243,8 +247,8 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_name").isin("NATION_7", "NATION_8")
     )
     scoped = (
-        ps# supplier grows with the corpus: no hard hint, AQE decides
-        .join(supplier, ps.ps_suppkey == supplier.s_suppkey)
+        # supplier grows with the corpus: no hard hint, AQE decides
+        ps.join(supplier, ps.ps_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "ps_partkey",
@@ -299,8 +303,9 @@ def q20_excess_availability(spark: SparkSession, sf: str) -> DataFrame:
     so the count is what discriminates).
 
     Scale shape: the year filter pushes to the lineitem scan before its
-    grouped sum; part is a broadcast dim; the excess set aggregates to
-    supplier keys only (tiny) before touching the supplier dim. No
+    grouped sum; part grows with the corpus so AQE decides its side; the
+    excess set aggregates to supplier keys only (tiny) before touching
+    the supplier dim. No
     corpus-sized structure survives past the first aggregation.
     """
     ps = partsupp_view(spark, sf)
@@ -317,7 +322,8 @@ def q20_excess_availability(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity", 6)).cast("double").alias("qty"))
     )
     excess = (
-        ps.join(F.broadcast(part.select("p_partkey")), ps.ps_partkey == part.p_partkey)
+        ps.join(part.select("p_partkey"), ps.ps_partkey == part.p_partkey)
+        # part grows with the corpus: no hard hint, AQE decides (r8, ADVICE r7 #1)
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),

@@ -14,6 +14,7 @@ checkpointing; watermarks bound state so 100 TB/day streams hold steady.
 """
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -566,6 +567,7 @@ def exactly_once_append_sink(base_path: str):
         if _already_committed(fs, base_path, batch_id):
             return
         batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+        _record_sink_schema(fs, base_path, batch_df)
         fs.write_text(
             f"{base_path}/_committed/{batch_id}.txt",
             f"batch {batch_id} committed",
@@ -597,29 +599,63 @@ def write_stream_exactly_once(
 def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
     """The exactly-once view of an :func:`exactly_once_append_sink`
     output: only batch directories whose ledger marker committed. Returns
-    None when nothing has committed yet. Partial directories from a
-    crashed batch are invisible until their redelivery commits."""
+    None when nothing has committed yet; an all-empty-batches sink (every
+    committed micro-batch wrote only ``_SUCCESS``) returns an EMPTY
+    DataFrame with the sink's recorded schema — committed-but-empty is a
+    different answer from "no sink exists" (ADVICE r7 #4). Partial
+    directories from a crashed batch are invisible until their redelivery
+    commits."""
     from .. import fs
 
     manifest_ids, marker_ids = _ledger_state(fs, base_path)
     committed = sorted(manifest_ids | marker_ids)
     if not committed:
         return None
-    try:
-        return spark.read.option("basePath", base_path).parquet(
-            *[f"{base_path}/batch_id={i}" for i in committed]
-        )
-    except Exception as exc:
-        # Every committed batch can legitimately be EMPTY (a no-data
-        # micro-batch still commits its marker but writes only _SUCCESS):
-        # schema inference then fails. Zero committed ROWS is the same
-        # answer as zero committed batches.
-        if "Unable to infer schema" in str(exc):
-            return None
-        raise
+    dirs = [f"{base_path}/batch_id={i}" for i in committed]
+    # Empty-vs-data is decided by LISTING for part files, not by matching
+    # Spark's "Unable to infer schema" exception text, which is
+    # version-fragile (ADVICE r7 #4). Readers are off the hot sink loop,
+    # so one listing per committed dir is fine; genuine read errors
+    # propagate instead of being swallowed as None.
+    has_data = any(
+        st.name.startswith("part-") and not st.is_dir
+        for d in dirs
+        for st in fs.list_dir(d)
+    )
+    if has_data:
+        # The leaf dirs are read WITHOUT basePath so partition discovery
+        # does not synthesize a batch_id column: the committed view is
+        # schema-pure — exactly what the sink wrote, identical to the
+        # recorded-schema empty view below. The batch id is ledger
+        # metadata, not data.
+        return spark.read.parquet(*dirs)
+    schema_txt = fs.read_text(f"{base_path}/_committed/{_LEDGER_SCHEMA}")
+    if schema_txt is None:
+        # Ledger written by a pre-schema-record sink: committed-but-empty
+        # is then indistinguishable from no sink; keep the legacy None.
+        return None
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame(
+        [], StructType.fromJson(json.loads(schema_txt))
+    )
 
 
 _LEDGER_MANIFEST = "manifest.txt"
+_LEDGER_SCHEMA = "_schema.json"
+
+
+def _record_sink_schema(fs_mod, base_path: str, batch_df: DataFrame) -> None:
+    """Persist the sink's row schema into the ledger (once, first batch
+    that gets here): foreachBatch hands every batch a schema even when it
+    carries zero rows, so an all-empty sink can still be read back as an
+    empty DataFrame of the right shape instead of None. One small read
+    per batch on the hot path (same cost class as the manifest probe);
+    the schema is written before the marker so a marker's existence
+    implies the record exists too."""
+    path = f"{base_path}/_committed/{_LEDGER_SCHEMA}"
+    if fs_mod.read_text(path) is None:
+        fs_mod.write_text(path, batch_df.schema.json())
 
 
 def _manifest_ids(fs_mod, base_path: str) -> set:
@@ -864,6 +900,9 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
                 bad.write.mode("overwrite").parquet(
                     f"{base_path}/_quarantine/batch_id={batch_id}"
                 )
+            # clean drops only the gate's own __valid column, so the
+            # recorded schema equals the source batch schema
+            _record_sink_schema(fs, base_path, batch_df)
             fs.write_text(
                 marker,
                 f"batch {batch_id} committed\nquarantined: {n_bad}",
@@ -890,4 +929,5 @@ def read_quarantine(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
     ]
     if not dirs:
         return None
-    return spark.read.option("basePath", f"{base_path}/_quarantine").parquet(*dirs)
+    # No basePath: schema-pure rows, same contract as the committed view.
+    return spark.read.parquet(*dirs)

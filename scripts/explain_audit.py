@@ -43,6 +43,11 @@ BNLJ_OK = {
     "events_funnel_conversion",
     # single-row corpus-totals broadcast feeding the per-source weight
     "corpus_domain_mixture",
+    # r8: 5-row query-batch broadcast into the map-side scoring pass
+    # (same class as similarity_topk_cosine's single query row)
+    "similarity_topk_batch",
+    # r8: single-row corpus-token-total broadcast normalizing the vocab
+    "text_unigram_logprob",
 }
 
 

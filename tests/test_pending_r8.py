@@ -1,11 +1,9 @@
 """The three r8-slot queries (operators/pending_r8.py): oracle parity,
-plan shape, and the stay-out-of-the-registry contract.
+plan shape, and (since r8) the registered-at-the-150-ceiling contract.
 
-These are pre-built in r7 because the r7 verification window has zero
-slack (the full r4 cohort comes due); they register at r8 where exactly 3
-slots are free. Parity here runs the same sorted-signature comparison the
-driver and scripts/selfcheck.py use, at two scale factors, so flipping
-them into the registry at r8 is a no-risk two-line move per query.
+Pre-built in r7 (zero r7 window slack), registered at r8 where exactly 3
+slots were free. Parity here runs the same sorted-signature comparison
+the driver and scripts/selfcheck.py use, at two scale factors.
 """
 from __future__ import annotations
 
@@ -50,20 +48,33 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def test_pending_queries_stay_unregistered():
-    """Until r8 these must NOT appear in the live registry — each one
-    registered early displaces a due query past the freshness bar (the
-    r7 window has zero slack). The module avoids ``register`` entirely,
-    so even importing it cannot leak a slot; this test pins that."""
+def test_r8_queries_are_registered_and_registry_is_at_ceiling():
+    """r8 flipped register_pending() on (operators/__init__.py): the
+    three queries are live, queries and oracles agree, and the registry
+    sits EXACTLY at the 150-query hard ceiling — the frozen-registry
+    capacity policy (see __spark_entry__.py) makes any further growth a
+    policy violation this pin catches."""
     assert set(QUERIES_R8) == {
         "similarity_topk_batch",
         "events_anomaly_mad",
         "text_unigram_logprob",
     }
     assert set(ORACLES_R8) == set(QUERIES_R8)
-    leaked = set(QUERIES_R8) & set(QUERIES)
-    assert not leaked, f"pending queries leaked into the registry: {leaked}"
-    assert not set(ORACLES_R8) & set(ORACLES)
+    assert set(QUERIES_R8) <= set(QUERIES)
+    assert set(ORACLES_R8) <= set(ORACLES)
+    assert set(QUERIES) == set(ORACLES)
+    assert len(QUERIES) == 150, (
+        f"registry has {len(QUERIES)} queries; the capacity policy "
+        "freezes it at 150 (register + retire in the same commit if a "
+        "new query is truly needed)"
+    )
+    # Registration order is the rotation tie-break: the three r8 entries
+    # must be LAST so they fill the 3 slack slots behind the 47 due.
+    assert list(QUERIES)[-3:] == [
+        "similarity_topk_batch",
+        "events_anomaly_mad",
+        "text_unigram_logprob",
+    ]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES_R8))
@@ -168,21 +179,16 @@ def test_unigram_logprob_vocab_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_register_pending_installs_and_is_reversible():
-    """The one-call r8 registration adds exactly the three pending
-    entries to the live registry (restored afterwards — this process's
-    other tests assume the 147-query registry)."""
+def test_register_pending_is_idempotent():
+    """register_pending() already ran at import (operators/__init__.py);
+    calling it again must change nothing — the registry entries ARE the
+    pending-module callables, and a double registration must not grow or
+    reorder the registry (registration order is the rotation tie-break)."""
     from dbfs_spark_cache_spark.operators.pending_r8 import register_pending
 
     before_q, before_o = dict(QUERIES), dict(ORACLES)
-    try:
-        register_pending()
-        assert set(QUERIES) - set(before_q) == set(QUERIES_R8)
-        assert set(ORACLES) - set(before_o) == set(ORACLES_R8)
-        for name in QUERIES_R8:
-            assert QUERIES[name] is QUERIES_R8[name]
-    finally:
-        for name in QUERIES_R8:
-            QUERIES.pop(name, None)
-            ORACLES.pop(name, None)
+    register_pending()
     assert QUERIES == before_q and ORACLES == before_o
+    assert list(QUERIES) == list(before_q)
+    for name in QUERIES_R8:
+        assert QUERIES[name] is QUERIES_R8[name]

@@ -211,8 +211,13 @@ def test_no_forced_broadcast_of_growing_tables():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "dbfs_spark_cache_spark",
     )
+    # \b (not \s*\)) so expression forms rooted at a growing table —
+    # F.broadcast(part.select(...)), F.broadcast(orders.where(...)) — are
+    # caught too: ADVICE r7 #1 found three part.select(...) hints the old
+    # close-paren anchor was blind to. \b keeps part_agg/parts-style
+    # derived names out of scope (they are judged by their own base).
     banned = re.compile(
-        r"F\.broadcast\(\s*(customer|supplier|part|orders|li|lineitem)\s*\)"
+        r"F\.broadcast\(\s*(customer|supplier|part|orders|li|lineitem)\b"
     )
     offenders = []
     for root, _, files in os.walk(ops_dir):

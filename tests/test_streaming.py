@@ -705,8 +705,9 @@ def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
 
     folded = compact_commit_ledger(base)
     assert folded >= 1
-    ledger_files = os.listdir(f"{base}/_committed")
-    assert ledger_files == ["manifest.txt"]  # every marker folded
+    ledger_files = sorted(os.listdir(f"{base}/_committed"))
+    # every marker folded; the schema record is ledger metadata, not a marker
+    assert ledger_files == ["_schema.json", "manifest.txt"]
     assert read_exactly_once_output(spark, base).count() == before
 
     # Redelivery of a folded id: still a no-op (manifest consulted).
@@ -718,7 +719,7 @@ def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
     sink(_batch_events(spark).select("event_id", "user_id", "event_type", "value").limit(4), 555)
     assert read_exactly_once_output(spark, base).count() == before + 4
     assert compact_commit_ledger(base) == 1
-    assert os.listdir(f"{base}/_committed") == ["manifest.txt"]
+    assert sorted(os.listdir(f"{base}/_committed")) == ["_schema.json", "manifest.txt"]
     assert read_exactly_once_output(spark, base).count() == before + 4
     # Idempotent when nothing new to fold.
     assert compact_commit_ledger(base) == 0
@@ -756,7 +757,7 @@ def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
     first_ids = sorted(
         int(f[: -len(".txt")])
         for f in os.listdir(f"{base}/_committed")
-        if f != "manifest.txt"
+        if f.endswith(".txt") and f != "manifest.txt"
     )
     assert read_exactly_once_output(spark, base).count() == n_file
 
@@ -766,7 +767,7 @@ def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
     second_ids = sorted(
         int(f[: -len(".txt")])
         for f in os.listdir(f"{base}/_committed")
-        if f != "manifest.txt"
+        if f.endswith(".txt") and f != "manifest.txt"
     )
     assert read_exactly_once_output(spark, base).count() == 2 * n_file
     assert set(first_ids) < set(second_ids)  # old ids intact, new ids added
@@ -801,7 +802,11 @@ def test_exactly_once_sink_many_microbatches(spark, tmp_path):
     )
     write_stream_exactly_once(stream, base, str(tmp_path / "eo_multi_ckpt"))
 
-    markers = [f for f in os.listdir(f"{base}/_committed") if f != "manifest.txt"]
+    markers = [
+        f
+        for f in os.listdir(f"{base}/_committed")
+        if f.endswith(".txt") and f != "manifest.txt"
+    ]
     assert len(markers) == 4  # one committed batch per file
     n_file = spark.read.parquet(src).count()
     assert read_exactly_once_output(spark, base).count() == 4 * n_file
