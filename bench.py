@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries + cache-engine metrics at one scale
-factor. Prints TWO JSON lines — diagnostics first, then the compact
-machine contract LAST (the driver tail-captures stdout, so the last line
-must stay small):
+factor. Prints THREE JSON lines — two short diagnostics lines first, then
+the compact machine contract LAST (the driver tail-captures stdout, so
+every line must stay short enough to survive front-truncation):
 
-  {"diagnostics": {"run_spread": {...}, "profile_legs": {...},
-                   "hash_family": ...}}
+  {"diagnostics": {"run_spread": {...}}}
+  {"diagnostics": {"profile_legs": {..., "clamped": bool},
+                   "timed_loop_cache_stats": {...}, "hash_family": ...}}
   {"metric": "headline_suite_wall_seconds", "value": <total sec>,
    "unit": "sec", "queries": {...per-query sec + cache metrics...},
    "sf": <sf>}

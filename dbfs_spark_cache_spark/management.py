@@ -144,8 +144,12 @@ def get_cached_dataframe_metadata(num_threads: Optional[int] = None) -> pd.DataF
 
 def clear_cache_for_hash(
     spark: SparkSession, hash_name: str, database: Optional[str] = None
-) -> None:
-    """Drop the cache table and remove its metadata directory.
+) -> bool:
+    """Drop the cache table and remove its metadata directory. Returns
+    True when the entry was actually evicted, False when the DROP failed
+    with the entry possibly still live (sweep skipped for a later retry)
+    — callers aggregating eviction results must not report a False as
+    evicted.
 
     ``database`` scopes the DROP; the metadata sidecar is removed only
     when clearing the CONFIGURED database, because sidecars live in the
@@ -158,7 +162,7 @@ def clear_cache_for_hash(
     (reference: cache_management.py:163-173 lists the scoped database but
     290-311 deletes via the restored config)."""
     if not hash_name:
-        return
+        return False
     db = database or config.CACHE_DATABASE
     table = f"{db}.{hash_name}"
     dropped = False
@@ -184,7 +188,7 @@ def clear_cache_for_hash(
             "skipping sidecar+warehouse sweep for %s: DROP failed and "
             "the catalog entry may still be live", table
         )
-        return
+        return False
     if db == config.CACHE_DATABASE:
         fs.remove(f"{config.SPARK_CACHE_DIR}{hash_name}/")
         # A metadata-only orphan has no catalog entry, so the DROP above
@@ -194,6 +198,7 @@ def clear_cache_for_hash(
         # removed it).
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         fs.remove(f"{warehouse.rstrip('/')}/{db}.db/{hash_name}")
+    return True
 
 
 def clear_caches_older_than(
@@ -223,7 +228,7 @@ def clear_caches_older_than(
         log.info("Dry run: would evict %d entries", len(hashes))
         return hashes
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(
+        results = list(
             pool.map(
                 lambda h: clear_cache_for_hash(
                     spark, h, database=specific_database
@@ -231,7 +236,13 @@ def clear_caches_older_than(
                 hashes,
             )
         )
-    return hashes
+    # Only what was ACTUALLY evicted: a DROP-failure skip (entry left
+    # live for a later retry) must not be reported as freed.
+    evicted = [h for h, ok in zip(hashes, results) if ok]
+    skipped = len(hashes) - len(evicted)
+    if skipped:
+        log.warning("%d entries skipped (DROP failed, still live)", skipped)
+    return evicted
 
 
 def clear_inconsistent_cache(
@@ -262,8 +273,8 @@ def clear_inconsistent_cache(
         log.warning("clear_inconsistent_cache: %s", refusal)
         return []
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
-    return orphans
+        results = list(pool.map(lambda h: clear_cache_for_hash(spark, h), orphans))
+    return [h for h, ok in zip(orphans, results) if ok]
 
 
 def _repair_candidates(
@@ -444,5 +455,5 @@ def evict_to_size_budget(
         )
         return to_evict
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        list(pool.map(lambda h: clear_cache_for_hash(spark, h), to_evict))
-    return to_evict
+        results = list(pool.map(lambda h: clear_cache_for_hash(spark, h), to_evict))
+    return [h for h, ok in zip(to_evict, results) if ok]

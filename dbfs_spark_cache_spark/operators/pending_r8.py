@@ -1,20 +1,18 @@
-"""Queries pre-built for round 8 — deliberately NOT registered yet.
+"""The three round-8 queries — pre-built unregistered in r7, LIVE since r8.
 
-The verification rotation has zero slack this round (50 queries come due,
-50 driver slots — see the capacity note in ``__spark_entry__.py``), so
-these three land here fully implemented and pytest-pinned, and REGISTER AT
-R8 whose due cohort is 47 + exactly 3 free slots. Registration is TWO
-LINES at the end of ``operators/__init__.py``::
+``operators/__init__.py`` now imports this module and calls
+``register_pending()`` as its last registration step (order matters:
+registration order is the rotation tie-break, and last keeps these three
+after the 47 r5-due queries in the stable sort — the r8 window was
+exactly 47 + 3). They are REGISTERED queries under the frozen-at-150
+capacity policy (``__spark_entry__.py``): an implementation change here
+consumes a rotation slot like any other registered query — it is NOT
+slot-free engine code, despite living outside the big operator modules.
 
-    from . import pending_r8
-    pending_r8.register_pending()
-
-(order matters: registration order is the rotation tie-break, and last
-keeps the new entries after the 47 due queries in the stable sort).
-
-This module must NOT be imported by ``operators/__init__.py`` until r8:
-nothing here touches the global registry by construction (no ``register``
-calls), so an accidental import cannot consume a verification slot.
+History: built in r7 because that round's window had zero slack (50
+r4-vintage queries came due); the local ``_pending`` decorator keeps the
+definitions out of the registry until ``register_pending()`` runs, which
+let r7 pin oracle parity/plan shape by pytest without consuming a slot.
 
 The three shapes (the r6 CHANGELOG ranking, endorsed by the r6 verdict):
 

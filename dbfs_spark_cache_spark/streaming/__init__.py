@@ -617,10 +617,22 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
     # version-fragile (ADVICE r7 #4). Readers are off the hot sink loop,
     # so one listing per committed dir is fine; genuine read errors
     # propagate instead of being swallowed as None.
+    listings = {d: fs.list_dir(d) for d in dirs}
+    # Every committed batch dir contains at least _SUCCESS (a no-data
+    # micro-batch still writes the marker file). A committed id whose
+    # directory lists EMPTY means the data was deleted out from under the
+    # ledger — surface the inconsistency (the pre-r8 basePath read raised
+    # here too) instead of reporting a silently-empty sink.
+    missing = [d for d, entries in listings.items() if not entries]
+    if missing:
+        raise FileNotFoundError(
+            "commit ledger lists batches whose data directories are "
+            f"missing: {missing}"
+        )
     has_data = any(
         st.name.startswith("part-") and not st.is_dir
-        for d in dirs
-        for st in fs.list_dir(d)
+        for entries in listings.values()
+        for st in entries
     )
     if has_data:
         # The leaf dirs are read WITHOUT basePath so partition discovery
@@ -629,8 +641,19 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
         # recorded-schema empty view below. The batch id is ledger
         # metadata, not data.
         return spark.read.parquet(*dirs)
-    schema_txt = fs.read_text(f"{base_path}/_committed/{_LEDGER_SCHEMA}")
+    schema_path = f"{base_path}/_committed/{_LEDGER_SCHEMA}"
+    schema_txt = fs.read_text(schema_path)
     if schema_txt is None:
+        # read_text's remote branch returns None on ANY exception, so
+        # distinguish a genuinely absent record (legacy pre-schema
+        # ledger) from a transient read failure — collapsing the latter
+        # to None would recreate the committed-vs-no-sink ambiguity this
+        # path exists to eliminate.
+        if fs.exists(schema_path):
+            raise IOError(
+                f"could not read sink schema record {schema_path} "
+                "(exists but unreadable — transient storage failure?)"
+            )
         # Ledger written by a pre-schema-record sink: committed-but-empty
         # is then indistinguishable from no sink; keep the legacy None.
         return None
@@ -646,16 +669,19 @@ _LEDGER_SCHEMA = "_schema.json"
 
 
 def _record_sink_schema(fs_mod, base_path: str, batch_df: DataFrame) -> None:
-    """Persist the sink's row schema into the ledger (once, first batch
-    that gets here): foreachBatch hands every batch a schema even when it
-    carries zero rows, so an all-empty sink can still be read back as an
-    empty DataFrame of the right shape instead of None. One small read
-    per batch on the hot path (same cost class as the manifest probe);
-    the schema is written before the marker so a marker's existence
-    implies the record exists too."""
+    """Persist the sink's row schema into the ledger: foreachBatch hands
+    every batch a schema even when it carries zero rows, so an all-empty
+    sink can still be read back as an empty DataFrame of the right shape
+    instead of None. The record tracks the LATEST committed batch's
+    schema (rewritten only when it differs — a redeployed pipeline that
+    evolves the sink schema must not serve the original shape forever).
+    One small read per batch on the hot path (same cost class as the
+    manifest probe); the schema is written before the marker so a
+    marker's existence implies the record exists too."""
     path = f"{base_path}/_committed/{_LEDGER_SCHEMA}"
-    if fs_mod.read_text(path) is None:
-        fs_mod.write_text(path, batch_df.schema.json())
+    current = batch_df.schema.json()
+    if fs_mod.read_text(path) != current:
+        fs_mod.write_text(path, current)
 
 
 def _manifest_ids(fs_mod, base_path: str) -> set:

@@ -310,7 +310,9 @@ def test_clear_inconsistent_refuses_on_diverged_registries(spark, monkeypatch):
     )
     deleted = []
     monkeypatch.setattr(
-        management, "clear_cache_for_hash", lambda s, h: deleted.append(h)
+        management,
+        "clear_cache_for_hash",
+        lambda s, h: (deleted.append(h), True)[1],  # new contract: True = evicted
     )
     assert management.clear_inconsistent_cache(spark) == []
     assert deleted == []

@@ -27,7 +27,7 @@ def test_scoped_clear_leaves_default_namespace_alone(spark, clean_cache):
 
     df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
     write_cache(df)
-    row = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
+    row = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()[0]
     h = row.tableName
     sidecar = f"{config.SPARK_CACHE_DIR}{h}/cache_metadata.txt"
     assert fs.read_text(sidecar) is not None

@@ -83,7 +83,7 @@ def test_cache_stats_summary(spark, clean_cache):
     assert stats["oldest_entry"] is not None
 
     # drop one catalog table out from under its metadata -> one orphan
-    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
+    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()[0]
     spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{victim.tableName}")
     stats2 = cache_stats(spark)
     assert stats2["n_orphans"] == 1
@@ -115,7 +115,7 @@ def test_dry_run_previews_repair(spark, clean_cache):
     df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
     write_cache(df)
     write_cache(df.selectExpr("r_regionkey"))  # stays consistent
-    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0]
+    victim = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()[0]
     spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{victim.tableName}")
 
     orphans = find_inconsistent_entries(spark)
@@ -125,7 +125,7 @@ def test_dry_run_previews_repair(spark, clean_cache):
 
     # Refused state: drop the remaining table too -> catalog registry
     # empty while metadata has 2 -> preview empty, force previews both.
-    other = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()
+    other = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()
     for row in other:
         spark.sql(f"DROP TABLE {config.CACHE_DATABASE}.{row.tableName}")
     assert find_inconsistent_entries(spark) == []

@@ -73,7 +73,7 @@ def test_eviction_skips_sweep_when_drop_fails(spark, clean_cache):
 
     df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
     write_cache(df)
-    h = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").collect()[0].tableName
+    h = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()[0].tableName
     sidecar = f"{config.SPARK_CACHE_DIR}{h}/cache_metadata.txt"
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     table_dir = f"{warehouse.rstrip('/')}/{config.CACHE_DATABASE}.db/{h}"
@@ -189,3 +189,96 @@ def test_validated_sink_records_schema_for_all_quarantined_batch(spark, tmp_path
     assert got.count() == 0
     assert got.schema == batch.schema
     assert read_quarantine(spark, base).count() == 6
+
+
+def test_reader_raises_when_committed_data_dirs_are_missing(spark, tmp_path):
+    """A commit ledger whose data directories were deleted out from under
+    it is an inconsistency, not an empty sink: the reader must raise (the
+    pre-r8 basePath read raised here too), never report silently-empty."""
+    import pytest
+
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "eo_lost")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "value"
+    ).limit(3)
+    sink = exactly_once_append_sink(base)
+    sink(batch, 0)
+    import shutil
+
+    shutil.rmtree(f"{base}/batch_id=0")
+    with pytest.raises(FileNotFoundError):
+        read_exactly_once_output(spark, base)
+
+
+def test_reader_raises_on_unreadable_schema_record(spark, tmp_path):
+    """An EXISTING but unreadable _schema.json (transient storage failure
+    shape — fs.read_text returns None on any exception) must raise, not
+    masquerade as a legacy no-schema ledger and return None."""
+    import pytest
+
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "eo_badschema")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "value"
+    )
+    sink = exactly_once_append_sink(base)
+    sink(batch.limit(0), 0)
+    _strip_part_files(f"{base}/batch_id=0")
+    # A directory at the record path: exists() is True, read_text None.
+    os.remove(f"{base}/_committed/_schema.json")
+    os.mkdir(f"{base}/_committed/_schema.json")
+    with pytest.raises(IOError):
+        read_exactly_once_output(spark, base)
+
+
+def test_schema_record_tracks_latest_batch_schema(spark, tmp_path):
+    """A redeployed pipeline that evolves the sink schema must update the
+    ledger record: the all-empty read then reflects the LATEST committed
+    shape, not the first batch's forever."""
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "eo_evolve")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    v1 = events.select("event_id", "value").limit(0)
+    v2 = events.select("event_id", "value", "user_id").limit(0)
+    sink = exactly_once_append_sink(base)
+    sink(v1, 0)
+    sink(v2, 1)
+    for i in (0, 1):
+        _strip_part_files(f"{base}/batch_id={i}")
+    got = read_exactly_once_output(spark, base)
+    assert got.schema == v2.schema, "record must follow the latest batch"
+
+
+def test_age_eviction_reports_only_actually_evicted(spark, clean_cache):
+    """clear_caches_older_than must exclude entries whose DROP failed
+    (and which therefore survived) from its evicted-hashes return."""
+    from dbfs_spark_cache_spark import write_cache
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.management import clear_caches_older_than
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    write_cache(df)
+    h = spark.sql(f"SHOW TABLES IN {config.CACHE_DATABASE}").filter("isTemporary = false").collect()[0].tableName
+
+    failed = clear_caches_older_than(
+        _FailingDropSession(spark), num_days=0, confirm_delete=True
+    )
+    assert failed == [], f"skipped entries reported as evicted: {failed}"
+    assert spark.catalog.tableExists(f"{config.CACHE_DATABASE}.{h}")
+
+    ok = clear_caches_older_than(spark, num_days=0, confirm_delete=True)
+    assert h in ok
+    assert not spark.catalog.tableExists(f"{config.CACHE_DATABASE}.{h}")
