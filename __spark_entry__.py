@@ -96,6 +96,14 @@ _CHANGED: list[str] = [
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q20_excess_availability",
+    # r8: the recall-geometry switch queued since r6 (dedup.py, band-
+    # geometry NOTE) — r=2 / est>=0.25 candidates for the token-space
+    # verify. Verified results identical on all fixture data (the +1
+    # sf0.1 candidate fails exact verify); the oracle replays the same
+    # geometry. r5-vintage, due at r8: slot-neutral. Its twin
+    # dedup_ngram_jaccard stays r=4 and switches at R9 (its own due
+    # slot).
+    "dedup_token_jaccard",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -108,14 +116,16 @@ _CHANGED: list[str] = [
 # that exists — the driver checks exactly _WINDOW_SLOTS queries, never
 # more, so there is no "overflow" beyond the window.
 _CHANGED_HELPER: list[str] = [
-    # r8: empty. The r7 helper-refactor cohort was r5/r6-vintage: the r5
-    # part re-attests in r8's due window by vintage alone; the r6 part
-    # (text_ngram_topk, text_inverted_index) lands in r9's due cohort
-    # (see the pre-computed arithmetic above). No registered query's
-    # RESULT-AFFECTING code path changed via shared helpers in r8 — the
-    # r8 engine fixes (content_addressed_udf default-hashing, eviction
-    # DROP-failure gate, exactly-once empty-output schema) sit outside
-    # every registered builder (verified: no builder imports them).
+    # r8: the shared two-stage helpers (_exact_jaccard_over_candidates /
+    # _verify_oracle) gained geometry parameters for the token r=2
+    # switch; ngram passes no explicit geometry and the defaults
+    # reproduce the old behavior exactly (generated oracle SQL is
+    # byte-identical; re-attested exact-green at sf0.01 via
+    # scripts/selfcheck.py post-change). r6-vintage: the half-step
+    # penalty (5.5) sorts it behind every r5-due query, so it displaces
+    # nothing from r8's saturated window and re-attests at r9, its
+    # natural due slot — the same round its own r=2 switch is queued.
+    "dedup_ngram_jaccard",
 ]
 
 _WINDOW_SLOTS = 50

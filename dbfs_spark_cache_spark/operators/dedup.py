@@ -286,14 +286,12 @@ def lsh_candidate_pairs(
     Band geometry is the recall/candidate-volume knob: with r rows per band
     a pair collides with probability 1-(1-j^r)^bands. r=4 (default) targets
     j ~ 0.6+; r=2 catches j ~ 0.3+ at the cost of busier buckets. NOTE:
-    the registered two-stage exact-Jaccard queries currently run the
-    DEFAULT r=4 / est>=0.5 geometry (their oracles replay the identical
-    geometry, so the driver check is exact either way) — candidate recall
-    above their lower exact-verify thresholds is therefore bounded by the
-    shingle-level collision curve; switching them to r=2 is queued for the
-    round their verification slot next comes due, because it changes
-    emitted pairs and needs re-attestation alongside their
-    verify threshold.
+    ``dedup_token_jaccard`` switched to r=2 / est>=0.25 at r8 (its rotation
+    slot — measured: fixture results identical, equal cost, oracle replays
+    the same geometry; see its docstring for the recall band it opens). ``dedup_ngram_jaccard`` still runs the r=4 / est>=0.5
+    default; its matching r=2 switch is QUEUED FOR R9, when its own
+    verification slot comes due (changing it earlier would displace a due
+    query from the freshness window).
 
     Measured alternative (slim band rows + two sig re-joins to verify):
     identical wall time at sf0.1 for the production 32-hash width (4.9s vs
@@ -410,12 +408,21 @@ _SHINGLE_HS_CTES = "WITH " + _shingle_hs_body("documents")
 
 
 def _exact_jaccard_over_candidates(
-    docs: DataFrame, sets: DataFrame, set_col: str, threshold: float
+    docs: DataFrame,
+    sets: DataFrame,
+    set_col: str,
+    threshold: float,
+    n_bands: int = N_BANDS,
+    est_threshold: float = 0.5,
 ) -> DataFrame:
     """Join shingle-LSH candidate pairs to per-doc element sets and keep
     pairs whose exact Jaccard clears ``threshold``. ``sets`` must be
-    (doc_id, <set_col>: array<long>)."""
-    cands = lsh_candidate_pairs(minhash_signatures(docs)).select("doc_a", "doc_b")
+    (doc_id, <set_col>: array<long>). ``n_bands``/``est_threshold`` set
+    the candidate-stage band geometry — they must match the oracle's
+    (:func:`_verify_oracle` takes the same two knobs)."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs), threshold=est_threshold, n_bands=n_bands
+    ).select("doc_a", "doc_b")
     sa, sb = sets.alias("sa"), sets.alias("sb")
     sized = (
         cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -437,10 +444,17 @@ def _exact_jaccard_over_candidates(
     )
 
 
-def _verify_oracle(sets_cte: str, threshold: float) -> str:
-    """Shingle-LSH candidates (est >= 0.5) + exact set verification, as one
-    DuckDB query. ``sets_cte`` must define ``sets(doc_id, s)``."""
-    cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+def _verify_oracle(
+    sets_cte: str,
+    threshold: float,
+    n_bands: int = N_BANDS,
+    est_threshold: float = 0.5,
+) -> str:
+    """Shingle-LSH candidates (est >= ``est_threshold``) + exact set
+    verification, as one DuckDB query. ``sets_cte`` must define
+    ``sets(doc_id, s)``; the geometry knobs must match the Spark side's
+    (:func:`_exact_jaccard_over_candidates`)."""
+    cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, n_bands)
     return f"""{cands},
     {sets_cte},
     ver AS (
@@ -450,7 +464,7 @@ def _verify_oracle(sets_cte: str, threshold: float) -> str:
         FROM cand c
         JOIN sets a ON c.doc_a = a.doc_id
         JOIN sets b ON c.doc_b = b.doc_id
-        WHERE c.est_jaccard >= 0.5
+        WHERE c.est_jaccard >= {est_threshold}
     )
     SELECT doc_a, doc_b,
            ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
@@ -474,14 +488,27 @@ _NGRAM_SETS_CTE = f"""sets AS (
     )"""
 
 
-@register("dedup_token_jaccard", oracle=_verify_oracle(_TOKEN_SETS_CTE, 0.5))
+@register(
+    "dedup_token_jaccard",
+    oracle=_verify_oracle(_TOKEN_SETS_CTE, 0.5, n_bands=16, est_threshold=0.25),
+)
 def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-set Jaccard verification of MinHash-LSH candidate pairs.
 
     Stage 1 (candidates): the canonical 3-token-shingle MinHash signatures
     -> banded bucket join (``lsh_candidate_pairs``). Linear in corpus size —
     never all-pairs, and unlike fixed-count length blocking the bucket
-    population tracks content similarity, not corpus size.
+    population tracks content similarity, not corpus size. Geometry is the
+    RECALL-ORIENTED r=2 (16 bands x 2 rows, est >= 0.25) queued since r6:
+    the exact-verify threshold lives in TOKEN space while candidates
+    collide in SHINGLE space, so the r=4/est>=0.5 default silently drops
+    true token-level matches whose shingle similarity sits below ~0.6.
+    Measured on the fixture: +1 candidate at sf0.1 (exact-verify rejects
+    it), VERIFIED RESULTS IDENTICAL at sf0.01 and sf0.1 — the fixture has
+    no pair in the token>=0.5 / shingle<0.6 recall band, but real corpora
+    (reordered boilerplate, shuffled lists) do. 2-row bucket keys also
+    hash cheaper than 4-row ones — recall-up at equal-or-lower cost. The
+    oracle replays the identical geometry (same two knobs).
 
     Stage 2 (verify): exact token-set intersection/union on the candidate
     pairs only. Token sets are 60-bit md5-derived longs (set ops over
@@ -496,7 +523,9 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})")
         ).alias("s"),
     )
-    return _exact_jaccard_over_candidates(docs, sets, "s", 0.5)
+    return _exact_jaccard_over_candidates(
+        docs, sets, "s", 0.5, n_bands=16, est_threshold=0.25
+    )
 
 
 @register("dedup_ngram_jaccard", oracle=_verify_oracle(_NGRAM_SETS_CTE, 0.25))
