@@ -22,10 +22,15 @@ rendering, so the complex-aggregate branch was dead and every grouped
 rollup was under-costed 1.6x; meanwhile DISTINCT prints as "Deduplicate"
 and was never counted at all). This engine counts one occurrence per
 LOGICAL NODE on the canonical analyzed plan — "window [", "aggregate [",
-"deduplicate", "sort", "join", "udf" — which is the model's stated
+"deduplicate", "sort", "join" — which is the model's stated
 intent ("count operations"), applied to text where nodes are countable.
-The calibration anchor is preserved: a bare count() is one ungrouped
-aggregate node => multiplier exactly 1.0.
+UDFs are the exception: the analyzed plan prints a Python UDF call as
+its bare function name (no "udf" token exists to count — the text
+heuristic only ever matched functions NAMED *udf*), so live-DataFrame
+estimation counts ``PythonUDF`` expression nodes in the logical plan's
+JSON rendering instead (:func:`count_python_udfs`; one driver call, no
+physical planning). The calibration anchor is preserved: a bare count()
+is one ungrouped aggregate node => multiplier exactly 1.0.
 
 File sizes come from ``df.inputFiles()`` + a per-file stat through the FS
 layer. That is driver-side metadata only — no job runs. **[NS]** note: Spark's
@@ -121,8 +126,33 @@ def _has_grouped_aggregate(plan: str) -> bool:
         start = i + 1
 
 
-def plan_cost_multiplier(plan_lowercase: str) -> float:
-    """Per-logical-node multiplier over a lowercased canonical plan."""
+def count_python_udfs(df: DataFrame) -> int:
+    """Python/pandas UDF invocations in the ANALYZED logical plan.
+
+    The analyzed plan STRING prints a UDF call as its bare function name
+    (``scorer(a)``, ``<lambda>(a)``) — there is no "udf" token to count,
+    so the text heuristic below silently scores UDF-heavy pipelines as
+    bare projections (multiplier 0.6 < the 1.01 gate: the auto-cache
+    trigger then declines exactly the frames the udf factor exists to
+    catch). The logical tree's JSON rendering carries each expression's
+    CLASS — one ``PythonUDF`` entry per invocation — and costs a single
+    driver-side call with no physical planning (unlike find_plain_udfs).
+    """
+    try:
+        js = df._jdf.queryExecution().analyzed().toJSON()  # type: ignore[attr-defined]
+        return js.count('"class":"org.apache.spark.sql.catalyst.expressions.PythonUDF"')
+    except Exception as exc:
+        log.warning("UDF count via plan JSON failed: %s", exc)
+        return 0
+
+
+def plan_cost_multiplier(plan_lowercase: str, udf_count: int | None = None) -> float:
+    """Per-logical-node multiplier over a lowercased canonical plan.
+
+    ``udf_count`` injects the exact :func:`count_python_udfs` number when
+    a live DataFrame is in hand; the text fallback (``plan.count("udf")``)
+    only sees functions whose NAME contains "udf" and exists for
+    plan-fragment callers (constant-pin tests) without a DataFrame."""
     plan = plan_lowercase
     counts = {
         # "join inner," / "join leftouter," … — one per Join node.
@@ -135,7 +165,7 @@ def plan_cost_multiplier(plan_lowercase: str) -> float:
         # DISTINCT prints as a Deduplicate node; "distinct " additionally
         # counts distinct-aggregate expressions (count(distinct x)).
         "distinct": plan.count("deduplicate") + plan.count("distinct "),
-        "udf": plan.count("udf"),
+        "udf": udf_count if udf_count is not None else plan.count("udf"),
     }
     multiplier = MULTIPLIER_BASE
     for op, count in counts.items():
@@ -154,8 +184,10 @@ def plan_cost_multiplier(plan_lowercase: str) -> float:
     return multiplier
 
 
-def complexity_from_plan(plan_lowercase: str, total_size_gb: float) -> Tuple[float, float]:
-    multiplier = plan_cost_multiplier(plan_lowercase)
+def complexity_from_plan(
+    plan_lowercase: str, total_size_gb: float, udf_count: int | None = None
+) -> Tuple[float, float]:
+    multiplier = plan_cost_multiplier(plan_lowercase, udf_count=udf_count)
     return total_size_gb * multiplier, multiplier
 
 
@@ -187,10 +219,11 @@ def estimate_compute_complexity(df: DataFrame) -> Tuple[float, float, float]:
     plan = canonical_plan(df).lower()
     if plan.startswith("error:"):
         return (total_size, 1.0, total_size) if total_size else (0.0, 1.0, 0.0)
+    udfs = count_python_udfs(df)
     if not total_size:
         total_size = catalyst_size_estimate_gb(df)
     if not total_size:
-        _, multiplier = complexity_from_plan(plan, 0.0)
+        _, multiplier = complexity_from_plan(plan, 0.0, udf_count=udfs)
         return 0.0, multiplier, 0.0
-    complexity, multiplier = complexity_from_plan(plan, total_size)
+    complexity, multiplier = complexity_from_plan(plan, total_size, udf_count=udfs)
     return complexity, multiplier, total_size

@@ -83,18 +83,27 @@ def main() -> int:
 
     # Count the database the eviction actually targets, or the scoped
     # before/after numbers never move no matter how much was evicted.
-    def _count_tables() -> int:
+    # The DEFAULT path sweeps the sidecar registry while tables live in
+    # the catalog — report both counts, because they can legitimately
+    # diverge (manually dropped tables, catalog-only orphans) and a
+    # single number from the wrong registry reads as "nothing happened".
+    def _count_tables() -> str:
         if args.database:
-            return len(
+            n = len(
                 management.get_tables_from_database(
                     spark, database=args.database, num_threads=args.threads
                 )
             )
-        return len(
+            return f"{n} catalog tables in {args.database}"
+        n_cat = len(
             management.get_cached_tables(spark, num_threads=args.threads)
         )
+        n_meta = len(
+            management.get_cached_dataframe_metadata(num_threads=args.threads)
+        )
+        return f"{n_cat} catalog tables / {n_meta} metadata sidecars"
 
-    log.info("%d cache tables before maintenance", _count_tables())
+    log.info("%s before maintenance", _count_tables())
 
     evicted = management.clear_caches_older_than(
         spark,
@@ -107,6 +116,25 @@ def main() -> int:
              "would evict" if args.dry_run else "evicted",
              len(evicted), args.days,
              f": {evicted}" if evicted else "")
+
+    if args.database and (
+        args.size_budget_bytes is not None or args.repair_inconsistent
+    ):
+        # These stages have no database scope: they operate on the
+        # CONFIGURED cache database's registries. Running them under a
+        # scoped invocation would DROP tables and delete files from the
+        # exact namespace the operator scoped away from — refuse instead
+        # of silently widening the blast radius.
+        log.warning(
+            "--size-budget-bytes/--repair-inconsistent operate on the "
+            "configured cache database (%s) and do not honor --database; "
+            "skipping those stages. Re-run without --database (or set "
+            "CACHE_DATABASE) to run them.",
+            _config.CACHE_DATABASE,
+        )
+        log.info("%s after maintenance", _count_tables())
+        spark.stop()
+        return 0
 
     if args.size_budget_bytes is not None:
         sized = management.evict_to_size_budget(
@@ -140,7 +168,7 @@ def main() -> int:
             log.info("repaired %d inconsistent entries%s", len(repaired),
                      f": {repaired}" if repaired else "")
 
-    log.info("%d cache tables after maintenance", _count_tables())
+    log.info("%s after maintenance", _count_tables())
     spark.stop()
     return 0
 

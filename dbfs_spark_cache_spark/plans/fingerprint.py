@@ -120,6 +120,27 @@ _CA_NAME = re.compile(r"^\w+__[0-9a-f]{10}$")
 _FN_NAME = re.compile(r"([\w.$]+|<lambda>)\(")
 
 
+def _top_level_fn_names(args: str) -> list:
+    """Function names at paren depth 0 of a Python-eval node's argument
+    list. The node prints ``fname(<arg exprs>)#id, ...`` — only the OUTER
+    name is the Python function; everything nested inside its parens is a
+    Catalyst argument expression (``<lambda>(cast(a as string))`` must
+    report ``<lambda>``, not also ``cast`` — a built-in is not a UDF and
+    flagging it tells the user their cast() edits won't invalidate the
+    cache, which is meaningless noise)."""
+    depth = 0
+    depths = []
+    for ch in args:
+        depths.append(depth)
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    return [
+        m.group(1) for m in _FN_NAME.finditer(args) if depths[m.start()] == 0
+    ]
+
+
 def find_plain_udfs(df: DataFrame) -> list:
     """Names of Python-evaluated functions in ``df``'s physical plan whose
     code identity is NOT visible to the cache fingerprint.
@@ -138,7 +159,7 @@ def find_plain_udfs(df: DataFrame) -> list:
         return []
     plain = []
     for args in _SCALAR_PY_NODES.findall(phys):
-        for fname in _FN_NAME.findall(args):
+        for fname in _top_level_fn_names(args):
             short = fname.rsplit(".", 1)[-1]
             if not _CA_NAME.match(short) and short not in plain:
                 plain.append(short)

@@ -62,12 +62,17 @@ def backup_spark_cached_to_storage(
 
     from .plans.fingerprint import (
         INPUT_LISTING_FAILED_KEY,
+        SCHEMA_CHANGED_KEY,
+        _is_pure_scan_of,
         canonical_plan,
+        find_cache_table_in_text,
         input_dir_mod_datetime,
         plan_is_uncacheable,
     )
 
-    eligible: List[Tuple[DataFrame, Optional[Tuple[float, float, float]]]] = []
+    eligible: List[
+        Tuple[DataFrame, str, dict, Optional[Tuple[float, float, float]]]
+    ] = []
     for df in candidates:
         if not isinstance(df, DataFrame):
             continue
@@ -81,10 +86,29 @@ def backup_spark_cached_to_storage(
         if plan_is_uncacheable(plan):
             log.info("Skipping RDD-backed frame: content-free plan key")
             continue
-        if INPUT_LISTING_FAILED_KEY in input_dir_mod_datetime(df, plan):
+        info = input_dir_mod_datetime(df, plan)
+        # Both sentinels are UNMATCHABLE keys: the listing-failure marker
+        # by contract, and the schema-change marker because its value is
+        # datetime.now() — a key embedding the current second can never
+        # hit on a later probe, so writing under it orphans the backup.
+        if INPUT_LISTING_FAILED_KEY in info or SCHEMA_CHANGED_KEY in info:
             log.warning(
-                "Skipping frame: input listing failed — an unmatchable "
-                "key would orphan the backup"
+                "Skipping frame: unmatchable fingerprint (input listing "
+                "failed or input schema changed) — writing would orphan "
+                "the backup"
+            )
+            continue
+        # A frame that is a PURE SCAN of an existing cache table (any
+        # prefix) already lives in the persistent tier under that very
+        # key: re-materializing it under the metadata-document key would
+        # write the whole table AGAIN as a stranded duplicate.
+        scanned = find_cache_table_in_text(plan, config.CACHE_DATABASE, "")
+        if scanned is not None and _is_pure_scan_of(
+            plan, config.CACHE_DATABASE, scanned
+        ):
+            log.info(
+                "Skipping %s: frame is a pure scan of an existing cache "
+                "entry — already persistent", scanned,
             )
             continue
         try:
@@ -115,12 +139,18 @@ def backup_spark_cached_to_storage(
                     and complexity < min_complexity_threshold
                 ):
                     continue
-        eligible.append((df, estimate))
+        eligible.append((df, plan, info, estimate))
 
     backed_up: List[DataFrame] = []
-    for df, _ in eligible:
+    for df, plan, info, _ in eligible:
         try:
-            write_cache(df, replace=False)
+            # Reuse the guard's plan + input listing: write_cache would
+            # otherwise re-stringify the plan and re-LIST every input
+            # directory (the O(#directories) remote round-trips this
+            # module's scale notes warn about) — and a listing failure in
+            # that re-run would reintroduce the orphan the guard above
+            # just screened out.
+            write_cache(df, replace=False, query_plan=plan, input_info=info)
             backed_up.append(df)
             if unpersist_after_backup:
                 df.unpersist()
