@@ -104,6 +104,21 @@ _CHANGED: list[str] = [
     # dedup_ngram_jaccard stays r=4 and switches at R9 (its own due
     # slot).
     "dedup_token_jaccard",
+    # r8 adversarial-review fixes — all r5-vintage, due at r8, slot-
+    # neutral. Fixture results identical (the hostile inputs that differ
+    # do not occur in any driver fixture); adversarial parity pinned in
+    # tests/test_engine_review_r8.py:
+    # NULL (not ANSI DIVIDE_BY_ZERO crash) for singleton/constant groups:
+    "events_value_zscore",
+    # oracle gates k on JSON integer TYPE, matching from_json's
+    # strictness ("7"/1.5/7.0 are NULL on both engines now):
+    "fn_from_json_struct",
+    # canonical cleaning chain + trigram expr extracted into shared
+    # text.py helpers (plan-identical; the capstone's md5 comparability
+    # depended on hand-kept character-identical copies):
+    "text_clean_normalize",
+    "text_repetition_scores",
+    "pipeline_training_corpus",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -126,6 +141,19 @@ _CHANGED_HELPER: list[str] = [
     # nothing from r8's saturated window and re-attests at r9, its
     # natural due slot — the same round its own r=2 switch is queued.
     "dedup_ngram_jaccard",
+    # r8 adversarial-review fixes on non-due queries, both fixture-
+    # identical and re-attested exact at sf0.01 via scripts/selfcheck.py
+    # (the VERDICT r7 "changed code rides on a stale attestation" class —
+    # named here deliberately, accepted because both are crash-robustness
+    # fixes with zero result change on any fixture):
+    # NULLIF guard: an empty-text document was an ANSI DIVIDE_BY_ZERO
+    # crash killing the whole scoring pass (r7-vintage; re-attests r10):
+    "text_quality_scores",
+    # defensive parse of spark.sql.shuffle.partitions="auto" (Databricks
+    # auto-optimized shuffle) — int("auto") failed at plan-build time;
+    # locally the conf is "32" so plans and results are unchanged
+    # (r6-vintage; re-attests r9, its natural turn):
+    "fn_edit_distance",
 ]
 
 _WINDOW_SLOTS = 50

@@ -271,8 +271,15 @@ def banded_edit_pairs(
     # (at real scale the input splits naturally; this keeps the plan
     # shape honest at bench scale too).
     dist_t = F.levenshtein("name_a", "name_b", max_dist)
+    # Databricks auto-optimized shuffle sets this conf to the literal
+    # string "auto"; int("auto") would fail the whole query at plan-build
+    # time. Fall back to the cluster's default parallelism.
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     return (
-        a.repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        a.repartition(n_parts)
         .join(
             b,
             (F.col("brand_a") == F.col("brand_b"))
@@ -339,7 +346,9 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type,
            ROUND((e.value - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS value_z
+                 / NULLIF(CASE WHEN n > 1 THEN
+                     sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0))
+                   END, 0), 6) AS value_z
     FROM events e JOIN stats s USING (event_type)
     """,
 )
@@ -365,13 +374,23 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("s1") / F.col("n")
-    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    # Degenerate groups get NULL, not a crash: a singleton group makes
+    # (n - 1) zero — DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) —
+    # and an all-equal group has std 0 (plus the decimal-quantized
+    # variance can round a hair negative, where sqrt is NaN here but a
+    # hard error in the oracle). n>1 gate + GREATEST(...,0) + NULLIF(std,
+    # 0) give both engines the same NULL for every degenerate shape; a
+    # z-score simply has no meaning for those groups.
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    std = F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
     return (
         events.join(F.broadcast(stats), "event_type")
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - mean) / std, 6).alias("value_z"),
+            F.round(
+                (F.col("value") - mean) / F.nullif(std, F.lit(0.0)), 6
+            ).alias("value_z"),
         )
     )
 

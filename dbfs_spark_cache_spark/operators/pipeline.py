@@ -238,20 +238,14 @@ def pipeline_training_corpus(spark: SparkSession, sf: str) -> DataFrame:
     only shuffles are the md5 group-by (16-byte keys) and the keeper
     join.
     """
+    from .text import canonical_clean, token_trigram_expr
+
     docs = load_table(spark, sf, "documents")
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), "  +", " "
-        )
-    )
     toks = docs.select(
-        "doc_id", "lang", "source", clean.alias("clean")
+        "doc_id", "lang", "source", canonical_clean("text").alias("clean")
     ).withColumn("t", F.split("clean", " "))
     n_tokens = F.size("t").cast("long")
-    trigrams = F.expr(
-        "transform(sequence(1, size(t) - 2),"
-        " i -> concat_ws(' ', slice(t, i, 3)))"
-    )
+    trigrams = token_trigram_expr("t")
     dup_frac = F.when(
         F.size("t") >= 3,
         1.0

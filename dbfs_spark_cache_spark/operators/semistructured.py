@@ -45,10 +45,15 @@ def fn_map_ops(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            TRY_CAST(CASE WHEN json_valid(props)
+                         AND json_type(props::JSON, '$.k')
+                             IN ('BIGINT', 'UBIGINT')
                          THEN json_extract_string(props, '$.k') END AS BIGINT)
                AS k_value,
            TRY_CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.missing') END AS BIGINT)
+                         AND json_type(props::JSON, '$.missing')
+                             IN ('BIGINT', 'UBIGINT')
+                         THEN json_extract_string(props, '$.missing') END
+                    AS BIGINT)
                AS missing_value,
            COALESCE(json_valid(props), FALSE) AS is_valid
     FROM events
@@ -69,8 +74,13 @@ def fn_from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
     # struct of NULL fields for malformed input, so struct-isNotNull is
     # True for garbage. get_json_object returns NULL exactly when the
     # document does not parse (and for NULL input), matching the oracle's
-    # COALESCE(json_valid(..), FALSE); TRY_CAST on the oracle side mirrors
-    # from_json's null-on-type-mismatch for a non-numeric k.
+    # COALESCE(json_valid(..), FALSE). Type strictness: from_json with a
+    # BIGINT field yields NULL for ANY non-integer JSON value — "7"
+    # (string), 1.5, even 7.0 (verified on Spark 4.1) — so the oracle
+    # gates on json_type IN (BIGINT, UBIGINT) rather than TRY_CASTing
+    # the extracted string, which would coerce "7"->7 and 1.5->2.
+    # TRY_CAST stays for the one case the type gate admits but int64
+    # can't hold (UBIGINT above 2^63-1 -> NULL on both engines).
     return events.select(
         "event_id",
         parsed.alias("p"),

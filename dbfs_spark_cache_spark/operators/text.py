@@ -187,10 +187,10 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT doc_id, lang,
            ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-           ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
-           ROUND(CAST(n_digit AS DOUBLE) / n_chars_m, 4) AS digit_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / NULLIF(n_chars_m, 0), 4) AS punct_ratio,
+           ROUND(CAST(n_digit AS DOUBLE) / NULLIF(n_chars_m, 0), 4) AS digit_ratio,
            CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.01
-                     AND CAST(n_digit AS DOUBLE) / n_chars_m > 0.3
+                     AND CAST(n_digit AS DOUBLE) / NULLIF(n_chars_m, 0) > 0.3
                 THEN 'suspect' ELSE 'ok' END AS quality_flag
     FROM f
     """,
@@ -222,8 +222,14 @@ def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").alias("n_chars_m"),
     )
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m")
-    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars_m")
+    # NULLIF on the length: an empty-text document is DIVIDE_BY_ZERO
+    # under ANSI mode (Spark 4 default) — one bad row must not kill the
+    # whole corpus-scale scoring pass. Ratios are NULL for empty text on
+    # both engines, and the NULL comparison routes the flag to 'ok'.
+    # (n_tok needs no guard: split('', ' ') is [''], size 1.)
+    chars = F.nullif(F.col("n_chars_m"), F.lit(0))
+    punct_ratio = F.col("n_punct").cast("double") / chars
+    digit_ratio = F.col("n_digit").cast("double") / chars
     return counted.select(
         "doc_id",
         "lang",
@@ -429,6 +435,34 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def canonical_clean(col="text"):
+    """The canonical cleaning chain — lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim. ONE definition shared by
+    ``text_clean_normalize`` and the training-corpus capstone
+    (``pipeline.pipeline_training_corpus``): the capstone's exact-dedup
+    md5 is only comparable to ``clean_md5`` because these expressions are
+    character-identical, so the chain must never fork (an inline copy
+    silently diverges the first time one side is fixed — the r7
+    regex-drift class)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), "  +", " "
+        )
+    )
+
+
+def token_trigram_expr(tokens_col):
+    """In-row token-trigram array over an array column (sequence +
+    transform, no explode). Shared by ``text_repetition_scores`` and the
+    capstone's Gopher gate — same cross-operator-consistency contract as
+    :func:`canonical_clean`. Callers guard size(tokens) >= 3 themselves
+    (sequence(1, size-2) on a shorter array would count DOWN)."""
+    return F.expr(
+        f"transform(sequence(1, size({tokens_col}) - 2),"
+        f" i -> concat_ws(' ', slice({tokens_col}, i, 3)))"
+    )
+
+
 @register(
     "text_repetition_scores",
     oracle="""
@@ -472,11 +506,7 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
     trigrams = F.when(
-        F.size("toks") >= 3,
-        F.expr(
-            "transform(sequence(1, size(toks) - 2),"
-            " i -> concat_ws(' ', slice(toks, i, 3)))"
-        ),
+        F.size("toks") >= 3, token_trigram_expr("toks")
     ).otherwise(F.array().cast("array<string>"))
     g = toks.select("doc_id", trigrams.alias("trigrams"))
     n = F.size("trigrams").cast("long")
@@ -525,12 +555,7 @@ def text_clean_normalize(spark: SparkSession, sf: str) -> DataFrame:
     summary stats.
     """
     docs = load_table(spark, sf, "documents")
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), "  +", " "
-        )
-    )
-    cleaned = docs.select("doc_id", clean.alias("clean"))
+    cleaned = docs.select("doc_id", canonical_clean("text").alias("clean"))
     return cleaned.select(
         "doc_id",
         F.md5("clean").alias("clean_md5"),

@@ -160,3 +160,139 @@ def test_cli_refuses_unscoped_destructive_stages(
         assert default_db_tables.count() == 1
     finally:
         spark.sql("DROP DATABASE IF EXISTS cli_scoped_db CASCADE")
+
+
+# --- adversarial parity: hostile inputs no driver fixture contains --------
+
+def _duck_with(tables: dict):
+    import duckdb
+
+    con = duckdb.connect()
+    for name, path in tables.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _compare(name, spark_pdf, duck_pdf):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from selfcheck import compare
+
+    return compare(name, spark_pdf, duck_pdf, verbose=True)
+
+
+def test_zscore_degenerate_groups_null_not_crash(spark, tmp_path):
+    """Singleton and all-equal event_type groups must z-score to NULL on
+    BOTH engines — under ANSI mode (Spark 4 default) the unguarded
+    (n - 1) divide crashed the whole query on one singleton group."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    rows = (
+        [(i, "normal", float(i)) for i in range(10)]
+        + [(100, "singleton", 42.0)]
+        + [(200 + i, "constant", 7.0) for i in range(5)]
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["events_value_zscore"](spark, str(tmp_path)).toPandas()
+    by_type = got.set_index("event_id")
+    assert by_type.loc[100, "value_z"] != by_type.loc[100, "value_z"] or \
+        by_type.loc[100, "value_z"] is None or \
+        pd.isna(by_type.loc[100, "value_z"])
+    assert pd.isna(by_type.loc[200, "value_z"])
+    assert not pd.isna(by_type.loc[0, "value_z"])
+
+    duck = _duck_with({"events": path}).execute(
+        ORACLES["events_value_zscore"]
+    ).df()
+    problems = _compare("events_value_zscore", got, duck)
+    assert not problems, problems
+
+
+def test_quality_scores_empty_text_null_not_crash(spark, tmp_path):
+    """An empty-text document must yield NULL char-based ratios and an
+    'ok' flag on both engines, not an ANSI DIVIDE_BY_ZERO that kills the
+    corpus pass."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en", "en", "en"],
+            "text": ["the cat sat on the mat.", "", "12345 67890 99999"],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["text_quality_scores"](spark, str(tmp_path)).toPandas()
+    empty = got[got.doc_id == 2].iloc[0]
+    assert pd.isna(empty.punct_ratio) and pd.isna(empty.digit_ratio)
+    assert empty.quality_flag == "ok"
+
+    duck = _duck_with({"documents": path}).execute(
+        ORACLES["text_quality_scores"]
+    ).df()
+    problems = _compare("text_quality_scores", got, duck)
+    assert not problems, problems
+
+
+def test_from_json_type_strictness_parity(spark, tmp_path):
+    """from_json('k BIGINT') is NULL for any non-integer JSON value —
+    string "7", 1.5, even 7.0. The oracle must be equally strict (its
+    old TRY_CAST coerced "7"->7 and 1.5->2)."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    props = [
+        '{"k": 7}', '{"k": -7}', '{"k": "7"}', '{"k": 1.5}', '{"k": 7.0}',
+        '{"k": 99999999999999999999}', '{"k": true}', '{"k": null}',
+        "garbage", None,
+    ]
+    pdf = pd.DataFrame(
+        {"event_id": range(len(props)), "props": props}
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["fn_from_json_struct"](spark, str(tmp_path)).toPandas()
+    k = got.set_index("event_id").k_value
+    assert k[0] == 7 and k[1] == -7
+    assert k[[2, 3, 4, 5, 6, 7, 8, 9]].isna().all()
+
+    duck = _duck_with({"events": path}).execute(
+        ORACLES["fn_from_json_struct"]
+    ).df()
+    problems = _compare("fn_from_json_struct", got, duck)
+    assert not problems, problems
+
+
+def test_cleaning_chain_is_shared_single_definition():
+    """The capstone's md5 comparability depends on ONE cleaning chain: the
+    regex literals must appear exactly once in the operator tree (in the
+    shared text.py helper), never as inline copies."""
+    import glob
+
+    ops = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dbfs_spark_cache_spark",
+        "operators",
+    )
+    hits = []
+    for path in glob.glob(f"{ops}/*.py"):
+        n = open(path).read().count('"[^a-z0-9 ]"')
+        if n:
+            hits.append((os.path.basename(path), n))
+    assert hits == [("text.py", 1)], f"cleaning chain forked: {hits}"
