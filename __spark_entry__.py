@@ -154,6 +154,32 @@ _CHANGED_HELPER: list[str] = [
     # locally the conf is "32" so plans and results are unchanged
     # (r6-vintage; re-attests r9, its natural turn):
     "fn_edit_distance",
+    # r8 second adversarial sweep — same ANSI DIVIDE_BY_ZERO class as
+    # the due-cohort fixes above, finished consistently across the repo.
+    # All fixture-identical (no degenerate group / zero vector / NULL
+    # part column exists in any fixture), adversarial parity pinned in
+    # tests/test_engine_review_r8.py, re-attested exact at sf0.01 via
+    # scripts/selfcheck.py. r6-vintage ones re-attest at r9, r7 at r10:
+    "stats_corr_covar",          # r6: corr NULL for degenerate groups
+    "events_funnel_conversion",  # r6: NULL rate for empty stages
+    "dedup_embedding_cosine",    # r7: NULL cosine for zero-norm vectors
+    "similarity_topk_cosine",    # r7: same, via shared _cosine_vs_query
+    "similarity_multiprobe",     # r7: same
+    "similarity_ivf_search",     # r7: same
+    # r7: window shuffle key text -> md5(text) (same groups, 16-byte
+    # shuffle keys — the module's own narrow-shuffle discipline):
+    "dedup_keep_first",
+    # r7: superseded checkpoint generations reclaimed each round via the
+    # JVM registry (DataFrame.unpersist cannot free checkpoint blocks);
+    # labels and convergence unchanged:
+    "dedup_cluster_keepers",
+    # r7: oracle CONCAT -> CONCAT_WS (NULL-semantics alignment with the
+    # Spark side; fixture part columns are never NULL):
+    "fn_string",
+    # r6: stat-failure fallback marker now unmatchable + logged instead
+    # of silently path-only (stat always succeeds locally):
+    "scan_json_source",
+    "scan_csv_source",
 ]
 
 _WINDOW_SLOTS = 50

@@ -292,9 +292,11 @@ def fn_datetime_parts(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
            (n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS qty_price_corr,
+             / NULLIF(sqrt(GREATEST(
+                   (n * sxx - sx * sx) * (n * syy - sy * sy), 0)), 0)
+               AS qty_price_corr,
            (sxy - sx * sy / n) / n AS qty_price_covar_pop,
-           sqrt((sxx - sx * sx / n) / n) AS qty_stddev_pop
+           sqrt(GREATEST((sxx - sx * sx / n) / n, 0)) AS qty_stddev_pop
     FROM sums
     """,
 )
@@ -330,13 +332,24 @@ def stats_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # Degenerate groups (singleton, or constant x or y) zero the variance
+    # product: under ANSI mode (Spark 4 default) the unguarded divide is
+    # DIVIDE_BY_ZERO and kills the query; correlation is undefined there,
+    # so both engines emit NULL (GREATEST absorbs the hair-negative
+    # rounding of an exactly-zero variance, where sqrt would be NaN here
+    # but a hard error in the oracle).
+    corr_den = F.nullif(
+        F.sqrt(F.greatest((n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0))),
+        F.lit(0.0),
+    )
     return sums.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
-        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-         ).alias("qty_price_corr"),
+        ((n * sxy - sx * sy) / corr_den).alias("qty_price_corr"),
         ((sxy - sx * sy / n) / n).alias("qty_price_covar_pop"),
-        F.sqrt((sxx - sx * sx / n) / n).alias("qty_stddev_pop"),
+        F.sqrt(F.greatest((sxx - sx * sx / n) / n, F.lit(0.0))).alias(
+            "qty_stddev_pop"
+        ),
     )
 
 

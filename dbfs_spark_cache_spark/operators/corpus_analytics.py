@@ -51,9 +51,9 @@ from .registry import register
            (SELECT count(*) FROM c) AS n_click_users,
            (SELECT count(*) FROM p) AS n_purchase_users,
            CAST((SELECT count(*) FROM c) AS DOUBLE)
-             / (SELECT count(*) FROM v) AS view_to_click,
+             / NULLIF((SELECT count(*) FROM v), 0) AS view_to_click,
            CAST((SELECT count(*) FROM p) AS DOUBLE)
-             / (SELECT count(*) FROM c) AS click_to_purchase
+             / NULLIF((SELECT count(*) FROM c), 0) AS click_to_purchase
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
@@ -101,11 +101,15 @@ def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
             "n_view_users",
             "n_click_users",
             "n_purchase_users",
-            (F.col("n_click_users").cast("double") / F.col("n_view_users")).alias(
-                "view_to_click"
-            ),
+            # NULLIF: an events slice with an empty stage population is a
+            # NULL rate, not an ANSI DIVIDE_BY_ZERO that kills the funnel.
             (
-                F.col("n_purchase_users").cast("double") / F.col("n_click_users")
+                F.col("n_click_users").cast("double")
+                / F.nullif(F.col("n_view_users"), F.lit(0))
+            ).alias("view_to_click"),
+            (
+                F.col("n_purchase_users").cast("double")
+                / F.nullif(F.col("n_click_users"), F.lit(0))
             ).alias("click_to_purchase"),
         )
     )

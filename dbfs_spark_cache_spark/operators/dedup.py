@@ -66,9 +66,15 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
-    """Window-rank keep-first: survivors of exact dedup with full rows."""
+    """Window-rank keep-first: survivors of exact dedup with full rows.
+
+    The window partitions on md5(text), not text: the partition key IS
+    the shuffle key, and dedup_exact's note above applies verbatim — at
+    100 TB this is the difference between shuffling 16-byte hashes and
+    shuffling the corpus as keys. Same groups either way (the oracle's
+    PARTITION BY text defines identical partitions)."""
     docs = load_table(spark, sf, "documents")
-    w = W.partitionBy("text").orderBy("doc_id")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
     return (
         docs.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -640,8 +646,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = vec_dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
+    # NULLIF: a zero-norm vector (zero-padded / failed embedding) makes
+    # the denominator 0.0 — ANSI DIVIDE_BY_ZERO kills the whole pass;
+    # cosine is undefined there, the NULL fails the >= threshold and the
+    # pair drops on both engines.
+    cos = vec_dot(F.col("a.embedding"), F.col("b.embedding")) / F.nullif(
+        F.col("a.norm") * F.col("b.norm"), F.lit(0.0)
     )
     return (
         a.join(
@@ -901,7 +911,10 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     # that genuinely needs more should fail loudly and rerun with
     # pointer-jumping (label = label-of-label doubles the hop per round),
     # not ship duplicates into training.
+    sc = spark.sparkContext
+    prev_ckpt_ids: set = set()
     for _ in range(64):
+        ids_before = set(_persistent_rdd_entries(sc))
         neigh_min = (
             sym.alias("s")
             .join(labels.alias("l"), F.col("s.doc_b") == F.col("l.doc_id"))
@@ -926,6 +939,24 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         )
         n_lowered = new_labels.where("lowered").count()
         labels = new_labels.drop("lowered")
+        # The superseded generation's checkpointed blocks are dead the
+        # moment the count materializes the new one — reclaim them NOW:
+        # a long-diameter component otherwise accumulates up to 64
+        # materialized label frames in executor storage. The reclaim
+        # goes through the JVM persistent-RDD registry because
+        # DataFrame.unpersist() cannot release checkpoint blocks (see
+        # _persistent_rdd_entries); ids are attributed by diffing the
+        # registry around THIS round's checkpoint materialization, and
+        # only our own previous-round ids are ever released.
+        entries = _persistent_rdd_entries(sc)
+        for rid in prev_ckpt_ids:
+            handle = entries.get(rid)
+            if handle is not None:
+                try:
+                    handle.unpersist(False)
+                except Exception:
+                    pass
+        prev_ckpt_ids = set(entries) - ids_before
         if n_lowered == 0:
             break
     else:
@@ -944,6 +975,21 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def _persistent_rdd_entries(sc):
+    """id -> JVM RDD handle for every currently persisted RDD. Needed
+    because ``DataFrame.unpersist()`` does NOT release localCheckpoint
+    blocks (it talks to the SQL cache manager, not the RDD block store —
+    verified empirically on Spark 4.1): the only handle that frees them
+    is the JVM-side RDD object itself."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    out = {}
+    while it.hasNext():
+        t = it.next()
+        out[t._1()] = t._2()
+    return out
 
 
 def corpus_band_index_frame(

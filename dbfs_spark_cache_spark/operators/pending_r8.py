@@ -120,9 +120,13 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
         "q_id",
         "vec_id",
         "label",
+        # NULLIF mirrors _cosine_vs_query: zero-norm vectors score NULL
+        # instead of raising ANSI DIVIDE_BY_ZERO.
         F.round(
             _dot("embedding", "q_emb")
-            / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
+            / F.nullif(
+                F.sqrt(_sq_norm("embedding")) * F.col("q_norm"), F.lit(0.0)
+            ),
             4,
         ).alias("cosine"),
     )

@@ -1029,7 +1029,7 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
            UPPER(p_name) AS name_upper,
            LENGTH(p_name) AS name_len,
            SUBSTRING(p_name, 1, 4) AS name_prefix,
-           CONCAT(p_brand, ':', p_type) AS brand_type,
+           CONCAT_WS(':', p_brand, p_type) AS brand_type,
            REPLACE(p_name, ' ', '_') AS name_snake,
            LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
            STRING_SPLIT(p_name, ' ')[1] AS first_word,

@@ -5,6 +5,17 @@ LSH-style bucketing (axis-sign signatures here; random hyperplanes in
 tests) and IVF-style partition pruning. All vector math stays JVM-side via
 higher-order functions (``aggregate``/``zip_with``) — no Python in the
 per-row path.
+
+
+QUEUED (r8 review): the sign-bit LSH bucket comprehension appears in four
+places (similarity_lsh_buckets 8-bit, similarity_ivf_search 4-bit,
+similarity_multiprobe integer variant, dedup.dedup_embedding_cosine
+8-bit), each with a hand-matched oracle. Consolidate into one
+``sign_bits(col, n)`` helper WHEN THOSE QUERIES COME DUE (the similarity
+trio at r10, dedup_embedding_cosine at r9) — the same hand-kept-copy
+drift class the r8 text.py cleaning-chain extraction fixed; doing it
+off-slot would ride rounds on stale attestations for four queries at
+once.
 """
 from __future__ import annotations
 
@@ -68,9 +79,14 @@ def _cosine_vs_query():
     query row's ``q_emb``/``q_norm`` — 4 decimals before any ranking so
     orderings are engine-exact; shared by every scorer in this module
     (and the pending batch variant)."""
+    # NULLIF: a zero corpus or query vector is a NULL cosine (dropped or
+    # sorted last on both engines), not an ANSI DIVIDE_BY_ZERO that kills
+    # the whole search.
     return F.round(
         _dot("embedding", "q_emb")
-        / (F.sqrt(_sq_norm("embedding")) * F.col("q_norm")),
+        / F.nullif(
+            F.sqrt(_sq_norm("embedding")) * F.col("q_norm"), F.lit(0.0)
+        ),
         4,
     ).alias("cosine")
 

@@ -43,8 +43,21 @@ def _sf_fingerprint(sf: str, table: str) -> str:
     try:
         st = os.stat(src)
         return f"{sf};mtime={int(st.st_mtime)};size={st.st_size}"
-    except OSError:
-        return sf
+    except OSError as exc:
+        # Loud, and UNMATCHABLE rather than path-only: a silent "just the
+        # path" fallback reintroduced the stale-sidecar hazard this stamp
+        # exists to prevent (a regenerated fixture would keep serving the
+        # old conversion). An os.time-free unmatchable marker forces a
+        # rebuild on every run until the stat works — conversion cost,
+        # never stale data.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "could not stat %s (%s): sidecar marker made unmatchable — "
+            "the conversion will rebuild each run until the source "
+            "parquet is statable", src, exc,
+        )
+        return f"{sf};<stat-failed;rebuild-every-run;id={id(object())}>"
 
 
 def _ensure_sidecar(

@@ -296,3 +296,127 @@ def test_cleaning_chain_is_shared_single_definition():
         if n:
             hits.append((os.path.basename(path), n))
     assert hits == [("text.py", 1)], f"cleaning chain forked: {hits}"
+
+
+def test_corr_degenerate_groups_null_not_crash(spark, tmp_path):
+    """Singleton and constant-valued groups must produce NULL correlation
+    on both engines (ANSI DIVIDE_BY_ZERO crashed the query; DuckDB
+    sqrt(negative)/div-0 diverged)."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    rows = (
+        [("N", float(i % 7 + 1), float((i * 3) % 11 + 1)) for i in range(20)]
+        + [("S", 5.0, 10.0)]
+        + [("C", 4.0, float(i + 1)) for i in range(5)]
+    )
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    path = str(tmp_path / "lineitem.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["stats_corr_covar"](spark, str(tmp_path)).toPandas()
+    by = got.set_index("l_returnflag")
+    assert pd.isna(by.loc["S", "qty_price_corr"])  # singleton
+    assert pd.isna(by.loc["C", "qty_price_corr"])  # constant x
+    assert not pd.isna(by.loc["N", "qty_price_corr"])
+
+    duck = _duck_with({"lineitem": path}).execute(
+        ORACLES["stats_corr_covar"]
+    ).df()
+    problems = _compare("stats_corr_covar", got, duck)
+    assert not problems, problems
+
+
+def test_funnel_empty_stage_null_not_crash(spark, tmp_path):
+    """A slice with views but no clicks must yield NULL click_to_purchase
+    (0/NULL semantics) on both engines, not DIVIDE_BY_ZERO."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_type": ["view", "view", "view"],
+            "ts": pd.to_datetime(
+                ["2026-01-01 10:00", "2026-01-01 11:00", "2026-01-02 09:00"]
+            ),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["events_funnel_conversion"](spark, str(tmp_path)).toPandas()
+    row = got.iloc[0]
+    assert row.n_view_users == 2 and row.n_click_users == 0
+    assert row.view_to_click == 0.0
+    assert pd.isna(row.click_to_purchase)
+
+    duck = _duck_with({"events": path}).execute(
+        ORACLES["events_funnel_conversion"]
+    ).df()
+    problems = _compare("events_funnel_conversion", got, duck)
+    assert not problems, problems
+
+
+def test_cosine_zero_vector_null_not_crash(spark, tmp_path):
+    """A zero-norm embedding must score NULL cosine (dropped by the
+    threshold / ranked last) on both engines instead of crashing every
+    search and the embedding near-dup pass."""
+    import numpy as np
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(8).round(3).tolist() for _ in range(6)]
+    vecs[3] = [0.0] * 8  # the hostile zero vector
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(6),
+            "embedding": vecs,
+            "label": ["a", "b", "a", "z", "b", "a"],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+
+    for name in ("similarity_topk_cosine", "dedup_embedding_cosine"):
+        got = QUERIES[name](spark, str(tmp_path)).toPandas()
+        duck = _duck_with({"embeddings": path}).execute(ORACLES[name]).df()
+        problems = _compare(name, got, duck)
+        assert not problems, f"{name}: {problems}"
+
+
+def test_keep_first_md5_key_same_results(spark):
+    """The md5 shuffle-key switch must not change keep-first survivors."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    got = QUERIES["dedup_keep_first"](spark, SF_SMOKE).toPandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    duck = con.execute(ORACLES["dedup_keep_first"]).df()
+    problems = _compare("dedup_keep_first", got, duck)
+    assert not problems, problems
+
+
+def test_cluster_keepers_reclaims_checkpoint_generations(spark):
+    """The propagation loop must not accumulate one persisted RDD per
+    round: after the run, at most the initial edges/labels checkpoints
+    plus the final generation may remain registered."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    QUERIES["dedup_cluster_keepers"](spark, SF_SMOKE).count()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 3, (
+        f"checkpoint generations leaked: {before} -> {after} persistent RDDs"
+    )
