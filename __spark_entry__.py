@@ -119,6 +119,12 @@ _CHANGED: list[str] = [
     "text_clean_normalize",
     "text_repetition_scores",
     "pipeline_training_corpus",
+    # association support now counts DISTINCT orders: an order carrying
+    # the same part on two lineitem rows inflated n_orders_together (55
+    # such groups at sf0.01 pushed support-1 pairs over the >= 2 bar) —
+    # RESULTS CHANGE on driver data, both engines fixed identically;
+    # r5-vintage, due at r8, re-attested by this round's driver run:
+    "market_basket_pairs",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -180,6 +186,14 @@ _CHANGED_HELPER: list[str] = [
     # of silently path-only (stat always succeeds locally):
     "scan_json_source",
     "scan_csv_source",
+    # r8 third sweep, same fixture-identical contract:
+    # r7: NULL o_orderpriority counts in NEITHER bucket (was: counted as
+    # low, against the oracle's three-valued NOT IN; no fixture NULLs):
+    "q12_shipmode_priority",
+    # r6: UDTF yields zero rows for NULL text like the oracle's
+    # string_split(NULL) (was: None.split crashed the job; no fixture
+    # NULLs):
+    "udtf_tokenize",
 ]
 
 _WINDOW_SLOTS = 50

@@ -61,7 +61,12 @@ def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
 
 # -- schema hygiene --------------------------------------------------------
 
-_INVALID_NAME_CHARS = re.compile(r"[ ,;{}()\n\t=]")
+# ONE class string drives both detection and rewrite: a character added
+# to the class (e.g. ':', which Delta also rejects) must change both or
+# a "sanitized" name still breaks the write.
+_INVALID_NAME_CLASS = r"[ ,;{}()\n\t=]"
+_INVALID_NAME_CHARS = re.compile(_INVALID_NAME_CLASS)
+_INVALID_NAME_RUN = re.compile(_INVALID_NAME_CLASS + "+")
 
 
 def sanitize_columns(df):
@@ -71,13 +76,11 @@ def sanitize_columns(df):
     aliasing (reference: README.md:169-181); this helper automates it:
     ``sum(bar)`` -> ``sum_bar``.
     """
-    import re as _re
-
     renames = {}
     seen = set(df.columns)
     for col in df.columns:
         if _INVALID_NAME_CHARS.search(col):
-            clean = _re.sub(r"[ ,;{}()\n\t=]+", "_", col).strip("_")
+            clean = _INVALID_NAME_RUN.sub("_", col).strip("_")
             while clean in seen:
                 clean += "_"
             renames[col] = clean
@@ -127,6 +130,24 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
             digest.update(repr(obj.co_names).encode())
             for const in obj.co_consts:
                 _feed(digest, const)
+        elif isinstance(obj, (set, frozenset)):
+            # A set's repr order follows the per-process randomized string
+            # hash (PYTHONHASHSEED), and `x in {'a', 'b'}` compiles a
+            # frozenset into co_consts — raw repr made the tag different
+            # in EVERY process, so the persistent cache never hit again
+            # for any UDF with a set-literal membership test. Sorted
+            # canonical element reprs are process-stable.
+            digest.update(b"<set>")
+            for item in sorted(_addr.sub(" at 0x", repr(x)) for x in obj):
+                digest.update(item.encode())
+        elif isinstance(obj, dict):
+            # dict repr preserves insertion order (stable), but two dicts
+            # built in different orders are the same value — canonicalize
+            # by sorted key repr.
+            digest.update(b"<dict>")
+            for key in sorted(obj, key=repr):
+                _feed(digest, key)
+                _feed(digest, obj[key])
         else:
             digest.update(_addr.sub(" at 0x", repr(obj)).encode())
 

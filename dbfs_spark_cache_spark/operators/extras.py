@@ -173,6 +173,10 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, pos int, token string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:
+                # the oracle's string_split(NULL) unnests to zero rows;
+                # None.split here raised and killed the whole job
+                return
             for pos, token in enumerate(text.split(" ")):
                 yield doc_id, pos, token
 
@@ -398,11 +402,14 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "market_basket_pairs",
     oracle="""
-    WITH pairs AS (
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-        FROM lineitem a
-        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-                       AND a.l_partkey < b.l_partkey
+        FROM lines a
+        JOIN lines b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
     )
     SELECT part_a, part_b, COUNT(*) AS n_orders_together
     FROM pairs
@@ -423,7 +430,16 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     key, one on the pair for the count; the HAVING threshold prunes the
     long tail before any downstream join.
     """
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # DISTINCT first: an order holding the same part on TWO lineitem rows
+    # otherwise yields duplicate joined pairs, inflating
+    # n_orders_together past the true distinct-order support (live at
+    # sf0.01: 55 duplicate (order, part) groups pushed support-1 pairs
+    # over the >= 2 threshold). Support counts ORDERS, not line pairs.
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.withColumnRenamed("l_partkey", "part_a")
     b = li.withColumnRenamed("l_partkey", "part_b").withColumnRenamed(
         "l_orderkey", "r_orderkey"

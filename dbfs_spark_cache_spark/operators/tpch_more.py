@@ -110,7 +110,10 @@ def q12_shipmode_priority(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+            # ~is_high, not otherwise(1): a NULL priority must count in
+            # NEITHER bucket (the oracle's NOT IN is NULL -> ELSE 0; the
+            # old otherwise(1) branch counted NULL rows as low)
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("l_returnflag")
     )

@@ -420,3 +420,118 @@ def test_cluster_keepers_reclaims_checkpoint_generations(spark):
     assert after - before <= 3, (
         f"checkpoint generations leaked: {before} -> {after} persistent RDDs"
     )
+
+
+def test_udf_tag_stable_across_hash_seeds(tmp_path):
+    """A set literal compiles a frozenset into co_consts; raw repr orders
+    its elements by the per-process randomized string hash, so the tag
+    differed in EVERY process and the persistent cache never hit again.
+    Tags must agree across PYTHONHASHSEED values."""
+    import subprocess
+
+    prog = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql.types import DoubleType\n"
+        "from dbfs_spark_cache_spark.functions import content_addressed_udf\n"
+        "def fn(s):\n"
+        "    return s.map(lambda t: 1.0 if t in {'a', 'b', 'see', 'dee'} else 0.0)\n"
+        "u = content_addressed_udf(fn, DoubleType())\n"
+        "print(u.func.__name__.rsplit('__', 1)[1])\n"
+    )
+    tags = set()
+    for seed in ("1", "2", "3"):
+        out = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONHASHSEED": seed},
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        tags.add(out.stdout.strip().splitlines()[-1])
+    assert len(tags) == 1, f"tag varies with PYTHONHASHSEED: {tags}"
+
+
+def test_basket_support_counts_distinct_orders(spark, tmp_path):
+    """An order holding the same part on two lines must contribute ONE
+    unit of support per pair, not two (the overcount let support-1 pairs
+    pass the >= 2 threshold on both engines)."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    rows = [
+        # order 1: part 10 twice + part 20 -> (10,20) must get support 1
+        (1, 10), (1, 10), (1, 20),
+        # orders 2+3: genuine support-2 pair (30,40)
+        (2, 30), (2, 40), (3, 30), (3, 40),
+    ]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    path = str(tmp_path / "lineitem.parquet")
+    pdf.to_parquet(path)
+
+    got = QUERIES["market_basket_pairs"](spark, str(tmp_path)).toPandas()
+    pairs = {(r.part_a, r.part_b): r.n_orders_together for r in got.itertuples()}
+    assert (10, 20) not in pairs, "support-1 pair passed the >= 2 bar"
+    assert pairs == {(30, 40): 2}
+
+    duck = _duck_with({"lineitem": path}).execute(
+        ORACLES["market_basket_pairs"]
+    ).df()
+    problems = _compare("market_basket_pairs", got, duck)
+    assert not problems, problems
+
+
+def test_q12_null_priority_counts_in_neither_bucket(spark, tmp_path):
+    """A NULL o_orderpriority row must not inflate low_line_count (the
+    oracle's NOT IN is NULL -> ELSE 0; Spark's otherwise(1) counted it)."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_orderpriority": ["1-URGENT", "5-LOW", None]}
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3],
+            "l_returnflag": ["A", "A", "A"],
+            # inside the builder's 1997 ship-date window
+            "l_shipdate": pd.to_datetime(
+                ["1997-06-01", "1997-06-02", "1997-06-03"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    orders.to_parquet(str(tmp_path / "orders.parquet"))
+    li.to_parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = QUERIES["q12_shipmode_priority"](spark, str(tmp_path)).toPandas()
+    row = got.iloc[0]
+    assert row.high_line_count == 1 and row.low_line_count == 1, got
+
+    duck = _duck_with(
+        {
+            "orders": str(tmp_path / "orders.parquet"),
+            "lineitem": str(tmp_path / "lineitem.parquet"),
+        }
+    ).execute(ORACLES["q12_shipmode_priority"]).df()
+    problems = _compare("q12_shipmode_priority", got, duck)
+    assert not problems, problems
+
+
+def test_udtf_null_text_yields_no_rows(spark, tmp_path):
+    """NULL text must tokenize to zero rows on both engines, not crash
+    the Python UDTF with None.split."""
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["one two", None]})
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    got = QUERIES["udtf_tokenize"](spark, str(tmp_path)).toPandas()
+    assert sorted(got.token) == ["one", "two"]
+
+    duck = _duck_with(
+        {"documents": str(tmp_path / "documents.parquet")}
+    ).execute(ORACLES["udtf_tokenize"]).df()
+    problems = _compare("udtf_tokenize", got, duck)
+    assert not problems, problems
