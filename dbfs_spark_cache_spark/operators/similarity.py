@@ -11,8 +11,8 @@ QUEUED (r8 review): the sign-bit LSH bucket comprehension appears in four
 places (similarity_lsh_buckets 8-bit, similarity_ivf_search 4-bit,
 similarity_multiprobe integer variant, dedup.dedup_embedding_cosine
 8-bit), each with a hand-matched oracle. Consolidate into one
-``sign_bits(col, n)`` helper WHEN THOSE QUERIES COME DUE (the similarity
-trio at r10, dedup_embedding_cosine at r9) — the same hand-kept-copy
+``sign_bits(col, n)`` helper WHEN THOSE QUERIES COME DUE (all four are
+r7-attested -> due together at r10) — the same hand-kept-copy
 drift class the r8 text.py cleaning-chain extraction fixed; doing it
 off-slot would ride rounds on stale attestations for four queries at
 once.
