@@ -57,7 +57,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "window_percentiles",
     "pipeline_dedup_survivors",
-    # round-5 additions (headline grew 18 -> 23 timed queries here; compare
+    # round-5 additions (headline grew 18 -> 24 timed queries here; compare
     # per-query across rounds, not the raw total)
     "q2_min_cost_supplier",
     "join_salted_skew",

@@ -28,8 +28,8 @@ from . import fs
 from .config import config
 from .hashing import hash_input_data
 from .plans.fingerprint import (
-    DIRECT_DATA_CACHE_KEY,
     INPUT_LISTING_FAILED_KEY,
+    SCHEMA_CHANGED_KEY,
     canonical_plan,
     find_plain_udfs,
     input_dir_mod_datetime,
@@ -314,6 +314,13 @@ def write_cache(
         info, plan, hash_name=hash_name, cache_path_base=cache_path
     )
     table = table_name_for_hash(key)
+    if verbose:
+        # the reference's verbose flag prints the resolved identity; here
+        # it surfaces the key/table plus the metadata document driving it
+        log.info(
+            "write_cache: key=%s table=%s; metadata document:\n%s",
+            key, table, metadata_txt,
+        )
 
     with _lock_for_key(key):
         # Probe INSIDE the lock: a racer that lost the lock re-reads the
@@ -390,13 +397,16 @@ def cache_dataframe(
         return df
 
     info = input_dir_mod_datetime(df, plan)
-    if info == {DIRECT_DATA_CACHE_KEY: True}:  # sentinel kept for parity
-        return df
-    if INPUT_LISTING_FAILED_KEY in info:
-        # The input listing failed, so the fingerprint is unmatchable:
-        # writing would create an entry no later (correct) key ever finds.
-        # Skip caching this run rather than leak orphans.
-        log.warning("Input listing failed; skipping cache for this run")
+    if INPUT_LISTING_FAILED_KEY in info or SCHEMA_CHANGED_KEY in info:
+        # Both sentinels carry datetime.now(): the fingerprint is
+        # unmatchable, so writing would create an entry no later
+        # (correct) key ever finds — a full distributed write leaked as
+        # an orphan on EVERY call. Skip caching this run instead. (Same
+        # guard as tiering.backup_spark_cached_to_storage.)
+        log.warning(
+            "Unmatchable fingerprint (input listing failed or schema "
+            "changed); skipping cache for this run"
+        )
         return df
 
     hit = read_cache_if_exist(
@@ -469,13 +479,13 @@ def cache_dataframe(
         _bump("spark_cache")
         return df.cache()
 
-    # Keep cached-input path markers alongside datetimes — the probe above
-    # used the full mapping, so the write must key off the same document.
-    dt_info = {k: v for k, v in info.items() if k != DIRECT_DATA_CACHE_KEY}
+    # The probe above used the full mapping; the write keys off the same
+    # document (the former DIRECT_DATA_CACHE_KEY filter here was dead —
+    # input_dir_mod_datetime never emits that sentinel).
     return write_cache(
         df,
         query_plan=plan,
-        input_info=dt_info,
+        input_info=info,
         hash_name=kwargs.get("hash_name"),
         cache_path=kwargs.get("cache_path"),
         partition_by=kwargs.get("partition_by"),

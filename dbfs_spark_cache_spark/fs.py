@@ -146,18 +146,35 @@ def max_mtime(path: str, skip_names: tuple = ("_delta_log",)) -> Optional[dateti
     stats = [s for s in list_dir(path)
              if s.name.rstrip("/") not in skip_names]
     if stats:
-        return datetime.fromtimestamp(max(s.mtime_ms for s in stats) / 1000)
+        return _utc_naive(max(s.mtime_ms for s in stats) / 1000)
     if is_local(path):
         local = strip_scheme(path)
         try:
-            return datetime.fromtimestamp(os.stat(local).st_mtime)
+            return _utc_naive(os.stat(local).st_mtime)
         except OSError:
             return None
     try:
         jfs, jpath = _active_jvm_fs(path)
-        return datetime.fromtimestamp(jfs.getFileStatus(jpath).getModificationTime() / 1000)
+        return _utc_naive(jfs.getFileStatus(jpath).getModificationTime() / 1000)
     except Exception:
         return None
+
+
+def _utc_naive(epoch_seconds: float) -> datetime:
+    """Epoch -> naive UTC datetime. Cache keys render these with no zone
+    marker, so a LOCAL-time rendering made the key depend on the driver
+    host's timezone and flip across DST transitions — every entry written
+    before the flip silently missed and was rebuilt (twice a year, or
+    whenever two drivers in different zones share a cache dir). UTC is
+    the only rendering that is the same everywhere. NOTE this is a
+    key-FORMAT change on non-UTC hosts (one-time rebuild of their
+    entries, per the cache_metadata_document contract); on UTC hosts —
+    every fixture/driver run here — keys are byte-identical."""
+    from datetime import timezone
+
+    return datetime.fromtimestamp(epoch_seconds, tz=timezone.utc).replace(
+        tzinfo=None
+    )
 
 
 def read_text(path: str) -> Optional[str]:

@@ -344,8 +344,8 @@ def resolve_table_hash(df: DataFrame) -> str:
         return embedded
 
     info = input_dir_mod_datetime(df, plan)
-    # Drop only the direct-data sentinel; datetimes AND cached-input path
-    # markers both participate in the key (must match write_cache exactly).
-    dt_info = {k: v for k, v in info.items() if k != DIRECT_DATA_CACHE_KEY}
-    metadata_txt = cache_metadata_document(dt_info, plan)
+    # Datetimes AND cached-input path markers both participate in the key
+    # (must match write_cache exactly; input_dir_mod_datetime never emits
+    # the direct-data sentinel, so no filtering is needed here).
+    metadata_txt = cache_metadata_document(info, plan)
     return compute_cache_key(metadata_txt)

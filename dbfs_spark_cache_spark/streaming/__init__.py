@@ -45,7 +45,12 @@ def read_events_stream(
     from ..sources import normalize_event_ts
 
     path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    # Schema via the batch loader, NOT a raw read: load_table carries the
+    # TIMESTAMP(NANOS) self-heal (sets nanosAsLong and retries) that a
+    # bare spark.read.parquet lacks on sessions built outside get_spark.
+    from ..sources import load_table as _load_table
+
+    raw_schema = _load_table(spark, sf_dir, "events").schema
     reader = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
@@ -533,6 +538,18 @@ def run_to_memory_sink(
 def _infer_output_mode(df: DataFrame) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
     if "FlatMapGroupsInPandasWithState" in plan or "FlatMapGroupsWithState" in plan:
+        # The node prints ITS OWN declared mode ("..., Append,
+        # EventTimeTimeout" / "..., Update, ..."): an append-mode
+        # applyInPandasWithState (stateful_session_flush) under an
+        # inferred "update" query crashed with AnalysisException, and
+        # vice versa — honor whichever the operator declared.
+        import re as _re
+
+        for line in plan.splitlines():
+            if "WithState" in line:
+                m = _re.search(r",\s*(Append|Update)\s*,", line)
+                if m:
+                    return m.group(1).lower()
         return "update"
     if "Aggregate" in plan:
         return "complete"

@@ -117,6 +117,11 @@ def main():
         print(f"unknown query names in --only: {unknown}")
         sys.exit(2)
     if args.window:
+        if selected:
+            # silently replacing an explicit --only selection made the
+            # harness print green for queries it never ran
+            print("--only and --window are mutually exclusive")
+            sys.exit(2)
         selected = list(queries)[: entry_mod._WINDOW_SLOTS]
 
     n_pass = n_fail = n_rows_only = 0

@@ -535,3 +535,77 @@ def test_udtf_null_text_yields_no_rows(spark, tmp_path):
     ).execute(ORACLES["udtf_tokenize"]).df()
     problems = _compare("udtf_tokenize", got, duck)
     assert not problems, problems
+
+
+def test_cache_dataframe_skips_schema_changed_inputs(spark, clean_cache, monkeypatch):
+    """cache_dataframe must skip (like its listing-failure guard and the
+    tiering twin) when inputFiles() reports a schema change: the sentinel
+    key embeds now(), so a write would orphan a full materialization on
+    EVERY call."""
+    from dbfs_spark_cache_spark import cache_dataframe
+    from dbfs_spark_cache_spark.config import config
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet").select("r_name")
+
+    def boom():
+        raise Exception("SCHEMA_CHANGE detected on source")
+
+    monkeypatch.setattr(df, "inputFiles", boom)
+    out = cache_dataframe(df, override_prefer_spark_cache=True)
+    assert out is df, "schema-changed frame must pass through uncached"
+    if spark.catalog.databaseExists(config.CACHE_DATABASE):
+        n = spark.sql(
+            f"SHOW TABLES IN {config.CACHE_DATABASE}"
+        ).filter("isTemporary = false").count()
+        assert n == 0
+
+
+def test_output_mode_inference_honors_declared_state_mode(spark, tmp_path):
+    """run_to_memory_sink with NO explicit mode must infer the mode the
+    stateful operator itself declares: stateful_session_flush is an
+    append-mode applyInPandasWithState, and the old blanket 'update'
+    inference crashed it with AnalysisException."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    stream = stateful_session_flush(read_events_stream(spark, SF_SMOKE))
+    got = run_to_memory_sink(stream, "r8_mode_infer")  # no output_mode
+    assert got.count() >= 0  # reaching here means the query started
+
+
+def test_max_mtime_is_timezone_independent(tmp_path):
+    """Cache keys render mtimes with no zone marker; the rendering must
+    not depend on the driver host's timezone (a local-time rendering
+    invalidated every cache entry across DST or between differently-zoned
+    drivers sharing a cache dir)."""
+    import subprocess
+
+    f = tmp_path / "data.txt"
+    f.write_text("x")
+    os.utime(f, (1700000000, 1700000000))
+
+    prog = (
+        "import sys, time; sys.path.insert(0, '/root/repo')\n"
+        "time.tzset()\n"
+        "from dbfs_spark_cache_spark import fs\n"
+        f"print(fs.max_mtime({str(tmp_path)!r}))\n"
+    )
+    outs = set()
+    for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True,
+            env={**os.environ, "TZ": tz},
+        )
+        assert r.returncode == 0, r.stderr[-300:]
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, f"mtime rendering varies with host TZ: {outs}"
+    from datetime import datetime, timezone
+
+    expected = datetime.fromtimestamp(1700000000, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    assert outs == {str(expected)}
