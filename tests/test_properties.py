@@ -306,3 +306,97 @@ def test_expectations_report_matches_python_ground_truth(spark, rows):
     assert report["passed"] == (
         report["null_k"] == report["dup_k"] == report["range_v"] == 0
     )
+
+
+# --- r8 pure-helper properties --------------------------------------------
+
+_fn_name = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _fn_name,
+            st.lists(_fn_name, min_size=0, max_size=3),  # nested arg fns
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_top_level_fn_names_extracts_exactly_the_outer_names(calls):
+    """For any synthesized eval-node argument list of the plan's
+    ``outer(inner1(x), inner2(y))#id`` shape, _top_level_fn_names must
+    return exactly the outer names, in order, and never a nested one."""
+    from dbfs_spark_cache_spark.plans.fingerprint import _top_level_fn_names
+
+    rendered = ", ".join(
+        f"{outer}(" + ", ".join(f"{inner}(col)" for inner in inners) + f")#{i}"
+        for i, (outer, inners) in enumerate(calls)
+    )
+    assert _top_level_fn_names(rendered) == [outer for outer, _ in calls]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(min_size=0, max_size=30))
+def test_sanitized_name_never_retains_forbidden_chars(name):
+    """Any column name run through the rewrite regex must come out free of
+    every character the detection regex flags — the two are built from
+    one shared class, and this pins that they can never drift apart."""
+    from dbfs_spark_cache_spark.functions import (
+        _INVALID_NAME_CHARS,
+        _INVALID_NAME_RUN,
+    )
+
+    clean = _INVALID_NAME_RUN.sub("_", name).strip("_")
+    assert not _INVALID_NAME_CHARS.search(clean), (name, clean)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**33))
+def test_utc_naive_is_tz_env_independent_and_exact(epoch):
+    """_utc_naive must be a pure function of the epoch (no environment
+    dependence) and round-trip exactly at second granularity."""
+    from datetime import timezone
+
+    from dbfs_spark_cache_spark.fs import _utc_naive
+
+    dt = _utc_naive(float(epoch))
+    assert dt.tzinfo is None
+    assert dt.replace(tzinfo=timezone.utc).timestamp() == epoch
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(st.text(min_size=0, max_size=6), min_size=1, max_size=6),
+    st.integers(0, 5),
+)
+def test_udf_tag_frozenset_const_order_free(elems, rotation):
+    """A membership test against a set LITERAL compiles to one frozenset
+    constant; the tag must depend only on the elements, never on the
+    order they were written in source (repr order of the folded
+    frozenset additionally varies per process — the r8 hash-seed fix).
+    Plain BUILD_SET assignments are out of scope: their elements live as
+    ordered co_consts, so source reorder legitimately retags."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    items = sorted(elems)
+    k = rotation % len(items)
+    rotated = items[k:] + items[:k]
+
+    def build(order):
+        literal = "{" + ", ".join(repr(x) for x in order) + "}"
+        ns = {}
+        exec(
+            "def fn(s):\n"
+            f"    return s.map(lambda t: 1.0 if t in {literal} else 0.0)\n",
+            ns,
+        )
+        return content_addressed_udf(ns["fn"], DoubleType())
+
+    tag = lambda u: u.func.__name__.rsplit("__", 1)[1]
+    assert tag(build(items)) == tag(build(rotated))
