@@ -42,6 +42,9 @@ DEFAULT_PROBES = [
     "text_ngram_topk",           # bucketed two-stage top-k (hot-key spread)
     "text_inverted_index",       # bucketed postings-head selection
     "window_ntile_cume",         # grouped distributed rank (5-value key)
+    "similarity_topk_batch",     # batch ANN: bucket-join, never all-pairs
+    "events_anomaly_mad",        # per-type median/MAD via percentile_approx
+    "text_unigram_logprob",      # token explode + broadcast unigram LM join
 ]
 
 
