@@ -135,21 +135,42 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
             # hash (PYTHONHASHSEED), and `x in {'a', 'b'}` compiles a
             # frozenset into co_consts — raw repr made the tag different
             # in EVERY process, so the persistent cache never hit again
-            # for any UDF with a set-literal membership test. Sorted
-            # canonical element reprs are process-stable.
+            # for any UDF with a set-literal membership test. Elements
+            # canonicalize RECURSIVELY (each through its own _feed
+            # sub-digest, then sorted): sorting raw element reprs left a
+            # set OF frozensets unstable — each inner frozenset's repr is
+            # itself hash-ordered, so the outer sort keys changed per
+            # process and the bug survived one nesting level down.
             digest.update(b"<set>")
-            for item in sorted(_addr.sub(" at 0x", repr(x)) for x in obj):
+            for item in sorted(_sub_digest(x) for x in obj):
                 digest.update(item.encode())
         elif isinstance(obj, dict):
             # dict repr preserves insertion order (stable), but two dicts
             # built in different orders are the same value — canonicalize
-            # by sorted key repr.
+            # by sorted canonical-key digest (repr-sorting broke for
+            # unstable-repr keys like frozensets, same as the set case).
             digest.update(b"<dict>")
-            for key in sorted(obj, key=repr):
-                _feed(digest, key)
+            # key= so a (never-expected) digest tie can't fall through to
+            # comparing raw keys, which may be mutually unorderable
+            for kd, key in sorted(
+                ((_sub_digest(k), k) for k in obj), key=lambda t: t[0]
+            ):
+                digest.update(kd.encode())
                 _feed(digest, obj[key])
+        elif isinstance(obj, (tuple, list)):
+            # Order is semantic — keep it — but recurse so an unstable-
+            # repr member (a set, a nested code object) still
+            # canonicalizes instead of falling to raw repr below.
+            digest.update(b"<seq>")
+            for item in obj:
+                _feed(digest, item)
         else:
             digest.update(_addr.sub(" at 0x", repr(obj)).encode())
+
+    def _sub_digest(obj) -> str:
+        sub = hashlib.md5()
+        _feed(sub, obj)
+        return sub.hexdigest()
 
     code = fn.__code__
     digest = hashlib.md5()

@@ -57,7 +57,14 @@ def _sf_fingerprint(sf: str, table: str) -> str:
             "the conversion will rebuild each run until the source "
             "parquet is statable", src, exc,
         )
-        return f"{sf};<stat-failed;rebuild-every-run;id={id(object())}>"
+        # uuid4, NOT id(object()): a freed object's address is reused
+        # deterministically, so an id()-based marker compared EQUAL on
+        # the next call in the same process and served the stale sidecar
+        # anyway (verified: 50 consecutive id(object()) calls yield one
+        # unique value).
+        import uuid
+
+        return f"{sf};<stat-failed;rebuild-every-run;id={uuid.uuid4().hex}>"
 
 
 def _ensure_sidecar(

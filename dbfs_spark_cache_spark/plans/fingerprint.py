@@ -135,7 +135,15 @@ def _top_level_fn_names(args: str) -> list:
         if ch == "(":
             depth += 1
         elif ch == ")":
-            depth -= 1
+            # Clamped at 0: the plan prints string literals RAW (lit(')')
+            # renders as a bare ')'), so an unmatched close inside a
+            # literal drove depth negative and every LATER top-level UDF
+            # in the node silently missed the warning. Clamping re-syncs
+            # the scanner at the entry boundary; the mirror case (a
+            # literal '(' suppressing later names) remains — unfixable
+            # without quoting, acceptable for a warn-only heuristic that
+            # must err toward reporting.
+            depth = max(0, depth - 1)
     return [
         m.group(1) for m in _FN_NAME.finditer(args) if depths[m.start()] == 0
     ]

@@ -45,12 +45,17 @@ def read_events_stream(
     from ..sources import normalize_event_ts
 
     path = f"{sf_dir}/events.parquet"
-    # Schema via the batch loader, NOT a raw read: load_table carries the
-    # TIMESTAMP(NANOS) self-heal (sets nanosAsLong and retries) that a
-    # bare spark.read.parquet lacks on sessions built outside get_spark.
+    # The self-heal via the batch loader, the SCHEMA via a raw read:
+    # load_table carries the TIMESTAMP(NANOS) retry (sets nanosAsLong)
+    # that a bare spark.read.parquet lacks on sessions built outside
+    # get_spark — but it also normalizes ts to timestamp_ntz, and feeding
+    # that NORMALIZED schema to the file source would declare ntz against
+    # a physical INT64-nanos column (read failure) while starving the
+    # normalize_event_ts call below of the bigint it knows how to heal.
     from ..sources import load_table as _load_table
 
-    raw_schema = _load_table(spark, sf_dir, "events").schema
+    _load_table(spark, sf_dir, "events")  # side effect: nanos conf heal
+    raw_schema = spark.read.parquet(path).schema
     reader = (
         spark.readStream.format("parquet")
         .schema(raw_schema)
