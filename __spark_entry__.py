@@ -183,7 +183,10 @@ _CHANGED_HELPER: list[str] = [
     # Spark side; fixture part columns are never NULL):
     "fn_string",
     # r6: stat-failure fallback marker now unmatchable + logged instead
-    # of silently path-only (stat always succeeds locally):
+    # of silently path-only (stat always succeeds locally). r8 second
+    # review: the marker's id(object()) was reused across calls, so it
+    # was NOT unmatchable in-process — now uuid4 (same dead-locally
+    # path; both re-attested exact at sf0.01 post-change):
     "scan_json_source",
     "scan_csv_source",
     # r8 third sweep, same fixture-identical contract:
