@@ -403,10 +403,14 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     keyword-extraction / near-dup-explanation pass.
 
     Scale shape: term frequencies aggregate map-side off one explode; the
-    document-frequency table is tiny (vocabulary-sized) and broadcast into
-    the scoring join; the corpus count rides a broadcast single-row cross
-    join (in-plan, no driver collect); the top-3 window is partitioned by
-    doc_id. Scores are rounded to 6 decimals BEFORE ranking so the
+    document-frequency table joins back UNHINTED — it is vocabulary-sized,
+    which Heaps' law plus URL/typo noise puts in the billions of entries
+    at 100 TB of web text, so a forced broadcast there is the r5 flagship
+    OOM class (r8 verdict finding #1). AQE broadcasts it while it is
+    actually small and falls back to a shuffle hash join on `token` (both
+    sides already partial-aggregated) when it is not. Only the single-row
+    corpus count keeps its hint (bounded by construction); the top-3
+    window is partitioned by doc_id. Scores are rounded to 6 decimals BEFORE ranking so the
     ordering (and hence the oracle comparison) is engine-exact despite
     ln() being correctly-rounded-ish on both engines: distinct (tf, df)
     pairs differ by far more than one ulp, and equal pairs tie-break on
@@ -418,7 +422,7 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1)) + 1
     scored = (
-        tf.join(F.broadcast(df_), "token")
+        tf.join(df_, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "token", "tf",

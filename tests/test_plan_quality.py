@@ -238,3 +238,104 @@ def test_no_forced_broadcast_of_growing_tables():
         "hard broadcast hint on a corpus-growing table (policy: hints only "
         f"on bounded nation/region): {real}"
     )
+
+
+# Every F.broadcast( site in the package, keyed by (filename, root
+# identifier of the argument expression), with a one-line boundedness
+# justification. A site NOT in this table and NOT rooted at a bounded
+# TPC-H dim (nation/region) fails test_broadcast_sites_are_allowlisted —
+# the r8 verdict finding-#1 class (vocabulary-sized DERIVED frames like
+# explode→groupBy token tables, invisible to the named-table regex
+# above). Adding a new F.broadcast is a deliberate act: add the row here
+# WITH the justification, or drop the hint and let AQE decide.
+_BROADCAST_ALLOWLIST: dict[tuple, str] = {
+    # --- single-row aggregates (bounded by construction: 1 row) ---
+    ("tpch_partsupp.py", "total"): "single-row global sum (q11 threshold)",
+    ("corpus_analytics.py", "tot"): "single-row corpus total",
+    ("tpch_more2.py", "avg_bal"): "single-row global average balance",
+    ("text.py", "n"): "single-row corpus doc count (tf-idf N)",
+    ("text.py", "max_chars"): "single-row global max length",
+    ("tpch_more3.py", "max_rev"): "single-row global max revenue (q15)",
+    ("pending_r8.py", "total"): "single-row vocabulary token total",
+    ("extras.py", "max_date"): "single-row global max order date",
+    ("similarity.py", "query"): "single query vector (1 row)",
+    # --- frames bounded by a constant domain, not by corpus size ---
+    ("streaming/__init__.py", "baseline"):
+        "per-event_type aggregate; event-type domain is a bounded enum",
+    ("pending_r8.py", "baseline"):
+        "per-event_type median/MAD pair; bounded event-type enum",
+    ("extras.py", "stats"):
+        "per-event_type mean/stddev; bounded event-type enum",
+    ("pending_r8.py", "qids"): "literal 5-element query-id frame",
+    ("pending_r8.py", "queries"): "5 query vectors (qids-joined)",
+    ("similarity.py", "q_id"): "single literal query id (1 row)",
+    ("similarity.py", "probes"): "n_probes nearest-centroid ids (constant)",
+    ("similarity.py", "centroids"): "k centroid vectors (constant k)",
+    ("training.py", "bucket_offsets"):
+        "one row per pack bucket; bucket count is the constant parallelism knob",
+    # scale.py banded-rank/MAD helpers: one row per (low-cardinality
+    # part key × constant n_buckets) per the documented helper contract
+    ("scale.py", "bounds"): "per-part-key min/max (bounded part_col contract)",
+    ("scale.py", "counts"): "per-(part,bucket) counts; buckets constant",
+    ("scale.py", "offsets"): "per-(part,bucket) prefix offsets",
+    ("scale.py", "totals"): "per-part-key totals",
+    ("scale.py", "med"): "per-part-key exact median (MAD helper)",
+    # --- the named demo exception (also allowlisted by the test above) ---
+    ("relational.py", "part"):
+        "join_broadcast_dim: the plan-pinned hint-mechanism demonstration",
+}
+
+# Bounded TPC-H dims (constant rows at every scale factor) and their
+# derived local aliases — auto-allowed as broadcast roots anywhere.
+_BOUNDED_DIM_ROOTS = {"nation", "region", "ns", "nc", "ncust"}
+
+
+def test_broadcast_sites_are_allowlisted():
+    """r8 verdict finding #1 / next-round #2: the named-table regex above
+    cannot see a forced broadcast of a DERIVED growing frame (e.g. the
+    explode→groupBy('token') vocabulary — billions of rows at 100 TB by
+    Heaps' law). Pin the full inventory instead: every F.broadcast( in
+    the package must be rooted at a bounded dim or carry an explicit
+    allowlist row with a boundedness justification. Verified to catch the
+    finding: reverting either r9 hint drop (text.py df_,
+    pending_r8.py logp) fails this test."""
+    import os
+    import re
+
+    pkg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dbfs_spark_cache_spark",
+    )
+    root_re = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    unjustified, seen = [], set()
+    for root, _, files in os.walk(pkg_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, pkg_dir)
+            key_file = rel.replace(os.sep, "/")
+            # allowlist keys use the path relative to the package, except
+            # operators/* which are keyed by bare filename for brevity
+            short = (
+                os.path.basename(key_file)
+                if key_file.startswith("operators/")
+                else key_file
+            )
+            with open(path) as fh:
+                for lineno, line in enumerate(fh, 1):
+                    for m in root_re.finditer(line):
+                        var = m.group(1)
+                        if var in _BOUNDED_DIM_ROOTS:
+                            continue
+                        key = (short, var)
+                        seen.add(key)
+                        if key not in _BROADCAST_ALLOWLIST:
+                            unjustified.append(f"{key_file}:{lineno}: {line.strip()}")
+    assert not unjustified, (
+        "F.broadcast( on a frame that is neither a bounded dim nor "
+        "allowlisted with a boundedness justification (r8 verdict "
+        f"finding #1 class — drop the hint and let AQE decide): {unjustified}"
+    )
+    stale = set(_BROADCAST_ALLOWLIST) - seen
+    assert not stale, f"allowlist rows with no matching site (stale): {stale}"
