@@ -4,7 +4,9 @@ factor. Prints THREE JSON lines — two short diagnostics lines first, then
 the compact machine contract LAST (the driver tail-captures stdout, so
 every line must stay short enough to survive front-truncation):
 
-  {"diagnostics": {"run_spread": {...}}}
+  {"diagnostics": {"run_spread": {...only spreads >10% of the query's
+                    value, worst 8 by relative spread, 2-decimal...},
+                   "suppressed": <n dropped>}}
   {"diagnostics": {"profile_legs": {..., "clamped": bool},
                    "timed_loop_cache_stats": {...}, "hash_family": ...}}
   {"metric": "headline_suite_wall_seconds", "value": <total sec>,
@@ -287,12 +289,42 @@ def main() -> None:
     # Diagnostics go on their OWN earlier lines: the driver's tail capture
     # truncated r6's single 3.6 KB line from the front and lost the
     # headline (VERDICT r6 #3), and r7's single diagnostics line was
-    # itself front-truncated, cutting run_spread's head (VERDICT r7 #5) —
-    # so spread and profile-legs now go on TWO separate short lines, each
-    # well under ~1.5 KB. The LAST line is the compact machine contract
-    # (headline + per-query seconds, 3-decimal) and must stay well under
-    # ~2 KB as the suite grows.
-    print(json.dumps({"diagnostics": {"run_spread": spread}}))
+    # itself front-truncated, cutting run_spread's head (VERDICT r7 #5).
+    # The two-line split (r8) still lost run_spread's head: the tail
+    # budget is ~2 KB and the 1.2 KB headline line consumes most of it,
+    # so the full 1.1 KB spread map was cut regardless (VERDICT r8 #2).
+    # Fix: emit ONLY the spreads that exceed 10% of the query's reported
+    # value — a spread below that is noise-free by definition (two runs
+    # agreed within 10%), so dropping it loses nothing a reader could
+    # act on — at 2 decimals, capped at the 8 WORST offenders by
+    # relative spread. The hard arithmetic (measured r8): tail budget is
+    # exactly 2000 bytes, headline 1218 + profile-legs ~400 + newlines
+    # leave ~380 for this line, and on a contended run the >10% filter
+    # alone can still pass 25+ entries (~900 bytes). 8 entries cap the
+    # line at ~350 bytes worst-case, so it survives uncut no matter how
+    # noisy the box was. `suppressed` records how many queries were
+    # dropped (noise-free or beyond the cap), so an empty/short map
+    # reads as "all quiet", never as "not measured".
+    noisy = sorted(
+        (
+            (name, s)
+            for name, s in spread.items()
+            if s > 0.10 * timings[name]
+        ),
+        key=lambda kv: kv[1] / max(timings[kv[0]], 1e-9),
+        reverse=True,
+    )[:8]
+    noisy_spread = {name: round(s, 2) for name, s in noisy}
+    print(
+        json.dumps(
+            {
+                "diagnostics": {
+                    "run_spread": noisy_spread,
+                    "suppressed": len(spread) - len(noisy_spread),
+                }
+            }
+        )
+    )
     print(
         json.dumps(
             {
