@@ -79,52 +79,25 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r8's window (47 r5-due + 3 new, exactly 50) the ledger is
-#   50@r8 + 50@r7 + 50@r6; r9's due cohort is the 50 r6-vintage queries
-#   — 0 slack, and it includes text_ngram_topk/text_inverted_index
-#   (r7-changed, r6-attested — VERDICT r7 "Next round" #3 lands there
-#   automatically PROVIDED r9 adds nothing to _CHANGED outside that
-#   cohort). Steady state thereafter: every round's due cohort is
-#   exactly 50, forever, under policy (1).
+#   after r8's window the ledger is 50@r8 + 50@r7 + 50@r6; r9's due
+#   cohort is exactly the 50 r6-vintage queries — 0 slack — including
+#   text_ngram_topk/text_inverted_index (r7-changed, finally attested)
+#   and dedup_ngram_jaccard (its queued r=2 switch lands this round, in
+#   _CHANGED, inside its own due slot). r10's cohort recomputes to the
+#   50 r7-vintage queries, which picks up the r8-changed
+#   text_quality_scores/q12_shipmode_priority/dedup_embedding_cosine/
+#   similarity trio/dedup_keep_first/dedup_cluster_keepers/fn_string
+#   automatically. Steady state: every round's due cohort is exactly
+#   50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r8 (ADVICE r7 #1): the last three forced broadcasts of the growing
-    # part table — F.broadcast(part.select("p_partkey")), the .select()
-    # form the r7 policy regex missed — dropped; AQE decides. Plan-only,
-    # values identical. All three are r5-vintage and in r8's due cohort
-    # regardless, so this listing re-orders within the window and
-    # displaces nothing (capacity policy rule 2b).
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q20_excess_availability",
-    # r8: the recall-geometry switch queued since r6 (dedup.py, band-
-    # geometry NOTE) — r=2 / est>=0.25 candidates for the token-space
-    # verify. Verified results identical on all fixture data (the +1
-    # sf0.1 candidate fails exact verify); the oracle replays the same
-    # geometry. r5-vintage, due at r8: slot-neutral. Its twin
-    # dedup_ngram_jaccard stays r=4 and switches at R9 (its own due
-    # slot).
-    "dedup_token_jaccard",
-    # r8 adversarial-review fixes — all r5-vintage, due at r8, slot-
-    # neutral. Fixture results identical (the hostile inputs that differ
-    # do not occur in any driver fixture); adversarial parity pinned in
-    # tests/test_engine_review_r8.py:
-    # NULL (not ANSI DIVIDE_BY_ZERO crash) for singleton/constant groups:
-    "events_value_zscore",
-    # oracle gates k on JSON integer TYPE, matching from_json's
-    # strictness ("7"/1.5/7.0 are NULL on both engines now):
-    "fn_from_json_struct",
-    # canonical cleaning chain + trigram expr extracted into shared
-    # text.py helpers (plan-identical; the capstone's md5 comparability
-    # depended on hand-kept character-identical copies):
-    "text_clean_normalize",
-    "text_repetition_scores",
-    "pipeline_training_corpus",
-    # association support now counts DISTINCT orders: an order carrying
-    # the same part on two lineitem rows inflated n_orders_together (55
-    # such groups at sf0.01 pushed support-1 pairs over the >= 2 bar) —
-    # RESULTS CHANGE on driver data, both engines fixed identically;
-    # r5-vintage, due at r8, re-attested by this round's driver run:
-    "market_basket_pairs",
+    # r9: the recall-geometry switch queued since r8 (dedup.py, band-
+    # geometry NOTE) — dedup_ngram_jaccard now mirrors its token twin's
+    # r=2 / est>=0.25 candidates, landed in its own r9 due slot exactly
+    # as the frozen capacity policy prescribes (rule 2b: r6-vintage, due
+    # this round — slot-neutral). Pre-measured at r8 end and re-verified
+    # exact at r9 via scripts/selfcheck.py: 25 rows at sf0.01, 256 at
+    # sf0.1, identical pair sets; the oracle replays the same geometry.
+    "dedup_ngram_jaccard",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -137,16 +110,18 @@ _CHANGED: list[str] = [
 # that exists — the driver checks exactly _WINDOW_SLOTS queries, never
 # more, so there is no "overflow" beyond the window.
 _CHANGED_HELPER: list[str] = [
-    # r8: the shared two-stage helpers (_exact_jaccard_over_candidates /
-    # _verify_oracle) gained geometry parameters for the token r=2
-    # switch; ngram passes no explicit geometry and the defaults
-    # reproduce the old behavior exactly (generated oracle SQL is
-    # byte-identical; re-attested exact-green at sf0.01 via
-    # scripts/selfcheck.py post-change). r6-vintage: the half-step
-    # penalty (5.5) sorts it behind every r5-due query, so it displaces
-    # nothing from r8's saturated window and re-attests at r9, its
-    # natural due slot — the same round its own r=2 switch is queued.
-    "dedup_ngram_jaccard",
+    # r9 (VERDICT r8 finding #1): the two vocabulary-sized forced
+    # broadcasts dropped — text.py's tf-idf document-frequency join and
+    # pending_r8.py's unigram-logprob vocab join now let AQE decide
+    # (plans verified still BroadcastHashJoin at sf0.1; at corpus scale
+    # they become shuffle hash joins on `token` instead of OOMing).
+    # Hint-only, value-identical by construction; re-attested exact at
+    # sf0.01 AND sf0.1 via scripts/selfcheck.py post-change. Both
+    # r8-vintage: penalty 7.5 sorts them behind the whole r6-due cohort
+    # (they displace nothing) and they re-attest at r11, their natural
+    # turn:
+    "text_tfidf_topk",
+    "text_unigram_logprob",
     # r8 adversarial-review fixes on non-due queries, both fixture-
     # identical and re-attested exact at sf0.01 via scripts/selfcheck.py
     # (the VERDICT r7 "changed code rides on a stale attestation" class —

@@ -292,12 +292,12 @@ def lsh_candidate_pairs(
     Band geometry is the recall/candidate-volume knob: with r rows per band
     a pair collides with probability 1-(1-j^r)^bands. r=4 (default) targets
     j ~ 0.6+; r=2 catches j ~ 0.3+ at the cost of busier buckets. NOTE:
-    ``dedup_token_jaccard`` switched to r=2 / est>=0.25 at r8 (its rotation
-    slot — measured: fixture results identical, equal cost, oracle replays
-    the same geometry; see its docstring for the recall band it opens). ``dedup_ngram_jaccard`` still runs the r=4 / est>=0.5
-    default; its matching r=2 switch is QUEUED FOR R9, when its own
-    verification slot comes due (changing it earlier would displace a due
-    query from the freshness window).
+    both exact-verify queries now run r=2 / est>=0.25 —
+    ``dedup_token_jaccard`` switched at r8 and ``dedup_ngram_jaccard`` at
+    r9, each in its own rotation slot (measured: fixture results
+    identical, oracle replays the same geometry; r9 A/B puts the
+    geometry's own cost at ~6% wall for the recall band it opens). The
+    r=4 default remains for callers targeting j ~ 0.6+ only.
 
     Measured alternative (slim band rows + two sig re-joins to verify):
     identical wall time at sf0.1 for the production 32-hash width (4.9s vs
@@ -534,7 +534,10 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard", oracle=_verify_oracle(_NGRAM_SETS_CTE, 0.25))
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_verify_oracle(_NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25),
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character 5-gram Jaccard verification of MinHash-LSH candidates
     (tokenization-free measure: robust to word-boundary edits where
@@ -545,10 +548,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     bounds both the map-side memory and the pairwise verification cost.
     Candidates come from the shared shingle-LSH generator (see module
     comment: gram-level banding is non-discriminative on shared-vocabulary
-    corpora); exact gram-set Jaccard verifies each candidate. Grams are
-    60-bit md5-derived longs; the DuckDB oracle reproduces both stages
-    bit-for-bit. Threshold 0.25 is fixture-calibrated; real corpora use
-    ~0.8.
+    corpora); exact gram-set Jaccard verifies each candidate. Geometry is
+    the RECALL-ORIENTED r=2 (16 bands x 2 rows, est >= 0.25), mirroring
+    ``dedup_token_jaccard``'s r8 switch in this query's own r9 rotation
+    slot: the exact-verify threshold lives in GRAM space while candidates
+    collide in SHINGLE space, so the r=4/est>=0.5 default silently dropped
+    true gram-level matches whose shingle similarity sits below ~0.6.
+    Pre-measured at r8 end: verified pair sets IDENTICAL under the new
+    geometry at sf0.01 (25=25) and sf0.1 (256=256, zero new-only pairs),
+    equal-or-lower candidate-stage cost. Grams are 60-bit md5-derived
+    longs; the DuckDB oracle reproduces both stages (including the band
+    geometry) bit-for-bit. Threshold 0.25 is fixture-calibrated; real
+    corpora use ~0.8.
     """
     prefix = "substring(text, 1, 120)"
     gram62 = h62_sql(f"substring({prefix}, i, 5)")
@@ -562,7 +573,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    return _exact_jaccard_over_candidates(docs, sets, "s", 0.25)
+    return _exact_jaccard_over_candidates(
+        docs, sets, "s", 0.25, n_bands=16, est_threshold=0.25
+    )
 
 
 _MINHASH_ORACLE = (
