@@ -152,7 +152,14 @@ _CHANGED_HELPER: list[str] = [
     "dedup_keep_first",
     # r7: superseded checkpoint generations reclaimed each round via the
     # JVM registry (DataFrame.unpersist cannot free checkpoint blocks);
-    # labels and convergence unchanged:
+    # labels and convergence unchanged. r9 (ADVICE r8 #1): the reclaim
+    # now attributes its own checkpoint by reading the id off the
+    # LogicalRDD plan node instead of diffing the session-global
+    # registry, so RDDs persisted concurrently by other threads are
+    # never swept up; labels and convergence unchanged, re-attested
+    # exact at sf0.01 via scripts/selfcheck.py, concurrent-bystander
+    # survival pinned in tests/test_r9_fixes.py. Re-attests r10, its
+    # natural turn:
     "dedup_cluster_keepers",
     # r7: oracle CONCAT -> CONCAT_WS (NULL-semantics alignment with the
     # Spark side; fixture part columns are never NULL):

@@ -925,9 +925,8 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     # pointer-jumping (label = label-of-label doubles the hop per round),
     # not ship duplicates into training.
     sc = spark.sparkContext
-    prev_ckpt_ids: set = set()
+    prev_ckpt_id: int | None = None
     for _ in range(64):
-        ids_before = set(_persistent_rdd_entries(sc))
         neigh_min = (
             sym.alias("s")
             .join(labels.alias("l"), F.col("s.doc_b") == F.col("l.doc_id"))
@@ -950,6 +949,17 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)  # lazy: the count below is THE job
         )
+        # Attribute THIS round's checkpoint precisely, before anything
+        # else can persist: the checkpointed Dataset's analyzed plan IS
+        # the LogicalRDD wrapping the persisted internal RDD, so its id
+        # is readable directly — no registry diff. (The old
+        # diff-the-global-registry attribution swept up RDDs persisted
+        # CONCURRENTLY by other threads of the same session — e.g. a
+        # cache_dataframe spark-cache tier or another localCheckpoint —
+        # and unpersisted them a round later; for a lineage-truncated
+        # localCheckpoint that makes the victim's blocks unrecoverable,
+        # ADVICE r8 #1.)
+        new_ckpt_id = _checkpoint_rdd_id(new_labels)
         n_lowered = new_labels.where("lowered").count()
         labels = new_labels.drop("lowered")
         # The superseded generation's checkpointed blocks are dead the
@@ -958,18 +968,16 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         # materialized label frames in executor storage. The reclaim
         # goes through the JVM persistent-RDD registry because
         # DataFrame.unpersist() cannot release checkpoint blocks (see
-        # _persistent_rdd_entries); ids are attributed by diffing the
-        # registry around THIS round's checkpoint materialization, and
-        # only our own previous-round ids are ever released.
-        entries = _persistent_rdd_entries(sc)
-        for rid in prev_ckpt_ids:
-            handle = entries.get(rid)
+        # _persistent_rdd_entries); ONLY the id read off our own
+        # previous-round LogicalRDD is ever released.
+        if prev_ckpt_id is not None:
+            handle = _persistent_rdd_entries(sc).get(prev_ckpt_id)
             if handle is not None:
                 try:
                     handle.unpersist(False)
                 except Exception:
                     pass
-        prev_ckpt_ids = set(entries) - ids_before
+        prev_ckpt_id = new_ckpt_id
         if n_lowered == 0:
             break
     else:
@@ -988,6 +996,21 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def _checkpoint_rdd_id(df) -> int | None:
+    """The persisted internal RDD's id for a just-checkpointed DataFrame,
+    read off its LogicalRDD plan node (``Dataset.localCheckpoint`` wraps
+    the checkpointed RDD in a LogicalRDD, and the RDD registers in the
+    persistent-RDD registry at checkpoint-creation time, before any
+    materialization — verified on Spark 4.1). Returns None when the plan
+    is not the expected shape (a future Spark change): the caller then
+    skips reclaim for that generation — blocks accumulate until the
+    session drops them, which degrades storage, never correctness."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        return None
 
 
 def _persistent_rdd_entries(sc):

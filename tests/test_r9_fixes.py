@@ -66,6 +66,75 @@ def test_udf_counter_regex_survives_package_move():
         assert not _PYTHON_UDF_CLASS_RE.search(js), js
 
 
+def test_checkpoint_rdd_id_reads_the_persisted_id(spark):
+    """ADVICE r8 #1 fix: the cluster-keepers reclaim attributes its own
+    checkpoint by reading the id off the checkpointed DataFrame's
+    LogicalRDD plan node — the id must be exactly the one the
+    persistent-RDD registry carries, available before materialization."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _checkpoint_rdd_id,
+        _persistent_rdd_entries,
+    )
+
+    ck = spark.range(50).selectExpr("id", "id % 5 as g").localCheckpoint(
+        eager=False
+    )
+    rid = _checkpoint_rdd_id(ck)
+    assert rid is not None
+    assert rid in _persistent_rdd_entries(spark.sparkContext), (
+        "checkpoint RDD must be registered at creation time under the id "
+        "read from the LogicalRDD node"
+    )
+    # non-checkpointed plans are not LogicalRDD -> None, never a bogus id
+    assert _checkpoint_rdd_id(spark.range(3)) is None
+    ck.unpersist()
+
+
+def test_cluster_keepers_spares_concurrent_checkpoints(spark):
+    """ADVICE r8 #1: the old reclaim diffed the session-global
+    persistent-RDD registry around each round, so ANY RDD persisted
+    concurrently by another thread was swept into the diff and
+    unpersisted a round later — for a lineage-truncated localCheckpoint
+    that makes its blocks unrecoverable and later actions FAIL (not
+    recompute). Run the query while a bystander thread checkpoints small
+    frames; every bystander must remain fully usable afterwards."""
+    import threading
+
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    bystanders: list = []
+    stop = threading.Event()
+    errors: list = []
+
+    def persist_bystanders():
+        i = 0
+        while not stop.is_set() and i < 40:
+            try:
+                ck = (
+                    spark.range(100 + i)
+                    .selectExpr("id", f"id * {i + 1} as v")
+                    .localCheckpoint(eager=True)
+                )
+                bystanders.append((i, ck))
+            except Exception as exc:  # pragma: no cover - diagnostic only
+                errors.append(exc)
+            i += 1
+
+    t = threading.Thread(target=persist_bystanders, daemon=True)
+    t.start()
+    try:
+        QUERIES["dedup_cluster_keepers"](spark, SF_SMOKE).count()
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, f"bystander checkpointing itself failed: {errors[:1]}"
+    assert bystanders, "bystander thread produced nothing — test is vacuous"
+    # every bystander's truncated-lineage blocks must still be readable
+    for i, ck in bystanders:
+        assert ck.count() == 100 + i
+        ck.unpersist()
+
+
 def test_udf_counter_warns_on_rename_not_silence(spark, caplog, monkeypatch):
     """VERDICT r8 #5: a Spark rename of the expression class must produce
     a WARNING (plan still mentions a Python-execution marker while the
