@@ -11,6 +11,12 @@ Usage:
     spark-cache-maintenance [--days 7] [--threads 16] [--database NAME]
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
         [--size-budget-bytes N] [--compact-ledger PATH]
+
+Exit codes: 0 = every requested stage ran; 2 = explicitly requested
+stages were REFUSED (--size-budget-bytes/--repair-inconsistent under
+--database act on the configured namespace, not the scoped one) — the
+age-eviction stage still ran, so a scripted retry without --database is
+safe and idempotent.
 """
 from __future__ import annotations
 
@@ -134,7 +140,13 @@ def main() -> int:
         )
         log.info("%s after maintenance", _count_tables())
         spark.stop()
-        return 0
+        # Exit 2, not 0: a cron/scripted operator EXPLICITLY requested
+        # stages that never ran — success would hide the skip from
+        # automation forever (ADVICE r8 #2). The age eviction above DID
+        # run (it honors --database and is idempotent on re-run), so
+        # partial work plus a detectable failure beats refusing
+        # everything.
+        return 2
 
     if args.size_budget_bytes is not None:
         sized = management.evict_to_size_budget(

@@ -20,6 +20,7 @@ import io
 import logging
 import re
 import sys
+import time
 from contextlib import redirect_stdout
 from datetime import datetime
 from typing import Dict, Mapping, Optional, Tuple, Union
@@ -210,13 +211,18 @@ def input_dir_mod_datetime(df: DataFrame, plan: Optional[str] = None) -> _InputI
     try:
         files = df.inputFiles()
     except Exception as exc:
+        # Sentinel timestamps render through the same UTC-naive form as
+        # real mtimes (fs._utc_naive) — unmatchability comes from the
+        # sentinel KEY plus the fresh timestamp, and a consistent
+        # rendering keeps the key format uniform across zones
+        # (ADVICE r8 #5 consistency note).
         if "SCHEMA_CHANGE" in str(exc).upper():
-            return {SCHEMA_CHANGED_KEY: datetime.now()}
+            return {SCHEMA_CHANGED_KEY: fs._utc_naive(time.time())}
         log.warning(
             "inputFiles() failed (%s); fingerprint made unmatchable — "
             "this run cannot hit or create a reusable cache entry", exc
         )
-        return {INPUT_LISTING_FAILED_KEY: datetime.now()}
+        return {INPUT_LISTING_FAILED_KEY: fs._utc_naive(time.time())}
 
     if not files:
         return {}

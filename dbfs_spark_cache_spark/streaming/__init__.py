@@ -618,7 +618,9 @@ def write_stream_exactly_once(
     return writer.start()
 
 
-def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
+def read_exactly_once_output(
+    spark: SparkSession, base_path: str, include_batch_id: bool = False
+) -> Optional[DataFrame]:
     """The exactly-once view of an :func:`exactly_once_append_sink`
     output: only batch directories whose ledger marker committed. Returns
     None when nothing has committed yet; an all-empty-batches sink (every
@@ -626,7 +628,14 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
     DataFrame with the sink's recorded schema — committed-but-empty is a
     different answer from "no sink exists" (ADVICE r7 #4). Partial
     directories from a crashed batch are invisible until their redelivery
-    commits."""
+    commits.
+
+    ``include_batch_id=True`` appends a ``batch_id: long`` column
+    (ADVICE r8 #4): the default view is schema-pure — exactly what the
+    sink wrote, the batch id being ledger metadata — but consumers that
+    audit per-batch provenance opt back in explicitly. Implemented via
+    the ``basePath`` partition-discovery read, so a ``WHERE batch_id``
+    filter partition-prunes instead of scanning every committed batch."""
     from .. import fs
 
     manifest_ids, marker_ids = _ledger_state(fs, base_path)
@@ -657,6 +666,15 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
         for st in entries
     )
     if has_data:
+        if include_batch_id:
+            # basePath makes partition discovery synthesize batch_id
+            # from the dir names (int-inferred — pin long for a stable
+            # cross-branch type).
+            return (
+                spark.read.option("basePath", base_path)
+                .parquet(*dirs)
+                .withColumn("batch_id", F.col("batch_id").cast("long"))
+            )
         # The leaf dirs are read WITHOUT basePath so partition discovery
         # does not synthesize a batch_id column: the committed view is
         # schema-pure — exactly what the sink wrote, identical to the
@@ -679,11 +697,14 @@ def read_exactly_once_output(spark: SparkSession, base_path: str) -> Optional[Da
         # Ledger written by a pre-schema-record sink: committed-but-empty
         # is then indistinguishable from no sink; keep the legacy None.
         return None
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    return spark.createDataFrame(
-        [], StructType.fromJson(json.loads(schema_txt))
-    )
+    schema = StructType.fromJson(json.loads(schema_txt))
+    if include_batch_id:
+        schema = StructType(
+            [*schema.fields, StructField("batch_id", LongType())]
+        )
+    return spark.createDataFrame([], schema)
 
 
 _LEDGER_MANIFEST = "manifest.txt"
@@ -961,12 +982,16 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
     return write_batch
 
 
-def read_quarantine(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
+def read_quarantine(
+    spark: SparkSession, base_path: str, include_batch_id: bool = False
+) -> Optional[DataFrame]:
     """Quarantined rows of a :func:`validated_exactly_once_sink` output —
     only from COMMITTED batches (a crash mid-batch leaves no marker, and
     its partial quarantine dir is overwritten on redelivery just like the
     data dir). Returns None when nothing is quarantined. The re-ingest
-    path: fix upstream, then feed these rows back through the gate."""
+    path: fix upstream, then feed these rows back through the gate.
+    ``include_batch_id=True`` appends ``batch_id: long`` (ADVICE r8 #4)
+    — useful here to trace WHICH batch produced the bad rows."""
     from .. import fs
 
     manifest_ids, marker_ids = _ledger_state(fs, base_path)
@@ -977,5 +1002,11 @@ def read_quarantine(spark: SparkSession, base_path: str) -> Optional[DataFrame]:
     ]
     if not dirs:
         return None
+    if include_batch_id:
+        return (
+            spark.read.option("basePath", f"{base_path}/_quarantine")
+            .parquet(*dirs)
+            .withColumn("batch_id", F.col("batch_id").cast("long"))
+        )
     # No basePath: schema-pure rows, same contract as the committed view.
     return spark.read.parquet(*dirs)

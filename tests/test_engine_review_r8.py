@@ -154,7 +154,9 @@ def test_cli_refuses_unscoped_destructive_stages(
             ],
         )
         with caplog.at_level(logging.WARNING):
-            assert maintenance_cli.main() == 0
+            # exit 2, not 0: the refused stages must be DETECTABLE by a
+            # cron operator (ADVICE r8 #2) — success would hide the skip
+            assert maintenance_cli.main() == 2
         assert any("do not honor --database" in r.message for r in caplog.records)
         # the configured namespace survives untouched
         assert default_db_tables.count() == 1
