@@ -669,7 +669,18 @@ def read_exactly_once_output(
         if include_batch_id:
             # basePath makes partition discovery synthesize batch_id
             # from the dir names (int-inferred — pin long for a stable
-            # cross-branch type).
+            # cross-branch type). Refuse when the sink's own data
+            # already carries a batch_id column: partition discovery
+            # silently SHADOWS the data column (verified on Spark 4.1 —
+            # every row's value replaced by the dir number), which is
+            # silent corruption, not a merge.
+            if "batch_id" in spark.read.parquet(*dirs).columns:
+                raise ValueError(
+                    "include_batch_id=True but the sink's data already "
+                    "has a batch_id column — the synthesized partition "
+                    "column would silently overwrite it; read with the "
+                    "default include_batch_id=False"
+                )
             return (
                 spark.read.option("basePath", base_path)
                 .parquet(*dirs)
@@ -701,6 +712,12 @@ def read_exactly_once_output(
 
     schema = StructType.fromJson(json.loads(schema_txt))
     if include_batch_id:
+        if "batch_id" in schema.fieldNames():
+            raise ValueError(
+                "include_batch_id=True but the sink's recorded schema "
+                "already has a batch_id column — the synthesized column "
+                "would shadow it; read with include_batch_id=False"
+            )
         schema = StructType(
             [*schema.fields, StructField("batch_id", LongType())]
         )
@@ -1003,6 +1020,14 @@ def read_quarantine(
     if not dirs:
         return None
     if include_batch_id:
+        # same shadowing refusal as the committed view
+        if "batch_id" in spark.read.parquet(*dirs).columns:
+            raise ValueError(
+                "include_batch_id=True but the quarantined data already "
+                "has a batch_id column — the synthesized partition "
+                "column would silently overwrite it; read with the "
+                "default include_batch_id=False"
+            )
         return (
             spark.read.option("basePath", f"{base_path}/_quarantine")
             .parquet(*dirs)

@@ -306,7 +306,14 @@ def test_broadcast_sites_are_allowlisted():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "dbfs_spark_cache_spark",
     )
-    root_re = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    # WHOLE-FILE scan, not per-line: a multiline call site
+    # (`F.broadcast(\n    frame)`) must resolve its root identifier, not
+    # silently fall outside a line-anchored regex (fail-open). The
+    # site_re/root_re pair keeps the check fail-CLOSED: every
+    # `F.broadcast(` occurrence must yield a root identifier or it is
+    # reported as unresolvable.
+    site_re = re.compile(r"F\.broadcast\s*\(")
+    root_re = re.compile(r"F\.broadcast\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)")
     unjustified, seen = [], set()
     for root, _, files in os.walk(pkg_dir):
         for fname in files:
@@ -323,15 +330,26 @@ def test_broadcast_sites_are_allowlisted():
                 else key_file
             )
             with open(path) as fh:
-                for lineno, line in enumerate(fh, 1):
-                    for m in root_re.finditer(line):
-                        var = m.group(1)
-                        if var in _BOUNDED_DIM_ROOTS:
-                            continue
-                        key = (short, var)
-                        seen.add(key)
-                        if key not in _BROADCAST_ALLOWLIST:
-                            unjustified.append(f"{key_file}:{lineno}: {line.strip()}")
+                content = fh.read()
+            n_sites = len(site_re.findall(content))
+            matches = list(root_re.finditer(content))
+            if len(matches) != n_sites:
+                unjustified.append(
+                    f"{key_file}: {n_sites - len(matches)} F.broadcast( "
+                    "site(s) whose argument root could not be resolved to "
+                    "an identifier — rewrite with a named frame so the "
+                    "boundedness is reviewable"
+                )
+            for m in matches:
+                var = m.group(1)
+                if var in _BOUNDED_DIM_ROOTS:
+                    continue
+                key = (short, var)
+                seen.add(key)
+                if key not in _BROADCAST_ALLOWLIST:
+                    lineno = content.count("\n", 0, m.start()) + 1
+                    snippet = content[m.start():m.end()].replace("\n", " ")
+                    unjustified.append(f"{key_file}:{lineno}: {snippet}")
     assert not unjustified, (
         "F.broadcast( on a frame that is neither a bounded dim nor "
         "allowlisted with a boundedness justification (r8 verdict "

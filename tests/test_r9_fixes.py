@@ -207,6 +207,38 @@ def test_exactly_once_readers_opt_in_batch_id(spark, tmp_path):
     assert "batch_id" not in read_quarantine(spark, gated).columns
 
 
+def test_include_batch_id_refuses_to_shadow_a_data_column(spark, tmp_path):
+    """Partition discovery silently REPLACES a same-named data column
+    with the dir number (verified on Spark 4.1) — so a sink whose data
+    already carries batch_id must get a loud refusal under
+    include_batch_id=True, never silently corrupted provenance."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "eo_shadow")
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "value")
+        .withColumn("batch_id", F.lit(777).cast("long"))
+        .limit(3)
+    )
+    sink = exactly_once_append_sink(base)
+    sink(batch, 0)
+
+    # default view: the user's own column comes back untouched
+    plain = read_exactly_once_output(spark, base)
+    assert [r.batch_id for r in plain.collect()] == [777, 777, 777]
+
+    with pytest.raises(ValueError, match="batch_id"):
+        read_exactly_once_output(spark, base, include_batch_id=True)
+
+
 def test_udf_counter_warns_on_rename_not_silence(spark, caplog, monkeypatch):
     """VERDICT r8 #5: a Spark rename of the expression class must produce
     a WARNING (plan still mentions a Python-execution marker while the
