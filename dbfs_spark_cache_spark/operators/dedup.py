@@ -195,6 +195,23 @@ def _perm_constants(n: int, seed: int = 0x5EED):
 _PERM_MULTIPLIERS, _PERM_OFFSETS = _perm_constants(64)
 
 
+def _perm_constant(i: int) -> tuple:
+    """(a_i, b_i) for permutation ``i``. The first 64 come from the
+    original sequential-draw table — FROZEN, because those draws are
+    baked into every generated oracle and every existing signature.
+    Indexes beyond 63 (the 128-hash production width) derive each pair
+    from an index-keyed RNG, so widening the supported signature can
+    never disturb the draw sequence behind existing constants (a
+    sequential re-draw at n=128 would have silently changed all 64 b's
+    — the offsets are drawn after the multipliers)."""
+    if i < len(_PERM_MULTIPLIERS):
+        return _PERM_MULTIPLIERS[i], _PERM_OFFSETS[i]
+    import random
+
+    rng = random.Random((0x5EED << 16) ^ i)
+    return rng.randrange(1, _P31), rng.randrange(0, _P31)
+
+
 def minhash_sig_from_hashes(
     df: DataFrame, n_hashes: int = N_MINHASH, hashes_col: str = "hs"
 ) -> DataFrame:
@@ -207,7 +224,7 @@ def minhash_sig_from_hashes(
     """
 
     def perm_min(i: int):
-        a, b = _PERM_MULTIPLIERS[i], _PERM_OFFSETS[i]
+        a, b = _perm_constant(i)
         # single-arg lambda: F.transform must not see an index parameter
         return F.array_min(
             F.transform(
@@ -273,11 +290,24 @@ def banded_signatures(
     )
 
 
+def _use_slim_band_rows(n_hashes: int) -> bool:
+    """The measured crossover for the slim-band-rows candidate plan
+    (BENCH_NOTES round 3): carrying the full signature array through the
+    band explode wins up to ~64 hashes (fewer joins); at 128 hashes /
+    32 bands the per-row width dominates and the slim variant wins 6.43s
+    vs 8.16s (same pairs). 128 is the production MinHash width in most
+    corpus-dedup deployments, so the branch point matters even though
+    every fixture query runs the 32-hash geometry (where this returns
+    False and the plan is byte-identical to the pre-branch code)."""
+    return n_hashes >= 128
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     threshold: float = 0.5,
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
+    slim_rows: bool | None = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs from ``(doc_id, sig: array<long>)``.
 
@@ -299,16 +329,67 @@ def lsh_candidate_pairs(
     geometry's own cost at ~6% wall for the recall band it opens). The
     r=4 default remains for callers targeting j ~ 0.6+ only.
 
-    Measured alternative (slim band rows + two sig re-joins to verify):
-    identical wall time at sf0.1 for the production 32-hash width (4.9s vs
-    4.9s, same pairs) with two extra shuffled joins in the plan — carrying
-    the 32-long sig through the band explode is the better trade until
-    per-row signature width, not join count, dominates. The crossover is
-    measured: at 128 hashes / 32 bands the slim variant wins 6.43s vs
-    8.16s (same pairs; BENCH_NOTES.md round 3) — switch to slim rows for
-    signatures of ~128 hashes and up.
+    Two physical shapes, auto-selected by signature width (``slim_rows``
+    overrides; ``None`` = :func:`_use_slim_band_rows`):
+
+    * FAT (default below 128 hashes): the full signature array travels
+      WITH each banded row, so verification happens inside the bucket
+      join — the signature aggregation runs once, and no second join
+      against the signature table is needed. Measured identical wall
+      time at sf0.1 for the 32-hash width (4.9s vs 4.9s, same pairs)
+      with two fewer shuffled joins.
+    * SLIM (128 hashes and up): banded rows carry only
+      (doc_id, band, bucket); distinct candidate pairs from the bucket
+      self-join re-join the signature table twice for the agreement
+      count. At 128 hashes / 32 bands the slim variant wins 6.43s vs
+      8.16s (same pairs; BENCH_NOTES.md round 3) — per-row signature
+      width, not join count, dominates there. Same results by
+      construction: a pair's est_jaccard is a function of the two full
+      signatures in both shapes, and the distinct() dedupes multi-band
+      collisions either way.
     """
+    if slim_rows is None:
+        slim_rows = _use_slim_band_rows(n_hashes)
     banded = banded_signatures(sigs, n_hashes, n_bands)
+
+    if slim_rows:
+        slim = banded.select("doc_id", "band", "bucket")
+        pairs = (
+            slim.alias("a")
+            .join(
+                slim.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        sa = sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+        )
+        agree_slim = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (agree_slim.cast("double") / n_hashes).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -345,8 +426,8 @@ def _duck_minhash_cands(hs_ctes: str, n_hashes: int, n_bands: int) -> str:
     (same permutation constants, same band buckets, same dedup)."""
     rows = n_hashes // n_bands
     sig_exprs = ",\n        ".join(
-        f"list_min(list_transform(hs, h -> (h * {_PERM_MULTIPLIERS[i]} "
-        f"+ {_PERM_OFFSETS[i]}) % {_P31}))"
+        f"list_min(list_transform(hs, h -> (h * {_perm_constant(i)[0]} "
+        f"+ {_perm_constant(i)[1]}) % {_P31}))"
         for i in range(n_hashes)
     )
 

@@ -239,6 +239,122 @@ def test_include_batch_id_refuses_to_shadow_a_data_column(spark, tmp_path):
         read_exactly_once_output(spark, base, include_batch_id=True)
 
 
+def test_slim_band_rows_parity_at_production_width(spark):
+    """The slim-band-rows candidate plan (measured faster at 128 hashes /
+    32 bands — BENCH_NOTES round 3) is now an automatic branch: banded
+    rows carry only (doc_id, band, bucket) and candidate pairs re-join
+    the signature table for the agreement count. Same pairs and same
+    est_jaccard as the fat shape by construction — verified here at the
+    production width, where the auto-switch engages."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _use_slim_band_rows,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    assert not _use_slim_band_rows(32), "fixture width must keep the fat shape"
+    assert not _use_slim_band_rows(64)
+    assert _use_slim_band_rows(128)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sigs = minhash_signatures(docs, n_hashes=128)
+
+    def pairset(df):
+        return {
+            (r.doc_a, r.doc_b, round(r.est_jaccard, 9)) for r in df.collect()
+        }
+
+    fat = pairset(
+        lsh_candidate_pairs(
+            sigs, threshold=0.25, n_hashes=128, n_bands=32, slim_rows=False
+        )
+    )
+    slim = pairset(
+        lsh_candidate_pairs(
+            sigs, threshold=0.25, n_hashes=128, n_bands=32, slim_rows=True
+        )
+    )
+    assert fat, "empty candidate set would make this test vacuous"
+    assert slim == fat
+    # the slim plan's band explode must NOT carry the 128-long signature
+    slim_df = lsh_candidate_pairs(sigs, 0.25, n_hashes=128, n_bands=32)
+    plan = slim_df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Join") >= 3, "slim shape re-joins the signature table"
+
+
+def test_perm_constant_extension_is_frozen_and_disjoint():
+    """Widening the permutation family must never disturb the original
+    64 sequential draws (they are baked into every generated oracle and
+    signature); indexes beyond 63 derive per-index, deterministically,
+    in the right domains."""
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _P31,
+        _PERM_MULTIPLIERS,
+        _PERM_OFFSETS,
+        _perm_constant,
+        _perm_constants,
+    )
+
+    # the frozen table is exactly the original sequential draw
+    ms, os_ = _perm_constants(64)
+    assert ms == _PERM_MULTIPLIERS and os_ == _PERM_OFFSETS
+    for i in (0, 31, 63):
+        assert _perm_constant(i) == (_PERM_MULTIPLIERS[i], _PERM_OFFSETS[i])
+    # extended indexes: deterministic, in-domain, distinct per index
+    seen = set()
+    for i in range(64, 128):
+        a, b = _perm_constant(i)
+        assert _perm_constant(i) == (a, b)  # stable across calls
+        assert 1 <= a < _P31 and 0 <= b < _P31
+        seen.add((a, b))
+    assert len(seen) == 64
+
+
+def test_minhash_oracle_parity_at_extended_width(spark, monkeypatch):
+    """The DuckDB candidate-CTE generator consumes the same
+    _perm_constant accessor, so the 128-hash extension must replay
+    bit-for-bit across engines (the property every registered geometry
+    relies on, now pinned beyond the frozen 64)."""
+    import duckdb
+
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _SHINGLE_HS_CTES,
+        HASH_FAMILY_ENV,
+        _duck_minhash_cands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # DuckDB has no xxhash64: parity runs the md5-portable family, which
+    # the shingle hashing resolves at plan-BUILD time from the env.
+    monkeypatch.setenv(HASH_FAMILY_ENV, "portable")
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in lsh_candidate_pairs(
+            minhash_signatures(docs, n_hashes=128),
+            threshold=0.25,
+            n_hashes=128,
+            n_bands=32,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_SMOKE}/documents.parquet'"
+    )
+    sql = (
+        _duck_minhash_cands(_SHINGLE_HS_CTES, 128, 32)
+        + " SELECT doc_a, doc_b, est_jaccard FROM cand"
+        + " WHERE est_jaccard >= 0.25"
+    )
+    want = {
+        (a, b, round(e, 9)) for a, b, e in con.execute(sql).fetchall()
+    }
+    assert got == want and got, "cross-engine 128-hash candidate parity"
+
+
 def test_udf_counter_warns_on_rename_not_silence(spark, caplog, monkeypatch):
     """VERDICT r8 #5: a Spark rename of the expression class must produce
     a WARNING (plan still mentions a Python-execution marker while the
