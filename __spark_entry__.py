@@ -122,6 +122,18 @@ _CHANGED_HELPER: list[str] = [
     # turn:
     "text_tfidf_topk",
     "text_unigram_logprob",
+    # r9 adversarial review of the unswept multimodal module — the r8
+    # crash class, in Python: a NULL text payload raised inside both
+    # mapInPandas passes (`t.encode` / `len(t)` on None), one bad row
+    # killing the whole corpus decode. NULL rows now drop identically
+    # on both engines (the decode oracle gained the same filter; the
+    # frame sampler's oracle already excluded NULL via three-valued
+    # len(text) > 0). Fixture-identical (zero NULL text at any SF,
+    # verified), hostile-fixture parity pinned in tests/test_r9_fixes.py,
+    # re-attested exact at sf0.01 via scripts/selfcheck.py. Both
+    # r8-vintage: penalty 7.5, displace nothing, natural re-attest r11:
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
     # r8 adversarial-review fixes on non-due queries, both fixture-
     # identical and re-attested exact at sf0.01 via scripts/selfcheck.py
     # (the VERDICT r7 "changed code rides on a stale attestation" class —

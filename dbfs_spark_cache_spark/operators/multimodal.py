@@ -106,6 +106,7 @@ _DECODE_ORACLE = f"""
                hex(encode(text)) AS hx,
                OCTET_LENGTH(ENCODE(text)) AS n_bytes
         FROM documents
+        WHERE text IS NOT NULL
     ), d AS (
         SELECT doc_id, asset_source, n_bytes, hx,
                doc_id % 64 + 1 AS width,
@@ -150,8 +151,18 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     On a real pipeline stage 1 is the storage read; fusing the stages is a
     one-line change (decode inside the same iterator) once assets no
     longer need materializing.
+
+    NULL-text contract (r9 adversarial review): a NULL payload is a
+    FETCH FAILURE, not a decodable asset — such rows are dropped
+    identically on both engines (the filter pushes to the scan). Before
+    this, ``t.encode`` raised on the first NULL and one bad row killed
+    the whole corpus decode — the r8 ANSI-crash class, in Python.
     """
-    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text", "source")
+        .where(F.col("text").isNotNull())
+    )
 
     def encode_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -213,8 +224,17 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     mapInPandas shape a real frame sampler uses — a real codec slices byte
     ranges; the stand-in slices characters so the frame digests are
     reproducible by the DuckDB oracle (sha256 over the slice's UTF-8
-    bytes on both engines), making the plumbing fully value-checked."""
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    bytes on both engines), making the plumbing fully value-checked.
+
+    NULL text is dropped before the sampler (r9 adversarial review: the
+    Python ``len(text)`` raised on NULL — one unreadable asset killed
+    the pass); the oracle's ``len(text) > 0`` already excludes NULL via
+    three-valued logic, so both engines drop identically."""
+    docs = (
+        load_table(spark, sf, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

