@@ -409,6 +409,42 @@ def test_multimodal_passes_survive_null_text(spark, tmp_path):
         ), col
 
 
+def test_spread_line_worst_case_fits_the_tail_budget():
+    """VERDICT r8 #2 done-criterion, pinned as arithmetic: the driver
+    tail budget is exactly 2000 bytes and the headline + profile-legs
+    lines consume ~1650, so the spread line must stay under ~350 bytes
+    in the WORST case — every query noisy, longest real query names."""
+    import json
+
+    from bench import HEADLINE, spread_diagnostics_line
+
+    # worst case: every headline query maximally noisy
+    timings = {name: 0.101 for name in HEADLINE}
+    spread = {name: 123.456 for name in HEADLINE}
+    line = spread_diagnostics_line(spread, timings)
+    assert len(line.encode()) <= 380, f"{len(line)} bytes: {line}"
+    parsed = json.loads(line)
+    d = parsed["diagnostics"]
+    assert len(d["run_spread"]) == 8
+    assert d["suppressed"] == len(HEADLINE) - 8
+
+    # quiet case: nothing exceeds 10% — empty map, full suppressed count
+    quiet = spread_diagnostics_line(
+        {n: 0.001 for n in HEADLINE}, {n: 1.0 for n in HEADLINE}
+    )
+    qd = json.loads(quiet)["diagnostics"]
+    assert qd["run_spread"] == {} and qd["suppressed"] == len(HEADLINE)
+
+    # the kept 8 are the worst by RELATIVE spread, not absolute
+    spread2 = {n: 0.05 for n in HEADLINE}
+    timings2 = {n: 1.0 for n in HEADLINE}
+    spread2[HEADLINE[0]] = 0.2   # 20% of 1.0
+    timings2[HEADLINE[1]] = 0.1  # 0.05 is 50% of 0.1
+    kept = json.loads(spread_diagnostics_line(spread2, timings2))
+    names = list(kept["diagnostics"]["run_spread"])
+    assert names[0] == HEADLINE[1] and HEADLINE[0] in names
+
+
 def test_udf_counter_warns_on_rename_not_silence(spark, caplog, monkeypatch):
     """VERDICT r8 #5: a Spark rename of the expression class must produce
     a WARNING (plan still mentions a Python-execution marker while the
