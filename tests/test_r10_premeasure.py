@@ -1,0 +1,168 @@
+"""Pre-measurement for the r10-queued timeseries NULL-timestamp fixes
+(r9 adversarial review; exact notes in timeseries.py docstrings).
+
+Each test builds the PROPOSED r10 variant inline — the registered
+operators are untouched, so no rotation slot is spent — and proves on a
+hostile NULL-ts fixture that (a) the current shape diverges between
+engines exactly as diagnosed, and (b) the proposed fix restores exact
+parity. At r10, landing the fix is then a mechanical edit: apply the
+diff these tests encode, move the name into _CHANGED, selfcheck.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def hostile_events(spark, tmp_path):
+    """A small events table with one NULL-ts straggler per user."""
+    from tests.conftest import SF_SMOKE
+
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet").where(
+        F.col("user_id") < 5
+    )
+    nulls = (
+        base.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .select(
+            (F.col("event_id") + 1_000_000).alias("event_id"),
+            "user_id",
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    hostile = base.select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).unionByName(nulls)
+    path = str(tmp_path / "events_nullts")
+    hostile.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}/*.parquet'")
+    return spark.read.parquet(path), con
+
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+"""
+
+
+def _sessionize(events, null_ordering_aligned: bool):
+    order = (
+        [F.col("ts").asc_nulls_last(), "event_id"]
+        if null_ordering_aligned
+        else [F.col("ts"), F.col("event_id")]
+    )
+    w = W.partitionBy("user_id").orderBy(*order)
+    prev_ts = F.lag("ts").over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") - prev_ts > F.expr("INTERVAL 12 HOURS")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def test_sessionization_r10_fix_restores_null_ts_parity(hostile_events):
+    """Diagnosed divergence: Spark orders NULLS FIRST so the first real
+    event sees lag(ts)=NULL and opens an extra session; DuckDB orders
+    NULLS LAST so the NULL row joins the last session via the
+    three-valued CASE. asc_nulls_last on the Spark window is the fix."""
+    events, con = hostile_events
+    want = {
+        u: (s, n) for u, s, n in con.execute(_SESSION_ORACLE).fetchall()
+    }
+
+    current = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in _sessionize(events, null_ordering_aligned=False).collect()
+    }
+    assert current != want, (
+        "the diagnosed divergence no longer reproduces — re-check whether "
+        "the r10 fix is still needed"
+    )
+    # every divergence is exactly one extra session on the Spark side
+    assert all(
+        current[u] == (want[u][0] + 1, want[u][1])
+        for u in want
+        if current[u] != want[u]
+    )
+
+    fixed = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in _sessionize(events, null_ordering_aligned=True).collect()
+    }
+    assert fixed == want, "asc_nulls_last must restore exact parity"
+
+
+_TUMBLING_ORACLE = """
+    SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events
+    FROM events {where}
+    GROUP BY bucket_start, event_type
+"""
+
+
+def test_tumbling_r10_fix_restores_null_ts_parity(hostile_events):
+    """Diagnosed divergence: F.window silently DROPS NULL-ts rows while
+    DATE_TRUNC groups them into a NULL bucket. An explicit
+    ts-IS-NOT-NULL filter on BOTH engines is the fix."""
+    events, con = hostile_events
+
+    def spark_counts(filtered: bool):
+        src = events.where(F.col("ts").isNotNull()) if filtered else events
+        return {
+            (r.bucket_start, r.event_type): r.n_events
+            for r in src.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "event_type",
+                "n_events",
+            )
+            .collect()
+        }
+
+    def duck_counts(where: str):
+        return {
+            (b, t): n
+            for b, t, n in con.execute(
+                _TUMBLING_ORACLE.format(where=where)
+            ).fetchall()
+        }
+
+    # current shapes diverge: the oracle has a NULL bucket Spark lacks
+    assert spark_counts(False) != duck_counts("")
+    assert None not in {b for b, _ in spark_counts(False)}
+    assert None in {b for b, _ in duck_counts("")}
+
+    # proposed fix: identical explicit drop on both engines
+    assert spark_counts(True) == duck_counts("WHERE ts IS NOT NULL")
