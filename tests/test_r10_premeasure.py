@@ -121,6 +121,84 @@ def test_sessionization_r10_fix_restores_null_ts_parity(hostile_events):
     assert fixed == want, "asc_nulls_last must restore exact parity"
 
 
+def _sign_bits_str(col, n):
+    """The r10-proposed consolidated helper: string sign-bit signature,
+    '1' per non-negative dim over the first n dims."""
+    return F.concat(
+        *[
+            F.when(F.element_at(col, i + 1) >= 0, "1").otherwise("0")
+            for i in range(n)
+        ]
+    )
+
+
+def _sign_bits_int(col, n):
+    """The r10-proposed consolidated helper: integer signature, bit i set
+    iff dim i+1 is non-negative."""
+    acc = F.lit(0)
+    for i in range(n):
+        acc = acc + F.when(
+            F.element_at(col, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def test_sign_bits_helper_matches_all_four_inline_variants(spark):
+    """Pre-measurement for the r10-queued sign-bit LSH consolidation
+    (similarity.py module docstring): the proposed sign_bits helpers must
+    reproduce each of the four hand-kept comprehensions bit-for-bit —
+    similarity_lsh_buckets / dedup_embedding_cosine (8-bit string),
+    similarity_ivf_search (4-bit string), similarity_multiprobe (4-bit
+    integer) — including on hostile vectors (NULL embedding, short
+    embedding, exact 0.0 components: element_at past the end is NULL, so
+    both formulations emit '0'/clear-bit identically)."""
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hostile = emb.limit(2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.when(
+            F.col("vec_id") % 2 == 0, F.expr("array(0.0F, -0.0F, 1.5F)")
+        ).alias("embedding"),  # short vec / NULL embedding alternating
+    )
+    allv = emb.unionByName(hostile)
+
+    for n in (4, 8):
+        inline_str = F.concat(
+            *[
+                F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+                for i in range(n)
+            ]
+        )
+        mismatch = (
+            allv.select(
+                inline_str.alias("cur"),
+                _sign_bits_str(F.col("embedding"), n).alias("new"),
+            )
+            .where(~F.col("cur").eqNullSafe(F.col("new")))
+            .count()
+        )
+        assert mismatch == 0, f"string variant n={n}"
+
+    inline_int = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(4)
+    ).cast("int")
+    mismatch = (
+        allv.select(
+            inline_int.alias("cur"),
+            _sign_bits_int(F.col("embedding"), 4).alias("new"),
+        )
+        .where(~F.col("cur").eqNullSafe(F.col("new")))
+        .count()
+    )
+    assert mismatch == 0, "integer variant n=4"
+
+
 _TUMBLING_ORACLE = """
     SELECT DATE_TRUNC('hour', ts) AS bucket_start, event_type,
            COUNT(*) AS n_events
