@@ -9,8 +9,9 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
-from datetime import datetime, timedelta
+from datetime import timedelta
 from typing import List, Optional
 
 import pandas as pd
@@ -56,8 +57,12 @@ def get_tables_from_database(
                 # sidecar registry carries naive datetimes; one naive
                 # convention at the parse site, or every downstream
                 # comparison (the eviction cutoff, the concat+sort in the
-                # size-budget path) raises TypeError. Session TZ is pinned
-                # UTC, so dropping the zone loses nothing.
+                # size-budget path) raises TypeError. The convention is
+                # UTC-naive everywhere (sidecar/warehouse mtimes render
+                # via fs._utc_naive, the eviction cutoff too), so
+                # stripping the zone here loses nothing and the catalog
+                # and sidecar registries stay mutually comparable on
+                # non-UTC driver hosts.
                 if getattr(creation_time, "tzinfo", None) is not None:
                     creation_time = creation_time.tz_localize(None)
             except Exception:
@@ -106,7 +111,7 @@ def _tables_from_warehouse_listing(spark: SparkSession) -> pd.DataFrame:
                 "table_name": f"{config.CACHE_DATABASE}.{entry.name}",
                 "hash_name": entry.name,
                 "directory_path": entry.path,
-                "creationTime": datetime.fromtimestamp(entry.mtime_ms / 1000),
+                "creationTime": fs._utc_naive(entry.mtime_ms / 1000),
             }
         )
     if not rows:
@@ -128,7 +133,7 @@ def get_cached_dataframe_metadata(num_threads: Optional[int] = None) -> pd.DataF
             "table_name": f"{config.CACHE_DATABASE}.{entry.name}",
             "hash_name": entry.name,
             "directory_path": meta_path,
-            "creationTime": datetime.fromtimestamp(stats[0].mtime_ms / 1000),
+            "creationTime": fs._utc_naive(stats[0].mtime_ms / 1000),
         }
 
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
@@ -163,6 +168,23 @@ def clear_cache_for_hash(
     290-311 deletes via the restored config)."""
     if not hash_name:
         return False
+    # Serialize against an in-process write_cache/create_cached_dataframe
+    # on the SAME key (they hold this lock across table write + sidecar
+    # write): an unserialized eviction could interleave drop/remove with
+    # the writer's saveAsTable/write_text and leave a half-pair — e.g.
+    # sidecar removed after the writer's in-lock probe passed, so the
+    # writer skips the write it now needs, and the "hit" scan has no
+    # table behind it. Same Spark driver only; cross-process evictions
+    # race exactly like the reference's.
+    from .core import _lock_for_key
+
+    with _lock_for_key(hash_name):
+        return _clear_cache_for_hash_locked(spark, hash_name, database)
+
+
+def _clear_cache_for_hash_locked(
+    spark: SparkSession, hash_name: str, database: Optional[str] = None
+) -> bool:
     db = database or config.CACHE_DATABASE
     table = f"{db}.{hash_name}"
     dropped = False
@@ -221,7 +243,12 @@ def clear_caches_older_than(
         registry = get_cached_dataframe_metadata(num_threads=num_threads)
     if registry.empty:
         return []
-    cutoff = datetime.now() - timedelta(days=num_days)
+    # UTC-naive, matching every registry creationTime (catalog times are
+    # tz-stripped UTC, sidecar/warehouse mtimes render via fs._utc_naive):
+    # a local-naive now() on a non-UTC driver skewed the age cutoff by the
+    # UTC offset (up to 14h on a 7-day policy) and only against the
+    # CATALOG-sourced registry — the two sources disagreed about "old".
+    cutoff = fs._utc_naive(time.time()) - timedelta(days=num_days)
     stale = registry[registry["creationTime"] < cutoff]
     hashes = list(stale["hash_name"])
     if not confirm_delete:
