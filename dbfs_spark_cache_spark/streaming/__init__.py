@@ -986,6 +986,16 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
                 bad.write.mode("overwrite").parquet(
                     f"{base_path}/_quarantine/batch_id={batch_id}"
                 )
+            else:
+                # A crashed PRIOR attempt (e.g. under an older gate
+                # predicate, before a redeploy) may have left a partial
+                # quarantine dir for this id with no marker. Redelivery
+                # with zero bad rows writes nothing over it, so without
+                # this sweep the stale partial rows would surface in
+                # read_quarantine as committed quarantine the moment the
+                # marker below lands. One metadata delete (no-op when
+                # absent), only on the n_bad == 0 branch.
+                fs.remove(f"{base_path}/_quarantine/batch_id={batch_id}")
             # clean drops only the gate's own __valid column, so the
             # recorded schema equals the source batch schema
             _record_sink_schema(fs, base_path, batch_df)

@@ -16,6 +16,12 @@ elsewhere (fs.max_mtime, fingerprint sentinels):
    eviction could interleave and leave a half-pair (sidecar removed
    after the writer's in-lock probe passed -> writer skips the write it
    now needs).
+
+Plus one crash-redelivery edge in streaming's quality-gated sink: a
+clean (zero-quarantine) redelivery never cleared a stale partial
+``_quarantine/batch_id=N`` left by a crashed prior attempt, so
+``read_quarantine`` served those partial rows as committed quarantine
+once the marker landed.
 """
 from __future__ import annotations
 
@@ -185,3 +191,34 @@ def test_eviction_serializes_with_writer_key_lock(tmp_path, monkeypatch):
     assert done.wait(timeout=10), "eviction never completed after the lock was released"
     assert result == [True]
     assert not sidecar_dir.exists(), "sidecar not removed after eviction proceeded"
+
+
+def test_clean_redelivery_sweeps_stale_quarantine(spark, tmp_path):
+    """A crashed prior attempt can leave a partial _quarantine/batch_id=N
+    with no marker (crash between quarantine write and marker commit,
+    e.g. under an older gate predicate before a redeploy). A redelivery
+    that quarantines ZERO rows writes nothing over that dir — so without
+    an explicit sweep the stale partial rows surface in read_quarantine
+    as committed quarantine the moment the marker lands."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_quarantine,
+        validated_exactly_once_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = str(tmp_path / "gated_stale")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "value"
+    )
+    # the stale partial quarantine dir from the crashed attempt
+    ev.limit(5).write.parquet(f"{base}/_quarantine/batch_id=0")
+
+    sink = validated_exactly_once_sink(base, F.lit(True))  # all rows valid
+    sink(ev, 0)
+
+    assert not os.path.exists(f"{base}/_quarantine/batch_id=0"), (
+        "stale partial quarantine dir survived a clean commit"
+    )
+    assert read_quarantine(spark, base) is None
