@@ -1124,6 +1124,20 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fn_json(spark: SparkSession, sf: str) -> DataFrame:
+    """QUEUED FOR R10 (this query's due slot; r9 third review batch): on
+    hostile props both shapes are fragile — (a) a NON-INTEGER ``k``
+    (``{"k": 1.5}``) crashes Spark's ANSI ``cast('1.5' as long)`` (one
+    malformed record kills the corpus pass — the r8 ANSI-crash class),
+    and a naive try_cast would NOT restore parity because DuckDB's
+    string->BIGINT cast ROUNDS ('1.5' -> 2) while Spark's try_cast
+    yields NULL; (b) MALFORMED JSON errors DuckDB's
+    ``json_extract_string`` outright while Spark's get_json_object
+    returns NULL. No fixture at any SF carries invalid JSON or a
+    non-integer k (verified r9), so current attestations are honest.
+    Fix when due (the fn_from_json_struct r8 approach): gate k on an
+    integer-literal regex before casting on BOTH engines, and wrap the
+    oracle's extraction in ``CASE WHEN json_valid(props) ...`` —
+    pre-measured parity in ``tests/test_r10_premeasure.py``."""
     events = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return events.groupBy("event_type").agg(

@@ -161,7 +161,21 @@ def text_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
 def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Bag-of-words fingerprint: order-insensitive content identity (docs
     that are permutations of the same vocabulary collide). A cheap
-    complement to MinHash for shuffled-content dedup."""
+    complement to MinHash for shuffled-content dedup.
+
+    QUEUED FOR R10 (this query's due slot; r9 third review batch): on a
+    NULL-text document the engines DIVERGE — Spark's ``concat_ws`` skips
+    NULL, so ``md5(concat_ws(...))`` lands NULL-text docs in the SAME
+    group as empty-text docs (md5('')), while DuckDB's
+    ``array_to_string(NULL)`` yields a NULL fingerprint and GROUP BY
+    collects NULL-text docs in their own group. Both answers are also
+    semantically wrong: electing a dedup keeper among mutually-unrelated
+    unreadable docs. No fixture has NULL text (verified at every SF), so
+    current attestations are honest. Fix when due: ``WHERE text IS NOT
+    NULL`` on BOTH engines (the multimodal r9 contract: an unreadable
+    payload is excluded, not fingerprinted) — pre-measured parity in
+    ``tests/test_r10_premeasure.py``.
+    """
     docs = load_table(spark, sf, "documents")
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))

@@ -17,6 +17,13 @@ import duckdb
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+from selfcheck import compare as _selfcheck_compare  # noqa: E402
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -244,3 +251,154 @@ def test_tumbling_r10_fix_restores_null_ts_parity(hostile_events):
 
     # proposed fix: identical explicit drop on both engines
     assert spark_counts(True) == duck_counts("WHERE ts IS NOT NULL")
+
+
+def test_bag_fingerprint_r10_fix_restores_null_text_parity(spark, tmp_path):
+    """Pre-measure the r10-queued text_bag_fingerprint NULL-text fix (r9
+    third review batch; note in text.py): Spark's concat_ws SKIPS NULL,
+    merging NULL-text docs into the md5('') empty-text group, while
+    DuckDB's array_to_string(NULL) yields a NULL fingerprint group — a
+    row-count + value divergence on hostile data. The proposed fix
+    (WHERE text IS NOT NULL on both engines — the multimodal contract:
+    unreadable payloads are excluded, not fingerprinted) restores exact
+    parity."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    rows = [
+        (1, None, "en", "web", 0),
+        (2, "", "en", "web", 0),
+        (3, "b a b", "en", "web", 5),
+        (4, "a b", "en", "web", 3),
+        (5, None, None, None, None),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT registered shapes diverge exactly as diagnosed
+    got = QUERIES["text_bag_fingerprint"](spark, str(tmp_path)).toPandas()
+    duck = ORACLES["text_bag_fingerprint"]
+    duck_pdf = con.execute(duck).fetchdf()
+    assert len(got) != len(duck_pdf), (
+        "expected the NULL-text divergence; if this now matches, the fix "
+        "landed — retire this half of the test"
+    )
+    # Spark merged doc 1/2/5 under md5(''); DuckDB grouped 1/5 under NULL
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert int(got.set_index("bag_fp").loc[empty_md5, "n_docs"]) == 3
+    assert int(duck_pdf[duck_pdf["bag_fp"].isna()]["n_docs"].iloc[0]) == 2
+
+    # (b) the PROPOSED r10 variant: text IS NOT NULL on both engines
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    fixed = (
+        docs.groupBy(fp.alias("bag_fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        duck.replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
+    ).fetchdf()
+    problems = _selfcheck_compare("text_bag_fingerprint_r10", fixed, fixed_duck)
+    assert not problems, problems
+    # permutation docs 3 and 4 still collide into one bag group
+    assert int(fixed.sort_values("n_docs", ascending=False)["n_docs"].iloc[0]) == 2
+
+    # (c) the real fixtures carry zero NULL text, so the CURRENT green
+    # attestations are honest until the fix lands in its due slot
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("text").isNull())
+        .count()
+        == 0
+    )
+
+
+def test_fn_json_r10_fix_restores_hostile_props_parity(spark, tmp_path):
+    """Pre-measure the r10-queued fn_json hardening (r9 third review
+    batch; note in relational.py): a non-integer k crashes Spark's ANSI
+    cast and a malformed props crashes DuckDB's json_extract_string —
+    and the naive try_cast repair would DIVERGE, because DuckDB's
+    string->BIGINT cast rounds ('1.5' -> 2) where Spark's try_cast
+    yields NULL. The proposed fix gates k on an integer-literal regex on
+    both engines and json_valid-guards the oracle."""
+    import pandas as pd
+
+    rows = [
+        (1, "2024-01-01T00:00:00", 1, "view", 1.0, '{"k": 3}'),
+        (2, "2024-01-01T01:00:00", 1, "view", 2.0, '{"k": 1.5}'),
+        (3, "2024-01-01T02:00:00", 2, "click", 3.0, '{"k": "abc"}'),
+        (4, "2024-01-01T03:00:00", 2, "click", 4.0, "not json"),
+        (5, "2024-01-01T04:00:00", 3, "buy", 5.0, None),
+        (6, "2024-01-01T05:00:00", 3, "buy", 6.0, '{"k": -7}'),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT shapes fail exactly as diagnosed
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|1.5"):
+        QUERIES["fn_json"](spark, str(tmp_path)).toPandas()
+    with pytest.raises(Exception, match="[Mm]alformed"):
+        con.execute(ORACLES["fn_json"]).fetchdf()
+
+    # (b) the PROPOSED r10 variant: integer-literal gate on both engines,
+    # json_valid guard in the oracle
+    ev = spark.read.parquet(f"{tmp_path}/events.parquet")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+    fixed = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .toPandas()
+    )
+    fixed_oracle = """
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                         THEN CAST(ks AS BIGINT) END) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                         THEN CAST(ks AS BIGINT) END) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM g
+    GROUP BY event_type
+    """
+    fixed_duck = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("fn_json_r10", fixed, fixed_duck)
+    assert not problems, problems
+    # the hostile rows resolved as intended: view keeps only k=3,
+    # buy keeps only k=-7, click has no integer k at all
+    by_type = fixed.set_index("event_type")
+    assert int(by_type.loc["view", "sum_k"]) == 3
+    assert int(by_type.loc["buy", "sum_k"]) == -7
+    assert pd.isna(by_type.loc["click", "sum_k"])
