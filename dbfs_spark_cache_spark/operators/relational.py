@@ -842,6 +842,18 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_plan_quality.py::test_window_percentiles_no_global_window;
     semantics verified against Spark's own global window (ties, all-equal,
     tiny-N edge cases) in tests/test_scale_patterns.py.
+
+    QUEUED FOR R10 (this query's due slot; r9 third review batch): on a
+    NULL ``c_acctbal`` the engines DIVERGE — the banded helper's bucket
+    arithmetic lands the NULL row at global rank 1 (pct_rank 0.0, the
+    NULLS-FIRST shape of Spark's own windows) while DuckDB's
+    PERCENT_RANK orders NULLS LAST (pct_rank 1.0, decile 10), shifting
+    every other row's rank by one. No fixture carries a NULL acctbal
+    (verified at every SF), so current attestations are honest. Fix when
+    due: ``WHERE c_acctbal IS NOT NULL`` on BOTH engines — a percentile
+    of an unknown balance is undefined, same exclusion contract as the
+    robust-outlier baseline — pre-measured parity in
+    ``tests/test_r10_premeasure.py``.
     """
     from .scale import distributed_global_percentiles
 

@@ -402,3 +402,64 @@ def test_fn_json_r10_fix_restores_hostile_props_parity(spark, tmp_path):
     assert int(by_type.loc["view", "sum_k"]) == 3
     assert int(by_type.loc["buy", "sum_k"]) == -7
     assert pd.isna(by_type.loc["click", "sum_k"])
+
+
+def test_window_percentiles_r10_fix_restores_null_value_parity(spark, tmp_path):
+    """Pre-measure the r10-queued window_percentiles NULL-value fix (r9
+    third review batch; note in relational.py): the banded global-rank
+    helper lands a NULL c_acctbal at global rank 1 (Spark's NULLS-FIRST
+    window shape) while DuckDB's PERCENT_RANK orders NULLS LAST —
+    shifting every row's rank. The proposed fix excludes NULL balances
+    on both engines (a percentile of an unknown balance is undefined)."""
+    import pandas as pd
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    poisoned = pd.concat(
+        [
+            cust,
+            pd.DataFrame(
+                [{**cust.iloc[0].to_dict(), "c_custkey": 900001, "c_acctbal": None}]
+            ),
+        ]
+    )
+    poisoned.to_parquet(f"{tmp_path}/customer.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet'"
+    )
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT shapes diverge exactly as diagnosed
+    got = QUERIES["window_percentiles"](spark, str(tmp_path)).toPandas()
+    duck = con.execute(ORACLES["window_percentiles"]).fetchdf()
+    s_null = got[got["c_custkey"] == 900001].iloc[0]
+    d_null = duck[duck["c_custkey"] == 900001].iloc[0]
+    assert s_null["bal_pct_rank"] == 0.0, "Spark ranks the NULL row first"
+    assert d_null["bal_pct_rank"] == 1.0, "DuckDB ranks the NULL row last"
+
+    # (b) the PROPOSED r10 variant: exclude NULL balances on both engines
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+    )
+
+    customer = (
+        spark.read.parquet(f"{tmp_path}/customer.parquet")
+        .select("c_custkey", "c_acctbal")
+        .where(F.col("c_acctbal").isNotNull())
+    )
+    fixed = distributed_global_percentiles(
+        customer,
+        value_col="c_acctbal",
+        tiebreak_col="c_custkey",
+        pct_col="bal_pct_rank",
+        cume_col="bal_cume_dist",
+        tile_col="bal_decile",
+    ).toPandas()
+    fixed_duck = con.execute(
+        ORACLES["window_percentiles"].replace(
+            "FROM customer", "FROM customer WHERE c_acctbal IS NOT NULL"
+        )
+    ).fetchdf()
+    problems = _selfcheck_compare("window_percentiles_r10", fixed, fixed_duck)
+    assert not problems, problems
