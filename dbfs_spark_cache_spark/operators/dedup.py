@@ -158,7 +158,20 @@ def h62_sql(expr: str, family: str | None = None) -> str:
 def duck_h62(expr: str) -> str:
     """DuckDB equivalent of portable :func:`h62_sql` — same value,
     bit-for-bit. Oracles always replay the portable family; there is no
-    DuckDB xxhash64."""
+    DuckDB xxhash64.
+
+    QUEUED FOR R11 (r9 third review batch, hostile probe of the
+    r8-vintage cohort): on a NULL ``expr`` (a NULL-text document's
+    shingle) DuckDB's ``concat`` SKIPS the NULL argument, yielding the
+    bare string ``'0x'`` whose BIGINT cast CRASHES the whole oracle —
+    while Spark's ``conv`` propagates NULL. Fix when due, landing with
+    the minhash/jaccard queries' own r11 slots: ``'0x' ||
+    substr(...)`` (the ``||`` operator propagates NULL in DuckDB) PLUS
+    ``WHERE text IS NOT NULL`` at each consumer's corpus head on BOTH
+    engines — the hardening alone leaves Spark signing the NULL doc (1
+    signature row) that the NULL-hash oracle then drops. Pre-measured
+    exact parity in ``tests/test_r11_premeasure.py``; no fixture has
+    NULL text at any SF, so current attestations are honest."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 

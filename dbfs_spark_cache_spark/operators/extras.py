@@ -322,6 +322,16 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
     One shuffle on o_custkey; the frame is per-customer and bounded by
     order count. Tie-break on o_orderkey keeps the frame order (and so
     nth_value) engine-deterministic.
+
+    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
+    NULL o_orderdate the engines DIVERGE — Spark's ascending window
+    orders NULLS FIRST, DuckDB NULLS LAST, so first/last/nth_value all
+    shift for every row of an affected customer (the sessionization
+    NULL-ordering class). Fix when due:
+    ``F.col("o_orderdate").asc_nulls_last()`` on the Spark window
+    (DuckDB's ASC default is already NULLS LAST); pre-measured exact
+    parity in ``tests/test_r11_premeasure.py``. No fixture has a NULL
+    order date at any SF (verified).
     """
     orders = load_table(spark, sf, "orders")
     w = (
@@ -368,6 +378,16 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one grouped aggregation over the fact (map-side partials),
     then the tiny per-group stats table broadcast back onto the fact rows —
     the same one-shuffle + broadcast pattern as the tf-idf scorer.
+
+    QUEUED FOR R11 (this query's due slot; r9 third review batch): a
+    value of magnitude >= ~1e9 CRASHES the sum-of-squares cast — value^2
+    needs 19+ integer digits, over DECIMAL(30,12)'s 18 — under ANSI
+    mode, on BOTH engines (one corrupt reading kills the pass). Fix
+    when due: widen the x^2 power sum to DECIMAL(38,12) on both engines
+    (raises the per-value bound to |v| < ~1e13, keeps the
+    association-independent exactness); pre-measured exact parity in
+    ``tests/test_r11_premeasure.py``. No fixture value reaches 1e9 at
+    any SF (verified).
     """
     events = load_table(spark, sf, "events")
     stats = events.groupBy("event_type").agg(

@@ -162,7 +162,18 @@ def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     funnel is value-checked end-to-end; monotonicity + cache-reuse asserted
     in tests/test_operators_pipeline.py. At 100 TB this staging is the
     difference between one recompute-heavy mega-plan (the documents scan
-    re-read by three consumers) and three linear passes."""
+    re-read by three consumers) and three linear passes.
+
+    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
+    NULL-text document the engines DIVERGE at the quality gate — the
+    Spark side reuses quality_filter, whose CASE falls through to
+    'keep' on NULL features, while this oracle re-expresses the gate as
+    a WHERE conjunction where NULL comparisons exclude the row (one
+    survivor more on Spark). Fix when due: ``WHERE text IS NOT NULL``
+    at the funnel head on BOTH engines (a dedup funnel over unreadable
+    docs is meaningless — the multimodal contract); pre-measured exact
+    parity in ``tests/test_r11_premeasure.py``. No fixture has NULL
+    text at any SF (verified)."""
     from .dedup import lsh_candidate_pairs, minhash_signatures
 
     quality = quality_filter(spark, sf).where(F.col("verdict") == "keep")

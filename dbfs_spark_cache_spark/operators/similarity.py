@@ -400,6 +400,16 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     distributed Lloyd step (centroid state is k x dim integers, nothing
     accumulates on the driver). Iterations are unrolled (fixed 2) rather
     than convergence-looped so the whole computation stays one lazy plan.
+
+    QUEUED FOR R11 (this query's due slot; r9 third review batch): a
+    vector whose magnitude exceeds the micro-unit quantization domain
+    (|x| >= ~9.2e12 with _KM_Q = 1e6) CRASHES Spark's ANSI
+    double->bigint cast — one corrupt embedding kills the pass (the r8
+    ANSI-crash class). Fix when due: exclude unquantizable vectors on
+    BOTH engines (``array_max(|x|) < 9.2e18 / _KM_Q`` — also drops NULL
+    embeddings via three-valued logic); pre-measured exact parity in
+    ``tests/test_r11_premeasure.py``. No fixture vector comes within 9
+    orders of magnitude of the bound (verified at every SF).
     """
     from pyspark.sql import Window as W
 
@@ -492,6 +502,14 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     explode, no shuffle); fuses into the scan. Float->double promotion is
     IEEE-identical in Spark and DuckDB, so round() sees the same double on
     both engines; q_min/q_max also pin the [-127, 127] range.
+
+    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
+    NULL embedding the engines DIVERGE — Spark carries the row with
+    NULL dim/scale/q_sum while the oracle's list aggregates resolve it
+    differently. Fix when due: ``WHERE embedding IS NOT NULL`` on BOTH
+    engines (an absent vector has no quantization); pre-measured exact
+    parity in ``tests/test_r11_premeasure.py``. No fixture has a NULL
+    embedding at any SF (verified).
     """
     emb = load_table(spark, sf, "embeddings")
     scale = F.array_max(

@@ -1,0 +1,418 @@
+"""Pre-measurement for the r11-queued hostile-input fixes (r9 third
+review batch: a two-engine probe of the ENTIRE r8-vintage cohort — all
+50 members — on poisoned fixtures; exact notes in each operator's
+docstring).
+
+Each test builds the PROPOSED r11 variant inline — the registered
+operators are untouched, so no rotation slot is spent — and proves on a
+hostile fixture that (a) the current shape crashes or diverges between
+engines exactly as diagnosed, and (b) the proposed fix restores exact
+parity. At r11, landing each fix is then a mechanical edit: apply the
+diff these tests encode, move the name into _CHANGED, selfcheck.
+
+Findings (all fixture-invisible — zero hostile rows at every SF,
+verified):
+
+- dedup_minhash_lsh / dedup_token_jaccard / dedup_incremental_vs_corpus:
+  DuckDB's concat skips NULL, so the portable-hash oracle emits a bare
+  '0x' whose BIGINT cast CRASHES on a NULL-text doc — and Spark still
+  SIGNS that doc. Fix: '0x' || ... (NULL-propagating) + WHERE text IS
+  NOT NULL at the corpus head on both engines.
+- embedding_kmeans_assign: |x| >= 9.2e18/_KM_Q overflows the ANSI
+  bigint quantization cast (crash). Fix: exclude unquantizable vectors
+  on both engines.
+- embedding_quantize_int8: NULL embedding row carried with NULL stats
+  on Spark, resolved differently by the oracle. Fix: exclude NULL
+  embeddings on both engines.
+- window_value_frames: NULL o_orderdate orders NULLS FIRST on Spark,
+  NULLS LAST on DuckDB — first/last/nth shift for the whole customer.
+  Fix: asc_nulls_last on the Spark window.
+- events_value_zscore: value^2 of |v| >= ~1e9 overflows DECIMAL(30,12)
+  under ANSI on both engines (crash). Fix: widen the power sum to
+  DECIMAL(38,12) on both engines.
+- pipeline_dedup_survivors: quality_filter's CASE keeps a NULL-text doc
+  while the funnel oracle's WHERE-form gate drops it. Fix: WHERE text
+  IS NOT NULL at the funnel head on both engines.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+from selfcheck import compare as _selfcheck_compare  # noqa: E402
+
+from pyspark.sql import Window as W  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+def _poisoned_sf(tmp_path, table: str, extra_fn):
+    """Copy the sf0.001 fixture dir and append schema-preserving hostile
+    rows to one table; returns (sf_dir, duckdb connection over it)."""
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        shutil.copy(f, sf)
+    t = pq.read_table(f"{sf}/{table}.parquet")
+    pdf = t.to_pandas()
+    merged = pd.concat([pdf, extra_fn(pdf)], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(merged, schema=t.schema, preserve_index=False),
+        f"{sf}/{table}.parquet",
+    )
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'")
+    return sf, con
+
+
+def _null_text_docs(pdf):
+    return pd.DataFrame(
+        [
+            {**pdf.iloc[0].to_dict(), "doc_id": 980001, "text": None},
+            {**pdf.iloc[1].to_dict(), "doc_id": 980002, "text": ""},
+        ]
+    )
+
+
+def test_minhash_oracle_r11_fix_survives_null_text(spark, tmp_path, monkeypatch):
+    """The dedup-family oracle crash + the one-extra-Spark-pair drift,
+    and the combined fix ('||' + NULL-text exclusion) reaching parity."""
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FAMILY", "portable")
+    sf, con = _poisoned_sf(tmp_path, "documents", _null_text_docs)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbfs_spark_cache_spark.sources import load_table
+
+    # (a) current oracle CRASHES ('0x' cast); current Spark still runs
+    # AND signs the NULL-text doc
+    got_current = QUERIES["dedup_minhash_lsh"](spark, sf).toPandas()
+    assert got_current is not None
+    with pytest.raises(Exception, match="0x"):
+        con.execute(ORACLES["dedup_minhash_lsh"]).fetchdf()
+    n_null_sig = (
+        minhash_signatures(load_table(spark, sf, "documents"))
+        .where(F.col("doc_id") == 980001)
+        .count()
+    )
+    assert n_null_sig == 1, "diagnosis: Spark signs the NULL-text doc"
+
+    # (b) proposed r11 variant on both engines
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), threshold=0.5)
+    fixed = pairs.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).toPandas()
+    fixed_oracle = ORACLES["dedup_minhash_lsh"].replace(
+        "CAST(concat('0x', substr(md5(", "CAST(('0x' || substr(md5("
+    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
+    fixed_duck = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("dedup_minhash_lsh_r11", fixed, fixed_duck)
+    assert not problems, problems
+
+
+def test_kmeans_r11_fix_survives_unquantizable_vector(spark, tmp_path):
+    """One 1e20-magnitude vector crashes the ANSI bigint quantization;
+    the domain-bound exclusion restores exact parity."""
+
+    def poison(pdf):
+        dim = len(pdf["embedding"].iloc[0])
+        return pd.DataFrame(
+            [
+                {
+                    **pdf.iloc[0].to_dict(),
+                    "vec_id": 960002,
+                    "embedding": None,
+                },
+                {
+                    **pdf.iloc[2].to_dict(),
+                    "vec_id": 960003,
+                    "embedding": np.full(dim, 1e20, dtype="float32"),
+                },
+            ]
+        )
+
+    sf, con = _poisoned_sf(tmp_path, "embeddings", poison)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.operators.similarity import (
+        _KM_DIM,
+        _KM_K,
+        _KM_Q,
+    )
+
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        QUERIES["embedding_kmeans_assign"](spark, sf).toPandas()
+
+    bound = 9.2e18 / _KM_Q
+    quant = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .where(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+            < F.lit(bound)
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> cast(round(cast(x as double) "
+                f"* {_KM_Q}, 0) as bigint))"
+            ).alias("q"),
+        )
+    )
+    init = quant.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("q").alias("cs"),
+        F.lit(1).cast("long").alias("cn"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, cs, (x, s) -> "
+        "(cast(x as double) - cast(s as double) / cn) "
+        "* (cast(x as double) - cast(s as double) / cn)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+    def assign(centroids):
+        w = W.partitionBy("vec_id").orderBy("d", "cluster")
+        return (
+            quant.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "q", "cluster", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    a1 = assign(init)
+    sums = [
+        F.sum(F.element_at("q", d + 1)).alias(f"s{d}") for d in range(_KM_DIM)
+    ]
+    c1 = (
+        a1.groupBy("cluster")
+        .agg(*sums, F.count(F.lit(1)).alias("cn"))
+        .select(
+            "cluster",
+            F.array(*[F.col(f"s{d}") for d in range(_KM_DIM)]).alias("cs"),
+            "cn",
+        )
+    )
+    fixed = (
+        assign(c1)
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.col("d") / (float(_KM_Q) * _KM_Q), 6).alias("dist2"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        ORACLES["embedding_kmeans_assign"].replace(
+            "FROM embeddings",
+            "FROM embeddings WHERE "
+            f"list_max(list_transform(embedding, x -> abs(x))) < {bound}",
+            1,
+        )
+    ).fetchdf()
+    problems = _selfcheck_compare("embedding_kmeans_assign_r11", fixed, fixed_duck)
+    assert not problems, problems
+
+
+def test_quantize_r11_fix_excludes_null_embeddings(spark, tmp_path):
+    def poison(pdf):
+        return pd.DataFrame(
+            [{**pdf.iloc[0].to_dict(), "vec_id": 960002, "embedding": None}]
+        )
+
+    sf, con = _poisoned_sf(tmp_path, "embeddings", poison)
+    from dbfs_spark_cache_spark.operators import ORACLES
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+        "double"
+    )
+    with_scale = emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        scale.alias("scale"),
+        "embedding",
+    )
+    quantize = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * 127.0 / F.col("scale")).cast("long"),
+        ),
+    ).otherwise(F.transform("embedding", lambda x: F.lit(0).cast("long")))
+    fixed = (
+        with_scale.withColumn("qv", quantize)
+        .select(
+            "vec_id",
+            "dim",
+            "scale",
+            F.aggregate(
+                "qv", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("q_sum"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        ORACLES["embedding_quantize_int8"].replace(
+            "FROM embeddings", "FROM embeddings WHERE embedding IS NOT NULL"
+        )
+    ).fetchdf()
+    problems = _selfcheck_compare("embedding_quantize_int8_r11", fixed, fixed_duck)
+    assert not problems, problems
+
+
+def test_value_frames_r11_fix_orders_nulls_last(spark, tmp_path):
+    def poison(pdf):
+        e = pdf.head(2).copy()
+        e["o_orderkey"] = [990001, 990002]
+        e["o_orderdate"] = [pd.NaT, pdf["o_orderdate"].iloc[0]]
+        return e
+
+    sf, con = _poisoned_sf(tmp_path, "orders", poison)
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) current shapes diverge (NULLS FIRST vs LAST)
+    got = QUERIES["window_value_frames"](spark, sf).toPandas()
+    duck = con.execute(ORACLES["window_value_frames"]).fetchdf()
+    assert _selfcheck_compare("window_value_frames_current", got, duck), (
+        "expected the NULL-date ordering divergence; if this now matches, "
+        "the fix landed — retire this half"
+    )
+
+    # (b) proposed fix: asc_nulls_last on the Spark window
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    fixed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderdate").over(w).alias("first_order_ts"),
+        F.last("o_orderdate").over(w).alias("last_order_ts"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+    ).toPandas()
+    problems = _selfcheck_compare("window_value_frames_r11", fixed, duck)
+    assert not problems, problems
+
+
+def test_zscore_r11_fix_widens_power_sum(spark, tmp_path):
+    def poison(pdf):
+        return pd.DataFrame(
+            [{**pdf.iloc[0].to_dict(), "event_id": 970001, "value": -1e9}]
+        )
+
+    sf, con = _poisoned_sf(tmp_path, "events", poison)
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    with pytest.raises(Exception, match="Decimal|DECIMAL|NUMERIC"):
+        QUERIES["events_value_zscore"](spark, sf).toPandas()
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    std = F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    fixed = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("value") - mean) / F.nullif(std, F.lit(0.0)), 6
+            ).alias("value_z"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        ORACLES["events_value_zscore"].replace("DECIMAL(30,12)", "DECIMAL(38,12)")
+    ).fetchdf()
+    problems = _selfcheck_compare("events_value_zscore_r11", fixed, fixed_duck)
+    assert not problems, problems
+
+
+def test_survivors_r11_fix_drops_null_text_at_funnel_head(
+    spark, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("SPARK_GRAFT_HASH_FAMILY", "portable")
+    sf, con = _poisoned_sf(tmp_path, "documents", _null_text_docs)
+
+    from dbfs_spark_cache_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbfs_spark_cache_spark.operators.pipeline import (
+        _funnel_oracle,
+        quality_filter,
+    )
+    from dbfs_spark_cache_spark.sources import load_table
+
+    quality = quality_filter(spark, sf).where(F.col("verdict") == "keep")
+    # (a) diagnosis: the CASE-form gate keeps the NULL-text doc
+    assert quality.where(F.col("doc_id") == 980001).count() == 1
+
+    # (b) proposed fix: NULL-text excluded at the funnel head, both engines
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .join(quality.select("doc_id"), "doc_id", "left_semi")
+    )
+    exact_keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_survivors = docs.join(
+        exact_keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+    losers = (
+        lsh_candidate_pairs(minhash_signatures(exact_survivors))
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    fixed = (
+        exact_survivors.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        _funnel_oracle().replace(
+            "FROM documents", "FROM documents WHERE text IS NOT NULL", 1
+        )
+    ).fetchdf()
+    problems = _selfcheck_compare("pipeline_dedup_survivors_r11", fixed, fixed_duck)
+    assert not problems, problems
