@@ -97,7 +97,29 @@ _CHANGED: list[str] = [
     # this round — slot-neutral). Pre-measured at r8 end and re-verified
     # exact at r9 via scripts/selfcheck.py: 25 rows at sf0.01, 256 at
     # sf0.1, identical pair sets; the oracle replays the same geometry.
+    # r9 late-round hostile probe additionally gave it the NULL-text
+    # exclusion (both engines; the portable-hash oracle crashed on
+    # DuckDB's '0x' NULL-concat artifact) — fixture-identical.
     "dedup_ngram_jaccard",
+    # r9 late-round hostile probe of this very window (all 50 due
+    # queries run two-engine on poisoned fixtures): six more members
+    # carried fixture-invisible divergences/crashes, fixed in their own
+    # due slots (rule 2b — slot-neutral) and re-attested exact at
+    # sf0.01 AND sf0.1 via scripts/selfcheck.py post-change. Hostile
+    # parity pinned in tests/test_r9_window_fixes.py.
+    # NULLS-LAST event/year ordering (Spark default NULLS FIRST
+    # diverged from the oracles' NULLS LAST) + NULLIF zero-revenue
+    # guard (ANSI DIVIDE_BY_ZERO crash):
+    "orders_year_over_year",
+    "window_lag_lead",
+    "window_running_frames",
+    # banded-rank helper's partition joins made null-safe (NULL
+    # partition keys silently DROPPED — diverging from both SQL
+    # PARTITION BY and Spark's own window):
+    "window_ntile_cume",
+    # NULL-text exclusion on both engines (the '0x' oracle crash class):
+    "split_contamination_check",
+    "text_rolling_hash_shingles",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -176,6 +198,16 @@ _CHANGED_HELPER: list[str] = [
     # r7: oracle CONCAT -> CONCAT_WS (NULL-semantics alignment with the
     # Spark side; fixture part columns are never NULL):
     "fn_string",
+    # r9 late-round window fix: distributed_global_percentiles' internal
+    # partition joins became null-safe (<=>) so NULL partition keys form
+    # their own group instead of silently dropping (matches SQL
+    # PARTITION BY and Spark's own window). Fixture-identical — no NULL
+    # partition key exists in any fixture at any SF (verified); both
+    # helper consumers re-attested exact at sf0.01 via
+    # scripts/selfcheck.py. window_percentiles is r7-vintage (re-attests
+    # r10), events_anomaly_mad r8 (r11):
+    "window_percentiles",
+    "events_anomaly_mad",
     # r6: stat-failure fallback marker now unmatchable + logged instead
     # of silently path-only (stat always succeeds locally). r8 second
     # review: the marker's id(object()) was reused across calls, so it

@@ -123,7 +123,8 @@ def agg_count_if_filtered(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT order_year, revenue, n_orders,
            LAG(revenue) OVER (ORDER BY order_year) AS prev_revenue,
-           revenue / LAG(revenue) OVER (ORDER BY order_year) AS growth_ratio
+           revenue / NULLIF(LAG(revenue) OVER (ORDER BY order_year), 0)
+               AS growth_ratio
     FROM yr
     """,
 )
@@ -133,7 +134,16 @@ def orders_year_over_year(spark: SparkSession, sf: str) -> DataFrame:
     aggregation (one fact shuffle); the window runs over a handful of
     year rows, so the unpartitioned ORDER BY is bounded by the calendar,
     not the corpus. Revenue sums over DECIMAL; the ratio divides two
-    exact-decimal-derived doubles, so it is bit-stable."""
+    exact-decimal-derived doubles, so it is bit-stable.
+
+    Hostile contract (r9 window fix, landed in this query's own due
+    slot; fixture-identical — no NULL order date and no zero-revenue
+    year exists at any SF): a NULL-date year group orders NULLS LAST on
+    both engines (Spark's default NULLS FIRST silently re-chained every
+    year's prev_revenue relative to the oracle), and a zero-revenue
+    previous year yields a NULL growth_ratio via NULLIF instead of an
+    ANSI DIVIDE_BY_ZERO that kills the query (the r8 crash class —
+    decimal-derived doubles take the ANSI division path)."""
     orders = load_table(spark, sf, "orders")
     yr = orders.groupBy(
         F.year("o_orderdate").cast("bigint").alias("order_year")
@@ -141,14 +151,14 @@ def orders_year_over_year(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(dec(F.col("o_totalprice"), 6)).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = W.orderBy("order_year")
+    w = W.orderBy(F.col("order_year").asc_nulls_last())
     prev = F.lag("revenue").over(w)
     return yr.select(
         "order_year",
         "revenue",
         "n_orders",
         prev.alias("prev_revenue"),
-        (F.col("revenue") / prev).alias("growth_ratio"),
+        (F.col("revenue") / F.nullif(prev, F.lit(0.0))).alias("growth_ratio"),
     )
 
 

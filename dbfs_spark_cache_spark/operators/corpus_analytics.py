@@ -261,7 +261,7 @@ def _split_bucket_sql(engine_h62) -> str:
         SELECT doc_id, text,
                {duck_h62("concat('split:', CAST(doc_id AS VARCHAR))")} % 100
                    AS bucket
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     toks AS (
         SELECT doc_id, bucket, string_split(text, ' ') AS toks FROM split
@@ -311,8 +311,14 @@ def split_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     the standard decontamination shape (hash-partition the n-gram space).
     Shingle sets are list_distinct-ed map-side, bounding work per doc at
     its token count.
+
+    NULL-text contract (r9 window fix, this query's due slot;
+    fixture-identical — no NULL text at any SF): unreadable documents
+    are excluded on BOTH engines. Without the filter the Spark side
+    hashed an empty synthetic shingle for the NULL doc while the
+    portable-hash oracle crashed on DuckDB's '0x' NULL-concat artifact.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     return contamination_report(docs)
 
 

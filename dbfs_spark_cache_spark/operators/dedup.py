@@ -630,7 +630,12 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=_verify_oracle(_NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25),
+    # The replace scopes the NULL-text exclusion to THIS query's oracle
+    # string (both its shingle-candidate and gram-set CTEs) without
+    # touching the shared CTE constants other (non-due) queries embed.
+    oracle=_verify_oracle(
+        _NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25
+    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character 5-gram Jaccard verification of MinHash-LSH candidates
@@ -654,10 +659,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     longs; the DuckDB oracle reproduces both stages (including the band
     geometry) bit-for-bit. Threshold 0.25 is fixture-calibrated; real
     corpora use ~0.8.
+
+    NULL-text contract (r9 window fix, this query's due slot;
+    fixture-identical — no NULL text at any SF): unreadable documents
+    are excluded on BOTH engines. Without the filter the portable-hash
+    oracle emits a bare '0x' (DuckDB concat skips NULL) whose BIGINT
+    cast crashes the whole verification, while Spark still signs the
+    doc — the duck_h62 '||' hardening queued for r11 closes the crash
+    class for the remaining (r8-vintage) dedup consumers.
     """
     prefix = "substring(text, 1, 120)"
     gram62 = h62_sql(f"substring({prefix}, i, 5)")
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     sets = docs.select(
         "doc_id",
         F.array_distinct(

@@ -766,8 +766,15 @@ def window_rank_dense(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag/lead neighbor references per user. NULLS LAST on the event
+    time (r9 window fix, this query's due slot; fixture-identical — no
+    NULL ts at any SF): Spark's ascending default is NULLS FIRST while
+    the oracle's is NULLS LAST, so a NULL-ts straggler silently shifted
+    every neighbor reference in its user's partition."""
     events = load_table(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return events.select(
         "event_id",
         "user_id",
@@ -791,15 +798,21 @@ def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
 )
 def window_running_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-based analytics: cumulative and sliding windows. DECIMAL inside
-    the frame keeps the running sum exact and order-independent."""
+    the frame keeps the running sum exact and order-independent. NULLS
+    LAST on the event time (r9 window fix, this query's due slot;
+    fixture-identical — no NULL ts at any SF): Spark's NULLS-FIRST
+    default put a NULL-ts straggler at the head of its user's frames
+    while the oracle puts it at the tail, changing the membership of
+    every nearby sliding frame."""
     events = load_table(spark, sf, "events")
     dec_val = F.col("value").cast("decimal(22,6)")
+    order = [F.col("ts").asc_nulls_last(), F.col("event_id")]
     w_cum = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    w3 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    w3 = W.partitionBy("user_id").orderBy(*order).rowsBetween(-2, W.currentRow)
     return events.select(
         "event_id",
         "user_id",

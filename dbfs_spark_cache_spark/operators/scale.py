@@ -126,7 +126,13 @@ def distributed_global_percentiles(
     NULL contract: ``Window.orderBy`` ranks NULLs first (ascending), so
     NULL values get their own lowest bucket. Without that, ``F.least``
     skips NULL operands and ``least(n_buckets-1, floor(NULL))`` would
-    silently rank NULL rows at the TOP.
+    silently rank NULL rows at the TOP. A NULL PARTITION KEY forms its
+    own group — ``Window.partitionBy`` and SQL ``PARTITION BY`` both
+    group NULLs together — so every internal join on ``partition_cols``
+    is null-safe (``<=>``); plain equality silently DROPPED rows whose
+    partition key is NULL (r9 window fix: the banded form diverged from
+    both the plain-window form and the oracle on such rows; still a
+    hash-equi join, so the broadcast plan shape is unchanged).
 
     ``count_col`` additionally emits each row's (partition-)total N —
     already computed internally for the rank arithmetic, so consumers
@@ -154,11 +160,25 @@ def distributed_global_percentiles(
             F.least(F.lit(n_buckets - 1), F.floor((v - F.col("__lo")) / step))
         )
     )
-    joined = (
-        df.join(F.broadcast(bounds), parts)
-        if parts
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    def _ns_cond(left_alias: str, right_alias: str):
+        from functools import reduce as _r
+
+        return _r(
+            lambda a, b: a & b,
+            [
+                F.col(f"{left_alias}.{p}").eqNullSafe(F.col(f"{right_alias}.{p}"))
+                for p in parts
+            ],
+        )
+
+    if parts:
+        joined = (
+            df.alias("l")
+            .join(F.broadcast(bounds.alias("r")), _ns_cond("l", "r"))
+            .select("l.*", "r.__lo", "r.__hi")
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     bucketed = joined.withColumn("__bucket", bucket.cast("int")).drop(
         "__lo", "__hi"
     )
@@ -172,7 +192,7 @@ def distributed_global_percentiles(
         totals = counts.agg(F.sum("__cnt").alias("__n"))
     from functools import reduce as _reduce
 
-    same_part = [F.col(f"a.{p}") == F.col(f"b.{p}") for p in parts]
+    same_part = [F.col(f"a.{p}").eqNullSafe(F.col(f"b.{p}")) for p in parts]
     cond = _reduce(
         lambda a, b: a & b, same_part + [F.col("b.__bucket") < F.col("a.__bucket")]
     )
@@ -203,12 +223,23 @@ def distributed_global_percentiles(
     ).otherwise(rem + F.floor((rn - rem * (tile_sz + 1) - 1) / tile_sz) + 1)
 
     out_cols = list(df.columns)
-    with_offsets = bucketed.join(F.broadcast(offsets), [*parts, "__bucket"])
-    with_totals = (
-        with_offsets.join(F.broadcast(totals), parts)
-        if parts
-        else with_offsets.crossJoin(F.broadcast(totals))
-    )
+    if parts:
+        off_cond = _ns_cond("l", "r") & (
+            F.col("l.__bucket") == F.col("r.__bucket")
+        )
+        with_offsets = (
+            bucketed.alias("l")
+            .join(F.broadcast(offsets.alias("r")), off_cond)
+            .select("l.*", "r.__offset")
+        )
+        with_totals = (
+            with_offsets.alias("l")
+            .join(F.broadcast(totals.alias("r")), _ns_cond("l", "r"))
+            .select("l.*", "r.__n")
+        )
+    else:
+        with_offsets = bucketed.join(F.broadcast(offsets), ["__bucket"])
+        with_totals = with_offsets.crossJoin(F.broadcast(totals))
     extra = [n.cast("long").alias(count_col)] if count_col else []
     return with_totals.select(
         *out_cols,

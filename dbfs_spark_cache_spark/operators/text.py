@@ -261,7 +261,8 @@ def _rolling_hash_oracle() -> str:
 
     shingle = "array_to_string(list_slice(toks, i + 1, i + 5), ' ')"
     return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
     hs AS (
         SELECT doc_id,
                list_transform(generate_series(0, greatest(len(toks) - 5, 0)),
@@ -283,10 +284,16 @@ def text_rolling_hash_shingles(spark: SparkSession, sf: str) -> DataFrame:
     xxhash64 in production, md5-portable under the driver so the DuckDB
     oracle reproduces every fingerprint bit-for-bit.
     The shingle-hash array is materialized once and min/max/size read it;
-    tokenization is staged into a column so split() runs once per row."""
+    tokenization is staged into a column so split() runs once per row.
+
+    NULL-text contract (r9 window fix, this query's due slot;
+    fixture-identical — no NULL text at any SF): unreadable documents
+    are excluded on BOTH engines; without the filter Spark fingerprinted
+    a synthetic empty shingle for the NULL doc while the portable-hash
+    oracle crashed on DuckDB's '0x' NULL-concat artifact."""
     from .dedup import h62_sql
 
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     shingle_sql = h62_sql("concat_ws(' ', slice(toks, i + 1, 5))")
     shingles = F.expr(
         f"transform(sequence(0, greatest(size(toks) - 5, 0)), i -> {shingle_sql})"
