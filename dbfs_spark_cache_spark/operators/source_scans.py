@@ -92,7 +92,9 @@ def _ensure_sidecar(
     "scan_json_source",
     oracle=f"""
     SELECT s_suppkey, s_name, s_nationkey, s_acctbal
-    FROM read_json_auto('{_JSON_DIR}/*.json')
+    FROM read_json('{_JSON_DIR}/*.json', format='newline_delimited',
+                   columns={{'s_suppkey': 'BIGINT', 's_name': 'VARCHAR',
+                             's_nationkey': 'BIGINT', 's_acctbal': 'DOUBLE'}})
     WHERE s_acctbal > 0
     """,
 )
@@ -102,7 +104,14 @@ def scan_json_source(spark: SparkSession, sf: str) -> DataFrame:
     embedded types, so production reads pin the schema instead of paying
     an inference pass over 100 TB). DuckDB reads the identical files, so
     the oracle checks the whole serialize -> parse path, not just the
-    relational tail."""
+    relational tail.
+
+    The oracle declares the same explicit columns (r9 zero-row probe):
+    ``read_json_auto`` over an EMPTY sidecar — the "no data for this
+    partition/day" production shape — has nothing to infer from and
+    fails to bind the projected columns, while the schema-pinned Spark
+    read correctly returns zero rows. Explicit columns (the CSV twin's
+    existing contract) make both engines return the empty relation."""
     supplier = load_table(spark, sf, "supplier").select(
         "s_suppkey", "s_name", F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
         "s_acctbal",
