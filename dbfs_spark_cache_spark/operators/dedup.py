@@ -101,6 +101,17 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     vertical tab, so a document containing U+000B would fingerprint
     differently per engine under the shorthand — the kind of silent
     cross-engine drift a content fingerprint cannot afford.
+
+    QUEUED r10 (its due slot; r9 Unicode probe, pre-measure in
+    tests/test_r10_premeasure.py): ``lower`` itself carries the same
+    class of drift — Spark's LOWER is Java's FULL lowercase mapping
+    (U+0130 İ -> i + combining dot; capital sigma lowers CONTEXTUALLY
+    to final ς at word end) while DuckDB's utf8proc SIMPLE mapping
+    gives İ -> i and σ everywhere. Those two are the only full-vs-
+    simple lowercase divergences in Unicode (SpecialCasing.txt), so the
+    fix pins them explicitly on BOTH engines:
+    ``translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')``.
+    Fixture-identical: fixture text is pure ASCII at every SF.
     """
     docs = load_table(spark, sf, "documents")
     normalized = F.lower(

@@ -295,6 +295,17 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation over lineitem.
+
+    QUEUED r11 (its due slot, with agg_rollup / agg_grouping_sets; r9
+    zero-row probe, pre-measure in tests/test_r11_premeasure.py): on
+    EMPTY input Spark's grouping-sets expansion emits ZERO rows while
+    DuckDB (SQL standard) emits the grand-total ``()`` row (count 0,
+    NULL aggregates). Fix is oracle-only: append ``HAVING COUNT(*) > 0``
+    — no non-empty group can have count 0, so populated fixtures are
+    byte-identical, and the standard's empty-input row is exactly the
+    one Spark never emits. Fixture-identical (all tables non-empty at
+    every SF)."""
     li = load_table(spark, sf, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -314,6 +325,9 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation over orders. QUEUED r11: same empty-input
+    grand-total-row oracle alignment as agg_cube (see its docstring;
+    pre-measure in tests/test_r11_premeasure.py)."""
     orders = load_table(spark, sf, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
@@ -332,6 +346,11 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS aggregation over orders (same SQL text on both
+    engines — the empty-input divergence is engine semantics, not query
+    drift). QUEUED r11: same grand-total-row oracle alignment as
+    agg_cube (see its docstring; pre-measure in
+    tests/test_r11_premeasure.py)."""
     register_views(spark, sf, ["orders"])
     return spark.sql(
         """
@@ -1063,6 +1082,19 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fn_string(spark: SparkSession, sf: str) -> DataFrame:
+    """String scalar-function family over part.
+
+    QUEUED r10 (its due slot; r9 Unicode probe, pre-measure in
+    tests/test_r10_premeasure.py): ``name_upper`` diverges on
+    non-trivially-cased input — Spark's UPPER is Java's FULL case
+    mapping (ﬁ -> "FI" expands, ß -> "SS") while DuckDB's is utf8proc's
+    SIMPLE per-codepoint mapping (ﬁ stays, ß -> ẞ). Fix: pin
+    ``name_upper`` to the portable ASCII mapping —
+    ``translate(p_name, a-z, A-Z)`` on BOTH engines (the portable-hash-
+    family precedent: full Unicode case mapping is library-defined, not
+    part of the cross-engine contract; non-ASCII passes through
+    untouched on both). Fixture-identical: every fixture p_name /
+    p_brand / p_type is pure ASCII at every SF (verified)."""
     part = load_table(spark, sf, "part")
     return part.select(
         "p_partkey",

@@ -468,7 +468,20 @@ def canonical_clean(col="text"):
     md5 is only comparable to ``clean_md5`` because these expressions are
     character-identical, so the chain must never fork (an inline copy
     silently diverges the first time one side is fixed — the r7
-    regex-drift class)."""
+    regex-drift class).
+
+    QUEUED r11 (r9 Unicode probe, pre-measure in
+    tests/test_r11_premeasure.py): Spark's LOWER (Java FULL mapping)
+    turns U+0130 İ into i + a COMBINING dot, which the strip step then
+    replaces with a SPACE ('İstanbul' -> 'i stanbul'), while DuckDB's
+    simple mapping gives 'istanbul' — different md5, length AND token
+    count. Fix: fold İ -> i BEFORE lowering on BOTH engines —
+    ``F.lower(F.translate(col, 'İ', 'i'))`` here and
+    ``lower(translate(text, 'İ', 'i'))`` in the two oracles that inline
+    this chain (text_clean_normalize and the pipeline_training_corpus
+    capstone — both r8-vintage, due together at r11). Final sigma needs
+    no handling: σ/ς strip to spaces identically either way.
+    Fixture-identical: fixture text is pure ASCII at every SF."""
     return F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), "  +", " "

@@ -7,6 +7,12 @@ hostile NULL-ts fixture that (a) the current shape diverges between
 engines exactly as diagnosed, and (b) the proposed fix restores exact
 parity. At r10, landing the fix is then a mechanical edit: apply the
 diff these tests encode, move the name into _CHANGED, selfcheck.
+
+r9 fourth batch (Unicode probe) appended two more queued findings, both
+in the Java-full-vs-utf8proc-simple case-mapping dialect gap:
+fn_string's UPPER (pin name_upper to portable ASCII translate on both
+engines) and dedup_fingerprint's LOWER (fold İ and final sigma
+explicitly on both engines). Notes in the operator docstrings.
 """
 from __future__ import annotations
 
@@ -463,3 +469,187 @@ def test_window_percentiles_r10_fix_restores_null_value_parity(spark, tmp_path):
     ).fetchdf()
     problems = _selfcheck_compare("window_percentiles_r10", fixed, fixed_duck)
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# r9 fourth batch: Unicode-hostile probe findings (case-mapping dialect)
+# ---------------------------------------------------------------------------
+
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def test_fn_string_r10_fix_restores_case_mapping_parity(spark, tmp_path):
+    """Pre-measure the r10-queued fn_string portable-uppercase fix (r9
+    Unicode probe; note in relational.py): Spark's UPPER is Java's FULL
+    case mapping (ligature fi -> "FI" expands, sharp-s -> "SS") while
+    DuckDB's is utf8proc's SIMPLE per-codepoint mapping (the ligature
+    has no single-codepoint uppercase and stays; sharp-s maps to capital
+    sharp-s U+1E9E) — a value divergence on any non-trivially-cased
+    name. The proposed fix pins name_upper to the portable ASCII
+    mapping, translate(a-z -> A-Z) on BOTH engines (the portable-hash-
+    family precedent: full Unicode case mapping is library-defined and
+    not part of the cross-engine contract; non-ASCII passes through
+    untouched on both)."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    src = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    rows = pd.concat(
+        [
+            src.head(3),
+            pd.DataFrame(
+                [
+                    {**src.iloc[0].to_dict(), "p_partkey": 990301,
+                     "p_name": "ﬁne ﬂoral tin"},
+                    {**src.iloc[1].to_dict(), "p_partkey": 990302,
+                     "p_name": "straße brass bolt"},
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    rows.to_parquet(f"{tmp_path}/part.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'")
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT registered shapes diverge exactly as diagnosed
+    got = QUERIES["fn_string"](spark, str(tmp_path)).toPandas()
+    duck_pdf = con.execute(ORACLES["fn_string"]).fetchdf()
+    s_up = got.set_index("p_partkey")["name_upper"]
+    d_up = duck_pdf.set_index("p_partkey")["name_upper"]
+    assert s_up[990301] == "FINE FLORAL TIN"          # Java full mapping
+    assert d_up[990301] == "ﬁNE ﬂORAL TIN"  # utf8proc simple
+    assert s_up[990302] == "STRASSE BRASS BOLT"
+    assert d_up[990302] == "STRAẞE BRASS BOLT"
+
+    # (b) the PROPOSED r10 variant: portable ASCII uppercase both sides
+    fixed = (
+        spark.read.parquet(f"{tmp_path}/part.parquet")
+        .select(
+            "p_partkey",
+            F.translate("p_name", _AZ, _AZ.upper()).alias("name_upper"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        f"SELECT p_partkey, translate(p_name, '{_AZ}', '{_AZ.upper()}')"
+        " AS name_upper FROM part"
+    ).fetchdf()
+    problems = _selfcheck_compare("fn_string_r10", fixed, fixed_duck)
+    assert not problems, problems
+    # and on plain-ASCII names the portable mapping IS uppercase
+    assert (
+        fixed.set_index("p_partkey")["name_upper"][990302]
+        == "straße brass bolt".translate(
+            str.maketrans(_AZ, _AZ.upper())
+        )
+    )
+
+    # (c) fixture-invisible: every fixture p_name/p_brand/p_type is pure
+    # ASCII (verified at all SFs), so current attestations are honest
+    ascii_bad = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .where(
+            F.col("p_name").rlike("[^\\x00-\\x7F]")
+            | F.col("p_brand").rlike("[^\\x00-\\x7F]")
+            | F.col("p_type").rlike("[^\\x00-\\x7F]")
+        )
+        .count()
+    )
+    assert ascii_bad == 0
+
+
+def test_dedup_fingerprint_r10_fix_restores_lower_parity(spark, tmp_path):
+    """Pre-measure the r10-queued dedup_fingerprint case-fold alignment
+    (r9 Unicode probe; note in dedup.py): Spark's LOWER is Java's FULL
+    lowercase mapping — dotted capital I (U+0130) becomes i + combining
+    dot (U+0069 U+0307) and capital sigma lowers CONTEXTUALLY to final
+    sigma at word end — while DuckDB's utf8proc simple mapping gives
+    U+0130 -> i and sigma everywhere, so the same document fingerprints
+    differently per engine. Those two are the ONLY full-vs-simple
+    lowercase divergences in Unicode (SpecialCasing.txt lowercase
+    entries), so the proposed fix pins them explicitly on BOTH engines:
+    translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ') — İ folds to
+    plain i before lowering, final sigma folds to σ after."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+
+    src = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = pd.concat(
+        [
+            src.head(3),
+            pd.DataFrame(
+                [
+                    {**src.iloc[0].to_dict(), "doc_id": 990101,
+                     "text": "İstanbul dotted capital"},
+                    {**src.iloc[1].to_dict(), "doc_id": 990102,
+                     "text": "ΣΙΣΥΦΟΣ sigma"},
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    rows.to_parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT registered shapes diverge exactly as diagnosed:
+    # the two hostile docs fingerprint differently per engine
+    got = QUERIES["dedup_fingerprint"](spark, str(tmp_path)).toPandas()
+    duck_pdf = con.execute(ORACLES["dedup_fingerprint"]).fetchdf()
+    s_fp = set(got["fingerprint"])
+    d_fp = set(duck_pdf["fingerprint"])
+    assert len(s_fp ^ d_fp) == 4, (
+        "expected exactly the two hostile docs to fingerprint "
+        "differently per engine; if this now matches, the fix landed — "
+        "retire this half of the test"
+    )
+
+    # (b) the PROPOSED r10 variant reaches exact parity
+    ws = r"[ \t\n\x0B\f\r]+"
+    normalized = F.translate(
+        F.lower(
+            F.trim(F.regexp_replace(F.translate("text", "İ", "i"), ws, " "))
+        ),
+        "ς",
+        "σ",
+    )
+    fixed = (
+        spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .groupBy(F.md5(normalized).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        """
+        SELECT MD5(translate(LOWER(TRIM(REGEXP_REPLACE(
+                   translate(text, 'İ', 'i'),
+                   '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 'ς', 'σ'))
+                   AS fingerprint,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+        """
+    ).fetchdf()
+    problems = _selfcheck_compare("dedup_fingerprint_r10", fixed, fixed_duck)
+    assert not problems, problems
+
+    # (c) fixture-invisible: fixture text is pure ASCII at every SF
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+        == 0
+    )

@@ -33,6 +33,18 @@ verified):
 - pipeline_dedup_survivors: quality_filter's CASE keeps a NULL-text doc
   while the funnel oracle's WHERE-form gate drops it. Fix: WHERE text
   IS NOT NULL at the funnel head on both engines.
+
+r9 fourth batch added two more lenses and two more queued findings:
+
+- agg_cube / agg_rollup / agg_grouping_sets (zero-row probe): Spark's
+  grouping-sets expansion emits ZERO rows on empty input where the SQL
+  standard (DuckDB) emits the grand-total '()' row. Fix is oracle-only:
+  HAVING COUNT(*) > 0 (populated fixtures byte-identical).
+- text_clean_normalize + the shared canonical_clean helper (Unicode
+  probe): Java's full LOWER maps İ to i + combining dot, which the
+  strip step turns into a SPACE, vs DuckDB's simple İ -> i. Fix: fold
+  İ -> i before lowering on both engines (helper + the two oracles
+  that inline the chain, incl. the pipeline_training_corpus capstone).
 """
 from __future__ import annotations
 
@@ -416,3 +428,165 @@ def test_survivors_r11_fix_drops_null_text_at_funnel_head(
     ).fetchdf()
     problems = _selfcheck_compare("pipeline_dedup_survivors_r11", fixed, fixed_duck)
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# r9 fourth batch: zero-row and Unicode probe findings on r8-vintage queries
+# ---------------------------------------------------------------------------
+
+
+def _empty_sf(tmp_path):
+    """Schema-preserving zero-row twin of the fixture dir — the 'no data
+    arrived for this partition/day' production shape."""
+    sf = str(tmp_path / "empty_sf")
+    os.makedirs(sf, exist_ok=True)
+    con = duckdb.connect()
+    for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        name = os.path.basename(f)
+        pq.write_table(pq.read_schema(f).empty_table(), f"{sf}/{name}")
+        con.execute(
+            f"CREATE VIEW {name.removesuffix('.parquet')} AS "
+            f"SELECT * FROM '{sf}/{name}'"
+        )
+    return sf, con
+
+
+def test_grouping_trio_r11_fix_restores_empty_input_parity(spark, tmp_path):
+    """Pre-measure the r11-queued agg_cube/agg_rollup/agg_grouping_sets
+    empty-input alignment (r9 zero-row probe; notes in relational.py):
+    on EMPTY input Spark's grouping-sets expansion (Expand -> Aggregate
+    over a non-empty grouping key list) emits ZERO rows, while DuckDB
+    follows the SQL standard and emits the grand-total '()' row
+    (count 0, NULL aggregates). All three queries emit a COUNT(*)
+    column, so appending HAVING COUNT(*) > 0 to the ORACLE replays
+    Spark's semantics exactly on every input — no non-empty group can
+    have count 0, so populated fixtures are untouched (proved below),
+    and the standard's empty-input row is exactly the one Spark never
+    emits. Oracle-only; the Spark side needs no change."""
+    sf, con = _empty_sf(tmp_path)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    full_con = duckdb.connect()
+    for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        name = os.path.basename(f).removesuffix(".parquet")
+        full_con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+    for name in ("agg_cube", "agg_rollup", "agg_grouping_sets"):
+        # (a) the CURRENT shapes diverge exactly as diagnosed
+        got = QUERIES[name](spark, sf).toPandas()
+        duck_pdf = con.execute(ORACLES[name]).fetchdf()
+        assert len(got) == 0, f"{name}: Spark emits no rows on empty input"
+        assert len(duck_pdf) == 1, (
+            f"{name}: expected DuckDB's grand-total row; if this is now "
+            "empty, the fix landed — retire this half of the test"
+        )
+        cnt_col = "cnt" if name == "agg_cube" else "n_orders"
+        assert int(duck_pdf[cnt_col].iloc[0]) == 0
+
+        # (b) the PROPOSED r11 oracle (HAVING COUNT(*) > 0) reaches
+        # exact parity on empty input...
+        fixed_sql = ORACLES[name].rstrip() + "\n    HAVING COUNT(*) > 0"
+        fixed_duck = con.execute(fixed_sql).fetchdf()
+        problems = _selfcheck_compare(f"{name}_r11_empty", got, fixed_duck)
+        assert not problems, f"{name}: {problems}"
+
+        # ...and is row-identical to the current oracle on populated
+        # fixtures (no non-empty group can have COUNT(*) = 0)
+        cur = full_con.execute(ORACLES[name]).fetchdf()
+        fix = full_con.execute(fixed_sql).fetchdf()
+        problems = _selfcheck_compare(f"{name}_r11_populated", cur, fix)
+        assert not problems, f"{name}: {problems}"
+        assert len(cur) > 0
+
+
+def test_text_clean_normalize_r11_fix_restores_dotted_i_parity(
+    spark, tmp_path
+):
+    """Pre-measure the r11-queued canonical_clean İ alignment (r9
+    Unicode probe; note in text.py): Spark's LOWER is Java's FULL
+    lowercase mapping, so dotted capital I (U+0130) becomes i + a
+    COMBINING dot (U+0069 U+0307); canonical_clean then replaces the
+    combining mark with a SPACE ('İstanbul' -> 'i stanbul'), while
+    DuckDB's simple mapping gives 'istanbul' — different clean_md5,
+    clean_len AND token count. The proposed fix folds İ -> i BEFORE
+    lowering on BOTH engines (translate inside canonical_clean and in
+    the two oracles that inline the chain: text_clean_normalize and the
+    pipeline_training_corpus capstone — both r8-vintage, due together
+    at r11). Final sigma needs no handling here: σ/ς are non-ASCII and
+    strip to spaces identically either way."""
+    src = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = pd.concat(
+        [
+            src.head(3),
+            pd.DataFrame(
+                [
+                    {**src.iloc[0].to_dict(), "doc_id": 990103,
+                     "text": "İstanbul and İZMİR"},
+                ]
+            ),
+        ],
+        ignore_index=True,
+    )
+    rows.to_parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    # (a) the CURRENT shapes diverge exactly as diagnosed: the hostile
+    # doc's cleaned text tokenizes differently per engine
+    got = QUERIES["text_clean_normalize"](spark, str(tmp_path)).toPandas()
+    duck_pdf = con.execute(ORACLES["text_clean_normalize"]).fetchdf()
+    s_row = got.set_index("doc_id").loc[990103]
+    d_row = duck_pdf.set_index("doc_id").loc[990103]
+    assert int(s_row["clean_tokens"]) == 6   # 'i stanbul and i zmi r' (Java)
+    assert int(d_row["clean_tokens"]) == 3   # 'istanbul and izmir' (utf8proc)
+    assert s_row["clean_md5"] != d_row["clean_md5"]
+
+    # (b) the PROPOSED r11 variant: fold İ before lowering on both
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.translate("text", "İ", "i")), "[^a-z0-9 ]", " "
+            ),
+            "  +",
+            " ",
+        )
+    )
+    fixed = (
+        spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(clean).alias("clean_md5"),
+            F.length(clean).cast("long").alias("clean_len"),
+        )
+        .toPandas()
+    )
+    fixed_duck = con.execute(
+        """
+        SELECT doc_id,
+               md5(clean) AS clean_md5,
+               CAST(length(clean) AS BIGINT) AS clean_len
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(translate(text, 'İ', 'i')),
+                                      '[^a-z0-9 ]', ' ', 'g'),
+                       '  +', ' ', 'g')) AS clean
+            FROM documents
+        )
+        """
+    ).fetchdf()
+    problems = _selfcheck_compare("text_clean_normalize_r11", fixed, fixed_duck)
+    assert not problems, problems
+
+    # (c) fixture-invisible: fixture text is pure ASCII at every SF
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+        == 0
+    )
