@@ -135,6 +135,27 @@ _CHANGED: list[str] = [
     # emits no grand-total row on empty input, the SQL standard emits
     # one) are queued for r11 with pre-measures:
     "scan_json_source",
+    # r9 fourth batch, second lens — NaN/±Infinity poisoned into the
+    # telemetry-shaped float columns (events.value, c_acctbal,
+    # embedding vectors): 138/150 held parity; the four due-cohort
+    # findings are fixed here (rule 2b) with the new shared
+    # registry.finite_or_null guard — non-finite values excluded
+    # IDENTICALLY on both engines (NULLs keep flowing), because the
+    # engines disagree silently: Spark FLOOR(double)->LONG bins NaN at
+    # 0 and ±Inf at Long.MIN/MAX (bin pollution) while DuckDB's casts
+    # raise; pandas min/max SKIP NaN where SQL MIN/MAX sort it above
+    # +Inf; and the CSV sidecar's ANSI cents cast died with
+    # CAST_OVERFLOW on one bad row. All four re-attested exact at
+    # sf0.01 AND sf0.1 and parity-pinned on the hostile fixture
+    # (tests/test_r9c_probe_fixes.py). An extreme-dates lens
+    # (1678/1900/2261 instants) held 150/150 — both engines are
+    # proleptic-Gregorian-consistent. The eight non-due NaN findings
+    # are queued for r10/r11 with pre-measures. (window_running_frames
+    # took the same finite guard — already listed above for its
+    # NULLS-LAST fix, not repeated here.)
+    "events_value_histogram",
+    "grouped_map_pandas",
+    "scan_csv_source",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..sources import load_table
-from .registry import dec, register
+from .registry import dec, finite_or_null, register
 
 
 @register(
@@ -171,6 +171,7 @@ def orders_year_over_year(spark: SparkSession, sf: str) -> DataFrame:
            MIN(value) AS bin_min,
            MAX(value) AS bin_max
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY 1
     """,
 )
@@ -179,8 +180,15 @@ def events_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     the whole histogram is one partial-aggregated shuffle over ~n_bins
     keys regardless of corpus size (the 100 TB-safe way to histogram;
     never a driver-side value sweep). Min/max on raw doubles are exact;
-    the per-bin sum goes through DECIMAL."""
-    events = load_table(spark, sf, "events")
+    the per-bin sum goes through DECIMAL.
+
+    Non-finite values are excluded on both engines (r9 NaN/Inf probe,
+    this query's due slot; fixture-identical — every fixture value is
+    finite): Spark's FLOOR(double)->LONG silently bins NaN at 0 and
+    ±Inf at Long.MIN/MAX while DuckDB's bin cast raises — the guard
+    makes bad-telemetry rows drop identically instead (NULL values
+    still flow to the NULL bin on both engines)."""
+    events = load_table(spark, sf, "events").where(finite_or_null("value"))
     return events.groupBy(
         F.floor(F.col("value") / 5).cast("bigint").alias("bin")
     ).agg(

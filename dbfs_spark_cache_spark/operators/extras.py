@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
-from .registry import register
+from .registry import finite_or_null, register
 
 
 @register(
@@ -121,14 +121,23 @@ def udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
            CAST(MAX(value) AS DOUBLE) AS max_value,
            CAST(MAX(value) - MIN(value) AS DOUBLE) AS value_range
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY user_id
     """,
 )
 def grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     """applyInPandas grouped map: whole group in, one summary row out.
     The custom-stateful-operator escape hatch; outputs are exact
-    (count/min/max only)."""
-    events = load_table(spark, sf, "events")
+    (count/min/max only).
+
+    Non-finite values are excluded on both engines (r9 NaN/Inf probe,
+    this query's due slot; fixture-identical — every fixture value is
+    finite): pandas min/max SKIP NaN (skipna default) while SQL MIN/MAX
+    sort NaN above +Infinity, so a NaN-valued group summarized
+    differently per engine; the guard drops bad-telemetry rows
+    identically instead (NULL values are skipped by BOTH pandas and
+    SQL aggregates, so they still flow through)."""
+    events = load_table(spark, sf, "events").where(finite_or_null("value"))
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

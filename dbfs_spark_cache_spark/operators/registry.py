@@ -33,6 +33,24 @@ def register(name: str, oracle: Optional[str] = None):
     return decorator
 
 
+def finite_or_null(col):
+    """Hostile-float guard (r9 NaN/Inf probe): TRUE for NULL or finite
+    values, FALSE for NaN and ±Infinity — the float twin of the NULL-text
+    exclusion contract. NULLs stay in (three-valued aggregate semantics
+    are already oracle-aligned everywhere); non-finite values are
+    excluded IDENTICALLY on both engines, because the engines disagree
+    about them in silent ways: Spark's FLOOR(double)->LONG maps NaN to 0
+    and ±Inf to Long.MIN/MAX (silent bin pollution, even under ANSI),
+    a direct double->integral ANSI cast raises CAST_OVERFLOW, DuckDB's
+    DECIMAL/INT casts of NaN raise, and pandas min/max SKIP NaN where
+    SQL MIN/MAX sort it above +Inf. The SQL twin is
+    ``(x IS NULL OR isfinite(x))``."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+
+
 def dec(col, scale: int = 2, precision: int = 22):
     """Exact decimal cast — the package-wide float discipline: sums over
     DECIMAL are association-independent, so results are bit-reproducible

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_table, register_views
-from .registry import dec as _dec, register
+from .registry import dec as _dec, finite_or_null, register
 
 
 
@@ -811,6 +811,7 @@ def window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
            CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3 AS moving_avg3
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
@@ -822,8 +823,15 @@ def window_running_frames(spark: SparkSession, sf: str) -> DataFrame:
     fixture-identical — no NULL ts at any SF): Spark's NULLS-FIRST
     default put a NULL-ts straggler at the head of its user's frames
     while the oracle puts it at the tail, changing the membership of
-    every nearby sliding frame."""
-    events = load_table(spark, sf, "events")
+    every nearby sliding frame.
+
+    Non-finite values are excluded on both engines (r9 NaN/Inf probe,
+    this query's due slot; fixture-identical — every fixture value is
+    finite): a NaN value turns Spark's DECIMAL frame sums NULL from the
+    NaN row onward while DuckDB's DECIMAL cast raises; the guard drops
+    bad-telemetry rows identically instead (NULL values still flow
+    through both frames' three-valued sums)."""
+    events = load_table(spark, sf, "events").where(finite_or_null("value"))
     dec_val = F.col("value").cast("decimal(22,6)")
     order = [F.col("ts").asc_nulls_last(), F.col("event_id")]
     w_cum = (

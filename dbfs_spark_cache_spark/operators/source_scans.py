@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .registry import register
+from .registry import finite_or_null, register
 
 SIDECAR_ROOT = os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "sidecars")
 SIDECAR_ROOT = os.path.abspath(SIDECAR_ROOT)
@@ -144,11 +144,22 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
     round-trip as integer cents (CSV is textual; integers round-trip
     byte-exactly where float formatting could diverge between writers),
     then aggregate per market segment. Both engines read the same files
-    with the same declared column types."""
-    customer = load_table(spark, sf, "customer").select(
-        "c_custkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    with the same declared column types.
+
+    Non-finite balances are excluded at the sidecar derivation (r9
+    NaN/Inf probe, this query's due slot; fixture-identical — every
+    fixture balance is finite): the cents integerization is an ANSI
+    double->BIGINT cast, which raises CAST_OVERFLOW on NaN/±Inf — one
+    bad-telemetry row killed the whole conversion. The guard drops such
+    rows before the cast, so both engines read the same finite file."""
+    customer = (
+        load_table(spark, sf, "customer")
+        .where(finite_or_null("c_acctbal"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        )
     )
     _ensure_sidecar(customer, _CSV_DIR, "csv", sf, "customer")
     return (
