@@ -48,6 +48,39 @@ def vec_add(a, b) -> Column:
     return F.zip_with(a, b, lambda x, y: x.cast("double") + y.cast("double"))
 
 
+def sign_bits_str(a, n: int) -> Column:
+    """Axis-aligned sign-bit LSH signature as a string: '1' per
+    non-negative dim over the first ``n`` dims ('0' otherwise, including
+    past-the-end / NULL dims — ``element_at`` past the array end is NULL
+    and the three-valued ``>=`` fails the WHEN on both engines).
+
+    r10 consolidation (its four consumers' shared due slot): this exact
+    comprehension was hand-kept in similarity_lsh_buckets (8-bit),
+    similarity_ivf_search (4-bit), dedup_embedding_cosine (8-bit) and —
+    as the integer twin below — similarity_multiprobe, the same
+    hand-kept-copy drift class the r8 text.py cleaning-chain extraction
+    fixed. Bit-for-bit parity with all four inline variants (hostile
+    vectors included) pinned in tests/test_r10_premeasure.py.
+    """
+    return F.concat(
+        *[
+            F.when(F.element_at(a, i + 1) >= 0, "1").otherwise("0")
+            for i in range(n)
+        ]
+    )
+
+
+def sign_bits_int(a, n: int) -> Column:
+    """Integer twin of ``sign_bits_str``: bit i set iff dim i+1 is
+    non-negative — the XOR-probeable form multi-probe LSH needs."""
+    acc = F.lit(0)
+    for i in range(n):
+        acc = acc + F.when(
+            F.element_at(a, i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
 def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane LSH signature: one bit per plane (sign of the dot
     product with a fixed plane vector). ``planes`` is a driver-side list of

@@ -12,11 +12,14 @@ Usage:
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
         [--size-budget-bytes N] [--compact-ledger PATH]
 
-Exit codes: 0 = every requested stage ran; 2 = explicitly requested
-stages were REFUSED (--size-budget-bytes/--repair-inconsistent under
---database act on the configured namespace, not the scoped one) — the
-age-eviction stage still ran, so a scripted retry without --database is
-safe and idempotent.
+Exit codes: 0 = every requested stage ran as scoped; 2 = an explicitly
+requested behavior was NOT honored (--size-budget-bytes /
+--repair-inconsistent / --stats under --database act on the CONFIGURED
+namespace, not the scoped one — the sidecar registry has no per-database
+dimension). Work that is safe as-scoped still runs before the exit-2
+(age eviction honors --database; --stats still prints the configured
+namespace's summary), so a scripted retry without --database is safe and
+idempotent.
 """
 from __future__ import annotations
 
@@ -85,7 +88,13 @@ def main() -> int:
         stats = management.cache_stats(spark, num_threads=args.threads)
         for key, value in stats.items():
             log.info("%s: %s", key, value)
-        return 0
+        # Exit 2 when --database was passed: the scope was NOT honored
+        # (same contract as the refused eviction stages below — an
+        # explicitly requested behavior automation can't see in a log
+        # warning must be detectable in the exit code; ADVICE r9 #4).
+        # The summary above still printed, so an operator retry without
+        # --database needs no re-scoping.
+        return 2 if args.database else 0
 
     # Count the database the eviction actually targets, or the scoped
     # before/after numbers never move no matter how much was evicted.

@@ -33,6 +33,45 @@ def _default_threads(num_threads: Optional[int]) -> int:
     return num_threads or (os.cpu_count() or 4) * 4
 
 
+def _created_time_utc_naive(spark, db: str, name: str, rendered: str):
+    """The table's creation time as a UTC-NAIVE pandas timestamp — the one
+    convention every registry comparand uses (sidecar/warehouse mtimes via
+    fs._utc_naive, the eviction cutoff too), so catalog rows stay mutually
+    comparable on non-UTC driver hosts (ADVICE r9 #1).
+
+    Primary source: the catalog's epoch-millis ``createTime`` via the JVM
+    session catalog — zone-free by construction, no string parsing at all.
+
+    Fallback (catalog API unavailable): parse DESCRIBE's rendered 'Created
+    Time'. The rendering is local wall time in the driver JVM's DEFAULT
+    zone, so (a) a tz-aware parse must tz_convert('UTC') BEFORE stripping
+    — bare tz_localize(None) keeps the source wall time; and (b) a naive
+    parse means pandas silently dropped an unrecognized zone abbreviation
+    (e.g. 'PST'), leaving JVM-local wall time — localize it from the JVM's
+    default zone id (full id, so DST resolves correctly), then convert.
+    """
+    try:
+        jcat = spark._jsparkSession.sessionState().catalog()
+        jid = spark._jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            name, spark._jvm.scala.Some(db)
+        )
+        return pd.to_datetime(
+            int(jcat.getTableMetadata(jid).createTime()), unit="ms"
+        )
+    except Exception:
+        pass
+    try:
+        creation_time = pd.to_datetime(rendered)
+        if getattr(creation_time, "tzinfo", None) is not None:
+            return creation_time.tz_convert("UTC").tz_localize(None)
+        zone = spark._jvm.java.util.TimeZone.getDefault().getID()
+        return (
+            creation_time.tz_localize(zone).tz_convert("UTC").tz_localize(None)
+        )
+    except Exception:
+        return pd.NaT
+
+
 def get_tables_from_database(
     spark: SparkSession, database: Optional[str] = None, num_threads: Optional[int] = None
 ) -> pd.DataFrame:
@@ -51,22 +90,7 @@ def get_tables_from_database(
             props = {row.col_name: row.data_type for row in detail}
             location = props.get("Location", "")
             created = props.get("Created Time", "")
-            try:
-                creation_time = pd.to_datetime(created)
-                # Catalog times parse tz-AWARE ('... UTC 2026') while the
-                # sidecar registry carries naive datetimes; one naive
-                # convention at the parse site, or every downstream
-                # comparison (the eviction cutoff, the concat+sort in the
-                # size-budget path) raises TypeError. The convention is
-                # UTC-naive everywhere (sidecar/warehouse mtimes render
-                # via fs._utc_naive, the eviction cutoff too), so
-                # stripping the zone here loses nothing and the catalog
-                # and sidecar registries stay mutually comparable on
-                # non-UTC driver hosts.
-                if getattr(creation_time, "tzinfo", None) is not None:
-                    creation_time = creation_time.tz_localize(None)
-            except Exception:
-                creation_time = pd.NaT
+            creation_time = _created_time_utc_naive(spark, db, name, created)
             return {
                 "table_name": f"{db}.{name}",
                 "hash_name": name,

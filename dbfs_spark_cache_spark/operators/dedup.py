@@ -85,7 +85,9 @@ def dedup_keep_first(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_fingerprint",
     oracle="""
-    SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))
+    SELECT MD5(translate(LOWER(TRIM(REGEXP_REPLACE(
+               translate(text, 'İ', 'i'),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 'ς', 'σ'))
                AS fingerprint,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_docs
@@ -102,20 +104,30 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     differently per engine under the shorthand — the kind of silent
     cross-engine drift a content fingerprint cannot afford.
 
-    QUEUED r10 (its due slot; r9 Unicode probe, pre-measure in
-    tests/test_r10_premeasure.py): ``lower`` itself carries the same
+    r10 (landed in its due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): ``lower`` carries the same
     class of drift — Spark's LOWER is Java's FULL lowercase mapping
-    (U+0130 İ -> i + combining dot; capital sigma lowers CONTEXTUALLY
-    to final ς at word end) while DuckDB's utf8proc SIMPLE mapping
-    gives İ -> i and σ everywhere. Those two are the only full-vs-
-    simple lowercase divergences in Unicode (SpecialCasing.txt), so the
-    fix pins them explicitly on BOTH engines:
-    ``translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')``.
-    Fixture-identical: fixture text is pure ASCII at every SF.
+    (U+0130 İ -> i + combining dot; capital sigma lowers CONTEXTUALLY to
+    final ς at word end) while DuckDB's utf8proc SIMPLE mapping gives
+    İ -> i and σ everywhere. Those two are the ONLY full-vs-simple
+    lowercase divergences in Unicode (SpecialCasing.txt), so both
+    engines now pin them explicitly:
+    ``translate(lower(translate(text, 'İ', 'i')), 'ς', 'σ')`` — İ folds
+    to plain i before lowering, final sigma folds to σ after.
+    Fixture-identical (fixture text is pure ASCII at every SF); hostile
+    parity pinned in tests/test_r10_window_fixes.py.
     """
     docs = load_table(spark, sf, "documents")
-    normalized = F.lower(
-        F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " "))
+    normalized = F.translate(
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.translate("text", "İ", "i"), r"[ \t\n\x0B\f\r]+", " "
+                )
+            )
+        ),
+        "ς",
+        "σ",
     )
     return docs.groupBy(F.md5(normalized).alias("fingerprint")).agg(
         F.min("doc_id").alias("keeper_doc_id"),
@@ -560,13 +572,22 @@ def _verify_oracle(
     threshold: float,
     n_bands: int = N_BANDS,
     est_threshold: float = 0.5,
+    source_where: str | None = None,
 ) -> str:
     """Shingle-LSH candidates (est >= ``est_threshold``) + exact set
     verification, as one DuckDB query. ``sets_cte`` must define
     ``sets(doc_id, s)``; the geometry knobs must match the Spark side's
-    (:func:`_exact_jaccard_over_candidates`)."""
+    (:func:`_exact_jaccard_over_candidates`).
+
+    ``source_where`` injects a predicate on EVERY read of the
+    ``documents`` relation — the candidate CTEs and the sets CTE alike —
+    word-boundary-anchored so a relation named ``documents_*`` can never
+    be rewritten into invalid SQL, and visible here rather than as
+    post-hoc string surgery at a register() call site (ADVICE r9 #2)."""
+    import re as _re
+
     cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, n_bands)
-    return f"""{cands},
+    sql = f"""{cands},
     {sets_cte},
     ver AS (
         SELECT c.doc_a, c.doc_b,
@@ -581,6 +602,11 @@ def _verify_oracle(
            ROUND(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard
     FROM ver
     WHERE CAST(n_inter AS DOUBLE) / n_union >= {threshold}"""
+    if source_where:
+        sql = _re.sub(
+            r"\bFROM documents\b", f"FROM documents WHERE {source_where}", sql
+        )
+    return sql
 
 
 _TOKEN_SETS_CTE = f"""sets AS (
@@ -641,12 +667,18 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    # The replace scopes the NULL-text exclusion to THIS query's oracle
+    # source_where scopes the NULL-text exclusion to THIS query's oracle
     # string (both its shingle-candidate and gram-set CTEs) without
     # touching the shared CTE constants other (non-due) queries embed.
+    # Byte-identical to the r9 oracle (verified) — the predicate now
+    # injects inside _verify_oracle, boundary-anchored (ADVICE r9 #2).
     oracle=_verify_oracle(
-        _NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25
-    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL"),
+        _NGRAM_SETS_CTE,
+        0.25,
+        n_bands=16,
+        est_threshold=0.25,
+        source_where="text IS NOT NULL",
+    ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Character 5-gram Jaccard verification of MinHash-LSH candidates
@@ -760,11 +792,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     functions.vectors) and per-pair, so the DuckDB oracle matches exactly.
     """
     emb = load_table(spark, sf, "embeddings")
-    bits = [
-        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-        for i in range(8)
-    ]
-    from ..functions import vec_dot, vec_l2_norm
+    from ..functions import sign_bits_str, vec_dot, vec_l2_norm
 
     # Norm computed once per ROW before the join — the per-pair formulation
     # folds each vector twice per candidate pair (O(pairs x dim) instead of
@@ -772,7 +800,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        F.concat(*bits).alias("bucket"),
+        sign_bits_str("embedding", 8).alias("bucket"),
         vec_l2_norm("embedding").alias("norm"),
     )
 

@@ -859,6 +859,7 @@ def window_running_frames(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CUME_DIST() OVER (ORDER BY c_acctbal) AS DOUBLE) AS bal_cume_dist,
            NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS bal_decile
     FROM customer
+    WHERE c_acctbal IS NOT NULL
     """,
 )
 def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -883,21 +884,25 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     semantics verified against Spark's own global window (ties, all-equal,
     tiny-N edge cases) in tests/test_scale_patterns.py.
 
-    QUEUED FOR R10 (this query's due slot; r9 third review batch): on a
-    NULL ``c_acctbal`` the engines DIVERGE — the banded helper's bucket
-    arithmetic lands the NULL row at global rank 1 (pct_rank 0.0, the
-    NULLS-FIRST shape of Spark's own windows) while DuckDB's
-    PERCENT_RANK orders NULLS LAST (pct_rank 1.0, decile 10), shifting
-    every other row's rank by one. No fixture carries a NULL acctbal
-    (verified at every SF), so current attestations are honest. Fix when
-    due: ``WHERE c_acctbal IS NOT NULL`` on BOTH engines — a percentile
-    of an unknown balance is undefined, same exclusion contract as the
-    robust-outlier baseline — pre-measured parity in
-    ``tests/test_r10_premeasure.py``.
+    r10 (landed in this query's due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): NULL balances are excluded
+    on BOTH engines (``WHERE c_acctbal IS NOT NULL``) — a percentile of
+    an unknown balance is undefined, the same exclusion contract as the
+    robust-outlier baseline. Without the filter the engines diverged on
+    hostile data: the banded helper's bucket arithmetic landed the NULL
+    row at global rank 1 (pct_rank 0.0, Spark's NULLS-FIRST shape) while
+    DuckDB's PERCENT_RANK orders NULLS LAST (pct_rank 1.0, decile 10),
+    shifting every other row's rank by one. Fixture-identical (no NULL
+    acctbal at any SF); hostile parity pinned in
+    tests/test_r10_window_fixes.py.
     """
     from .scale import distributed_global_percentiles
 
-    customer = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    customer = (
+        load_table(spark, sf, "customer")
+        .select("c_custkey", "c_acctbal")
+        .where(F.col("c_acctbal").isNotNull())
+    )
     return distributed_global_percentiles(
         customer,
         value_col="c_acctbal",
@@ -1078,7 +1083,8 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
     "fn_string",
     oracle="""
     SELECT p_partkey,
-           UPPER(p_name) AS name_upper,
+           translate(p_name, 'abcdefghijklmnopqrstuvwxyz',
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS name_upper,
            LENGTH(p_name) AS name_len,
            SUBSTRING(p_name, 1, 4) AS name_prefix,
            CONCAT_WS(':', p_brand, p_type) AS brand_type,
@@ -1092,21 +1098,22 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
 def fn_string(spark: SparkSession, sf: str) -> DataFrame:
     """String scalar-function family over part.
 
-    QUEUED r10 (its due slot; r9 Unicode probe, pre-measure in
-    tests/test_r10_premeasure.py): ``name_upper`` diverges on
-    non-trivially-cased input — Spark's UPPER is Java's FULL case
-    mapping (ﬁ -> "FI" expands, ß -> "SS") while DuckDB's is utf8proc's
-    SIMPLE per-codepoint mapping (ﬁ stays, ß -> ẞ). Fix: pin
-    ``name_upper`` to the portable ASCII mapping —
-    ``translate(p_name, a-z, A-Z)`` on BOTH engines (the portable-hash-
-    family precedent: full Unicode case mapping is library-defined, not
-    part of the cross-engine contract; non-ASCII passes through
-    untouched on both). Fixture-identical: every fixture p_name /
-    p_brand / p_type is pure ASCII at every SF (verified)."""
+    r10 (landed in its due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): ``name_upper`` is the
+    portable ASCII mapping ``translate(p_name, a-z, A-Z)`` on BOTH
+    engines, because the engines' native UPPERs speak different Unicode
+    dialects — Spark's is Java's FULL case mapping (ﬁ -> "FI" expands,
+    ß -> "SS") while DuckDB's is utf8proc's SIMPLE per-codepoint mapping
+    (ﬁ stays, ß -> ẞ). The portable-hash-family precedent applies: full
+    Unicode case mapping is library-defined, not part of the
+    cross-engine contract; non-ASCII passes through untouched on both.
+    Fixture-identical (every fixture p_name/p_brand/p_type is pure
+    ASCII); hostile parity pinned in tests/test_r10_window_fixes.py."""
     part = load_table(spark, sf, "part")
+    az = "abcdefghijklmnopqrstuvwxyz"
     return part.select(
         "p_partkey",
-        F.upper("p_name").alias("name_upper"),
+        F.translate("p_name", az, az.upper()).alias("name_upper"),
         F.length("p_name").cast("long").alias("name_len"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
@@ -1180,31 +1187,39 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "fn_json",
     oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
-    FROM events
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                         THEN CAST(ks AS BIGINT) END) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+                         THEN CAST(ks AS BIGINT) END) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM g
     GROUP BY event_type
     """,
 )
 def fn_json(spark: SparkSession, sf: str) -> DataFrame:
-    """QUEUED FOR R10 (this query's due slot; r9 third review batch): on
-    hostile props both shapes are fragile — (a) a NON-INTEGER ``k``
-    (``{"k": 1.5}``) crashes Spark's ANSI ``cast('1.5' as long)`` (one
-    malformed record kills the corpus pass — the r8 ANSI-crash class),
-    and a naive try_cast would NOT restore parity because DuckDB's
-    string->BIGINT cast ROUNDS ('1.5' -> 2) while Spark's try_cast
-    yields NULL; (b) MALFORMED JSON errors DuckDB's
-    ``json_extract_string`` outright while Spark's get_json_object
-    returns NULL. No fixture at any SF carries invalid JSON or a
-    non-integer k (verified r9), so current attestations are honest.
-    Fix when due (the fn_from_json_struct r8 approach): gate k on an
-    integer-literal regex before casting on BOTH engines, and wrap the
-    oracle's extraction in ``CASE WHEN json_valid(props) ...`` —
-    pre-measured parity in ``tests/test_r10_premeasure.py``."""
+    """JSON extraction + aggregation over event props.
+
+    r10 (landed in this query's due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): hostile props hardening —
+    (a) ``k`` is gated on an integer-literal regex before the BIGINT
+    cast on BOTH engines, because a non-integer k (``{"k": 1.5}``)
+    crashed Spark's ANSI cast and the naive try_cast repair would
+    DIVERGE (DuckDB's string->BIGINT cast ROUNDS '1.5' -> 2, Spark's
+    try_cast yields NULL); (b) the oracle's extraction is wrapped in
+    ``CASE WHEN json_valid(props)`` because malformed JSON errors
+    DuckDB's json_extract_string outright while Spark's get_json_object
+    returns NULL. Fixture-identical (no invalid JSON / non-integer k at
+    any SF); hostile parity pinned in tests/test_r10_window_fixes.py."""
     events = load_table(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),

@@ -7,22 +7,26 @@ higher-order functions (``aggregate``/``zip_with``) — no Python in the
 per-row path.
 
 
-QUEUED (r8 review): the sign-bit LSH bucket comprehension appears in four
-places (similarity_lsh_buckets 8-bit, similarity_ivf_search 4-bit,
-similarity_multiprobe integer variant, dedup.dedup_embedding_cosine
-8-bit), each with a hand-matched oracle. Consolidate into one
-``sign_bits(col, n)`` helper WHEN THOSE QUERIES COME DUE (all four are
-r7-attested -> due together at r10) — the same hand-kept-copy
-drift class the r8 text.py cleaning-chain extraction fixed; doing it
-off-slot would ride rounds on stale attestations for four queries at
-once.
+r10 (the four consumers' shared due slot — pre-pinned in
+tests/test_r10_premeasure.py since r9): the sign-bit LSH bucket
+comprehension that was hand-kept in four places (similarity_lsh_buckets
+8-bit, similarity_ivf_search 4-bit, similarity_multiprobe integer
+variant, dedup.dedup_embedding_cosine 8-bit) is now the shared
+``functions.sign_bits_str`` / ``sign_bits_int`` pair — the same
+hand-kept-copy drift class the r8 text.py cleaning-chain extraction
+fixed, landed slot-neutrally when all four came due together.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import vec_dot as _dot, vec_sq_norm as _sq_norm
+from ..functions import (
+    sign_bits_int as _sign_bits_int,
+    sign_bits_str as _sign_bits_str,
+    vec_dot as _dot,
+    vec_sq_norm as _sq_norm,
+)
 from ..sources import load_table
 from .registry import register
 from .staging import stage_cache as _stage_cache
@@ -167,11 +171,9 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     256-way partition-pruned scan. Random-hyperplane variants are in
     functions.vectors + tests."""
     emb = load_table(spark, sf, "embeddings")
-    bits = [
-        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-        for i in range(8)
-    ]
-    return emb.groupBy(F.concat(*bits).alias("bucket")).agg(
+    return emb.groupBy(
+        _sign_bits_str("embedding", 8).alias("bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.countDistinct("label").alias("n_labels"),
     )
@@ -234,13 +236,12 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     cache storage is unavailable.
     """
     emb = load_table(spark, sf, "embeddings")
-    bucket = sum(
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(4)
-    )
     bucketed = _stage_cache(
         emb.select(
-            "vec_id", "label", "embedding", bucket.cast("int").alias("bucket")
+            "vec_id",
+            "label",
+            "embedding",
+            _sign_bits_int("embedding", 4).alias("bucket"),
         ),
         "ann_sign_index",
     )
@@ -309,11 +310,12 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     # Coarser cells than the LSH query (4 bits -> 16 cells) so each inverted
     # list holds a meaningful candidate set at fixture scale.
-    bits = [
-        F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-        for i in range(4)
-    ]
-    bucketed = emb.select("vec_id", "label", "embedding", F.concat(*bits).alias("bucket"))
+    bucketed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        _sign_bits_str("embedding", 4).alias("bucket"),
+    )
     query = _min_id_query_row(bucketed, extra={"bucket": "q_bucket"})
     return (
         bucketed.join(

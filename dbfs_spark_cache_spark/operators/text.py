@@ -152,6 +152,7 @@ def text_token_count_regex(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                MD5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
         FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT bag_fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
     FROM fp
@@ -163,20 +164,19 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     that are permutations of the same vocabulary collide). A cheap
     complement to MinHash for shuffled-content dedup.
 
-    QUEUED FOR R10 (this query's due slot; r9 third review batch): on a
-    NULL-text document the engines DIVERGE — Spark's ``concat_ws`` skips
-    NULL, so ``md5(concat_ws(...))`` lands NULL-text docs in the SAME
-    group as empty-text docs (md5('')), while DuckDB's
-    ``array_to_string(NULL)`` yields a NULL fingerprint and GROUP BY
-    collects NULL-text docs in their own group. Both answers are also
-    semantically wrong: electing a dedup keeper among mutually-unrelated
-    unreadable docs. No fixture has NULL text (verified at every SF), so
-    current attestations are honest. Fix when due: ``WHERE text IS NOT
-    NULL`` on BOTH engines (the multimodal r9 contract: an unreadable
-    payload is excluded, not fingerprinted) — pre-measured parity in
-    ``tests/test_r10_premeasure.py``.
+    r10 (landed in this query's due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): NULL-text documents are
+    excluded on BOTH engines (``WHERE text IS NOT NULL`` — the
+    multimodal r9 contract: an unreadable payload is excluded, not
+    fingerprinted). Without the filter the engines diverged AND both
+    were semantically wrong: Spark's ``concat_ws`` skips NULL so
+    NULL-text docs landed in the md5('') empty-text group, while
+    DuckDB's ``array_to_string(NULL)`` grouped them under a NULL
+    fingerprint — either way electing a dedup keeper among mutually
+    unrelated unreadable docs. Fixture-identical (no NULL text at any
+    SF); hostile parity pinned in tests/test_r10_window_fixes.py.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
     )

@@ -160,19 +160,18 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     One shuffle on user_id; the streaming twin is ``session_window`` in
     streaming.py.
 
-    QUEUED FOR R10 (this query's due slot; r9 adversarial review): on a
-    NULL-ts event the engines DIVERGE — Spark's ascending window orders
-    NULLS FIRST, so the next real event sees lag(ts)=NULL and flags a
-    new session (2 sessions for [NULL, t1]); DuckDB orders NULLS LAST,
-    so the NULL row itself gets flag 0 via the three-valued CASE (1
-    session). No fixture has a NULL ts (verified at all three SFs), so
-    current attestations are honest. Fix when due: order both engines
-    identically — ``F.col("ts").asc_nulls_last()`` on the Spark window
-    (DuckDB's ASC default is already NULLS LAST); result: the NULL-ts
-    straggler joins the user's last session on BOTH engines.
+    r10 (landed in this query's due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): the Spark window orders
+    ``ts`` with ``asc_nulls_last`` so a NULL-ts straggler sorts LAST on
+    both engines (DuckDB's ASC default is already NULLS LAST) and joins
+    the user's final session via the three-valued CASE, instead of
+    sorting FIRST (Spark's default) and handing the first real event a
+    NULL lag that opened a phantom extra session. Fixture-invisible (no
+    NULL ts at any SF); hostile parity pinned in
+    tests/test_r10_window_fixes.py.
     """
     events = load_table(spark, sf, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     prev_ts = F.lag("ts").over(w)
     # Interval arithmetic works for both TIMESTAMP and TIMESTAMP_NTZ and is
     # timezone-free (an epoch cast would be neither).
@@ -198,6 +197,7 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY bucket_start, event_type
     """,
 )
@@ -205,15 +205,16 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour windows — the batch twin of the streaming windowed
     aggregation (streaming.py uses the same expression over readStream).
 
-    QUEUED FOR R10 (due slot; r9 adversarial review): ``F.window``
-    silently DROPS NULL-ts rows (verified on Spark 4.1) while the
-    oracle's DATE_TRUNC groups them into a NULL bucket — a row-count
-    mismatch on hostile data (no fixture has NULL ts; attestations
-    honest). Fix when due: ``WHERE ts IS NOT NULL`` on BOTH engines so
-    the drop is explicit and identical; same fix for ``window_sliding``
-    below (its union-shape oracle emits the NULL bucket TWICE).
+    r10 (landed in this query's due slot; pre-measured in
+    tests/test_r10_premeasure.py since r9): ``F.window`` silently DROPS
+    NULL-ts rows (verified on Spark 4.1) while DATE_TRUNC groups them
+    into a NULL bucket, so BOTH engines now drop them explicitly with
+    ``WHERE ts IS NOT NULL`` — an un-timestamped event belongs to no
+    window. Same fix on ``window_sliding`` below (its union-shape oracle
+    emitted the NULL bucket TWICE). Fixture-invisible; hostile parity
+    pinned in tests/test_r10_window_fixes.py.
     """
-    events = load_table(spark, sf, "events")
+    events = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -233,9 +234,11 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     "window_sliding",
     oracle="""
     WITH assigned AS (
-        SELECT DATE_TRUNC('hour', ts) AS bucket_start, value FROM events
+        SELECT DATE_TRUNC('hour', ts) AS bucket_start, value
+        FROM events WHERE ts IS NOT NULL
         UNION ALL
-        SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, value FROM events
+        SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, value
+        FROM events WHERE ts IS NOT NULL
     )
     SELECT bucket_start,
            COUNT(*) AS n_events,
@@ -247,8 +250,11 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding windows (2 h length, 1 h slide): every event lands in two
     buckets. Spark's F.window handles the replication; the oracle spells it
-    out as a union of the two shifted tumbling assignments."""
-    events = load_table(spark, sf, "events")
+    out as a union of the two shifted tumbling assignments.
+
+    r10 (due slot): NULL-ts rows dropped explicitly on BOTH engines —
+    see ``window_tumbling`` above for the diagnosis."""
+    events = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
     return (
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(

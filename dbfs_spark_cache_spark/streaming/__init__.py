@@ -673,8 +673,13 @@ def read_exactly_once_output(
             # already carries a batch_id column: partition discovery
             # silently SHADOWS the data column (verified on Spark 4.1 —
             # every row's value replaced by the dir number), which is
-            # silent corruption, not a merge.
-            if "batch_id" in spark.read.parquet(*dirs).columns:
+            # silent corruption, not a merge. The check consults the
+            # RECORDED sink schema — one tiny ledger file, already on
+            # disk — instead of a second full listing/footer
+            # schema-inference pass over every committed dir
+            # (ADVICE r9 #3); only legacy pre-schema-record ledgers
+            # fall back to the inference read.
+            if "batch_id" in _sink_data_columns(spark, fs, base_path, dirs):
                 raise ValueError(
                     "include_batch_id=True but the sink's data already "
                     "has a batch_id column — the synthesized partition "
@@ -726,6 +731,24 @@ def read_exactly_once_output(
 
 _LEDGER_MANIFEST = "manifest.txt"
 _LEDGER_SCHEMA = "_schema.json"
+
+
+def _sink_data_columns(spark, fs_mod, base_path: str, dirs: list) -> list:
+    """Column names of the rows a sink WROTE (no synthesized partition
+    columns), for the include_batch_id shadow refusal. Primary source:
+    the recorded sink schema (``_record_sink_schema`` keeps it on disk,
+    and quarantine rows share it — the gate drops only its own __valid
+    column from both branches), so the check costs one tiny ledger read
+    instead of a second full listing/footer schema-inference pass over
+    every committed dir (ADVICE r9 #3). Legacy ledgers written before
+    the schema record existed fall back to the inference read."""
+    recorded = fs_mod.read_text(f"{base_path}/_committed/{_LEDGER_SCHEMA}")
+    if recorded is not None:
+        try:
+            return [f["name"] for f in json.loads(recorded)["fields"]]
+        except (ValueError, KeyError, TypeError):
+            pass  # corrupt record: fall through to the inference read
+    return spark.read.parquet(*dirs).columns
 
 
 def _record_sink_schema(fs_mod, base_path: str, batch_df: DataFrame) -> None:
@@ -1030,8 +1053,10 @@ def read_quarantine(
     if not dirs:
         return None
     if include_batch_id:
-        # same shadowing refusal as the committed view
-        if "batch_id" in spark.read.parquet(*dirs).columns:
+        # same shadowing refusal as the committed view, against the same
+        # recorded schema (quarantine rows share the sink's row schema —
+        # the gate drops only __valid from both branches)
+        if "batch_id" in _sink_data_columns(spark, fs, base_path, dirs):
             raise ValueError(
                 "include_batch_id=True but the quarantined data already "
                 "has a batch_id column — the synthesized partition "

@@ -1,0 +1,173 @@
+"""Regression pins for the four ADVICE r9 items closed in round 10.
+
+1 (medium): catalog creation times are UTC-naive even on non-UTC hosts —
+   tz-aware renders convert BEFORE stripping, abbreviation-dropped naive
+   parses localize from the JVM default zone, and the primary source is
+   the catalog's zone-free epoch (management._created_time_utc_naive).
+2 (low): the dedup_ngram_jaccard NULL-text oracle predicate injects
+   inside _verify_oracle, word-boundary-anchored (no post-hoc string
+   surgery that could corrupt a future documents_* relation).
+3 (low): the include_batch_id shadow refusal consults the recorded sink
+   schema instead of a second full schema-inference read
+   (streaming._sink_data_columns).
+4 (low): maintenance CLI --stats with --database exits 2 (requested
+   scope not honored), matching the documented exit-code contract.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from types import SimpleNamespace
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stub_spark_jvm_tz(zone: str):
+    """A spark stub with ONLY the JVM default-timezone accessor: touching
+    anything else (the catalog primary path, a parquet read) raises, so a
+    test using it proves the code path under test needs nothing more."""
+    tz = SimpleNamespace(
+        getDefault=lambda: SimpleNamespace(getID=lambda: zone)
+    )
+    jvm = SimpleNamespace(java=SimpleNamespace(util=SimpleNamespace(TimeZone=tz)))
+    return SimpleNamespace(_jvm=jvm)
+
+
+def test_created_time_converts_aware_wall_time_to_utc():
+    """ADVICE r9 #1: a tz-aware parse must tz_convert('UTC') BEFORE
+    stripping — the old bare tz_localize(None) kept the SOURCE wall time,
+    leaving catalog rows up to 14h off against the UTC-naive eviction
+    cutoff on non-UTC hosts."""
+    from dbfs_spark_cache_spark.management import _created_time_utc_naive
+
+    got = _created_time_utc_naive(
+        _stub_spark_jvm_tz("America/Los_Angeles"),
+        "db",
+        "t",
+        "2025-08-15 05:00:00-07:00",
+    )
+    assert got == pd.Timestamp("2025-08-15 12:00:00")
+    assert got.tzinfo is None
+
+
+def test_created_time_localizes_dropped_abbreviation_from_jvm_zone():
+    """pandas silently DROPS unrecognized zone abbreviations ('PST' ->
+    naive 05:00 wall time). DESCRIBE renders in the driver JVM's default
+    zone, so the fallback localizes the wall time there (full zone id —
+    DST-correct) and converts to UTC."""
+    from dbfs_spark_cache_spark.management import _created_time_utc_naive
+
+    # pandas really does drop the abbreviation — the bug this guards
+    raw = pd.to_datetime("Fri Aug 15 05:00:00 PST 2025")
+    assert raw.tzinfo is None and raw.hour == 5
+
+    got = _created_time_utc_naive(
+        _stub_spark_jvm_tz("America/Los_Angeles"),
+        "db",
+        "t",
+        "Fri Aug 15 05:00:00 PST 2025",
+    )
+    # Aug 15 is PDT (UTC-7) in America/Los_Angeles: 05:00 wall -> 12:00 UTC
+    assert got == pd.Timestamp("2025-08-15 12:00:00")
+
+    # a UTC-rendering host (this repo's pinned sessions) stays a no-op
+    utc = _created_time_utc_naive(
+        _stub_spark_jvm_tz("UTC"), "db", "t", "Fri Aug 15 05:00:00 UTC 2025"
+    )
+    assert utc == pd.Timestamp("2025-08-15 05:00:00")
+
+    # unparseable renders stay NaT, as before
+    assert pd.isna(
+        _created_time_utc_naive(_stub_spark_jvm_tz("UTC"), "db", "t", "nonsense")
+    )
+
+
+def test_verify_oracle_source_where_is_boundary_safe():
+    """ADVICE r9 #2: the predicate injection rewrites reads of the
+    ``documents`` relation ONLY — a relation named documents_* passes
+    through untouched (the old post-hoc .replace would have produced
+    'FROM documents WHERE ... _x', silently invalid SQL). And the
+    registered dedup_ngram_jaccard oracle is byte-identical to the r9
+    string the .replace used to build."""
+    from dbfs_spark_cache_spark.operators import ORACLES
+    from dbfs_spark_cache_spark.operators.dedup import (
+        _NGRAM_SETS_CTE,
+        _verify_oracle,
+    )
+
+    old = _verify_oracle(
+        _NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25
+    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
+    assert ORACLES["dedup_ngram_jaccard"] == old
+
+    import re
+
+    # boundary safety: simulate what the injection does to a documents_*
+    # relation name — the anchored pattern must not touch it
+    sql = "SELECT * FROM documents_x WHERE EXISTS (SELECT 1 FROM documents)"
+    rewritten = re.sub(
+        r"\bFROM documents\b", "FROM documents WHERE text IS NOT NULL", sql
+    )
+    assert rewritten.startswith("SELECT * FROM documents_x WHERE")
+    assert rewritten.endswith(
+        "(SELECT 1 FROM documents WHERE text IS NOT NULL)"
+    )
+
+
+def test_sink_data_columns_prefers_recorded_schema():
+    """ADVICE r9 #3: when the recorded sink schema exists, the shadow
+    check reads it (one tiny ledger file) and never runs the
+    schema-inference parquet pass — proven by passing spark=None and
+    dirs=[], which would crash if the fallback fired."""
+    from dbfs_spark_cache_spark.streaming import _sink_data_columns
+
+    schema_json = (
+        '{"type":"struct","fields":['
+        '{"name":"event_id","type":"long","nullable":true,"metadata":{}},'
+        '{"name":"batch_id","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    fs_stub = SimpleNamespace(read_text=lambda path: schema_json)
+    cols = _sink_data_columns(None, fs_stub, "/base", [])
+    assert cols == ["event_id", "batch_id"]
+
+    # corrupt record falls back to the inference read (here: a stub that
+    # proves the fallback was reached)
+    class _Reader:
+        def parquet(self, *dirs):
+            return SimpleNamespace(columns=["fallback_col"])
+
+    spark_stub = SimpleNamespace(read=_Reader())
+    bad_fs = SimpleNamespace(read_text=lambda path: "not json")
+    assert _sink_data_columns(spark_stub, bad_fs, "/base", ["d"]) == [
+        "fallback_col"
+    ]
+    # legacy ledger (no record at all) also falls back
+    none_fs = SimpleNamespace(read_text=lambda path: None)
+    assert _sink_data_columns(spark_stub, none_fs, "/base", ["d"]) == [
+        "fallback_col"
+    ]
+
+
+def test_cli_stats_with_database_exits_2(spark, monkeypatch):
+    """ADVICE r9 #4: --stats ignores --database (the sidecar registry has
+    no per-database dimension) — an explicitly requested scope that is
+    not honored must be detectable by automation, so the branch returns
+    exit code 2 after still printing the configured namespace's summary;
+    plain --stats stays 0."""
+    import dbfs_spark_cache_spark.management as management
+    import dbfs_spark_cache_spark.session as session
+    from dbfs_spark_cache_spark import maintenance_cli
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(
+        management, "cache_stats", lambda s, num_threads=None: {"n": 0}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["spark-cache-maintenance", "--stats", "--database", "other"]
+    )
+    assert maintenance_cli.main() == 2
+    monkeypatch.setattr(sys, "argv", ["spark-cache-maintenance", "--stats"])
+    assert maintenance_cli.main() == 0

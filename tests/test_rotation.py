@@ -97,6 +97,49 @@ def test_rotation_advances_after_a_round(monkeypatch):
     )
 
 
+def test_changed_and_helper_lists_are_disjoint():
+    """r9 verdict finding #1: a name in BOTH _CHANGED and _CHANGED_HELPER
+    breaks the helper ordering invariant one round later — _CHANGED pins
+    it to the front, the driver attests it fresh, and every staler query
+    behind it then violates the half-step-penalty contract. Promotion
+    into _CHANGED must remove the helper note in the same edit; this
+    makes dual membership fail at insertion time, not via the ordering
+    side-effect next round."""
+    dual = set(entry._CHANGED) & set(entry._CHANGED_HELPER)
+    assert not dual, f"names in both _CHANGED and _CHANGED_HELPER: {dual}"
+
+
+def test_helper_invariant_survives_this_rounds_ledger(monkeypatch):
+    """r9 verdict task #7: the r9 red test only tripped on the ledger
+    state the NEXT session inherits (the driver writes CORRECTNESS_rN
+    AFTER the snapshot). Simulate exactly that: this round's window all
+    green at a fresh vintage, then re-check the helper ordering
+    invariant on the post-round ledger so round-boundary regressions
+    surface in-round."""
+    real = entry._vintages()
+    window_now = list(entry.queries())[: entry._WINDOW_SLOTS]
+    fresh = max([real.get(n, 0) for n in QUERIES], default=0) + 1
+    simulated = dict(real)
+    for n in window_now:
+        simulated[n] = fresh
+    monkeypatch.setattr(entry, "_vintages", lambda: simulated)
+    names = list(entry.queries())
+    for n in entry._CHANGED_HELPER:
+        pos = names.index(n)
+        before = [
+            m
+            for m in names[:pos]
+            if m not in entry._CHANGED and m not in entry._CHANGED_HELPER
+        ]
+        after = [m for m in names[pos + 1 :] if m not in entry._CHANGED_HELPER]
+        assert all(
+            simulated.get(m, 0) < simulated.get(n, 0) for m in before
+        ), f"{n}: non-helper ranked ahead is not strictly staler (post-round)"
+        assert all(
+            simulated.get(m, 0) >= simulated.get(n, 0) for m in after
+        ), f"{n}: staler query left behind it (post-round)"
+
+
 def test_helper_refactor_queries_lead_the_overflow():
     """_CHANGED_HELPER names (shared helper refactored result-identically,
     re-verified locally) must not displace genuinely-stale vintages from
