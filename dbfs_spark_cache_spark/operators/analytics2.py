@@ -143,7 +143,15 @@ def orders_year_over_year(spark: SparkSession, sf: str) -> DataFrame:
     year's prev_revenue relative to the oracle), and a zero-revenue
     previous year yields a NULL growth_ratio via NULLIF instead of an
     ANSI DIVIDE_BY_ZERO that kills the query (the r8 crash class —
-    decimal-derived doubles take the ANSI division path)."""
+    decimal-derived doubles take the ANSI division path).
+
+    EXPECTED LOG NOISE (r9 verdict nit #5): Spark's WindowExec warns
+    "No Partition Defined for Window operation" on every run — correct
+    and deliberately accepted here, because the window's input is the
+    post-aggregate YEAR table (a few dozen rows bounded by the
+    calendar), not the corpus; partitioning it (e.g. by lit(1)) would
+    add an exchange to silence a warning about a single-task sort over
+    ~30 rows. Do not "fix" the warning."""
     orders = load_table(spark, sf, "orders")
     yr = orders.groupBy(
         F.year("o_orderdate").cast("bigint").alias("order_year")

@@ -196,6 +196,15 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     screen read the staged columns instead of re-deriving them; at
     bench scale the probe shows the cost is stage latency, not data
     (4.1 s at sf0.001 vs 4.3 s at sf0.1 — flat).
+
+    QUEUED FOR R11 (this query's due slot; r9 verdict finding #2): the
+    staged variant is built and pre-measured in
+    ``tests/test_r11_premeasure.py::
+    test_anomaly_mad_r11_staged_variant_parity_and_plan`` — value-exact
+    against this oracle, plan collapsed from 81 pushed scans / 101
+    exchanges to 2 / 18 (``_staged_anomaly_mad`` there IS the landing
+    diff). Landing it now would ride this query's r8 attestation
+    off-slot; apply at r11, move the name into ``_CHANGED``, selfcheck.
     """
     from .scale import grouped_median_mad
 
