@@ -135,6 +135,23 @@ _CHANGED: list[str] = [
     "similarity_multiprobe",
     "similarity_ivf_search",
     "dedup_embedding_cosine",
+    # r10 fifth lens — at-least-once duplication (every row of every
+    # table exactly duplicated, the log-replay production shape; full-
+    # row duplicates keep output multisets well-defined). 145/150 held
+    # exact parity; the one due-cohort finding is fixed here (rule 2b):
+    # the singleton anti-join read the raw docs table, emitting every
+    # singleton TWICE (955 rows) against the oracle's one-row-per-
+    # document GROUP BY (500) — singletons now derive from DISTINCT
+    # doc_ids. Fixture-identical (doc_id unique at every SF);
+    # re-attested exact at sf0.01 AND sf0.1; duplication parity pinned
+    # in tests/test_r10_window_fixes.py. (Also subsumes this query's r7
+    # md5-shuffle-key and r9 checkpoint-attribution helper notes —
+    # promoted out of _CHANGED_HELPER per the disjointness rule.) The
+    # four non-due duplication findings (pipeline_dedup_survivors,
+    # asof_join_union_window, multimodal_decode_features,
+    # similarity_topk_batch — all r8-vintage) are queued for r11 with
+    # pre-measures in tests/test_r11_premeasure.py:
+    "dedup_cluster_keepers",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -199,11 +216,6 @@ _CHANGED_HELPER: list[str] = [
     # r7: window shuffle key text -> md5(text) (same groups, 16-byte
     # shuffle keys). r7-vintage, re-attests this round, then drops:
     "dedup_keep_first",
-    # r7 + r9 (ADVICE r8 #1): checkpoint reclaim attributes its OWN
-    # generation's RDD id off the LogicalRDD node (concurrent-bystander
-    # safe); labels and convergence unchanged. r7-vintage, re-attests
-    # this round, then drops:
-    "dedup_cluster_keepers",
     # r9 late-round window fix rode on this r8-vintage helper consumer:
     # distributed_global_percentiles' internal partition joins became
     # null-safe (<=>). Re-attests r11, its natural turn (its r7-vintage

@@ -1133,8 +1133,17 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
             f"{n_lowered} labels moving). Refusing to emit wrong keepers."
         )
 
+    # One output row PER DOCUMENT (distinct doc_id) — the oracle's GROUP
+    # BY doc_id contract. r10 duplication probe (landed in this query's
+    # due slot): under at-least-once duplicated input the raw docs join
+    # emitted every singleton TWICE while the edge-node labels (distinct
+    # by construction) did not — 955 rows vs the oracle's 500. The
+    # distinct is a map-side partial agg on a 16-byte-key projection,
+    # feeding the same anti-join shuffle that was already here.
     singletons = (
-        docs.join(labels.select("doc_id"), "doc_id", "left_anti")
+        docs.select("doc_id")
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     return labels.unionByName(singletons).select(

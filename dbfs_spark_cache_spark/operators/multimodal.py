@@ -157,6 +157,17 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     identically on both engines (the filter pushes to the scan). Before
     this, ``t.encode`` raised on the first NULL and one bad row killed
     the whole corpus decode — the r8 ANSI-crash class, in Python.
+
+    QUEUED FOR R11 (this query's due slot; r10 duplication lens): the
+    decode is a map pass (per-row features, one output per input row —
+    duplicate-correct by construction), but the ORACLE's byte stats
+    GROUP BY doc_id, so duplicated copies DOUBLE window_checksum's SUM
+    (mean/min/max invariant). Fix is oracle-only: dedup the exploded
+    byte rows on (doc_id, hx, i) — copies collapse, within-document
+    byte multiplicity survives via the index. Pre-measured exact in
+    ``tests/test_r11_premeasure.py::
+    test_multimodal_decode_r11_dup_fix_dedups_oracle_byte_rows``;
+    doc_id is unique at every SF (verified).
     """
     docs = (
         load_table(spark, sf, "documents")

@@ -104,6 +104,18 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     Cosine rounds to 4 decimals before ranking; ties break on vec_id, so
     the ordering is engine-exact (same discipline as
     ``similarity_topk_cosine``, similarity.py).
+
+    QUEUED FOR R11 (this query's due slot; r10 duplication lens): the
+    query batch derives from ``LIMIT 5`` over raw vec_ids — under
+    at-least-once duplicated input the batch collapses to 3 distinct
+    queries, and this side's qids JOIN additionally MULTIPLIES each
+    query's rows by its id's copy count (4 scored copies vs the
+    oracle's IN-semantics 2), shifting every rank. Fix when due:
+    ``DISTINCT vec_id`` before ORDER BY/LIMIT on BOTH engines —
+    multiplicities then agree everywhere downstream. Pre-measured
+    exact in ``tests/test_r11_premeasure.py::
+    test_topk_batch_r11_dup_fix_distinct_query_ids``; vec_id is unique
+    at every SF (verified).
     """
     from pyspark.sql import Window as W
 

@@ -173,7 +173,17 @@ def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     at the funnel head on BOTH engines (a dedup funnel over unreadable
     docs is meaningless — the multimodal contract); pre-measured exact
     parity in ``tests/test_r11_premeasure.py``. No fixture has NULL
-    text at any SF (verified)."""
+    text at any SF (verified).
+
+    ALSO QUEUED FOR R11 (r10 duplication lens, same due slot): under
+    at-least-once duplicated input BOTH engines over-keep — the
+    semi-join chain preserves input multiplicity (2 copies/survivor)
+    and the oracle's ``doc_id IN keepers`` over the qual-join-multiplied
+    docs_q keeps 4. Fix: ``.distinct()`` on the exact-survivor stage +
+    ``SELECT DISTINCT * FROM docs_q`` in the oracle's survivors0 — one
+    row per surviving document on both engines; pre-measured in
+    ``test_survivors_r11_dup_fix_dedups_both_engines``. doc_id is
+    unique at every SF (verified), so current attestations are honest."""
     from .dedup import lsh_candidate_pairs, minhash_signatures
 
     quality = quality_filter(spark, sf).where(F.col("verdict") == "keep")

@@ -81,6 +81,18 @@ def asof_join_union_window(spark: SparkSession, sf: str) -> DataFrame:
     Strictness (``v.ts < p.ts``) falls out of the sort order: ties on ts
     sort purchases (kind 0) before views (kind 1), so a same-timestamp
     view is never in a purchase's preceding frame.
+
+    QUEUED FOR R11 (this query's due slot; r10 duplication lens): under
+    at-least-once duplicated input this form emits one row PER PURCHASE
+    ROW while the oracle GROUPs by (event_id, user_id) with the join
+    count multiplied by the purchase-copy count. Fix when due: close the
+    twin's missing final aggregation — ``groupBy(event_id, user_id)``
+    with MAX(prior_view_ts) and SUM(n_prior_views) (per-copy counts are
+    identical, so the sum equals copies x view rows, exactly the
+    oracle's join count; groups of one on unique fixtures).
+    Pre-measured exact in ``tests/test_r11_premeasure.py::
+    test_asof_union_window_r11_dup_fix_regroups_purchases``; event_id
+    is unique at every SF (verified).
     """
     events = load_table(spark, sf, "events").where(
         F.col("event_type").isin("purchase", "view")

@@ -265,3 +265,42 @@ def test_sign_bits_helpers_match_inline_variants(spark):
         .count()
     )
     assert mismatch == 0, "integer variant n=4"
+
+
+def _dup_fixture(tmp_path, tables):
+    """Every row of every listed table exactly duplicated — the
+    at-least-once / log-replay production shape the r10 fifth probe lens
+    modeled. Full-row duplicates keep output multisets well-defined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    con = duckdb.connect()
+    for name in tables:
+        t = pq.read_table(f"{SF_SMOKE}/{name}.parquet")
+        pq.write_table(
+            pa.concat_tables([t, t]), f"{tmp_path}/{name}.parquet"
+        )
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{tmp_path}/{name}.parquet'"
+        )
+    return con
+
+
+def test_dedup_cluster_keepers_duplication_parity(spark, tmp_path):
+    """One output row PER DOCUMENT even under at-least-once duplicated
+    input (was: the singleton anti-join read the raw docs table and
+    emitted every singleton twice — 955 rows vs the oracle's 500)."""
+    from tests.conftest import SF_SMOKE
+
+    con = _dup_fixture(tmp_path, ["documents"])
+    _check("dedup_cluster_keepers", spark, con, str(tmp_path))
+    got = QUERIES["dedup_cluster_keepers"](spark, str(tmp_path)).toPandas()
+    base = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(got) == base["doc_id"].nunique()
+    assert got["doc_id"].is_unique
+
+    # fixture-invisible: doc_id is unique at every SF, so pre-fix
+    # attestations were honest
+    assert base["doc_id"].is_unique

@@ -703,3 +703,278 @@ def test_anomaly_mad_r11_staged_variant_parity_and_plan(spark, clean_cache):
         f"staged plan too heavy: {stg_scans} scans / {stg_exchanges} "
         "exchanges (want <= 15 scans / <= 25 exchanges)"
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 fifth lens: at-least-once duplication (every row of every table
+# exactly duplicated — the log-replay production shape; full-row
+# duplicates keep output multisets well-defined). 145/150 held exact
+# parity; the due-cohort finding (dedup_cluster_keepers) was fixed in its
+# r10 slot; these four r8-vintage findings land at r11.
+# ---------------------------------------------------------------------------
+
+
+def _dup_fixture_r10(tmp_path, tables):
+    import duckdb as _duckdb
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    con = _duckdb.connect()
+    for name in tables:
+        t = _pq.read_table(f"{SF_SMOKE}/{name}.parquet")
+        _pq.write_table(
+            _pa.concat_tables([t, t]), f"{tmp_path}/{name}.parquet"
+        )
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{tmp_path}/{name}.parquet'"
+        )
+    return con
+
+
+def test_survivors_r11_dup_fix_dedups_both_engines(spark, tmp_path):
+    """Pre-measure the r11-queued pipeline_dedup_survivors duplication
+    fix (r10 fifth lens): a dedup funnel must emit ONE row per surviving
+    document, but under at-least-once duplicated input BOTH engines
+    over-keep — the Spark semi-join chain preserves input multiplicity
+    (2 copies per survivor) and the oracle's ``doc_id IN keepers`` over
+    the qual-join-multiplied docs_q keeps 4. Fix on both engines:
+    ``.distinct()`` on the exact-survivor stage (identical full-row
+    copies collapse; the stage is already materialized through the
+    cache, so the distinct rides the staged frame) and ``SELECT
+    DISTINCT * FROM docs_q`` in the oracle's survivors0."""
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from dbfs_spark_cache_spark.operators.pipeline import quality_filter
+    from dbfs_spark_cache_spark.sources import load_table
+
+    con = _dup_fixture_r10(tmp_path, ["documents"])
+
+    got = QUERIES["pipeline_dedup_survivors"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["pipeline_dedup_survivors"]).fetchdf()
+    n_survivors = got["doc_id"].nunique()
+    assert len(got) == 2 * n_survivors and len(want) == 4 * n_survivors, (
+        "expected 2x over-keep on Spark and 4x on the oracle; if this "
+        "now matches, the fix landed — retire this half"
+    )
+
+    # the PROPOSED r11 variant (staging omitted — orthogonal to values)
+    quality = quality_filter(spark, str(tmp_path)).where(
+        F.col("verdict") == "keep"
+    )
+    docs = load_table(spark, str(tmp_path), "documents").join(
+        quality.select("doc_id"), "doc_id", "left_semi"
+    )
+    exact_keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    exact_survivors = docs.join(
+        exact_keepers.select("doc_id"), "doc_id", "left_semi"
+    ).distinct()
+    near_dup_losers = (
+        lsh_candidate_pairs(minhash_signatures(exact_survivors))
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+    fixed = (
+        exact_survivors.join(near_dup_losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .toPandas()
+    )
+    assert len(fixed) == n_survivors and fixed["doc_id"].is_unique
+
+    fixed_oracle = ORACLES["pipeline_dedup_survivors"].replace(
+        "SELECT * FROM docs_q WHERE doc_id IN",
+        "SELECT DISTINCT * FROM docs_q WHERE doc_id IN",
+    )
+    assert fixed_oracle != ORACLES["pipeline_dedup_survivors"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare(
+        "pipeline_dedup_survivors_r11dup", fixed, fixed_want
+    )
+    assert not problems, problems
+
+
+def test_asof_union_window_r11_dup_fix_regroups_purchases(spark, tmp_path):
+    """Pre-measure the r11-queued asof_join_union_window duplication fix
+    (r10 fifth lens): the oracle GROUPs by (event_id, user_id) — under
+    duplication one row per distinct purchase with COUNT multiplied by
+    the purchase-copy count — while the window form emits one row PER
+    PURCHASE ROW. The fix closes the twin's missing final aggregation:
+    groupBy(event_id, user_id) with MAX(prior_view_ts) and
+    SUM(n_prior_views) (per-copy counts are identical, so the sum equals
+    copies x views — exactly the oracle's join count; groups of one on
+    unique fixtures)."""
+    from pyspark.sql import Window as W
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.sources import load_table
+
+    con = _dup_fixture_r10(tmp_path, ["events"])
+
+    got = QUERIES["asof_join_union_window"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["asof_join_union_window"]).fetchdf()
+    assert len(got) == 2 * len(want), (
+        "expected one row per duplicated purchase ROW from the window "
+        "form; if this now matches, the fix landed — retire this half"
+    )
+
+    # the PROPOSED r11 variant
+    events = load_table(spark, str(tmp_path), "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("kind") == 1, F.col("ts"))
+    fixed = (
+        tagged.withColumn("prior_view_ts", F.max(view_ts).over(w))
+        .withColumn("n_prior_views", F.count(view_ts).over(w))
+        .where(F.col("kind") == 0)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max("prior_view_ts").alias("prior_view_ts"),
+            F.sum("n_prior_views").alias("n_prior_views"),
+        )
+        .toPandas()
+    )
+    problems = _selfcheck_compare("asof_union_window_r11dup", fixed, want)
+    assert not problems, problems
+
+    # and on the UNIQUE fixture the variant is identical to the
+    # registered query (groups of one)
+    con_u = __import__("duckdb").connect()
+    con_u.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    reg_u = QUERIES["asof_join_union_window"](spark, SF_SMOKE).toPandas()
+    want_u = con_u.execute(ORACLES["asof_join_union_window"]).fetchdf()
+    problems = _selfcheck_compare("asof_union_window_r11dup_base", reg_u, want_u)
+    assert not problems, problems
+
+
+def test_multimodal_decode_r11_dup_fix_dedups_oracle_byte_rows(
+    spark, tmp_path
+):
+    """Pre-measure the r11-queued multimodal_decode_features duplication
+    fix (r10 fifth lens): the decode is a map pass — one output row per
+    input asset row, per-row features — but the oracle's byte stats
+    GROUP BY doc_id, so duplicated copies DOUBLE the window_checksum SUM
+    (mean/min/max are invariant). Fix is oracle-only: dedup the exploded
+    byte rows on (doc_id, hx, i) — copies collapse, within-document byte
+    multiplicity survives via the index i."""
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    con = _dup_fixture_r10(tmp_path, ["documents"])
+
+    got = QUERIES["multimodal_decode_features"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["multimodal_decode_features"]).fetchdf()
+    merged = got.merge(
+        want, on=["doc_id", "asset_source"], suffixes=("_s", "_d")
+    ).drop_duplicates("doc_id")
+    assert (
+        merged["window_checksum_d"]
+        == (2 * merged["window_checksum_s"]) % 65536
+    ).all(), (
+        "expected the oracle checksum to double under duplication; if "
+        "this now matches, the fix landed — retire this half"
+    )
+
+    old_u = (
+        "SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d"
+    )
+    fixed_oracle = ORACLES["multimodal_decode_features"].replace(
+        old_u,
+        "SELECT DISTINCT doc_id, hx, i FROM "
+        f"(SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d)",
+    )
+    assert fixed_oracle != ORACLES["multimodal_decode_features"]
+    fixed = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("multimodal_decode_r11dup", got, fixed)
+    assert not problems, problems
+
+
+def test_topk_batch_r11_dup_fix_distinct_query_ids(spark, tmp_path):
+    """Pre-measure the r11-queued similarity_topk_batch duplication fix
+    (r10 fifth lens): the query batch derives from ``LIMIT 5`` over raw
+    vec_ids — duplicated ids collapse the batch to 3 distinct queries,
+    and the Spark side's qids JOIN additionally MULTIPLIES each query's
+    rows by its id's copy count (2x2=4 scored copies vs the oracle's
+    IN-semantics 2), shifting every rank. Fix: DISTINCT vec_id before
+    ORDER BY/LIMIT on BOTH engines — multiplicities then agree
+    everywhere downstream and the batch is 5 real queries again."""
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.operators.pending_r8 import _dot, _sq_norm
+    from dbfs_spark_cache_spark.sources import load_table
+    from pyspark.sql import Window as W
+
+    con = _dup_fixture_r10(tmp_path, ["embeddings"])
+
+    got = QUERIES["similarity_topk_batch"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["similarity_topk_batch"]).fetchdf()
+    assert sorted(got["q_id"].unique()) == sorted(want["q_id"].unique()) == [
+        0,
+        1,
+        2,
+    ], "both engines collapse the batch to 3 queries today"
+    problems = _selfcheck_compare("topk_batch_r11dup_current", got, want)
+    assert problems, (
+        "expected the rank divergence; if this now matches, the fix "
+        "landed — retire this half"
+    )
+
+    # the PROPOSED r11 variant: distinct qids on both engines
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    qids = emb.select("vec_id").distinct().orderBy("vec_id").limit(5)
+    queries = emb.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_sq_norm("embedding")).alias("q_norm"),
+    )
+    corpus = emb.join(F.broadcast(qids), "vec_id", "left_anti")
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "vec_id",
+        "label",
+        F.round(
+            _dot("embedding", "q_emb")
+            / F.nullif(
+                F.sqrt(_sq_norm("embedding")) * F.col("q_norm"), F.lit(0.0)
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    w_bucket = W.partitionBy("q_id", F.pmod(F.col("vec_id"), F.lit(8))).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    candidates = (
+        scored.withColumn("__rn", F.row_number().over(w_bucket))
+        .where(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+    w_final = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    fixed = (
+        candidates.withColumn(
+            "rank", F.row_number().over(w_final).cast("long")
+        )
+        .where(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "label", "cosine", "rank")
+        .toPandas()
+    )
+    fixed_oracle = ORACLES["similarity_topk_batch"].replace(
+        "SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5",
+        "SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 5",
+    )
+    assert fixed_oracle != ORACLES["similarity_topk_batch"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    assert sorted(fixed["q_id"].unique()) == [0, 1, 2, 3, 4]
+    problems = _selfcheck_compare("topk_batch_r11dup_fixed", fixed, fixed_want)
+    assert not problems, problems
