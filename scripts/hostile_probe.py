@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Two-engine hostile-input probe: rebuild the sf0.001 fixture under a
+named LENS (a production failure shape), run every registered query on
+Spark AND its DuckDB oracle over the SAME poisoned files, and report
+divergences/crashes. The r9/r10 rounds ran these as ad-hoc scripts; this
+is the checked-in harness so each round's new lens is one function.
+
+Lenses:
+  dup    — at-least-once duplication: every row of every table exactly
+           duplicated (log replay / retried ingestion). Full-row
+           duplicates keep output multisets well-defined, so the value
+           compare stays valid while distinct/dedup/rank/keeper
+           semantics get stressed. (r10: found 5 — 145/150 held.)
+  ties   — maximal ties: every orderable measure constant (values,
+           timestamps, prices, dates; all embeddings identical). Any
+           window/rank/top-k whose sort order is not TOTAL may diverge;
+           a clean sweep proves the tiebreak discipline is corpus-wide.
+           (r10: 150/150 held.)
+
+Usage: python scripts/hostile_probe.py --lens dup [--only a,b] [--sf DIR]
+Exit 1 if any probed query diverges or crashes.
+
+Findings are fixture-invisible by construction (the real fixtures carry
+none of these shapes — verified per-lens in the premeasure tests), so a
+finding is QUEUED for the target query's next due rotation slot, never
+fixed off-slot: see the capacity policy in __spark_entry__.py.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# oracle replay needs the md5-portable hash family
+os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
+
+
+def build_dup(src: str, dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(
+            pa.concat_tables([t, t]), f"{dst}/{os.path.basename(f)}"
+        )
+
+
+def build_ties(src: str, dst: str) -> None:
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    const = {
+        "events": {"value": 7.0, "ts": pd.Timestamp("2024-06-01 12:00:00")},
+        "customer": {"c_acctbal": 1234.56},
+        "orders": {
+            "o_totalprice": 100000.0,
+            "o_orderdate": pd.Timestamp("1995-06-01"),
+        },
+        "lineitem": {"l_extendedprice": 1000.0, "l_quantity": 25.0},
+        "part": {"p_retailprice": 900.0},
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        for col, v in const.get(name, {}).items():
+            if col in pdf.columns and len(pdf):
+                pdf[col] = (
+                    v
+                    if pd.api.types.is_datetime64_any_dtype(pdf[col])
+                    else type(pdf[col].iloc[0])(v)
+                )
+        if name == "embeddings" and len(pdf):
+            one = np.array(pdf["embedding"].iloc[0], dtype="float32")
+            pdf["embedding"] = [one] * len(pdf)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
+LENSES = {"dup": build_dup, "ties": build_ties}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lens", required=True, choices=sorted(LENSES))
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from selfcheck import compare
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.session import get_spark
+
+    dst = tempfile.mkdtemp(prefix=f"probe_{args.lens}_")
+    LENSES[args.lens](args.sf, dst)
+    print(f"lens={args.lens} fixture at {dst}")
+
+    spark = get_spark(app_name=f"hostile_probe_{args.lens}")
+    con = duckdb.connect()
+    for f in sorted(glob.glob(f"{dst}/*.parquet")):
+        tbl = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{f}'")
+
+    names = args.only.split(",") if args.only else list(QUERIES)
+    bad = []
+    for name in names:
+        try:
+            got = QUERIES[name](spark, dst).toPandas()
+        except Exception as exc:
+            bad.append((name, f"SPARK-ERROR {type(exc).__name__}: {str(exc)[:160]}"))
+            continue
+        if name not in ORACLES:
+            continue  # rows-only queries: ran without crashing is the check
+        try:
+            want = con.execute(ORACLES[name]).fetchdf()
+        except Exception as exc:
+            bad.append((name, f"DUCK-ERROR {type(exc).__name__}: {str(exc)[:160]}"))
+            continue
+        problems = compare(name, got, want)
+        if problems:
+            bad.append((name, f"DIVERGE: {problems[:2]}"))
+
+    print(f"\n=== lens={args.lens}: {len(names)} probed, {len(bad)} divergent/crashed ===")
+    for n, r in bad:
+        print(f"  {n}: {r}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
