@@ -168,6 +168,15 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     ``tests/test_r11_premeasure.py::
     test_multimodal_decode_r11_dup_fix_dedups_oracle_byte_rows``;
     doc_id is unique at every SF (verified).
+
+    ALSO QUEUED FOR R11 (same slot; r10 negated-id lens): the header
+    formulas ``doc_id % 64 + 1`` / ``doc_id % 3 + 1`` are Python's
+    FLOORED modulo in ``build_asset`` (-5 % 64 = 59) but C-style
+    sign-of-dividend in the oracle (-5), so every negative-id asset's
+    width/channels diverge. The packed header is the ground truth — fix
+    is oracle-only: pmod both doc_id formulas. Pre-measured in
+    ``test_multimodal_decode_r11_neg_fix_pmods_oracle_header``; doc_id
+    is non-negative at every SF (verified).
     """
     docs = (
         load_table(spark, sf, "documents")

@@ -87,7 +87,46 @@ def build_ties(src: str, dst: str) -> None:
         )
 
 
-LENSES = {"dup": build_dup, "ties": build_ties}
+def build_one(src: str, dst: str) -> None:
+    """Single-row tables: every table truncated to its FIRST row — the
+    degenerate-population shape (one customer, one document, one event).
+    Stresses N=1 window math (percent_rank's (rank-1)/(N-1) is 0/0),
+    single-vector ANN, one-doc LSH, groups of one."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(t.slice(0, 1), f"{dst}/{os.path.basename(f)}")
+
+
+def build_neg(src: str, dst: str) -> None:
+    """Negated identifiers (doc_id/vec_id/user_id/event_id) plus negated
+    events.value on even rows: key semantics are sign-free (joins,
+    groups, MIN-keeper elections all transpose consistently), so any
+    divergence is sign-SENSITIVE arithmetic — a pmod-vs-% mismatch, a
+    FLOOR division, a hash of a negative rendering."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    neg_cols = {"doc_id", "vec_id", "user_id", "event_id"}
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        for col in pdf.columns:
+            if col in neg_cols:
+                pdf[col] = -pdf[col]
+        if name == "events" and len(pdf):
+            even = pdf["event_id"] % 2 == 0
+            pdf.loc[even, "value"] = -pdf.loc[even, "value"]
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
+LENSES = {"dup": build_dup, "ties": build_ties, "one": build_one, "neg": build_neg}
 
 
 def main() -> int:

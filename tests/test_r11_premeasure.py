@@ -978,3 +978,67 @@ def test_topk_batch_r11_dup_fix_distinct_query_ids(spark, tmp_path):
     assert sorted(fixed["q_id"].unique()) == [0, 1, 2, 3, 4]
     problems = _selfcheck_compare("topk_batch_r11dup_fixed", fixed, fixed_want)
     assert not problems, problems
+
+
+def test_multimodal_decode_r11_neg_fix_pmods_oracle_header(spark, tmp_path):
+    """Pre-measure the r11-queued multimodal_decode_features negative-id
+    fix (r10 sixth lens — negated identifiers): the SGB1 header formulas
+    ``width = doc_id % 64 + 1`` / ``channels = doc_id % 3 + 1`` are
+    evaluated by PYTHON in the container builder (floored modulo:
+    -5 % 64 = 59) but by DuckDB in the oracle (C-style sign-of-dividend:
+    -5 % 64 = -5) — every negative-id asset's width/channels diverge.
+    The Python-built header is the ground truth (the decoder parses the
+    actual packed bytes), so the fix is oracle-only: pmod the two
+    doc_id formulas. Lands with this query's OTHER queued oracle fix
+    (duplication byte-row dedup) in its one r11 slot."""
+    import duckdb as _duckdb
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    t = _pq.read_table(f"{SF_SMOKE}/documents.parquet")
+    pdf = t.to_pandas()
+    pdf["doc_id"] = -pdf["doc_id"]
+    _pq.write_table(
+        _pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+        f"{tmp_path}/documents.parquet",
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    got = QUERIES["multimodal_decode_features"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["multimodal_decode_features"]).fetchdf()
+    merged = got.merge(want, on="doc_id", suffixes=("_s", "_d"))
+    neg = merged[merged["doc_id"] < 0]
+    diverged = neg[neg["width_s"] != neg["width_d"]]
+    assert len(diverged) > 0, (
+        "expected the width/channels modulo divergence on negative ids; "
+        "if this now matches, the fix landed — retire this half"
+    )
+    # the divergence is exactly floored-vs-C-style modulo
+    row = diverged.iloc[0]
+    d = int(row["doc_id"])
+    assert int(row["width_s"]) == d % 64 + 1          # Python floored
+    assert int(row["width_d"]) == -((-d) % 64) + 1    # C-style on negative
+
+    fixed_oracle = ORACLES["multimodal_decode_features"].replace(
+        "doc_id % 64 + 1 AS width", "((doc_id % 64) + 64) % 64 + 1 AS width"
+    ).replace(
+        "doc_id % 3 + 1 AS channels",
+        "((doc_id % 3) + 3) % 3 + 1 AS channels",
+    )
+    assert fixed_oracle != ORACLES["multimodal_decode_features"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("multimodal_decode_r11neg", got, fixed_want)
+    assert not problems, problems
+
+    # fixture-invisible: doc_id is non-negative at every SF
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .where(F.col("doc_id") < 0)
+        .count()
+        == 0
+    )
