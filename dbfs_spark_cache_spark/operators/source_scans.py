@@ -151,7 +151,21 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
     fixture balance is finite): the cents integerization is an ANSI
     double->BIGINT cast, which raises CAST_OVERFLOW on NaN/±Inf — one
     bad-telemetry row killed the whole conversion. The guard drops such
-    rows before the cast, so both engines read the same finite file."""
+    rows before the cast, so both engines read the same finite file.
+
+    QUEUED FOR R12 (this query's due slot; r10 hostile-content lens):
+    Spark's CSV READER defaults to multiLine=false, so a quoted embedded
+    NEWLINE — RFC4180-legal, and exactly what Spark's own CSV WRITER
+    emits for such a field — splits into two broken records while
+    DuckDB's read_csv parses it correctly (quotes/commas/backslashes/
+    tabs/non-ASCII all round-trip exactly; the JSON twin held parity —
+    JSON escapes inside string literals). Fix when due:
+    ``.option("multiLine", True)`` — pre-measured exact in
+    ``tests/test_r12_premeasure.py``. Scale trade to restate when
+    landing: multiLine makes CSV files non-splittable (one task per
+    file); corpora needing intra-file parallelism must pre-escape
+    newlines at write time instead. Fixture-identical: no fixture
+    string column carries a newline at any SF (verified)."""
     customer = (
         load_table(spark, sf, "customer")
         .where(finite_or_null("c_acctbal"))
