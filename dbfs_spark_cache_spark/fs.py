@@ -79,9 +79,21 @@ def list_dir(path: str) -> List[FileStat]:
         out: List[FileStat] = []
         with os.scandir(local) as entries:
             for entry in entries:
-                st = entry.stat()
+                try:
+                    st = entry.stat()
+                    is_dir = entry.is_dir()
+                except OSError:
+                    # The entry vanished between scandir and stat — a
+                    # CONCURRENT EVICTION deleting cache files while this
+                    # session scans the same directory (CLI cron + live
+                    # session is a supported combination), or a dangling
+                    # symlink. One disappearing file must not kill the
+                    # whole registry scan; the entry is simply no longer
+                    # listable, which is also what the post-delete state
+                    # would have shown.
+                    continue
                 out.append(FileStat(entry.path, entry.name, st.st_size,
-                                    int(st.st_mtime * 1000), entry.is_dir()))
+                                    int(st.st_mtime * 1000), is_dir))
         return out
     jfs, jpath = _active_jvm_fs(path)
     # A missing path lists as empty, mirroring the local branch — Hadoop's
@@ -203,10 +215,20 @@ def read_text(path: str) -> Optional[str]:
 
 def _temp_sibling(path: str) -> str:
     """A writer-unique temp name in the same directory as ``path`` (rename
-    is only atomic within a filesystem/directory)."""
+    is only atomic within a filesystem/directory). pid+tid alone is NOT
+    unique across HOSTS sharing one filesystem (NFS/object store — the
+    exact multi-driver scenario the shared cache exists for): two writers
+    on different machines can hold the same (pid, tid) pair and interleave
+    writes into one temp file, producing a torn document that the atomic
+    rename then publishes. The uuid component makes the name
+    single-writer by construction."""
     import threading
+    import uuid
 
-    return f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+    return (
+        f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        f".{uuid.uuid4().hex[:8]}"
+    )
 
 
 def write_text(path: str, content: str) -> None:

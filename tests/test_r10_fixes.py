@@ -171,3 +171,28 @@ def test_cli_stats_with_database_exits_2(spark, monkeypatch):
     assert maintenance_cli.main() == 2
     monkeypatch.setattr(sys, "argv", ["spark-cache-maintenance", "--stats"])
     assert maintenance_cli.main() == 0
+
+
+def test_list_dir_survives_vanishing_entries(tmp_path):
+    """r10 engine review: an entry that cannot be stat'ed (deleted
+    between scandir and stat by a concurrent eviction, or a dangling
+    symlink) must not kill the whole registry scan. A dangling symlink
+    reproduces the raise deterministically."""
+    from dbfs_spark_cache_spark import fs
+
+    real = tmp_path / "real.txt"
+    real.write_text("x")
+    os.symlink(tmp_path / "never-existed", tmp_path / "dangling")
+    names = {s.name for s in fs.list_dir(str(tmp_path))}
+    assert names == {"real.txt"}
+
+
+def test_temp_sibling_is_unique_per_call():
+    """r10 engine review: pid+tid is not unique across hosts sharing one
+    filesystem — the uuid component makes every temp name single-writer
+    by construction (two calls from the SAME pid+tid already differ)."""
+    from dbfs_spark_cache_spark.fs import _temp_sibling
+
+    names = {_temp_sibling("/x/meta.txt") for _ in range(64)}
+    assert len(names) == 64
+    assert all(n.startswith("/x/meta.txt.tmp.") for n in names)
