@@ -126,7 +126,35 @@ def build_neg(src: str, dst: str) -> None:
         )
 
 
-LENSES = {"dup": build_dup, "ties": build_ties, "one": build_one, "neg": build_neg}
+def build_split(src: str, dst: str) -> None:
+    """Reversed row order, split into 4 part files per table: storage
+    layout is not a semantic input, so any divergence is a hidden
+    dependence on file/row order (implicit 'first row' keepers, ranks
+    without total orders, positional assumptions)."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f)
+        t = pq.read_table(f)
+        rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+        outdir = f"{dst}/{name}"
+        os.makedirs(outdir, exist_ok=True)
+        n = max(1, t.num_rows // 4)
+        part = 0
+        for off in range(0, max(t.num_rows, 1), n):
+            pq.write_table(
+                rev.slice(off, n), f"{outdir}/part-{part:02d}.parquet"
+            )
+            part += 1
+
+
+LENSES = {
+    "dup": build_dup,
+    "ties": build_ties,
+    "one": build_one,
+    "neg": build_neg,
+    "split": build_split,
+}
 
 
 def main() -> int:
@@ -151,7 +179,9 @@ def main() -> int:
     con = duckdb.connect()
     for f in sorted(glob.glob(f"{dst}/*.parquet")):
         tbl = os.path.basename(f).replace(".parquet", "")
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{f}'")
+        # a lens may emit each table as a DIRECTORY of part files
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{src}'")
 
     names = args.only.split(",") if args.only else list(QUERIES)
     bad = []
