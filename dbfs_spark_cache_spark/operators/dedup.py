@@ -900,6 +900,15 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     join keys on 16-bit block pairs — 28 x 65,536 possible buckets versus
     the round-2 single-block scheme's 8 x 256, whose fixed 2,048-bucket
     population made within-bucket pair counts quadratic in corpus size.
+
+    QUEUED FOR R12 (this query's due slot; r10 'nulls' lens): on a
+    NULL-text doc the engines DIVERGE — DuckDB's vote CASE treats the
+    NULL token list as zero votes, giving every NULL-text doc simhash 0
+    (they all pair with each other at hamming 0), while Spark's NULL
+    simhash yields NULL chunk keys that never join. Fix when due:
+    ``WHERE text IS NOT NULL`` on BOTH engines (the established
+    unreadable-payload contract). Pre-measured in
+    tests/test_r12_premeasure.py; no fixture text is NULL at any SF.
     """
     docs = load_table(spark, sf, "documents")
     # Map-only signature: hash every token instance per row (frequency

@@ -259,7 +259,15 @@ def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
     is mandatory for reproducible results at any scale). The collected array
     is serialized with array_join so the result is flat-typed: the driver's
     pandas canonicalizer cannot hash list-valued cells (r2 finding), and a
-    delimited string carries the identical information for comparison."""
+    delimited string carries the identical information for comparison.
+
+    QUEUED FOR R12 (this query's due slot; r10 'nulls' lens): both
+    engines skip NULL elements (mixed-group parity held), but over an
+    ALL-NULL group Spark's array_join of the empty array emits '' while
+    STRING_AGG emits NULL. Fix when due: emit NULL for the empty
+    collection — ``when(size(collected) > 0, array_join(...))``, the
+    SQL aggregate-over-no-values convention. Pre-measured in
+    tests/test_r12_premeasure.py; no fixture group is all-NULL."""
     nation = load_table(spark, sf, "nation")
     collected = F.array_sort(F.collect_list("n_name"))
     return nation.groupBy("n_regionkey").agg(

@@ -148,12 +148,56 @@ def build_split(src: str, dst: str) -> None:
             part += 1
 
 
+_KEY_COLS = {
+    "region": {"r_regionkey"},
+    "nation": {"n_nationkey"},
+    "customer": {"c_custkey"},
+    "supplier": {"s_suppkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey"},
+    "lineitem": {"l_orderkey", "l_linenumber"},
+    "events": {"event_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+
+
+def build_nulls(src: str, dst: str) -> None:
+    """Every NON-KEY column NULL in the first 3 rows of every table —
+    the broad at-least-once-ingestion / schema-evolution shape (a
+    malformed record keeps its key, loses its payload). Wider than the
+    r9 targeted NULL lens (which poisoned keys/text): NULL dates, FKs,
+    categorical grouping columns and measures all at once. Types are
+    preserved via pyarrow (pandas would float-ify NULLed int columns,
+    changing the physical schema both engines read)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        keep = _KEY_COLS.get(name, set())
+        n = t.num_rows
+        mask = pa.array([i < 3 for i in range(n)], type=pa.bool_())
+        cols = []
+        for field in t.schema:
+            col = t.column(field.name).combine_chunks()
+            if field.name not in keep and n:
+                col = pc.if_else(mask, pa.nulls(n, type=field.type), col)
+            cols.append(col)
+        pq.write_table(
+            pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet"
+        )
+
+
 LENSES = {
     "dup": build_dup,
     "ties": build_ties,
     "one": build_one,
     "neg": build_neg,
     "split": build_split,
+    "nulls": build_nulls,
 }
 
 

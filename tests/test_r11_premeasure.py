@@ -1042,3 +1042,80 @@ def test_multimodal_decode_r11_neg_fix_pmods_oracle_header(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def _null_rows_table(src_path: str, dst_path: str, keep_cols: set, n: int = 3):
+    """First n rows: every non-key column NULL, types preserved (the r10
+    'nulls' lens shape — a malformed record keeps its key, loses its
+    payload)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(src_path)
+    mask = _pa.array([i < n for i in range(t.num_rows)], type=_pa.bool_())
+    cols = []
+    for field in t.schema:
+        col = t.column(field.name).combine_chunks()
+        if field.name not in keep_cols and t.num_rows:
+            col = _pc.if_else(mask, _pa.nulls(t.num_rows, type=field.type), col)
+        cols.append(col)
+    _pq.write_table(_pa.table(cols, schema=t.schema), dst_path)
+
+
+def test_approx_percentile_r11_fix_vacuous_flag_for_all_null_group(
+    spark, tmp_path
+):
+    """Pre-measure the r11-queued agg_approx_percentile fix (r10 'nulls'
+    lens): a group whose prices are ALL NULL gets NULL percentiles on
+    both engines (values agree), but the tolerance flag is a three-valued
+    comparison — NULL on Spark — while the oracle emits literal TRUE.
+    Fix: ``coalesce(within, e50 IS NULL)`` — vacuously within tolerance
+    exactly when there is no data to be out of tolerance on, and still
+    loudly FALSE if the flag ever nulls out with data present."""
+    import duckdb as _duckdb
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.sources import load_table
+
+    _null_rows_table(
+        f"{SF_SMOKE}/lineitem.parquet",
+        f"{tmp_path}/lineitem.parquet",
+        {"l_orderkey", "l_linenumber"},
+    )
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+    )
+
+    got = QUERIES["agg_approx_percentile"](spark, str(tmp_path)).toPandas()
+    null_grp = got[got["l_returnflag"].isna()]
+    assert len(null_grp) == 1 and null_grp["approx_within_1pct"].isna().all(), (
+        "expected the NULL flag on the all-NULL group; if this now "
+        "matches, the fix landed — retire this half"
+    )
+
+    # the PROPOSED r11 variant
+    li = load_table(spark, str(tmp_path), "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.9).alias("e90"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = (
+        (F.abs(F.element_at("ap", 1) - F.col("e50")) <= F.col("e50") * 0.01)
+        & (F.abs(F.element_at("ap", 2) - F.col("e90")) <= F.col("e90") * 0.01)
+    )
+    fixed = agg.select(
+        "l_returnflag",
+        F.col("e50").alias("exact_p50"),
+        F.col("e90").alias("exact_p90"),
+        F.coalesce(within, F.col("e50").isNull()).alias("approx_within_1pct"),
+        "n_rows",
+    ).toPandas()
+    want = con.execute(ORACLES["agg_approx_percentile"]).fetchdf()
+    problems = _selfcheck_compare("agg_approx_percentile_r11", fixed, want)
+    assert not problems, problems
