@@ -91,7 +91,7 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #   every round's due cohort is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
     # r10: the eight hostile-input fixes queued since r9 with inline
-    # pre-measures (tests/test_r10_premeasure.py encoded the exact
+    # pre-measures (the since-retired tests/test_r10_premeasure.py encoded the exact
     # diffs), every one landed in its own due slot (rule 2b: all twelve
     # names below are r7-vintage, due this round — slot-neutral; judge
     # recomputed the cohort as exactly the 50 r7-vintage queries and
@@ -129,8 +129,8 @@ _CHANGED: list[str] = [
     # hand-kept bucket comprehensions are now the shared
     # functions.sign_bits_str/int pair, landed exactly when all four
     # consumers came due together (bit-for-bit variant parity incl.
-    # hostile vectors: tests/test_r10_premeasure.py::
-    # test_sign_bits_helper_matches_all_four_inline_variants):
+    # hostile vectors: tests/test_r10_window_fixes.py::
+    # test_sign_bits_helpers_match_inline_variants):
     "similarity_lsh_buckets",
     "similarity_multiprobe",
     "similarity_ivf_search",

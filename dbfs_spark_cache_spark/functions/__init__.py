@@ -60,7 +60,7 @@ def sign_bits_str(a, n: int) -> Column:
     as the integer twin below — similarity_multiprobe, the same
     hand-kept-copy drift class the r8 text.py cleaning-chain extraction
     fixed. Bit-for-bit parity with all four inline variants (hostile
-    vectors included) pinned in tests/test_r10_premeasure.py.
+    vectors included) pinned in tests/test_r10_window_fixes.py.
     """
     return F.concat(
         *[

@@ -104,8 +104,8 @@ def dedup_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     differently per engine under the shorthand — the kind of silent
     cross-engine drift a content fingerprint cannot afford.
 
-    r10 (landed in its due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): ``lower`` carries the same
+    r10 (landed in its due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): ``lower`` carries the same
     class of drift — Spark's LOWER is Java's FULL lowercase mapping
     (U+0130 İ -> i + combining dot; capital sigma lowers CONTEXTUALLY to
     final ς at word end) while DuckDB's utf8proc SIMPLE mapping gives

@@ -894,8 +894,8 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     semantics verified against Spark's own global window (ties, all-equal,
     tiny-N edge cases) in tests/test_scale_patterns.py.
 
-    r10 (landed in this query's due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): NULL balances are excluded
+    r10 (landed in this query's due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): NULL balances are excluded
     on BOTH engines (``WHERE c_acctbal IS NOT NULL``) — a percentile of
     an unknown balance is undefined, the same exclusion contract as the
     robust-outlier baseline. Without the filter the engines diverged on
@@ -1108,8 +1108,8 @@ def exists_subquery(spark: SparkSession, sf: str) -> DataFrame:
 def fn_string(spark: SparkSession, sf: str) -> DataFrame:
     """String scalar-function family over part.
 
-    r10 (landed in its due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): ``name_upper`` is the
+    r10 (landed in its due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): ``name_upper`` is the
     portable ASCII mapping ``translate(p_name, a-z, A-Z)`` on BOTH
     engines, because the engines' native UPPERs speak different Unicode
     dialects — Spark's is Java's FULL case mapping (ﬁ -> "FI" expands,
@@ -1216,8 +1216,8 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
 def fn_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON extraction + aggregation over event props.
 
-    r10 (landed in this query's due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): hostile props hardening —
+    r10 (landed in this query's due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): hostile props hardening —
     (a) ``k`` is gated on an integer-literal regex before the BIGINT
     cast on BOTH engines, because a non-integer k (``{"k": 1.5}``)
     crashed Spark's ANSI cast and the naive try_cast repair would

@@ -7,8 +7,8 @@ higher-order functions (``aggregate``/``zip_with``) — no Python in the
 per-row path.
 
 
-r10 (the four consumers' shared due slot — pre-pinned in
-tests/test_r10_premeasure.py since r9): the sign-bit LSH bucket
+r10 (the four consumers' shared due slot — pre-pinned at r9;
+variant-parity pin now in tests/test_r10_window_fixes.py): the sign-bit LSH bucket
 comprehension that was hand-kept in four places (similarity_lsh_buckets
 8-bit, similarity_ivf_search 4-bit, similarity_multiprobe integer
 variant, dedup.dedup_embedding_cosine 8-bit) is now the shared

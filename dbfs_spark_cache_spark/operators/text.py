@@ -164,8 +164,8 @@ def text_bag_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     that are permutations of the same vocabulary collide). A cheap
     complement to MinHash for shuffled-content dedup.
 
-    r10 (landed in this query's due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): NULL-text documents are
+    r10 (landed in this query's due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): NULL-text documents are
     excluded on BOTH engines (``WHERE text IS NOT NULL`` — the
     multimodal r9 contract: an unreadable payload is excluded, not
     fingerprinted). Without the filter the engines diverged AND both

@@ -172,8 +172,8 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     One shuffle on user_id; the streaming twin is ``session_window`` in
     streaming.py.
 
-    r10 (landed in this query's due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): the Spark window orders
+    r10 (landed in this query's due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): the Spark window orders
     ``ts`` with ``asc_nulls_last`` so a NULL-ts straggler sorts LAST on
     both engines (DuckDB's ASC default is already NULLS LAST) and joins
     the user's final session via the three-valued CASE, instead of
@@ -217,8 +217,8 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour windows — the batch twin of the streaming windowed
     aggregation (streaming.py uses the same expression over readStream).
 
-    r10 (landed in this query's due slot; pre-measured in
-    tests/test_r10_premeasure.py since r9): ``F.window`` silently DROPS
+    r10 (landed in this query's due slot; pre-measured at r9;
+    premeasure since retired, pins in tests/test_r10_window_fixes.py): ``F.window`` silently DROPS
     NULL-ts rows (verified on Spark 4.1) while DATE_TRUNC groups them
     into a NULL bucket, so BOTH engines now drop them explicitly with
     ``WHERE ts IS NOT NULL`` — an un-timestamped event belongs to no

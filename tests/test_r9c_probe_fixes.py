@@ -18,7 +18,7 @@ two-engine over the full 150-query registry found 4 divergences
 
 A Unicode-hostile probe (case-mapping edges, ligatures, astral plane,
 bidi controls) found 3 more — ``fn_string`` / ``dedup_fingerprint``
-(r7-vintage, queued r10, pre-measures in test_r10_premeasure.py) and
+(r7-vintage, queued r10, pre-measures in the since-retired test_r10_premeasure.py; pins now in test_r10_window_fixes.py) and
 ``text_clean_normalize`` (r8-vintage, queued r11); the other 147 held
 exact parity. All seven findings are fixture-invisible: every fixture
 table is non-empty and pure ASCII at every SF (verified).
