@@ -196,3 +196,29 @@ def test_temp_sibling_is_unique_per_call():
     names = {_temp_sibling("/x/meta.txt") for _ in range(64)}
     assert len(names) == 64
     assert all(n.startswith("/x/meta.txt.tmp.") for n in names)
+
+
+def test_created_time_primary_path_reads_catalog_epoch(spark):
+    """The PRIMARY source is the JVM catalog's zone-free epoch millis —
+    proven live: the helper returns the correct instant even when handed
+    a garbage rendered string, so the string-parsing fallback is exactly
+    that (a fallback), not the de-facto path."""
+    import time
+
+    from dbfs_spark_cache_spark.management import _created_time_utc_naive
+
+    db = "r10_ct_probe_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        before = pd.Timestamp.utcnow().tz_localize(None)
+        spark.range(3).write.mode("overwrite").saveAsTable(f"{db}.t")
+        after = pd.Timestamp.utcnow().tz_localize(None)
+        got = _created_time_utc_naive(spark, db, "t", "garbage")
+        assert not pd.isna(got)
+        # the epoch is UTC-naive and inside the creation window (with a
+        # minute of slack for catalog clock skew)
+        assert before - pd.Timedelta(minutes=1) <= got <= after + pd.Timedelta(
+            minutes=1
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
