@@ -304,3 +304,106 @@ def test_bucketed_cache_write_joins_without_shuffle(spark, clean_cache):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_distributed_percentiles_randomized_sweep(spark):
+    """Randomized (seeded, reproducible) adversarial sweep: 25 generated
+    value lists — mixed sizes, tie densities, negatives, NULL rates,
+    constant runs, extreme spreads — checked against Spark's own window
+    distribution functions in ONE job via partition_cols mode (each case
+    is a partition), so the sweep costs one shuffle, not 25 jobs."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    rows = []
+    for case in range(25):
+        n = rng.choice([1, 2, 3, 7, 20, 64, 257])
+        style = rng.choice(["dense_ties", "spread", "constant", "mixed"])
+        for i in range(n):
+            if style == "dense_ties":
+                v = float(rng.randint(0, 3))
+            elif style == "spread":
+                v = rng.uniform(-1e6, 1e6)
+            elif style == "constant":
+                v = 42.0
+            else:
+                v = rng.choice([None, 0.0, -5.5, float(rng.randint(0, 9))])
+            if v is not None and rng.random() < 0.1:
+                v = None  # sprinkle NULLs everywhere
+            rows.append((case, i, v))
+    df = spark.createDataFrame(rows, "case_id int, id long, v double")
+
+    got = {
+        (r.case_id, r.id): (r.pct_rank, r.cume_dist, r.tile)
+        for r in distributed_global_percentiles(
+            df,
+            value_col="v",
+            tiebreak_col="id",
+            n_buckets=4,
+            n_tiles=10,
+            partition_cols=["case_id"],
+        ).collect()
+    }
+    w_val = W.partitionBy("case_id").orderBy("v")
+    w_det = W.partitionBy("case_id").orderBy("v", "id")
+    expected = {
+        (r.case_id, r.id): (r.pct_rank, r.cume_dist, r.tile)
+        for r in df.select(
+            "case_id",
+            "id",
+            F.percent_rank().over(w_val).alias("pct_rank"),
+            F.cume_dist().over(w_val).alias("cume_dist"),
+            F.ntile(10).over(w_det).cast("long").alias("tile"),
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_grouped_median_mad_randomized_sweep(spark):
+    """Randomized (seeded) sweep for the banded median/MAD helper: 20
+    generated groups side by side — singleton, even/odd sizes, tie runs,
+    negatives, wide spreads — checked against Python's exact
+    statistics.median in one job (the helper's part_col contract)."""
+    import random
+    import statistics
+
+    from dbfs_spark_cache_spark.operators.scale import grouped_median_mad
+
+    rng = random.Random(0xBEEF)
+    rows, expect = [], {}
+    for g in range(20):
+        n = rng.choice([1, 2, 3, 4, 9, 33, 128])
+        style = rng.choice(["ties", "spread", "constant", "negatives"])
+        vals = []
+        for i in range(n):
+            if style == "ties":
+                v = float(rng.randint(0, 4))
+            elif style == "spread":
+                v = rng.uniform(-1e5, 1e5)
+            elif style == "constant":
+                v = -7.25
+            else:
+                v = -abs(rng.uniform(0, 100))
+            vals.append(v)
+            rows.append((g, len(rows), v))
+        med = statistics.median(vals)
+        mad = statistics.median([abs(v - med) for v in vals])
+        expect[g] = (med, mad)
+    df = spark.createDataFrame(rows, "g int, id long, v double")
+    got = {
+        r.g: (r.median_value, r.mad)
+        for r in grouped_median_mad(
+            df, "v", "g", tiebreak_col="id"
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for g in expect:
+        assert got[g][0] == pytest.approx(expect[g][0], abs=1e-9), g
+        assert got[g][1] == pytest.approx(expect[g][1], abs=1e-9), g
