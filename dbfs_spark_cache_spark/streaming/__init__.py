@@ -56,16 +56,30 @@ def read_events_stream(
 
     _load_table(spark, sf_dir, "events")  # side effect: nanos conf heal
     raw_schema = spark.read.parquet(path).schema
-    reader = (
-        spark.readStream.format("parquet")
-        .schema(raw_schema)
-        # The file source wants a directory; the fixture is a single file,
-        # so stream the parent dir filtered down to it.
-        .option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.format("parquet").schema(raw_schema)
+    # Layout detection (r10): ``events.parquet`` is a single FILE in the
+    # driver fixtures but a DIRECTORY of part files in the standard Spark
+    # writer layout. The file source wants a directory, so the single-file
+    # layout streams the PARENT filtered down to the file — but applying
+    # that same glob to the directory layout matches ZERO leaf files
+    # (they are named part-*), yielding a silently EMPTY stream, the
+    # worst possible failure mode. A directory streams directly instead.
+    from .. import fs as _fs
+
+    entries = _fs.list_dir(path)
+    single_file = (
+        len(entries) == 1
+        and not entries[0].is_dir
+        and entries[0].name == "events.parquet"
     )
+    if single_file:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        load_target = sf_dir
+    else:
+        load_target = path
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_event_ts(reader.load(sf_dir), ntz=False)
+    return normalize_event_ts(reader.load(load_target), ntz=False)
 
 
 def read_rate_events_stream(

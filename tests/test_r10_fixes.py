@@ -222,3 +222,87 @@ def test_created_time_primary_path_reads_catalog_epoch(spark):
         )
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """r10 engine review: ``events.parquet`` as a DIRECTORY of part files
+    (the standard Spark writer layout) used to match ZERO leaf files
+    under the single-file glob — a silently EMPTY stream. The reader now
+    detects the layout and streams the directory directly; the
+    single-file fixture layout keeps its glob path (pinned by every
+    existing streaming test)."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 5
+    )
+    n_src = src.count()
+    src.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    stream = read_events_stream(spark, str(tmp_path))
+    counts = run_to_memory_sink(
+        stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")),
+        "t_dir_layout_counts",
+    )
+    assert sum(r.n for r in counts.collect()) == n_src > 0
+
+
+def test_null_ts_batch_stream_sessionization_contract(spark, tmp_path):
+    """The documented NULL-ts contract between the twins (r10): the
+    batch sessionization counts an un-timestamped straggler in the
+    user's LAST session (the SQL oracle's NULLS-LAST lag semantics,
+    landed r10), while the streaming session_window necessarily DROPS it
+    (no event time -> no watermark assignment). Same session COUNTS on
+    both; n_events differs by exactly the stragglers."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.operators.timeseries import sessionization
+    from dbfs_spark_cache_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_windows,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        F.col("user_id") < 5
+    )
+    nulls = (
+        base.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .select(
+            (F.col("event_id") + 1_000_000).alias("event_id"),
+            "user_id",
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    base.select("event_id", "user_id", "ts", "event_type", "value").unionByName(
+        nulls
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    sessions = run_to_memory_sink(
+        session_windows(read_events_stream(spark, str(tmp_path))),
+        "t_nullts_contract",
+    )
+    stream = {
+        r.user_id: (r.n, r.e)
+        for r in sessions.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("e"))
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in sessionization(spark, str(tmp_path)).collect()
+    }
+    assert set(stream) == set(batch) and len(batch) == 5
+    for u in batch:
+        assert stream[u][0] == batch[u][0], "session counts must agree"
+        assert stream[u][1] == batch[u][1] - 1, (
+            "stream drops exactly the one un-timestamped straggler"
+        )
