@@ -79,79 +79,81 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r9's window the ledger is 50@r9 + 50@r8 + 50@r7; r10's due
-#   cohort is exactly the 50 r7-vintage queries — 0 slack — which picks
-#   up the r8-changed text_quality_scores/q12_shipmode_priority/
-#   similarity_topk_cosine/dedup_keep_first/dedup_cluster_keepers
-#   automatically and contains ALL twelve r10-changed names below
-#   (verified: set(_CHANGED) <= the recomputed cohort). r11's cohort
-#   recomputes to the 50 r8-vintage queries — the landing slots for the
-#   queued grouping-trio empty-input fixes, the staged
-#   events_anomaly_mad, and the r11 premeasure batch. Steady state:
-#   every round's due cohort is exactly 50, forever, under policy (1).
+#   after r10's window the ledger is 50@r10 + 50@r9 + 50@r8; r11's due
+#   cohort recomputes to exactly the 50 r8-vintage queries — 0 slack —
+#   and contains ALL eighteen r11-changed names below (verified:
+#   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
+#   it). r12's cohort recomputes to the 50 r9-vintage queries — the
+#   landing slots for the queued scan_csv_source multiLine,
+#   agg_collect_sorted ''-vs-NULL and dedup_simhash NULL-text fixes
+#   (pre-measures in tests/test_r12_premeasure.py) — and picks up the
+#   seven r11 duck_h62 '||' oracle riders in _CHANGED_HELPER
+#   automatically (all r9-vintage except dedup_cluster_keepers, whose
+#   own NULL-text slot is r13). Steady state: every round's due cohort
+#   is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r10: the eight hostile-input fixes queued since r9 with inline
-    # pre-measures (the since-retired tests/test_r10_premeasure.py encoded the exact
-    # diffs), every one landed in its own due slot (rule 2b: all twelve
-    # names below are r7-vintage, due this round — slot-neutral; judge
-    # recomputed the cohort as exactly the 50 r7-vintage queries and
-    # these are all members). Hostile parity pinned in
-    # tests/test_r10_window_fixes.py; all re-attested exact at sf0.01
+    # r11: the full pre-measured due-slot batch — every fix queued since
+    # r9/r10 with its exact diff encoded in the since-promoted
+    # tests/test_r11_premeasure.py — landed in its own due slot (rule
+    # 2b: all eighteen names below are r8-vintage, due this round —
+    # slot-neutral). Hostile parity pinned in
+    # tests/test_r11_window_fixes.py; all re-attested exact at sf0.01
     # AND sf0.1 via scripts/selfcheck.py post-change.
-    # NULL-ts events: the Spark window now orders asc_nulls_last
-    # (DuckDB's ASC default) so a NULL-ts straggler joins the last
-    # session instead of opening a phantom one:
-    "sessionization",
-    # NULL-ts events: F.window silently DROPS them while DATE_TRUNC
-    # groups a NULL bucket — both engines now drop explicitly
-    # (WHERE ts IS NOT NULL):
-    "window_tumbling",
-    "window_sliding",
-    # hostile props: integer-literal regex gate before the BIGINT cast
-    # on BOTH engines (ANSI crash vs DuckDB's rounding string cast) +
-    # json_valid guard in the oracle (malformed JSON errors DuckDB):
-    "fn_json",
-    # Unicode case-mapping dialect gap (Java FULL vs utf8proc SIMPLE):
-    # name_upper pinned to the portable ASCII translate on both engines:
-    "fn_string",
-    # same gap in LOWER: İ (U+0130) and final sigma — the only two
-    # full-vs-simple lowercase divergences in Unicode — folded
-    # explicitly on both engines before/after lowering:
-    "dedup_fingerprint",
-    # NULL-text docs excluded on both engines (concat_ws skips NULL ->
-    # merged into the md5('') group; array_to_string(NULL) -> NULL
-    # group; both were also semantically wrong):
-    "text_bag_fingerprint",
-    # NULL balances excluded on both engines (banded helper ranked the
-    # NULL row first, PERCENT_RANK ranks it last — every rank shifted):
-    "window_percentiles",
-    # r10: the sign-bit LSH consolidation pre-pinned at r8 — the four
-    # hand-kept bucket comprehensions are now the shared
-    # functions.sign_bits_str/int pair, landed exactly when all four
-    # consumers came due together (bit-for-bit variant parity incl.
-    # hostile vectors: tests/test_r10_window_fixes.py::
-    # test_sign_bits_helpers_match_inline_variants):
-    "similarity_lsh_buckets",
-    "similarity_multiprobe",
-    "similarity_ivf_search",
-    "dedup_embedding_cosine",
-    # r10 fifth lens — at-least-once duplication (every row of every
-    # table exactly duplicated, the log-replay production shape; full-
-    # row duplicates keep output multisets well-defined). 145/150 held
-    # exact parity; the one due-cohort finding is fixed here (rule 2b):
-    # the singleton anti-join read the raw docs table, emitting every
-    # singleton TWICE (955 rows) against the oracle's one-row-per-
-    # document GROUP BY (500) — singletons now derive from DISTINCT
-    # doc_ids. Fixture-identical (doc_id unique at every SF);
-    # re-attested exact at sf0.01 AND sf0.1; duplication parity pinned
-    # in tests/test_r10_window_fixes.py. (Also subsumes this query's r7
-    # md5-shuffle-key and r9 checkpoint-attribution helper notes —
-    # promoted out of _CHANGED_HELPER per the disjointness rule.) The
-    # four non-due duplication findings (pipeline_dedup_survivors,
-    # asof_join_union_window, multimodal_decode_features,
-    # similarity_topk_batch — all r8-vintage) are queued for r11 with
-    # pre-measures in tests/test_r11_premeasure.py:
-    "dedup_cluster_keepers",
+    # The one plan-shape fix (r9 verdict finding #2): the deviation
+    # frame now stages through the cache engine, collapsing the
+    # registry's single outlier plan from 81 pushed scans / 101
+    # exchanges to 2 / 18 (value-exact by construction):
+    "events_anomaly_mad",
+    # Empty-input grand-total row: Spark's grouping-sets expansion
+    # emits ZERO rows on empty input where the SQL standard (DuckDB)
+    # emits the '()' row — oracle-only HAVING COUNT(*) > 0 replays
+    # Spark's semantics on every input (populated fixtures
+    # byte-identical, proved):
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    # All-NULL-group tolerance flag: coalesce(within, e50 IS NULL) —
+    # vacuously true when there is no data to be out of tolerance on:
+    "agg_approx_percentile",
+    # NULL o_orderdate ordered NULLS FIRST on Spark, NULLS LAST on
+    # DuckDB — the window now orders asc_nulls_last:
+    "window_value_frames",
+    # |value| >= ~1e9 overflowed the DECIMAL(30,12) power sum under
+    # ANSI on both engines — widened to DECIMAL(38,12) on both:
+    "events_value_zscore",
+    # ANSI bigint quantization overflow / NULL-embedding exclusion on
+    # both engines:
+    "embedding_kmeans_assign",
+    "embedding_quantize_int8",
+    # duck_h62 '||' NULL-propagation hardening + WHERE text IS NOT NULL
+    # at the corpus head on BOTH engines (Spark signed the NULL-text
+    # doc the crashed-then-hardened oracle drops):
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "dedup_incremental_vs_corpus",
+    # NULL-text at the funnel head (CASE-kept vs WHERE-dropped) + the
+    # r10 duplication lens both-engines over-keep (distinct on the
+    # exact-survivor stage, SELECT DISTINCT * in the oracle's
+    # survivors0):
+    "pipeline_dedup_survivors",
+    # İ (U+0130) folded to i BEFORE lowering on both engines in the
+    # shared canonical_clean chain and the two oracles that inline it
+    # (Java FULL lowercase emits i + combining dot, which the strip
+    # step turned into a space):
+    "text_clean_normalize",
+    "pipeline_training_corpus",
+    # r10 duplication lens: the union-window twin gained the oracle's
+    # final (event_id, user_id) grouping (groups of one on unique
+    # fixtures):
+    "asof_join_union_window",
+    # r10 duplication + negated-ids lenses, both oracle-only: exploded
+    # byte rows dedup on (doc_id, hx, i), and the header width/channels
+    # formulas pmod (Python floored vs DuckDB C-style modulo):
+    "multimodal_decode_features",
+    # r10 duplication lens: DISTINCT vec_id before ORDER BY/LIMIT on
+    # both engines (the raw LIMIT collapsed the query batch and the
+    # qids join multiplied scored copies):
+    "similarity_topk_batch",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -171,11 +173,12 @@ _CHANGED: list[str] = [
 # must be dropped — a stale entry's half-step penalty corrupts the
 # ordering invariant one round later. Both rules are pinned by
 # tests/test_rotation.py (disjointness + simulated next-round ledger).
-# Dropped this round under those rules: scan_json_source/scan_csv_source,
-# fn_edit_distance, stats_corr_covar, events_funnel_conversion,
-# udtf_tokenize (all r9-attested post-change); dedup_embedding_cosine,
-# similarity_multiprobe, similarity_ivf_search, fn_string,
-# window_percentiles (promoted into _CHANGED for their r10 due slots).
+# Dropped this round under those rules: text_quality_scores,
+# similarity_topk_cosine, dedup_keep_first, q12_shipmode_priority (all
+# r10-attested post-change — DONE); events_anomaly_mad,
+# multimodal_decode_features (promoted into _CHANGED for their r11 due
+# slots — the decode query's r9 NULL-payload helper note is subsumed by
+# the due-slot attestation).
 _CHANGED_HELPER: list[str] = [
     # r9 (VERDICT r8 finding #1): the two vocabulary-sized forced
     # broadcasts dropped — text.py's tf-idf document-frequency join and
@@ -184,48 +187,36 @@ _CHANGED_HELPER: list[str] = [
     # they become shuffle hash joins on `token` instead of OOMing).
     # Hint-only, value-identical by construction; re-attested exact at
     # sf0.01 AND sf0.1 via scripts/selfcheck.py post-change. Both
-    # r8-vintage: penalty 7.5 sorts them behind the whole due cohort
-    # (they displace nothing) and they re-attest at r11, their natural
-    # turn:
+    # r8-vintage: due THIS round (r11 window members), after which the
+    # entries drop:
     "text_tfidf_topk",
     "text_unigram_logprob",
-    # r9 adversarial review of the unswept multimodal module — the r8
-    # crash class, in Python: a NULL text payload raised inside both
-    # mapInPandas passes (`t.encode` / `len(t)` on None), one bad row
-    # killing the whole corpus decode. NULL rows now drop identically
-    # on both engines (the decode oracle gained the same filter; the
-    # frame sampler's oracle already excluded NULL via three-valued
-    # len(text) > 0). Fixture-identical (zero NULL text at any SF,
-    # verified), hostile-fixture parity pinned in tests/test_r9_fixes.py,
-    # re-attested exact at sf0.01 via scripts/selfcheck.py. Both
-    # r8-vintage: penalty 7.5, displace nothing, natural re-attest r11:
-    "multimodal_decode_features",
+    # r9 adversarial multimodal review (NULL payload dropped on both
+    # engines inside the mapInPandas passes — see test_r9_fixes.py).
+    # r8-vintage: due THIS round, then drops. (Its sibling
+    # multimodal_decode_features is in _CHANGED for its own r11 fixes —
+    # rule above: never in both lists.)
     "multimodal_frame_sample",
-    # r8: NULLIF guard — an empty-text document was an ANSI
-    # DIVIDE_BY_ZERO crash killing the whole scoring pass. Fixture-
-    # identical, re-attested exact at sf0.01 via scripts/selfcheck.py
-    # post-change; r7-vintage, re-attests THIS round (in the r10 due
-    # window), after which the entry drops:
-    "text_quality_scores",
-    # r8 second adversarial sweep (ANSI DIVIDE_BY_ZERO class): NULL
-    # cosine for zero-norm vectors via the shared _cosine_vs_query.
-    # r7-vintage, re-attests this round, then drops. (Its three scorer
-    # siblings took the same fix but are in _CHANGED now for the
-    # sign-bit consolidation — rule above: never in both lists.)
-    "similarity_topk_cosine",
-    # r7: window shuffle key text -> md5(text) (same groups, 16-byte
-    # shuffle keys). r7-vintage, re-attests this round, then drops:
-    "dedup_keep_first",
-    # r9 late-round window fix rode on this r8-vintage helper consumer:
-    # distributed_global_percentiles' internal partition joins became
-    # null-safe (<=>). Re-attests r11, its natural turn (its r7-vintage
-    # co-consumer window_percentiles is in _CHANGED for its own r10
-    # due-slot fix):
-    "events_anomaly_mad",
-    # r8 third sweep: NULL o_orderpriority counts in NEITHER bucket
-    # (three-valued NOT IN parity). r7-vintage, re-attests this round,
-    # then drops:
-    "q12_shipmode_priority",
+    # r11 duck_h62 '||' NULL-propagation riders: the shared portable-
+    # hash oracle helper hardened this round (landed with the three
+    # dedup consumers' due slots in _CHANGED above); these consumers'
+    # ORACLE TEXT changed too, but the '||' form is byte-identical to
+    # concat on every non-NULL input, so results are unchanged on every
+    # fixture — re-verified exact at sf0.01 via scripts/selfcheck.py
+    # post-change (all six) and pinned by the r11 regression tests. All
+    # r9-vintage: penalty 8.5 sorts them behind the r8 due cohort (they
+    # displace nothing) and they re-attest at r12, their natural turn:
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "split_contamination_check",
+    "text_chunk_sliding",
+    "text_rolling_hash_shingles",
+    "train_val_test_split",
+    # Same '||' rider, r10-vintage: its own NULL-text Spark-side filter
+    # is queued for its natural r13 slot (tests/test_r13_premeasure.py);
+    # until then the hardened oracle NULL-propagates instead of
+    # crashing. Penalty 9.5, displaces nothing, re-attests r13:
+    "dedup_cluster_keepers",
 ]
 
 _WINDOW_SLOTS = 50

@@ -82,15 +82,21 @@ def list_dir(path: str) -> List[FileStat]:
                 try:
                     st = entry.stat()
                     is_dir = entry.is_dir()
-                except OSError:
+                except FileNotFoundError:
                     # The entry vanished between scandir and stat — a
                     # CONCURRENT EVICTION deleting cache files while this
                     # session scans the same directory (CLI cron + live
                     # session is a supported combination), or a dangling
-                    # symlink. One disappearing file must not kill the
+                    # symlink (stat follows the link; a missing target is
+                    # ENOENT). One disappearing file must not kill the
                     # whole registry scan; the entry is simply no longer
                     # listable, which is also what the post-delete state
-                    # would have shown.
+                    # would have shown. ONLY ENOENT is swallowed: a
+                    # PermissionError (or any other OSError) here would
+                    # silently drop a real entry from registry scans and
+                    # tree_size, so size-budget eviction would undercount
+                    # the footprint — that must fail loudly instead
+                    # (ADVICE r10 #3).
                     continue
                 out.append(FileStat(entry.path, entry.name, st.st_size,
                                     int(st.st_mtime * 1000), is_dir))

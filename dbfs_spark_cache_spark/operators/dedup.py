@@ -183,19 +183,24 @@ def duck_h62(expr: str) -> str:
     bit-for-bit. Oracles always replay the portable family; there is no
     DuckDB xxhash64.
 
-    QUEUED FOR R11 (r9 third review batch, hostile probe of the
-    r8-vintage cohort): on a NULL ``expr`` (a NULL-text document's
-    shingle) DuckDB's ``concat`` SKIPS the NULL argument, yielding the
-    bare string ``'0x'`` whose BIGINT cast CRASHES the whole oracle —
-    while Spark's ``conv`` propagates NULL. Fix when due, landing with
-    the minhash/jaccard queries' own r11 slots: ``'0x' ||
-    substr(...)`` (the ``||`` operator propagates NULL in DuckDB) PLUS
-    ``WHERE text IS NOT NULL`` at each consumer's corpus head on BOTH
-    engines — the hardening alone leaves Spark signing the NULL doc (1
-    signature row) that the NULL-hash oracle then drops. Pre-measured
-    exact parity in ``tests/test_r11_premeasure.py``; no fixture has
-    NULL text at any SF, so current attestations are honest."""
-    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+    NULL contract (r11 hardening; r9 third review batch): on a NULL
+    ``expr`` (a NULL-text document's shingle) DuckDB's ``concat`` SKIPS
+    the NULL argument, yielding the bare string ``'0x'`` whose BIGINT
+    cast CRASHED the whole oracle — while Spark's ``conv`` propagates
+    NULL. The ``||`` operator propagates NULL in DuckDB, so this helper
+    now NULL-propagates exactly like the Spark side (byte-identical
+    output on every non-NULL input). The hardening alone would leave
+    Spark SIGNING a NULL-text doc that the NULL-hash oracle drops, so
+    the dedup consumers whose r11 slot is due also gained ``WHERE text
+    IS NOT NULL`` at their corpus head on BOTH engines
+    (minhash_lsh / token_jaccard / incremental_vs_corpus; ngram_jaccard
+    took it at r9; cluster_keepers' twin filter is queued for its own
+    r13 slot — until then its oracle NULL-propagates instead of
+    crashing while its Spark side still signs, a known, premeasured
+    divergence on hostile input only). Regression pin in
+    ``tests/test_r11_window_fixes.py``; no fixture has NULL text at
+    any SF, so all attestations are honest."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
 def _h62_col(col, family: str | None = None):
@@ -509,6 +514,14 @@ def _shingle_hs_body(src: str) -> str:
 
 _SHINGLE_HS_CTES = "WITH " + _shingle_hs_body("documents")
 
+# NULL-text-excluded twin for the consumers whose corpus head filters
+# unreadable documents on both engines (r11 NULL-text contract — see
+# duck_h62). Kept separate from _SHINGLE_HS_CTES: dedup_cluster_keepers'
+# oracle must keep the unfiltered head until its own r13 slot.
+_SHINGLE_HS_CTES_NN = "WITH " + _shingle_hs_body(
+    "documents WHERE text IS NOT NULL"
+)
+
 
 # --- two-stage exact Jaccard: LSH candidates -> exact set verification ----
 #
@@ -627,7 +640,16 @@ _NGRAM_SETS_CTE = f"""sets AS (
 
 @register(
     "dedup_token_jaccard",
-    oracle=_verify_oracle(_TOKEN_SETS_CTE, 0.5, n_bands=16, est_threshold=0.25),
+    # source_where: the r11 NULL-text exclusion (see duck_h62's NULL
+    # contract), injected the same boundary-anchored way as
+    # dedup_ngram_jaccard's r9 fix.
+    oracle=_verify_oracle(
+        _TOKEN_SETS_CTE,
+        0.5,
+        n_bands=16,
+        est_threshold=0.25,
+        source_where="text IS NOT NULL",
+    ),
 )
 def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-set Jaccard verification of MinHash-LSH candidate pairs.
@@ -652,8 +674,14 @@ def dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     fixed-width longs beat strings; Jaccard is invariant under an injective
     hash) — the same portable hash the oracle computes, so both stages
     match the DuckDB oracle bit-for-bit. Integer set sizes divide exactly.
+
+    NULL-text contract (r11, this query's due slot): unreadable
+    documents are excluded on BOTH engines — same fix and rationale as
+    ``dedup_ngram_jaccard``'s r9 slot (see duck_h62's NULL contract);
+    regression pin in tests/test_r11_window_fixes.py;
+    fixture-identical (no NULL text at any SF).
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     sets = docs.select(
         "doc_id",
         F.array_distinct(
@@ -729,7 +757,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MINHASH_ORACLE = (
-    _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    _duck_minhash_cands(_SHINGLE_HS_CTES_NN, N_MINHASH, N_BANDS)
     + """
     SELECT doc_a, doc_b, est_jaccard FROM cand WHERE est_jaccard >= 0.5"""
 )
@@ -744,8 +772,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     this is value-checked exactly despite being a hash-defined result;
     recall/precision additionally asserted on planted near-duplicates in
     tests/test_operators_pipeline.py.
+
+    NULL-text contract (r11, this query's due slot): unreadable
+    documents are excluded on BOTH engines (see duck_h62's NULL
+    contract — without the filter Spark still SIGNED the NULL-text doc
+    the hardened oracle drops); regression pin in
+    tests/test_r11_window_fixes.py; fixture-identical.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 
@@ -1288,7 +1322,7 @@ def incremental_near_dup_matches(
 
 
 _INCREMENTAL_ORACLE = (
-    _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    _duck_minhash_cands(_SHINGLE_HS_CTES_NN, N_MINHASH, N_BANDS)
     + """
     SELECT LEAST(doc_a, doc_b) AS corpus_doc_id,
            GREATEST(doc_a, doc_b) AS incoming_doc_id,
@@ -1316,8 +1350,13 @@ def dedup_incremental_vs_corpus(spark: SparkSession, sf: str) -> DataFrame:
     whole composition stays inside a single exactly-replayable oracle).
     Output keeps only pairs whose HIGHER id is incoming so each match
     reads corpus-doc <- incoming-doc.
+
+    NULL-text contract (r11, this query's due slot): unreadable
+    documents are excluded on BOTH engines (see duck_h62's NULL
+    contract); regression pin in tests/test_r11_window_fixes.py;
+    fixture-identical.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
     incoming_a = F.col("doc_a") % 5 == 0
     incoming_b = F.col("doc_b") % 5 == 0

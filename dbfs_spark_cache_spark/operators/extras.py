@@ -332,20 +332,19 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
     order count. Tie-break on o_orderkey keeps the frame order (and so
     nth_value) engine-deterministic.
 
-    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
-    NULL o_orderdate the engines DIVERGE — Spark's ascending window
-    orders NULLS FIRST, DuckDB NULLS LAST, so first/last/nth_value all
-    shift for every row of an affected customer (the sessionization
-    NULL-ordering class). Fix when due:
-    ``F.col("o_orderdate").asc_nulls_last()`` on the Spark window
-    (DuckDB's ASC default is already NULLS LAST); pre-measured exact
-    parity in ``tests/test_r11_premeasure.py``. No fixture has a NULL
-    order date at any SF (verified).
+    NULL-date contract (r11, this query's due slot; r9 third review
+    batch): on a NULL o_orderdate the engines DIVERGED — Spark's
+    ascending window orders NULLS FIRST, DuckDB NULLS LAST, so
+    first/last/nth_value all shifted for every row of an affected
+    customer (the sessionization NULL-ordering class). The Spark window
+    now orders ``asc_nulls_last`` (DuckDB's ASC default); regression
+    pin in ``tests/test_r11_window_fixes.py``. No fixture has a NULL
+    order date at any SF (fixture-identical).
     """
     orders = load_table(spark, sf, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return orders.select(
@@ -363,7 +362,7 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
     WITH stats AS (
         SELECT event_type,
                CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value * value AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
                COUNT(*) AS n
         FROM events GROUP BY event_type
     )
@@ -388,20 +387,20 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
     then the tiny per-group stats table broadcast back onto the fact rows —
     the same one-shuffle + broadcast pattern as the tf-idf scorer.
 
-    QUEUED FOR R11 (this query's due slot; r9 third review batch): a
-    value of magnitude >= ~1e9 CRASHES the sum-of-squares cast — value^2
-    needs 19+ integer digits, over DECIMAL(30,12)'s 18 — under ANSI
-    mode, on BOTH engines (one corrupt reading kills the pass). Fix
-    when due: widen the x^2 power sum to DECIMAL(38,12) on both engines
-    (raises the per-value bound to |v| < ~1e13, keeps the
-    association-independent exactness); pre-measured exact parity in
-    ``tests/test_r11_premeasure.py``. No fixture value reaches 1e9 at
-    any SF (verified).
+    Overflow bound (r11, this query's due slot; r9 third review batch):
+    a value of magnitude >= ~1e9 CRASHED the sum-of-squares cast —
+    value^2 needs 19+ integer digits, over DECIMAL(30,12)'s 18 — under
+    ANSI mode, on BOTH engines (one corrupt reading killing the pass).
+    The x^2 power sum is now DECIMAL(38,12) on both engines, raising
+    the per-value bound to |v| < ~1e13 while keeping the
+    association-independent exactness; regression pin in
+    ``tests/test_r11_window_fixes.py``. No fixture value reaches 1e9 at
+    any SF (fixture-identical).
     """
     events = load_table(spark, sf, "events")
     stats = events.groupBy("event_type").agg(
         F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(30,12)"))
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
         .cast("double")
         .alias("s2"),
         F.count(F.lit(1)).alias("n"),

@@ -108,14 +108,28 @@ _DECODE_ORACLE = f"""
         FROM documents
         WHERE text IS NOT NULL
     ), d AS (
+        -- pmod, not %: the header formulas are evaluated by PYTHON in the
+        -- container builder (floored modulo: -5 % 64 = 59) but DuckDB's %
+        -- is C-style (sign of dividend: -5 % 64 = -5) — every negative-id
+        -- asset's width/channels diverged (r10 negated-ids lens; the
+        -- Python-built header is ground truth, the decoder parses the
+        -- actual packed bytes). n_bytes is never negative, so height
+        -- keeps the plain form. Landed r11, this query's due slot.
         SELECT doc_id, asset_source, n_bytes, hx,
-               doc_id % 64 + 1 AS width,
+               ((doc_id % 64) + 64) % 64 + 1 AS width,
                n_bytes % 64 + 1 AS height,
-               doc_id % 3 + 1 AS channels,
+               ((doc_id % 3) + 3) % 3 + 1 AS channels,
                LEAST(n_bytes, {_STAT_WINDOW}) AS wn
         FROM h
     ), u AS (
-        SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d
+        -- DISTINCT on (doc_id, hx, i): under at-least-once duplicated
+        -- input the byte stats GROUP BY doc_id, so duplicated copies
+        -- DOUBLED the window_checksum SUM (mean/min/max invariant) while
+        -- the Spark decode — a map pass, one output row per input row —
+        -- kept per-row features (r10 duplication lens). Copies collapse
+        -- here; within-document byte multiplicity survives via the index
+        -- i. Landed r11 with the pmod fix above (oracle-only pair).
+        SELECT DISTINCT doc_id, hx, i FROM (SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d)
     ), b AS (
         SELECT doc_id,
                (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16

@@ -60,7 +60,7 @@ def _pending(name: str, oracle: str):
 @_pending(
     "similarity_topk_batch",
     oracle="""
-    WITH qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+    WITH qids AS (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
     q AS (
         SELECT e.vec_id AS q_id, e.embedding AS q_emb
         FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM qids)
@@ -105,23 +105,22 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     the ordering is engine-exact (same discipline as
     ``similarity_topk_cosine``, similarity.py).
 
-    QUEUED FOR R11 (this query's due slot; r10 duplication lens): the
-    query batch derives from ``LIMIT 5`` over raw vec_ids — under
-    at-least-once duplicated input the batch collapses to 3 distinct
-    queries, and this side's qids JOIN additionally MULTIPLIES each
-    query's rows by its id's copy count (4 scored copies vs the
-    oracle's IN-semantics 2), shifting every rank. Fix when due:
-    ``DISTINCT vec_id`` before ORDER BY/LIMIT on BOTH engines —
-    multiplicities then agree everywhere downstream. Pre-measured
-    exact in ``tests/test_r11_premeasure.py::
-    test_topk_batch_r11_dup_fix_distinct_query_ids``; vec_id is unique
-    at every SF (verified).
+    At-least-once contract (r11, this query's due slot; r10 duplication
+    lens): the query batch derives from the 5 lowest ids — under
+    duplicated input a raw ``LIMIT 5`` collapsed the batch to 3
+    distinct queries, and this side's qids JOIN additionally MULTIPLIED
+    each query's rows by its id's copy count (4 scored copies vs the
+    oracle's IN-semantics 2), shifting every rank. ``DISTINCT vec_id``
+    before ORDER BY/LIMIT now applies on BOTH engines — multiplicities
+    agree everywhere downstream and the batch is 5 real queries again.
+    Regression pin in ``tests/test_r11_window_fixes.py``; vec_id is
+    unique at every SF (fixture-identical).
     """
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf, "embeddings")
     # Query selection stays IN-plan (no driver collect): lowest 5 ids.
-    qids = emb.select("vec_id").orderBy("vec_id").limit(5)
+    qids = emb.select("vec_id").distinct().orderBy("vec_id").limit(5)
     queries = emb.join(F.broadcast(qids), "vec_id").select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -199,39 +198,52 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     both engines: the same two doubles averaged, the same subtraction);
     the reported median/mad round to 6 decimals for display only.
 
-    Pass count: MAD is irreducibly sequential (median -> deviations ->
+    Pass count (r11 staging fix, this query's due slot; r9 verdict
+    finding #2): MAD is irreducibly sequential (median -> deviations ->
     median-of-deviations -> flag), and each banded median adds its
-    bounds/counts aggregate scans — all map-side and pruned to three
-    columns, but still rescans of the fact table. At 100 TB, stage the
-    deviation frame through the cache engine (``staging.stage_cache``,
-    as the pipeline_* queries do) so the second median and the final
-    screen read the staged columns instead of re-deriving them; at
-    bench scale the probe shows the cost is stage latency, not data
-    (4.1 s at sf0.001 vs 4.3 s at sf0.1 — flat).
-
-    QUEUED FOR R11 (this query's due slot; r9 verdict finding #2): the
-    staged variant is built and pre-measured in
-    ``tests/test_r11_premeasure.py::
-    test_anomaly_mad_r11_staged_variant_parity_and_plan`` — value-exact
-    against this oracle, plan collapsed from 81 pushed scans / 101
-    exchanges to 2 / 18 (``_staged_anomaly_mad`` there IS the landing
-    diff). Landing it now would ride this query's r8 attestation
-    off-slot; apply at r11, move the name into ``_CHANGED``, selfcheck.
+    bounds/counts aggregate scans. The un-staged form re-derived events
+    PLUS the first median inside every banded pass of the second median
+    AND the final screen — a multiplicative re-scan that made this the
+    registry's one plan outlier (81 pushed scans / 101 exchanges; next
+    largest 9). The deviation frame now stages through the cache engine
+    (``staging.stage_cache``, as the pipeline_* queries do) so the
+    second median and the final screen read the materialized
+    (event_id, event_type, value, median_value, dev) columns instead:
+    the plan collapses to 2 pushed scans / 18 exchanges, value-exact by
+    construction (staging only changes where the second pass reads
+    from). Regression + plan pin in ``tests/test_r11_window_fixes.py``.
+    At 100 TB the staged table is the corpus projected to 5 columns —
+    one write amortized against ~80 re-scans.
     """
-    from .scale import grouped_median_mad
+    from .scale import grouped_exact_median
+    from .staging import stage_cache
 
-    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
-    baseline = grouped_median_mad(
-        ev, "value", "event_type", tiebreak_col="event_id"
+    ev = (
+        load_table(spark, sf, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
     )
-    dev = F.abs(F.col("value") - F.col("median_value"))
+    med = grouped_exact_median(
+        ev, "value", "event_type", "median_value", tiebreak_col="event_id"
+    )
+    staged_dev = stage_cache(
+        ev.join(F.broadcast(med), "event_type").withColumn(
+            "dev", F.abs(F.col("value") - F.col("median_value"))
+        ),
+        "anomaly_mad_dev",
+    )
+    mad = grouped_exact_median(
+        staged_dev, "dev", "event_type", "mad", tiebreak_col="event_id"
+    )
     return (
-        ev.join(F.broadcast(baseline), "event_type")
+        staged_dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.round(F.min("median_value"), 6).alias("median_value"),
             F.round(F.min("mad"), 6).alias("mad"),
-            F.count(F.when(dev > 3 * F.col("mad"), 1)).alias("n_outliers"),
+            F.count(F.when(F.col("dev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
     )

@@ -117,7 +117,7 @@ def _funnel_oracle() -> str:
                    / len(string_split(text, ' ')) AS ttr,
                CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                    / len(string_split(text, ' ')) AS avg_token_len
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     qual AS (
         SELECT doc_id FROM feats
@@ -131,7 +131,7 @@ def _funnel_oracle() -> str:
         SELECT MIN(doc_id) AS doc_id FROM docs_q GROUP BY text
     ),
     survivors0 AS (
-        SELECT * FROM docs_q WHERE doc_id IN (SELECT doc_id FROM keepers)
+        SELECT DISTINCT * FROM docs_q WHERE doc_id IN (SELECT doc_id FROM keepers)
     ),
     {_shingle_hs_body("survivors0")}"""
     cands = _duck_minhash_cands(head, N_MINHASH, N_BANDS)
@@ -164,36 +164,38 @@ def pipeline_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     difference between one recompute-heavy mega-plan (the documents scan
     re-read by three consumers) and three linear passes.
 
-    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
-    NULL-text document the engines DIVERGE at the quality gate — the
-    Spark side reuses quality_filter, whose CASE falls through to
-    'keep' on NULL features, while this oracle re-expresses the gate as
-    a WHERE conjunction where NULL comparisons exclude the row (one
-    survivor more on Spark). Fix when due: ``WHERE text IS NOT NULL``
-    at the funnel head on BOTH engines (a dedup funnel over unreadable
-    docs is meaningless — the multimodal contract); pre-measured exact
-    parity in ``tests/test_r11_premeasure.py``. No fixture has NULL
-    text at any SF (verified).
+    NULL-text contract (r11, this query's due slot; r9 third review
+    batch): on a NULL-text document the engines DIVERGED at the quality
+    gate — the Spark side reuses quality_filter, whose CASE falls
+    through to 'keep' on NULL features, while this oracle re-expresses
+    the gate as a WHERE conjunction where NULL comparisons exclude the
+    row (one survivor more on Spark). ``WHERE text IS NOT NULL`` now
+    applies at the funnel head on BOTH engines (a dedup funnel over
+    unreadable docs is meaningless — the multimodal contract).
 
-    ALSO QUEUED FOR R11 (r10 duplication lens, same due slot): under
-    at-least-once duplicated input BOTH engines over-keep — the
-    semi-join chain preserves input multiplicity (2 copies/survivor)
-    and the oracle's ``doc_id IN keepers`` over the qual-join-multiplied
-    docs_q keeps 4. Fix: ``.distinct()`` on the exact-survivor stage +
-    ``SELECT DISTINCT * FROM docs_q`` in the oracle's survivors0 — one
-    row per surviving document on both engines; pre-measured in
-    ``test_survivors_r11_dup_fix_dedups_both_engines``. doc_id is
-    unique at every SF (verified), so current attestations are honest."""
+    At-least-once contract (r10 duplication lens, same due slot): a
+    dedup funnel must emit ONE row per surviving document, but under
+    duplicated input BOTH engines over-kept — the semi-join chain
+    preserves input multiplicity (2 copies/survivor) and the oracle's
+    ``doc_id IN keepers`` over the qual-join-multiplied docs_q kept 4.
+    Fixed with ``.distinct()`` on the exact-survivor stage (identical
+    full-row copies collapse; it rides the already-staged frame) +
+    ``SELECT DISTINCT * FROM docs_q`` in the oracle's survivors0.
+    Regression pins for both in ``tests/test_r11_window_fixes.py``;
+    doc_id is unique and text never NULL at every SF
+    (fixture-identical)."""
     from .dedup import lsh_candidate_pairs, minhash_signatures
 
     quality = quality_filter(spark, sf).where(F.col("verdict") == "keep")
-    docs = load_table(spark, sf, "documents").join(
-        quality.select("doc_id"), "doc_id", "left_semi"
+    docs = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .join(quality.select("doc_id"), "doc_id", "left_semi")
     )
     exact_keepers = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     exact_survivors = docs.join(
         exact_keepers.select("doc_id"), "doc_id", "left_semi"
-    )
+    ).distinct()
     exact_survivors = _stage_cache(exact_survivors, "quality_exact_survivors")
 
     sigs = _stage_cache(minhash_signatures(exact_survivors), "minhash_signatures")
@@ -210,7 +212,8 @@ _TRAINING_CORPUS_ORACLE = """
     WITH cleaned AS (
         SELECT doc_id, lang, source,
                trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   regexp_replace(lower(translate(text, 'İ', 'i')),
+                                  '[^a-z0-9 ]', ' ', 'g'),
                    '  +', ' ', 'g')) AS clean
         FROM documents
     ), toks AS (

@@ -244,6 +244,9 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    # The oracle's literal TRUE is honest even for an all-NULL-price
+    # group: the Spark side's flag is vacuously true there (see the
+    # coalesce note in the function body).
 )
 def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB
@@ -276,20 +279,20 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     # diverges on representation boundaries (x.xx4999… rounds down in
     # Spark's HALF_UP-on-double but up in DuckDB's decimal-path ROUND).
     #
-    # QUEUED FOR R11 (this query's due slot; r10 'nulls' lens): a group
-    # whose prices are ALL NULL gets NULL percentiles on both engines
-    # (values agree) but the tolerance flag is a three-valued comparison
-    # — NULL here vs the oracle's literal TRUE. Fix when due:
-    # coalesce(within, e50 IS NULL) — vacuously within tolerance exactly
-    # when there is no data, still loudly FALSE if the flag ever nulls
-    # out with data present. Pre-measured in tests/test_r11_premeasure
-    # ::test_approx_percentile_r11_fix_vacuous_flag_for_all_null_group;
-    # no fixture group is all-NULL at any SF.
+    # All-NULL-group contract (r11, this query's due slot; r10 'nulls'
+    # lens): a group whose prices are ALL NULL gets NULL percentiles on
+    # both engines (values agree), but the raw tolerance flag is a
+    # three-valued comparison — NULL — where the oracle emits literal
+    # TRUE. coalesce(within, e50 IS NULL) makes the flag vacuously true
+    # exactly when there is no data to be out of tolerance on, and still
+    # loudly FALSE if it ever nulls out with data present. Regression
+    # pin: tests/test_r11_window_fixes.py; no fixture group is all-NULL
+    # at any SF (fixture-identical).
     return agg.select(
         "l_returnflag",
         F.col("e50").alias("exact_p50"),
         F.col("e90").alias("exact_p90"),
-        within.alias("approx_within_1pct"),
+        F.coalesce(within, F.col("e50").isNull()).alias("approx_within_1pct"),
         "n_rows",
     )
 
@@ -302,19 +305,21 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS cnt
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     """CUBE aggregation over lineitem.
 
-    QUEUED r11 (its due slot, with agg_rollup / agg_grouping_sets; r9
-    zero-row probe, pre-measure in tests/test_r11_premeasure.py): on
-    EMPTY input Spark's grouping-sets expansion emits ZERO rows while
-    DuckDB (SQL standard) emits the grand-total ``()`` row (count 0,
-    NULL aggregates). Fix is oracle-only: append ``HAVING COUNT(*) > 0``
-    — no non-empty group can have count 0, so populated fixtures are
-    byte-identical, and the standard's empty-input row is exactly the
-    one Spark never emits. Fixture-identical (all tables non-empty at
+    Empty-input contract (r11, its due slot, with agg_rollup /
+    agg_grouping_sets; r9 zero-row probe): on EMPTY input Spark's
+    grouping-sets expansion emits ZERO rows while DuckDB (SQL standard)
+    emits the grand-total ``()`` row (count 0, NULL aggregates). The
+    oracle's ``HAVING COUNT(*) > 0`` replays Spark's semantics on every
+    input — no non-empty group can have count 0, so populated fixtures
+    are byte-identical (proved in tests/test_r11_window_fixes.py), and
+    the standard's empty-input row is exactly the one Spark never
+    emits. Oracle-only; fixture-identical (all tables non-empty at
     every SF)."""
     li = load_table(spark, sf, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -332,12 +337,12 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (order_year, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    """ROLLUP aggregation over orders. QUEUED r11: same empty-input
-    grand-total-row oracle alignment as agg_cube (see its docstring;
-    pre-measure in tests/test_r11_premeasure.py)."""
+    """ROLLUP aggregation over orders. Same empty-input grand-total-row
+    oracle alignment as agg_cube (landed r11; see its docstring)."""
     orders = load_table(spark, sf, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
@@ -353,14 +358,14 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    HAVING COUNT(*) > 0
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUPING SETS aggregation over orders (same SQL text on both
-    engines — the empty-input divergence is engine semantics, not query
-    drift). QUEUED r11: same grand-total-row oracle alignment as
-    agg_cube (see its docstring; pre-measure in
-    tests/test_r11_premeasure.py)."""
+    """GROUPING SETS aggregation over orders (the SELECT text is the
+    same on both engines — the empty-input divergence is engine
+    semantics, not query drift; the oracle's HAVING is the agg_cube
+    grand-total-row alignment, landed r11 — see its docstring)."""
     register_views(spark, sf, ["orders"])
     return spark.sql(
         """
@@ -1226,7 +1231,19 @@ def fn_json(spark: SparkSession, sf: str) -> DataFrame:
     ``CASE WHEN json_valid(props)`` because malformed JSON errors
     DuckDB's json_extract_string outright while Spark's get_json_object
     returns NULL. Fixture-identical (no invalid JSON / non-integer k at
-    any SF); hostile parity pinned in tests/test_r10_window_fixes.py."""
+    any SF); hostile parity pinned in tests/test_r10_window_fixes.py.
+
+    QUEUED r13 (this query's next due slot; ADVICE r10 #2): the
+    integer-literal gate is UNBOUNDED in magnitude — a 19+-digit k
+    (``{"k": "99999999999999999999"}``) passes the regex and the BIGINT
+    cast then crashes BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB
+    conversion error) — the same one-bad-row-kills-the-corpus-pass
+    class this gate exists to close. Fix when due: bound the gate to
+    BIGINT-safe lengths (``^-?[0-9]{1,18}$``) on both engines — an
+    18-digit magnitude is always < 2^63; the sacrificed corner
+    (legitimate 19-digit values that happen to fit) is unrepresentable
+    policy-free anyway since 19-digit strings straddle the BIGINT
+    boundary. Pre-measured in tests/test_r13_premeasure.py."""
     events = load_table(spark, sf, "events")
     ks = F.get_json_object("props", "$.k")
     k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))

@@ -331,6 +331,10 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
 _KM_K = 4          # clusters
 _KM_DIM = 64       # embedding dimensionality (fixture)
 _KM_Q = 1_000_000  # quantization scale: float32 -> integer micro-units
+# Quantization domain: |x| * _KM_Q must fit a signed 64-bit integer.
+# Vectors at or beyond this bound are excluded on BOTH engines (r11 fix,
+# r9 third review batch) — one corrupt embedding must not crash the pass.
+_KM_QUANT_BOUND = 9.2e18 / _KM_Q
 
 
 def _kmeans_oracle() -> str:
@@ -348,7 +352,7 @@ def _kmeans_oracle() -> str:
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}, 0) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings WHERE list_max(list_transform(embedding, x -> abs(x))) < {_KM_QUANT_BOUND}
     ),
     c0 AS (
         SELECT vec_id AS cluster, q AS cs, 1 AS cn FROM q WHERE vec_id < {_KM_K}
@@ -403,19 +407,22 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     accumulates on the driver). Iterations are unrolled (fixed 2) rather
     than convergence-looped so the whole computation stays one lazy plan.
 
-    QUEUED FOR R11 (this query's due slot; r9 third review batch): a
-    vector whose magnitude exceeds the micro-unit quantization domain
-    (|x| >= ~9.2e12 with _KM_Q = 1e6) CRASHES Spark's ANSI
-    double->bigint cast — one corrupt embedding kills the pass (the r8
-    ANSI-crash class). Fix when due: exclude unquantizable vectors on
-    BOTH engines (``array_max(|x|) < 9.2e18 / _KM_Q`` — also drops NULL
-    embeddings via three-valued logic); pre-measured exact parity in
-    ``tests/test_r11_premeasure.py``. No fixture vector comes within 9
-    orders of magnitude of the bound (verified at every SF).
+    Quantization-domain contract (r11, this query's due slot; r9 third
+    review batch): a vector whose magnitude exceeds the micro-unit
+    domain (|x| >= ~9.2e12 with _KM_Q = 1e6) CRASHED Spark's ANSI
+    double->bigint cast — one corrupt embedding killing the pass (the
+    r8 ANSI-crash class). Unquantizable vectors are now excluded on
+    BOTH engines (``array_max(|x|) < _KM_QUANT_BOUND`` — also drops
+    NULL embeddings via three-valued logic); regression pin in
+    ``tests/test_r11_window_fixes.py``. No fixture vector comes within
+    9 orders of magnitude of the bound (fixture-identical at every SF).
     """
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").where(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+        < F.lit(_KM_QUANT_BOUND)
+    )
     quant = emb.select(
         "vec_id",
         F.expr(
@@ -475,7 +482,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
                CAST(list_max(list_transform(embedding, x -> abs(x)))
                     AS DOUBLE) AS scale,
                embedding
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     ), quant AS (
         SELECT vec_id, dim, scale,
                CASE WHEN scale > 0 THEN
@@ -505,15 +512,17 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     IEEE-identical in Spark and DuckDB, so round() sees the same double on
     both engines; q_min/q_max also pin the [-127, 127] range.
 
-    QUEUED FOR R11 (this query's due slot; r9 third review batch): on a
-    NULL embedding the engines DIVERGE — Spark carries the row with
-    NULL dim/scale/q_sum while the oracle's list aggregates resolve it
-    differently. Fix when due: ``WHERE embedding IS NOT NULL`` on BOTH
-    engines (an absent vector has no quantization); pre-measured exact
-    parity in ``tests/test_r11_premeasure.py``. No fixture has a NULL
-    embedding at any SF (verified).
+    NULL-embedding contract (r11, this query's due slot; r9 third
+    review batch): on a NULL embedding the engines DIVERGED — Spark
+    carried the row with NULL dim/scale/q_sum while the oracle's list
+    aggregates resolved it differently. ``WHERE embedding IS NOT NULL``
+    now applies on BOTH engines (an absent vector has no quantization);
+    regression pin in ``tests/test_r11_window_fixes.py``. No fixture
+    has a NULL embedding at any SF (fixture-identical).
     """
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     scale = F.array_max(
         F.transform("embedding", lambda x: F.abs(x))
     ).cast("double")

@@ -470,21 +470,26 @@ def canonical_clean(col="text"):
     silently diverges the first time one side is fixed — the r7
     regex-drift class).
 
-    QUEUED r11 (r9 Unicode probe, pre-measure in
-    tests/test_r11_premeasure.py): Spark's LOWER (Java FULL mapping)
-    turns U+0130 İ into i + a COMBINING dot, which the strip step then
-    replaces with a SPACE ('İstanbul' -> 'i stanbul'), while DuckDB's
-    simple mapping gives 'istanbul' — different md5, length AND token
-    count. Fix: fold İ -> i BEFORE lowering on BOTH engines —
-    ``F.lower(F.translate(col, 'İ', 'i'))`` here and
+    Dotted-İ contract (r11, both consumers' due slot; r9 Unicode
+    probe): Spark's LOWER (Java FULL mapping) turns U+0130 İ into i + a
+    COMBINING dot, which the strip step then replaces with a SPACE
+    ('İstanbul' -> 'i stanbul'), while DuckDB's simple mapping gives
+    'istanbul' — different md5, length AND token count. İ now folds to
+    i BEFORE lowering on BOTH engines — ``F.translate`` here and
     ``lower(translate(text, 'İ', 'i'))`` in the two oracles that inline
     this chain (text_clean_normalize and the pipeline_training_corpus
-    capstone — both r8-vintage, due together at r11). Final sigma needs
-    no handling: σ/ς strip to spaces identically either way.
-    Fixture-identical: fixture text is pure ASCII at every SF."""
+    capstone). İ is the only character whose Java full lowercase grows
+    to a combining sequence that this chain then mangles; final sigma
+    needs no handling — σ/ς strip to spaces identically either way.
+    Regression pin in tests/test_r11_window_fixes.py;
+    fixture-identical: fixture text is pure ASCII at every SF."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " "), "  +", " "
+            F.regexp_replace(
+                F.lower(F.translate(col, "İ", "i")), "[^a-z0-9 ]", " "
+            ),
+            "  +",
+            " ",
         )
     )
 
@@ -568,7 +573,8 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     WITH cleaned AS (
         SELECT doc_id,
                trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   regexp_replace(lower(translate(text, 'İ', 'i')),
+                                  '[^a-z0-9 ]', ' ', 'g'),
                    '  +', ' ', 'g')) AS clean
         FROM documents
     )

@@ -82,17 +82,17 @@ def asof_join_union_window(spark: SparkSession, sf: str) -> DataFrame:
     sort purchases (kind 0) before views (kind 1), so a same-timestamp
     view is never in a purchase's preceding frame.
 
-    QUEUED FOR R11 (this query's due slot; r10 duplication lens): under
-    at-least-once duplicated input this form emits one row PER PURCHASE
-    ROW while the oracle GROUPs by (event_id, user_id) with the join
-    count multiplied by the purchase-copy count. Fix when due: close the
-    twin's missing final aggregation — ``groupBy(event_id, user_id)``
-    with MAX(prior_view_ts) and SUM(n_prior_views) (per-copy counts are
-    identical, so the sum equals copies x view rows, exactly the
-    oracle's join count; groups of one on unique fixtures).
-    Pre-measured exact in ``tests/test_r11_premeasure.py::
-    test_asof_union_window_r11_dup_fix_regroups_purchases``; event_id
-    is unique at every SF (verified).
+    At-least-once contract (r11, this query's due slot; r10 duplication
+    lens): under duplicated input the bare window form emitted one row
+    PER PURCHASE ROW while the oracle GROUPs by (event_id, user_id)
+    with the join count multiplied by the purchase-copy count. The
+    twin's final aggregation now matches the oracle's:
+    ``groupBy(event_id, user_id)`` with MAX(prior_view_ts) and
+    SUM(n_prior_views) — per-copy counts are identical, so the sum
+    equals copies x view rows, exactly the oracle's join count, and on
+    unique fixtures the groups are singletons (result unchanged).
+    Regression pin in ``tests/test_r11_window_fixes.py``; event_id is
+    unique at every SF (fixture-identical).
     """
     events = load_table(spark, sf, "events").where(
         F.col("event_type").isin("purchase", "view")
@@ -113,7 +113,11 @@ def asof_join_union_window(spark: SparkSession, sf: str) -> DataFrame:
         tagged.withColumn("prior_view_ts", F.max(view_ts).over(w))
         .withColumn("n_prior_views", F.count(view_ts).over(w))
         .where(F.col("kind") == 0)
-        .select("event_id", "user_id", "prior_view_ts", "n_prior_views")
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max("prior_view_ts").alias("prior_view_ts"),
+            F.sum("n_prior_views").alias("n_prior_views"),
+        )
     )
 
 

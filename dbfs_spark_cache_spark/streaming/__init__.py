@@ -749,20 +749,33 @@ _LEDGER_SCHEMA = "_schema.json"
 
 def _sink_data_columns(spark, fs_mod, base_path: str, dirs: list) -> list:
     """Column names of the rows a sink WROTE (no synthesized partition
-    columns), for the include_batch_id shadow refusal. Primary source:
-    the recorded sink schema (``_record_sink_schema`` keeps it on disk,
-    and quarantine rows share it — the gate drops only its own __valid
-    column from both branches), so the check costs one tiny ledger read
-    instead of a second full listing/footer schema-inference pass over
-    every committed dir (ADVICE r9 #3). Legacy ledgers written before
-    the schema record existed fall back to the inference read."""
+    columns), for the include_batch_id shadow refusal.
+
+    The recorded sink schema (``_record_sink_schema``) tracks the LATEST
+    committed batch — by design, so a redeployed pipeline's evolved
+    schema wins — which makes it sound only in the REFUSE direction: if
+    the latest schema carries batch_id, refusal is correct and costs one
+    tiny ledger read (ADVICE r9 #3). It is NOT sound in the ALLOW
+    direction (ADVICE r10 #4): a redeploy that DROPPED a batch_id column
+    earlier commits carried would pass the recorded-schema check, and
+    partition discovery would then silently shadow those older dirs'
+    data column — the exact corruption this check refuses. Allowing
+    therefore requires the union of every committed dir's schema: a
+    mergeSchema footer-inference read (plain ``read.parquet`` infers
+    from a SINGLE footer, which has the same historic blind spot).
+    Reader-side, include_batch_id=True only — never the per-batch sink
+    hot path."""
     recorded = fs_mod.read_text(f"{base_path}/_committed/{_LEDGER_SCHEMA}")
     if recorded is not None:
         try:
-            return [f["name"] for f in json.loads(recorded)["fields"]]
+            cols = [f["name"] for f in json.loads(recorded)["fields"]]
+            if "batch_id" in cols:
+                return cols  # refuse cheaply — the latest schema suffices
         except (ValueError, KeyError, TypeError):
-            pass  # corrupt record: fall through to the inference read
-    return spark.read.parquet(*dirs).columns
+            pass  # corrupt record: the inference read decides
+    return (
+        spark.read.option("mergeSchema", True).parquet(*dirs).columns
+    )
 
 
 def _record_sink_schema(fs_mod, base_path: str, batch_df: DataFrame) -> None:

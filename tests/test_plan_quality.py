@@ -262,8 +262,10 @@ _BROADCAST_ALLOWLIST: dict[tuple, str] = {
     # --- frames bounded by a constant domain, not by corpus size ---
     ("streaming/__init__.py", "baseline"):
         "per-event_type aggregate; event-type domain is a bounded enum",
-    ("pending_r8.py", "baseline"):
-        "per-event_type median/MAD pair; bounded event-type enum",
+    ("pending_r8.py", "med"):
+        "per-event_type exact median; bounded event-type enum",
+    ("pending_r8.py", "mad"):
+        "per-event_type MAD; bounded event-type enum",
     ("extras.py", "stats"):
         "per-event_type mean/stddev; bounded event-type enum",
     ("pending_r8.py", "qids"): "literal 5-element query-id frame",

@@ -1,25 +1,28 @@
 """Pre-measurement for the r13-queued fix (r10 'nulls' lens, target
 r10-vintage -> due r13): dedup_cluster_keepers' Spark side still SIGNS
-NULL-text documents (its edge build predates the NULL-text contract),
-while its oracle — once the r11 duck_h62 '||' hardening lands — will
-NULL-propagate their hashes and exclude them. The full fix is the
-established head filter on the Spark side plus the WHERE in the oracle.
+NULL-text documents (its edge build predates the NULL-text contract).
+Since the r11 duck_h62 '||' hardening landed, the oracle no longer
+CRASHES on them — it NULL-propagates their hashes, so they appear as two
+separate singleton clusters — while the Spark side's null-safe signature
+agreement pairs the identical all-NULL signatures into ONE cluster: a
+one-row divergence on hostile input (verified live at r11; the exact
+shape is pinned in part (a) below). The full fix is the established head
+filter (``WHERE text IS NOT NULL``) on BOTH engines — an unreadable
+payload is not a document to cluster, so NULL-text docs then appear in
+NEITHER the edge graph NOR the singleton set.
 
-This premeasure proves the proposed end state on a hostile fixture: with
-``WHERE text IS NOT NULL`` at the edge build AND at the singleton join
-on the Spark side, and the same WHERE + '||'-hardened hashes in the
-oracle, both engines agree exactly — NULL-text docs appear in NEITHER
-the edge graph NOR the singleton set (an unreadable payload is not a
-document to cluster).
+This premeasure proves the proposed end state on a hostile fixture; at
+r13 landing it is a mechanical edit (head filter both sides, move the
+name into _CHANGED, selfcheck).
 """
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import duckdb
 import pandas as pd
-import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
@@ -36,12 +39,14 @@ from tests.conftest import SF_SMOKE  # noqa: E402
 
 
 def test_cluster_keepers_r13_fix_excludes_null_text(spark, tmp_path, monkeypatch):
-    """(a) today the oracle CRASHES on a NULL-text doc ('0x' cast — the
-    shared _duck_minhash_cands fragility) while the Spark side still
-    emits the doc as a singleton cluster; (b) the proposed r13 variant
-    (head filter on both engines + the r11 '||' hash hardening in the
-    oracle) reaches exact parity with NULL-text docs in neither output;
-    (c) fixture text is never NULL, so current attestations are honest."""
+    """(a) today the engines DIVERGE on a pair of NULL-text docs: Spark
+    signs both with identical all-NULL signatures and its null-safe
+    agreement clusters them together (the lower id keeps), while the
+    '||'-hardened oracle NULL-propagates their hashes and emits them as
+    two singleton keepers; (b) the proposed r13 variant (head filter on
+    both engines) reaches exact parity with NULL-text docs in neither
+    output; (c) fixture text is never NULL, so current attestations are
+    honest."""
     monkeypatch.setenv("SPARK_GRAFT_HASH_FAMILY", "portable")
 
     from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
@@ -65,14 +70,22 @@ def test_cluster_keepers_r13_fix_excludes_null_text(spark, tmp_path, monkeypatch
         f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
     )
 
-    # (a) current shapes fail exactly as diagnosed
+    # (a) current shapes diverge exactly as diagnosed
     got = QUERIES["dedup_cluster_keepers"](spark, str(tmp_path)).toPandas()
+    want = con.execute(ORACLES["dedup_cluster_keepers"]).fetchdf()
+    g = got.set_index("doc_id")
+    w = want.set_index("doc_id")
     assert {970001, 970002} <= set(got["doc_id"]), (
         "Spark still clusters NULL-text docs today; if not, the fix "
         "landed — retire this half"
     )
-    with pytest.raises(Exception, match="0x"):
-        con.execute(ORACLES["dedup_cluster_keepers"]).fetchdf()
+    assert int(g.loc[970002, "cluster_id"]) == 970001, (
+        "Spark pairs the two all-NULL signatures into one cluster today; "
+        "if not, the fix landed — retire this half"
+    )
+    assert int(w.loc[970002, "cluster_id"]) == 970002 and bool(
+        w.loc[970002, "is_keeper"]
+    ), "the hardened oracle emits NULL-text docs as singletons"
 
     # (b) the PROPOSED r13 end state. Spark side: the head filter
     # commutes with pre-filtering the input file (per-row determinism),
@@ -83,9 +96,12 @@ def test_cluster_keepers_r13_fix_excludes_null_text(spark, tmp_path, monkeypatch
         f"{filtered_dir}/documents.parquet"
     )
     fixed = QUERIES["dedup_cluster_keepers"](spark, str(filtered_dir)).toPandas()
-    fixed_oracle = ORACLES["dedup_cluster_keepers"].replace(
-        "CAST(concat('0x', substr(md5(", "CAST(('0x' || substr(md5("
-    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
+    fixed_oracle = re.sub(
+        r"\bFROM documents\b",
+        "FROM documents WHERE text IS NOT NULL",
+        ORACLES["dedup_cluster_keepers"],
+    )
+    assert fixed_oracle != ORACLES["dedup_cluster_keepers"]
     fixed_want = con.execute(fixed_oracle).fetchdf()
     assert not (set(fixed["doc_id"]) & {970001, 970002})
     problems = _selfcheck_compare("dedup_cluster_keepers_r13", fixed, fixed_want)
@@ -98,3 +114,75 @@ def test_cluster_keepers_r13_fix_excludes_null_text(spark, tmp_path, monkeypatch
         .count()
         == 0
     )
+
+
+def test_fn_json_r13_fix_bounds_integer_gate(spark, tmp_path):
+    """Pre-measure the r13-queued fn_json gate bound (ADVICE r10 #2):
+    (a) today a 19+-digit integer literal k passes the ^-?[0-9]+$ gate
+    and the BIGINT cast CRASHES both engines; (b) the proposed
+    ^-?[0-9]{1,18}$ bound restores exact parity (the hostile row counts
+    in n_events, contributes nothing to sum_k); (c) fixture k values
+    are far below the bound at every SF, so the tightened gate is
+    fixture-identical."""
+    import glob
+    import shutil
+
+    import pytest
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.sources import load_table
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        shutil.copy(f, sf)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/events.parquet")
+    pdf = t.to_pandas()
+    hostile = pdf.iloc[[0]].copy()
+    hostile["event_id"] = 970001
+    hostile["props"] = '{"k": "99999999999999999999"}'
+    merged = pd.concat([pdf, hostile], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(merged, schema=t.schema, preserve_index=False),
+        f"{sf}/events.parquet",
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+
+    # (a) both engines crash today (Spark raises CAST_INVALID_INPUT —
+    # a 20-digit literal is "malformed" for BIGINT under ANSI; DuckDB a
+    # conversion error)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|CAST_OVERFLOW"):
+        QUERIES["fn_json"](spark, sf).toPandas()
+    with pytest.raises(Exception, match="[Cc]onvert|[Cc]ast"):
+        con.execute(ORACLES["fn_json"]).fetchdf()
+
+    # (b) the PROPOSED r13 variant: {1,18} bound on both engines
+    events = load_table(spark, sf, "events")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long"))
+    fixed = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+        .toPandas()
+    )
+    fixed_oracle = ORACLES["fn_json"].replace("^-?[0-9]+$", "^-?[0-9]{1,18}$")
+    assert fixed_oracle != ORACLES["fn_json"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("fn_json_r13", fixed, fixed_want)
+    assert not problems, problems
+
+    # (c) fixture-invisible: every fixture k is <= 18 digits
+    for sfd in (SF_SMOKE, "/root/testdata/sf0.01"):
+        ev = spark.read.parquet(f"{sfd}/events.parquet")
+        over = ev.where(
+            F.get_json_object("props", "$.k").rlike("^-?[0-9]{19,}$")
+        ).count()
+        assert over == 0
