@@ -49,16 +49,34 @@ def expectations_frame(
     partial-aggregated; ``unique`` then means unique WITHIN each group.
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    names = ["n_rows"]
     for col in not_null:
         aggs.append(_violations(F.col(col).isNotNull()).alias(f"null_{col}"))
+        names.append(f"null_{col}")
     for col in unique:
         surplus = F.count(col) - F.count_distinct(F.col(col))
         aggs.append(surplus.alias(f"dup_{col}"))
+        names.append(f"dup_{col}")
     for col, (lo, hi) in (ranges or {}).items():
         in_range = F.col(col).isNull() | F.col(col).between(lo, hi)
         aggs.append(_violations(in_range).alias(f"range_{col}"))
+        names.append(f"range_{col}")
     for name, cond in (custom or {}).items():
         aggs.append(_violations(cond).alias(name))
+        names.append(name)
+    # A duplicate rule name — a custom rule named like a generated one
+    # ('null_<col>'), a repeated list entry, or the reserved n_rows /
+    # passed keys — would plan fine but collapse to ONE dict key in the
+    # report, silently un-checking a rule the caller believes is gated.
+    # A quality gate must fail loudly, not narrow quietly (r11 review).
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    reserved = {"passed"} & set(names)
+    if dupes or reserved:
+        raise ValueError(
+            f"expectation rule names collide: duplicates={dupes}, "
+            f"reserved={sorted(reserved)} — rename the custom rule(s) or "
+            "deduplicate the column lists"
+        )
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)

@@ -191,6 +191,79 @@ def build_nulls(src: str, dst: str) -> None:
         )
 
 
+def build_skew(src: str, dst: str) -> None:
+    """Extreme key skew (r11 lens): ONE user owns 50% of events, ONE
+    order carries 50% of lineitem rows (line numbers resequenced to keep
+    the (l_orderkey, l_linenumber) key unique), ONE token dominates half
+    of every even document's text. Joins/windows keyed on user_id or
+    o_orderkey now have a genuinely hot key — the shape salting, AQE
+    skew-join and the banded-window claims exist for. Results must stay
+    engine-equal: skew is a PHYSICAL hazard, not a semantic one."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        half = len(pdf) // 2
+        if name == "events" and len(pdf):
+            hot = pdf["user_id"].iloc[0]
+            pdf.loc[: half - 1, "user_id"] = hot
+        elif name == "lineitem" and len(pdf):
+            hot = pdf["l_orderkey"].iloc[0]
+            pdf.loc[: half - 1, "l_orderkey"] = hot
+            # resequence so the composite key stays unique
+            pdf["l_linenumber"] = (
+                pdf.groupby("l_orderkey").cumcount() + 1
+            ).astype(pdf["l_linenumber"].dtype)
+        elif name == "documents" and len(pdf):
+            even = pdf.index % 2 == 0
+            pdf.loc[even, "text"] = pdf.loc[even, "text"].map(
+                lambda s: "hotword " * 10 + str(s) if isinstance(s, str) else s
+            )
+            pdf["n_chars"] = pdf["text"].str.len().astype(pdf["n_chars"].dtype)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
+def build_width(src: str, dst: str) -> None:
+    """Degenerate text widths (r11 lens): among the first nine documents
+    — three 1-CHAR documents (shingle window shorter than k: a 3-token
+    shingler sees one token, a 5-gram window outruns the text), three
+    SINGLE-TOKEN 4000-char documents (token sets of size 1, maximal
+    per-token width through every split/explode), three EMPTY-STRING
+    documents (split('') is [''], n_tokens 1 with an empty token — the
+    trim/strip edge). MinHash signatures become constant vectors (one
+    shingle), so LSH bands collide maximally among the degenerates —
+    candidate handling must stay exact, never crash or diverge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        if name != "documents":
+            pq.write_table(t, f"{dst}/{name}.parquet")
+            continue
+        pdf = t.to_pandas()
+        if len(pdf) >= 9:
+            for i in range(3):
+                pdf.loc[i, "text"] = "x"
+            for i in range(3, 6):
+                pdf.loc[i, "text"] = "a" * 4000
+            for i in range(6, 9):
+                pdf.loc[i, "text"] = ""
+            pdf["n_chars"] = pdf["text"].str.len().astype(pdf["n_chars"].dtype)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 LENSES = {
     "dup": build_dup,
     "ties": build_ties,
@@ -198,6 +271,8 @@ LENSES = {
     "neg": build_neg,
     "split": build_split,
     "nulls": build_nulls,
+    "skew": build_skew,
+    "width": build_width,
 }
 
 

@@ -101,3 +101,33 @@ def test_sink_data_columns_sees_batch_id_dropped_by_schema_evolution(
         fh.write(both.json())
     cols = _sink_data_columns(spark, fs, base, [d1, d2])
     assert "batch_id" in cols
+
+
+def test_expectations_refuse_colliding_rule_names(spark):
+    """r11 fresh-eyes review of quality.py: a custom rule named like a
+    generated alias (or the reserved 'passed' key) planned fine but
+    collapsed to one dict key in the report — a rule the caller believes
+    is gated was silently un-checked. The frame builder now refuses."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.quality import (
+        expectations_frame,
+        expectations_report,
+    )
+
+    df = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+
+    with pytest.raises(ValueError, match="collide"):
+        expectations_frame(
+            df, not_null=["id"], custom={"null_id": F.col("v") > 0}
+        )
+    with pytest.raises(ValueError, match="collide"):
+        expectations_frame(df, unique=["id", "id"])
+    with pytest.raises(ValueError, match="reserved"):
+        expectations_frame(df, custom={"passed": F.col("v") > 0})
+
+    # the happy path is untouched
+    report = expectations_report(df, not_null=["id"], unique=["id"])
+    assert report["passed"] and report["n_rows"] == 1
