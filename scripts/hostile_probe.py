@@ -264,7 +264,23 @@ def build_width(src: str, dst: str) -> None:
         )
 
 
+def build_empty(src: str, dst: str) -> None:
+    """Zero-row twin of EVERY table (r11 lens): the 'no data arrived for
+    this partition/day' production shape, registry-wide. The r9 zero-row
+    probe targeted the grouping trio; this sweeps all 150. Global
+    aggregates emit their one empty-input row on both engines; grouped
+    shapes emit nothing; the grouping-set grand-total alignment (r11
+    HAVING fix) is exactly the class this lens pins corpus-wide."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        pq.write_table(
+            pq.read_schema(f).empty_table(), f"{dst}/{os.path.basename(f)}"
+        )
+
+
 LENSES = {
+    "empty": build_empty,
     "dup": build_dup,
     "ties": build_ties,
     "one": build_one,
