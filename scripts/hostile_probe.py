@@ -279,7 +279,48 @@ def build_empty(src: str, dst: str) -> None:
         )
 
 
+def build_dates(src: str, dst: str) -> None:
+    """Extreme timestamps (r11 lens): the corrupt-telemetry shape — a
+    device clock reset to 1900, a pre-epoch straggler with maximal
+    microseconds, a far-future (2200) event, plus matching extreme order
+    dates. All values are inside BOTH engines' timestamp ranges, so any
+    divergence is semantic (week-of-year / truncation / interval /
+    window-bucket math on negative epochs), not overflow noise."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    extreme_ts = [
+        pd.Timestamp("1900-01-01 00:00:00"),
+        pd.Timestamp("1969-07-20 20:17:40.999999"),
+        pd.Timestamp("2200-06-15 23:59:59.999999"),
+    ]
+    extreme_dates = [
+        pd.Timestamp("1900-01-01"),
+        pd.Timestamp("1969-12-31"),
+        pd.Timestamp("2199-12-31"),
+    ]
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "events" and len(pdf) >= 3:
+            for i, ts in enumerate(extreme_ts):
+                pdf.loc[i, "ts"] = ts
+        elif name == "orders" and len(pdf) >= 3:
+            for i, d in enumerate(extreme_dates):
+                pdf.loc[i, "o_orderdate"] = d
+        elif name == "lineitem" and len(pdf) >= 3:
+            for i, d in enumerate(extreme_dates):
+                pdf.loc[i, "l_shipdate"] = d
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 LENSES = {
+    "dates": build_dates,
     "empty": build_empty,
     "dup": build_dup,
     "ties": build_ties,

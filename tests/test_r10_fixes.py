@@ -118,35 +118,62 @@ def test_verify_oracle_source_where_is_boundary_safe():
 
 
 def test_sink_data_columns_prefers_recorded_schema():
-    """ADVICE r9 #3: when the recorded sink schema exists, the shadow
-    check reads it (one tiny ledger file) and never runs the
-    schema-inference parquet pass — proven by passing spark=None and
-    dirs=[], which would crash if the fallback fired."""
+    """ADVICE r9 #3 as amended by ADVICE r10 #4: the recorded sink
+    schema (LATEST batch) is sound only in the REFUSE direction — when
+    it carries batch_id the check reads one tiny ledger file and never
+    runs the schema-inference parquet pass (proven by spark=None /
+    dirs=[], which would crash if the fallback fired). ALLOWING —
+    recorded schema without batch_id, corrupt record, or legacy ledger
+    — requires the mergeSchema footer union over every committed dir
+    (a redeploy may have dropped a data batch_id older dirs carry; a
+    single-footer read has the same blind spot)."""
     from dbfs_spark_cache_spark.streaming import _sink_data_columns
 
-    schema_json = (
+    with_batch_id = (
         '{"type":"struct","fields":['
         '{"name":"event_id","type":"long","nullable":true,"metadata":{}},'
         '{"name":"batch_id","type":"long","nullable":true,"metadata":{}}]}'
     )
-    fs_stub = SimpleNamespace(read_text=lambda path: schema_json)
+    fs_stub = SimpleNamespace(read_text=lambda path: with_batch_id)
     cols = _sink_data_columns(None, fs_stub, "/base", [])
     assert cols == ["event_id", "batch_id"]
 
-    # corrupt record falls back to the inference read (here: a stub that
-    # proves the fallback was reached)
+    # the inference fallback must be the schema-MERGED read
     class _Reader:
+        def __init__(self):
+            self.merge_schema = None
+
+        def option(self, key, value):
+            if key == "mergeSchema":
+                self.merge_schema = value
+            return self
+
         def parquet(self, *dirs):
+            assert self.merge_schema is True, (
+                "allow-path inference must union every dir's schema"
+            )
             return SimpleNamespace(columns=["fallback_col"])
 
-    spark_stub = SimpleNamespace(read=_Reader())
+    def spark_stub():
+        return SimpleNamespace(read=_Reader())
+
+    # recorded schema WITHOUT batch_id: allowing needs the union read
+    no_batch_id = (
+        '{"type":"struct","fields":['
+        '{"name":"event_id","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    ok_fs = SimpleNamespace(read_text=lambda path: no_batch_id)
+    assert _sink_data_columns(spark_stub(), ok_fs, "/base", ["d"]) == [
+        "fallback_col"
+    ]
+    # corrupt record falls back to the union read
     bad_fs = SimpleNamespace(read_text=lambda path: "not json")
-    assert _sink_data_columns(spark_stub, bad_fs, "/base", ["d"]) == [
+    assert _sink_data_columns(spark_stub(), bad_fs, "/base", ["d"]) == [
         "fallback_col"
     ]
     # legacy ledger (no record at all) also falls back
     none_fs = SimpleNamespace(read_text=lambda path: None)
-    assert _sink_data_columns(spark_stub, none_fs, "/base", ["d"]) == [
+    assert _sink_data_columns(spark_stub(), none_fs, "/base", ["d"]) == [
         "fallback_col"
     ]
 
