@@ -1,0 +1,139 @@
+"""Harness honesty for scripts/hostile_probe.py lens builders.
+
+A lens that silently drops the poison (or breaks the physical schema so
+both engines read different files than intended) makes its "clean sweep"
+vacuous — the probe would attest nothing. Each test builds the lens
+fixture from sf0.001 and asserts (a) every table keeps its source
+parquet schema byte-for-byte and (b) the poison is actually present.
+Pure pyarrow/pandas — no SparkSession, fast.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+from hostile_probe import LENSES  # noqa: E402
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+def _schemas(sf: str) -> dict:
+    out = {}
+    for f in sorted(glob.glob(f"{sf}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        if os.path.isdir(f):  # the split lens emits part-file dirs
+            f = sorted(glob.glob(f"{f}/*.parquet"))[0]
+        out[name] = pq.read_schema(f)
+    return out
+
+
+SRC_SCHEMAS = None
+
+
+@pytest.fixture(scope="module")
+def src_schemas():
+    return _schemas(SF_SMOKE)
+
+
+@pytest.mark.parametrize("lens", sorted(LENSES))
+def test_lens_preserves_physical_schema(lens, tmp_path, src_schemas):
+    dst = str(tmp_path / lens)
+    os.makedirs(dst, exist_ok=True)
+    LENSES[lens](SF_SMOKE, dst)
+    built = _schemas(dst)
+    assert set(built) == set(src_schemas), f"{lens}: table set changed"
+    for name, schema in built.items():
+        assert schema.equals(src_schemas[name]), (
+            f"{lens}/{name}: physical schema drifted — both engines would "
+            "read a different shape than the registered queries expect"
+        )
+
+
+def _build(lens, tmp_path):
+    dst = str(tmp_path / lens)
+    os.makedirs(dst, exist_ok=True)
+    LENSES[lens](SF_SMOKE, dst)
+    return dst
+
+
+def test_dup_lens_doubles_every_table(tmp_path):
+    dst = _build("dup", tmp_path)
+    for f in glob.glob(f"{SF_SMOKE}/*.parquet"):
+        name = os.path.basename(f)
+        assert (
+            pq.read_table(f"{dst}/{name}").num_rows
+            == 2 * pq.read_table(f).num_rows
+        )
+
+
+def test_empty_lens_zeroes_every_table(tmp_path):
+    dst = _build("empty", tmp_path)
+    for f in glob.glob(f"{dst}/*.parquet"):
+        assert pq.read_table(f).num_rows == 0
+
+
+def test_skew_lens_concentrates_keys(tmp_path):
+    dst = _build("skew", tmp_path)
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    top = ev["user_id"].value_counts(normalize=True).iloc[0]
+    assert top >= 0.5, f"hot user owns only {top:.0%} of events"
+    li = pd.read_parquet(f"{dst}/lineitem.parquet")
+    top_o = li["l_orderkey"].value_counts(normalize=True).iloc[0]
+    assert top_o >= 0.5, f"hot order owns only {top_o:.0%} of lineitem"
+    # the resequenced composite key stays unique
+    assert not li.duplicated(["l_orderkey", "l_linenumber"]).any()
+
+
+def test_width_lens_plants_degenerate_docs(tmp_path):
+    dst = _build("width", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    texts = docs["text"].iloc[:9].tolist()
+    assert texts[:3] == ["x"] * 3
+    assert all(t == "a" * 4000 for t in texts[3:6])
+    assert texts[6:9] == [""] * 3
+    # n_chars stays consistent with the rewritten text
+    assert (docs["n_chars"].iloc[:9] == docs["text"].iloc[:9].str.len()).all()
+
+
+def test_dates_lens_plants_extreme_timestamps(tmp_path):
+    dst = _build("dates", tmp_path)
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    assert ev["ts"].min() == pd.Timestamp("1900-01-01")
+    assert ev["ts"].max() == pd.Timestamp("2200-06-15 23:59:59.999999")
+    orders = pd.read_parquet(f"{dst}/orders.parquet")
+    assert orders["o_orderdate"].min() == pd.Timestamp("1900-01-01")
+
+
+def test_neg_lens_negates_ids(tmp_path):
+    dst = _build("neg", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    assert (docs["doc_id"] <= 0).all()
+
+
+def test_nulls_lens_nulls_payload_keeps_keys(tmp_path):
+    dst = _build("nulls", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    assert docs["text"].iloc[:3].isna().all()
+    assert docs["doc_id"].iloc[:3].notna().all()
+
+
+def test_split_lens_reverses_and_splits(tmp_path):
+    dst = _build("split", tmp_path)
+    d = f"{dst}/documents.parquet"
+    assert os.path.isdir(d) and len(glob.glob(f"{d}/*.parquet")) >= 4
+    src_ids = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")["doc_id"]
+    got_ids = pd.concat(
+        [pd.read_parquet(p)["doc_id"] for p in sorted(glob.glob(f"{d}/*.parquet"))]
+    )
+    assert sorted(got_ids) == sorted(src_ids)
