@@ -74,6 +74,17 @@ def _top_level_fields(schema_body: str) -> int:
     return n
 
 
+# Multiplicative re-scan flag thresholds: the r8-r10 registry's widest
+# honest plans read <= 9 pushed scans / <= 20 tree exchanges, while the
+# one true outlier (pre-staging events_anomaly_mad) read 81 / 101 —
+# an order of magnitude of daylight. A plan past these bounds is almost
+# certainly re-deriving an upstream frame inside every pass of an
+# iterative/banded consumer; the fix is staging the shared frame
+# (staging.stage_cache), not raising the bound.
+MAX_PUSHED_SCANS = 25
+MAX_EXCHANGES = 40
+
+
 def audit_one(name: str, plan: str) -> tuple[str, list]:
     joins = sorted(set(re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)",
@@ -102,6 +113,8 @@ def audit_one(name: str, plan: str) -> tuple[str, list]:
         flags.append("NESTED-LOOP")
     if "BatchEvalPython" in plan and name not in PYTHON_OK:
         flags.append("ROW-WISE-PYTHON")
+    if n_pushed > MAX_PUSHED_SCANS or exchanges > MAX_EXCHANGES:
+        flags.append("RESCAN-BLOWUP")
     summary = (
         f"{name:32s} joins={','.join(joins) or '-':24s} "
         f"pushed_scans={n_pushed} exchanges={exchanges} "

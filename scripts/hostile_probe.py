@@ -333,25 +333,19 @@ LENSES = {
 }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--lens", required=True, choices=sorted(LENSES))
-    ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--only", default="")
-    args = ap.parse_args()
-
+def _probe_lens(spark, lens: str, sf: str, only: str) -> list:
+    """Build one lens fixture and probe it two-engine on the given
+    (reused) SparkSession; returns [(name, reason)] for failures."""
     import duckdb
 
     from selfcheck import compare
 
     from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
-    from dbfs_spark_cache_spark.session import get_spark
 
-    dst = tempfile.mkdtemp(prefix=f"probe_{args.lens}_")
-    LENSES[args.lens](args.sf, dst)
-    print(f"lens={args.lens} fixture at {dst}")
+    dst = tempfile.mkdtemp(prefix=f"probe_{lens}_")
+    LENSES[lens](sf, dst)
+    print(f"lens={lens} fixture at {dst}")
 
-    spark = get_spark(app_name=f"hostile_probe_{args.lens}")
     con = duckdb.connect()
     for f in sorted(glob.glob(f"{dst}/*.parquet")):
         tbl = os.path.basename(f).replace(".parquet", "")
@@ -359,7 +353,7 @@ def main() -> int:
         src = f"{f}/*.parquet" if os.path.isdir(f) else f
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{src}'")
 
-    names = args.only.split(",") if args.only else list(QUERIES)
+    names = only.split(",") if only else list(QUERIES)
     bad = []
     for name in names:
         try:
@@ -378,10 +372,34 @@ def main() -> int:
         if problems:
             bad.append((name, f"DIVERGE: {problems[:2]}"))
 
-    print(f"\n=== lens={args.lens}: {len(names)} probed, {len(bad)} divergent/crashed ===")
+    print(f"\n=== lens={lens}: {len(names)} probed, {len(bad)} divergent/crashed ===")
     for n, r in bad:
         print(f"  {n}: {r}")
-    return 1 if bad else 0
+    return bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--lens",
+        required=True,
+        choices=sorted(LENSES) + ["all"],
+        help="'all' runs the full matrix on ONE SparkSession (saves a JVM "
+        "start per lens; ~10 min per full-matrix sweep)",
+    )
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    from dbfs_spark_cache_spark.session import get_spark
+
+    spark = get_spark(app_name=f"hostile_probe_{args.lens}")
+    lenses = sorted(LENSES) if args.lens == "all" else [args.lens]
+    any_bad = False
+    for lens in lenses:
+        if _probe_lens(spark, lens, args.sf, args.only):
+            any_bad = True
+    return 1 if any_bad else 0
 
 
 if __name__ == "__main__":
