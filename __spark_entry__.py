@@ -81,7 +81,7 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 # Pre-computed arithmetic from _vintages() (recheck each round):
 #   after r10's window the ledger is 50@r10 + 50@r9 + 50@r8; r11's due
 #   cohort recomputes to exactly the 50 r8-vintage queries — 0 slack —
-#   and contains ALL eighteen r11-changed names below (verified:
+#   and contains ALL twenty-one r11-changed names below (verified:
 #   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
 #   it). r12's cohort recomputes to the 50 r9-vintage queries — the
 #   landing slots for the queued scan_csv_source multiLine,
@@ -95,7 +95,7 @@ _CHANGED: list[str] = [
     # r11: the full pre-measured due-slot batch — every fix queued since
     # r9/r10 with its exact diff encoded in the since-promoted
     # tests/test_r11_premeasure.py — landed in its own due slot (rule
-    # 2b: all eighteen names below are r8-vintage, due this round —
+    # 2b: all twenty-one names below are r8-vintage, due this round —
     # slot-neutral). Hostile parity pinned in
     # tests/test_r11_window_fixes.py; all re-attested exact at sf0.01
     # AND sf0.1 via scripts/selfcheck.py post-change.
@@ -154,6 +154,21 @@ _CHANGED: list[str] = [
     # both engines (the raw LIMIT collapsed the query batch and the
     # qids join multiplied scored copies):
     "similarity_topk_batch",
+    # r11 nonfinite lens (run in-round — TRUE NaN/Inf storage via direct
+    # pyarrow arrays; the r9 pandas-written NaN probe silently tested
+    # NULL instead, nan_as_null): bad-telemetry rows/vectors now drop
+    # identically on both engines. events.value consumers take
+    # finite_or_null (a NaN/Inf reading crashed the oracle's DECIMAL
+    # sums); embedding consumers take functions.vec_finite (a NULL
+    # component NULL-propagates Spark's folds while DuckDB's list_sum
+    # skips it — silent drift — and NaN/Inf poison or crash both).
+    # events_value_zscore / events_anomaly_mad / embedding_kmeans_assign
+    # / embedding_quantize_int8 / similarity_topk_batch above took the
+    # same-lens fixes in their already-listed slots; these three are the
+    # additional due-cohort members:
+    "window_time_range_rolling",
+    "events_resample_gapfill",
+    "embedding_norms",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was

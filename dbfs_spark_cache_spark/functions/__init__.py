@@ -81,6 +81,29 @@ def sign_bits_int(a, n: int) -> Column:
     return acc.cast("int")
 
 
+def vec_finite(a) -> Column:
+    """TRUE iff the array column is a USABLE embedding: non-NULL with
+    every component present and finite. The vector twin of
+    ``registry.finite_or_null`` (r11 nonfinite lens — true NaN/±Inf
+    storage, which the earlier pandas-written probes could not produce
+    because ``from_pandas`` converts NaN to parquet NULL): a NaN/Inf
+    component poisons every JVM-side fold (dot, norm, distance) into
+    NaN, a NULL component NULL-propagates Spark's ``aggregate`` fold
+    while DuckDB's ``list_sum`` SKIPS it — silent cross-engine drift —
+    and the quantizer's ANSI bigint cast crashes outright on either.
+    The SQL twin is::
+
+        (v IS NOT NULL AND
+         len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0)
+
+    (kept in ``similarity.DUCK_VEC_FINITE``)."""
+    c = F.col(a) if isinstance(a, str) else a
+    bad = F.exists(
+        c, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return c.isNotNull() & ~bad
+
+
 def hyperplane_signature(a, planes: Sequence[Sequence[float]]) -> Column:
     """Random-hyperplane LSH signature: one bit per plane (sign of the dot
     product with a fixed plane vector). ``planes`` is a driver-side list of

@@ -736,8 +736,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     are excluded on BOTH engines. Without the filter the portable-hash
     oracle emits a bare '0x' (DuckDB concat skips NULL) whose BIGINT
     cast crashes the whole verification, while Spark still signs the
-    doc — the duck_h62 '||' hardening queued for r11 closes the crash
-    class for the remaining (r8-vintage) dedup consumers.
+    doc — the duck_h62 '||' hardening (landed r11) closed the crash
+    class for the remaining dedup consumers.
     """
     prefix = "substring(text, 1, 120)"
     gram62 = h62_sql(f"substring({prefix}, i, 5)")
@@ -824,6 +824,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     (random embeddings, max bucket-pair cosine ~0.43); real corpora use
     ~0.95+. All vector math is JVM-side (zip_with/aggregate folds in
     functions.vectors) and per-pair, so the DuckDB oracle matches exactly.
+
+    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens): a
+    NULL-component vector scores a FINITE cosine on DuckDB (list_sum
+    skips NULLs) but NULL on Spark (the fold propagates), so one pair
+    exists on exactly one engine. Fix when due: ``functions.vec_finite``
+    gate on BOTH engines (the usable-embedding contract its similarity
+    siblings landed at r11). Pre-measured in
+    tests/test_r13_premeasure.py; every fixture embedding is finite and
+    dense.
     """
     emb = load_table(spark, sf, "embeddings")
     from ..functions import sign_bits_str, vec_dot, vec_l2_norm

@@ -359,19 +359,22 @@ def window_value_frames(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "events_value_zscore",
     oracle="""
-    WITH stats AS (
+    WITH ev AS (
+        SELECT * FROM events WHERE value IS NULL OR isfinite(value)
+    ),
+    stats AS (
         SELECT event_type,
                CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS s1,
                CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
                COUNT(*) AS n
-        FROM events GROUP BY event_type
+        FROM ev GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
            ROUND((e.value - s1 / n)
                  / NULLIF(CASE WHEN n > 1 THEN
                      sqrt(GREATEST((s2 - s1 * s1 / n) / (n - 1), 0))
                    END, 0), 6) AS value_z
-    FROM events e JOIN stats s USING (event_type)
+    FROM ev e JOIN stats s USING (event_type)
     """,
 )
 def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
@@ -396,8 +399,14 @@ def events_value_zscore(spark: SparkSession, sf: str) -> DataFrame:
     association-independent exactness; regression pin in
     ``tests/test_r11_window_fixes.py``. No fixture value reaches 1e9 at
     any SF (fixture-identical).
+
+    Non-finite contract (same r11 slot; nonfinite lens — true NaN/Inf
+    storage): a single NaN/Inf reading crashed the oracle's DECIMAL
+    cast and poisoned this side's group stats into NULL — bad-telemetry
+    rows now drop identically on both engines (finite_or_null; NULLs
+    keep flowing through three-valued sums).
     """
-    events = load_table(spark, sf, "events")
+    events = load_table(spark, sf, "events").where(finite_or_null("value"))
     stats = events.groupBy("event_type").agg(
         F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s1"),
         F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))

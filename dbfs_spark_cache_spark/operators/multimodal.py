@@ -172,25 +172,22 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     this, ``t.encode`` raised on the first NULL and one bad row killed
     the whole corpus decode — the r8 ANSI-crash class, in Python.
 
-    QUEUED FOR R11 (this query's due slot; r10 duplication lens): the
-    decode is a map pass (per-row features, one output per input row —
-    duplicate-correct by construction), but the ORACLE's byte stats
-    GROUP BY doc_id, so duplicated copies DOUBLE window_checksum's SUM
-    (mean/min/max invariant). Fix is oracle-only: dedup the exploded
-    byte rows on (doc_id, hx, i) — copies collapse, within-document
-    byte multiplicity survives via the index. Pre-measured exact in
-    ``tests/test_r11_premeasure.py::
-    test_multimodal_decode_r11_dup_fix_dedups_oracle_byte_rows``;
-    doc_id is unique at every SF (verified).
+    At-least-once contract (r11, this query's due slot; r10 duplication
+    lens): the decode is a map pass (per-row features, one output per
+    input row — duplicate-correct by construction), but the ORACLE's
+    byte stats GROUP BY doc_id, so duplicated copies DOUBLED
+    window_checksum's SUM (mean/min/max invariant). Oracle-only fix,
+    landed: the exploded byte rows dedup on (doc_id, hx, i) — copies
+    collapse, within-document byte multiplicity survives via the index.
 
-    ALSO QUEUED FOR R11 (same slot; r10 negated-id lens): the header
-    formulas ``doc_id % 64 + 1`` / ``doc_id % 3 + 1`` are Python's
-    FLOORED modulo in ``build_asset`` (-5 % 64 = 59) but C-style
-    sign-of-dividend in the oracle (-5), so every negative-id asset's
-    width/channels diverge. The packed header is the ground truth — fix
-    is oracle-only: pmod both doc_id formulas. Pre-measured in
-    ``test_multimodal_decode_r11_neg_fix_pmods_oracle_header``; doc_id
-    is non-negative at every SF (verified).
+    Negative-id contract (same r11 slot; r10 negated-id lens): the
+    header formulas ``doc_id % 64 + 1`` / ``doc_id % 3 + 1`` are
+    Python's FLOORED modulo in ``build_asset`` (-5 % 64 = 59) but were
+    C-style sign-of-dividend in the oracle (-5), so every negative-id
+    asset's width/channels diverged. The packed header is the ground
+    truth — the oracle now pmods both doc_id formulas. Regression pins
+    for both in ``tests/test_r11_window_fixes.py``; doc_id is unique
+    and non-negative at every SF (fixture-identical).
     """
     docs = (
         load_table(spark, sf, "documents")

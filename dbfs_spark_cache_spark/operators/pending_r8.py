@@ -60,13 +60,18 @@ def _pending(name: str, oracle: str):
 @_pending(
     "similarity_topk_batch",
     oracle="""
-    WITH qids AS (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+    WITH emb AS (
+        SELECT * FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
+               x -> x IS NULL OR NOT isfinite(x))) = 0)
+    ),
+    qids AS (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT 5),
     q AS (
         SELECT e.vec_id AS q_id, e.embedding AS q_emb
-        FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM qids)
+        FROM emb e WHERE e.vec_id IN (SELECT vec_id FROM qids)
     ),
     corpus AS (
-        SELECT * FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM qids)
+        SELECT * FROM emb WHERE vec_id NOT IN (SELECT vec_id FROM qids)
     ),
     scored AS (
         SELECT q.q_id, c.vec_id, c.label,
@@ -115,10 +120,20 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     agree everywhere downstream and the batch is 5 real queries again.
     Regression pin in ``tests/test_r11_window_fixes.py``; vec_id is
     unique at every SF (fixture-identical).
+
+    Usable-vector contract (same r11 slot; nonfinite lens): a
+    NaN-component corpus vector scores a NaN cosine — Spark ROUNDs it
+    to NaN (sorted as greatest: it OUTRANKS every real neighbor) while
+    the oracle's NaN handling shifted every rank below it. Unusable
+    vectors (NULL/NaN/Inf components — ``functions.vec_finite``) are
+    now excluded from BOTH the query batch and the corpus on both
+    engines; pin in ``tests/test_r11_window_fixes.py``.
     """
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf, "embeddings")
+    from ..functions import vec_finite as _vec_finite
+
+    emb = load_table(spark, sf, "embeddings").where(_vec_finite("embedding"))
     # Query selection stays IN-plan (no driver collect): lowest 5 ids.
     qids = emb.select("vec_id").distinct().orderBy("vec_id").limit(5)
     queries = emb.join(F.broadcast(qids), "vec_id").select(
@@ -160,7 +175,7 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
 @_pending(
     "events_anomaly_mad",
     oracle="""
-    WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+    WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL AND isfinite(value)),
     med AS (
         SELECT event_type, median(value) AS median_value
         FROM ev GROUP BY event_type
@@ -215,12 +230,19 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB the staged table is the corpus projected to 5 columns —
     one write amortized against ~80 re-scans.
     """
+    from .registry import finite_or_null
     from .scale import grouped_exact_median
     from .staging import stage_cache
 
+    # A robust screen over bad telemetry drops unreadable values
+    # identically on both engines: NULLs (no reading) and non-finite
+    # values (r11 nonfinite lens — an Inf value makes the banded
+    # median's bucket math degenerate (step = inf), and NaN deviations
+    # rank differently per engine). finite_or_null + isNotNull = finite
+    # only.
     ev = (
         load_table(spark, sf, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & finite_or_null("value"))
         .select("event_id", "event_type", "value")
     )
     med = grouped_exact_median(

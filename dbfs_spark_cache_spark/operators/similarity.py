@@ -25,28 +25,44 @@ from ..functions import (
     sign_bits_int as _sign_bits_int,
     sign_bits_str as _sign_bits_str,
     vec_dot as _dot,
+    vec_finite as _vec_finite,
     vec_sq_norm as _sq_norm,
 )
 from ..sources import load_table
 from .registry import register
 from .staging import stage_cache as _stage_cache
 
+# SQL twin of functions.vec_finite — the usable-embedding contract the
+# r11 nonfinite lens established (see vec_finite's docstring): a vector
+# with NULL / NaN / ±Inf components is not an embedding to score.
+DUCK_VEC_FINITE = (
+    "(embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR NOT isfinite(x))) = 0)"
+)
+
 
 @register(
     "embedding_norms",
-    oracle="""
+    oracle=f"""
     SELECT vec_id, label,
            CAST(len(embedding) AS INT) AS dim,
            ROUND(SQRT(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-    FROM embeddings
+    FROM embeddings WHERE {DUCK_VEC_FINITE}
     """,
 )
 def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     """Per-vector L2 norms via JVM-side fold — the building block every
     similarity query reuses. Per-row math only: no cross-row float
-    accumulation, so the oracle matches."""
-    emb = load_table(spark, sf, "embeddings")
+    accumulation, so the oracle matches.
+
+    Usable-vector contract (r11, this query's due slot; nonfinite lens):
+    vectors with NULL/NaN/±Inf components are excluded on BOTH engines —
+    a NULL component NULL-propagates Spark's fold while DuckDB's
+    list_sum skips it (silent norm drift); NaN/Inf poison the fold on
+    both. Regression pin in tests/test_r11_window_fixes.py;
+    fixture-identical (every fixture embedding is finite and dense)."""
+    emb = load_table(spark, sf, "embeddings").where(_vec_finite("embedding"))
     return emb.select(
         "vec_id",
         "label",
@@ -352,7 +368,8 @@ def _kmeans_oracle() -> str:
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}, 0) AS BIGINT)) AS q
-        FROM embeddings WHERE list_max(list_transform(embedding, x -> abs(x))) < {_KM_QUANT_BOUND}
+        FROM embeddings WHERE {DUCK_VEC_FINITE}
+          AND list_max(list_transform(embedding, x -> abs(x))) < {_KM_QUANT_BOUND}
     ),
     c0 AS (
         SELECT vec_id AS cluster, q AS cs, 1 AS cn FROM q WHERE vec_id < {_KM_K}
@@ -408,20 +425,26 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     than convergence-looped so the whole computation stays one lazy plan.
 
     Quantization-domain contract (r11, this query's due slot; r9 third
-    review batch): a vector whose magnitude exceeds the micro-unit
-    domain (|x| >= ~9.2e12 with _KM_Q = 1e6) CRASHED Spark's ANSI
-    double->bigint cast — one corrupt embedding killing the pass (the
-    r8 ANSI-crash class). Unquantizable vectors are now excluded on
-    BOTH engines (``array_max(|x|) < _KM_QUANT_BOUND`` — also drops
-    NULL embeddings via three-valued logic); regression pin in
+    review batch + nonfinite lens): a vector whose magnitude exceeds
+    the micro-unit domain (|x| >= ~9.2e12 with _KM_Q = 1e6) CRASHED
+    Spark's ANSI double->bigint cast — one corrupt embedding killing
+    the pass (the r8 ANSI-crash class) — and a NULL-component vector
+    NULL-propagated Spark's distance fold while DuckDB's list_sum
+    skipped the component (silent assignment drift). Both engines now
+    exclude unusable vectors (``vec_finite`` — NULL/NaN/Inf components)
+    AND unquantizable magnitudes (``array_max(|x|) <
+    _KM_QUANT_BOUND``); regression pins in
     ``tests/test_r11_window_fixes.py``. No fixture vector comes within
     9 orders of magnitude of the bound (fixture-identical at every SF).
     """
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf, "embeddings").where(
-        F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-        < F.lit(_KM_QUANT_BOUND)
+        _vec_finite("embedding")
+        & (
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+            < F.lit(_KM_QUANT_BOUND)
+        )
     )
     quant = emb.select(
         "vec_id",
@@ -475,14 +498,14 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=f"""
     WITH q AS (
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
                CAST(list_max(list_transform(embedding, x -> abs(x)))
                     AS DOUBLE) AS scale,
                embedding
-        FROM embeddings WHERE embedding IS NOT NULL
+        FROM embeddings WHERE {DUCK_VEC_FINITE}
     ), quant AS (
         SELECT vec_id, dim, scale,
                CASE WHEN scale > 0 THEN
@@ -512,17 +535,19 @@ def embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     IEEE-identical in Spark and DuckDB, so round() sees the same double on
     both engines; q_min/q_max also pin the [-127, 127] range.
 
-    NULL-embedding contract (r11, this query's due slot; r9 third
-    review batch): on a NULL embedding the engines DIVERGED — Spark
-    carried the row with NULL dim/scale/q_sum while the oracle's list
-    aggregates resolved it differently. ``WHERE embedding IS NOT NULL``
-    now applies on BOTH engines (an absent vector has no quantization);
-    regression pin in ``tests/test_r11_window_fixes.py``. No fixture
-    has a NULL embedding at any SF (fixture-identical).
+    Usable-vector contract (r11, this query's due slot; r9 third review
+    batch + nonfinite lens): on a NULL embedding the engines DIVERGED —
+    Spark carried the row with NULL dim/scale/q_sum while the oracle's
+    list aggregates resolved it differently — an Inf component made
+    scale infinite so ``inf * 127 / inf`` = NaN CRASHED the ANSI bigint
+    cast, and a NULL component NULL-propagated Spark's q_sum fold while
+    DuckDB's list_sum skipped it. ``vec_finite`` now gates BOTH engines
+    (a vector with missing or non-finite components has no int8
+    quantization); regression pins in
+    ``tests/test_r11_window_fixes.py``. Every fixture embedding is
+    finite and dense at every SF (fixture-identical).
     """
-    emb = load_table(spark, sf, "embeddings").where(
-        F.col("embedding").isNotNull()
-    )
+    emb = load_table(spark, sf, "embeddings").where(_vec_finite("embedding"))
     scale = F.array_max(
         F.transform("embedding", lambda x: F.abs(x))
     ).cast("double")

@@ -229,6 +229,14 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     window. Same fix on ``window_sliding`` below (its union-shape oracle
     emitted the NULL bucket TWICE). Fixture-invisible; hostile parity
     pinned in tests/test_r10_window_fixes.py.
+
+    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens —
+    true NaN/Inf storage): a single NaN/Inf reading crashes the
+    oracle's DECIMAL bucket sums while this side runs. Fix when due:
+    ``finite_or_null("value")`` + the oracle WHERE rider, on BOTH
+    engines (same as window_time_range_rolling's landed r11 fix; same
+    fix on window_sliding below). Pre-measured in
+    tests/test_r13_premeasure.py; every fixture value is finite.
     """
     events = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
     return (
@@ -288,7 +296,7 @@ def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
         SELECT user_id, DATE_TRUNC('hour', ts) AS bucket,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
-        FROM events WHERE user_id < 20
+        FROM events WHERE user_id < 20 AND (value IS NULL OR isfinite(value))
         GROUP BY user_id, bucket
     ),
     spans AS (
@@ -322,8 +330,19 @@ def events_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     where they are consumed, no driver loop), and the fill join is
     user+bucket equi-keyed. The user_id predicate pushes to the scan.
     Decimal sums keep fill-vs-data rows exactly comparable to the oracle.
+
+    Non-finite contract (r11, this query's due slot; nonfinite lens):
+    a NaN/Inf reading crashed the oracle's DECIMAL hourly sums —
+    bad-telemetry rows now drop identically on both engines
+    (finite_or_null; the hour they fell in densifies as a gap if they
+    were its only events, exactly like any other empty hour).
+    Regression pin in tests/test_r11_window_fixes.py.
     """
-    events = load_table(spark, sf, "events").where(F.col("user_id") < 20)
+    from .registry import finite_or_null
+
+    events = load_table(spark, sf, "events").where(
+        (F.col("user_id") < 20) & finite_or_null("value")
+    )
     hourly = events.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("bucket")
     ).agg(
@@ -377,6 +396,7 @@ def densify_hourly(hourly: DataFrame) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
                AS value_last_hour
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
@@ -393,17 +413,30 @@ def window_time_range_rolling(spark: SparkSession, sf: str) -> DataFrame:
     via Spark SQL — the DataFrame API's rangeBetween takes only numeric
     offsets, while SQL accepts interval literals on timestamp ordering;
     both engines implement identical RANGE semantics.
-    """
-    from ..sources import register_views
 
-    register_views(spark, sf, ["events"])
+    Non-finite contract (r11, this query's due slot; nonfinite lens —
+    true NaN/Inf storage): a single NaN/Inf reading crashed the
+    oracle's DECIMAL frame sums — bad-telemetry rows now drop
+    identically on both engines (registry.finite_or_null on a filtered
+    view here — Spark SQL has no isfinite() builtin, so the SQL text
+    cannot be shared verbatim; the RANGE window itself is identical
+    text. NULL values keep flowing through the three-valued frame
+    sums). Regression pin in tests/test_r11_window_fixes.py; every
+    fixture value is finite.
+    """
+    from ..sources import load_table
+    from .registry import finite_or_null
+
+    load_table(spark, sf, "events").where(
+        finite_or_null("value")
+    ).createOrReplaceTempView("events_finite")
     return spark.sql(
         """
         SELECT event_id, user_id, ts,
                COUNT(*) OVER w AS n_last_hour,
                CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
                    AS value_last_hour
-        FROM events
+        FROM events_finite
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """

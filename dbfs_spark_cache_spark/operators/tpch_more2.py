@@ -179,7 +179,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     The average balance stays inside the plan as a broadcast single-row
     aggregate (crossJoin + filter) — Catalyst's scalar-subquery shape — not a
     driver ``collect()``: one job, and the plan fingerprint doesn't bake in a
-    data-dependent literal."""
+    data-dependent literal.
+
+    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens — true
+    NaN/Inf storage): a single NaN balance crashes the oracle's DECIMAL
+    sum (and pollutes this side's in-plan average into NaN, silently
+    emptying the rich set). Fix when due: ``finite_or_null("c_acctbal")``
+    + the oracle WHERE rider on BOTH engines. Pre-measured in
+    tests/test_r13_premeasure.py; every fixture balance is finite."""
     customer = load_table(spark, sf, "customer")
     avg_bal = (
         customer.where(F.col("c_acctbal") > 0)

@@ -319,7 +319,67 @@ def build_dates(src: str, dst: str) -> None:
         )
 
 
+def build_nonfinite(src: str, dst: str) -> None:
+    """TRUE NaN / ±Infinity telemetry (r11 lens): three hostile rows in
+    events.value and customer.c_acctbal, plus one NaN-element, one
+    Inf-element and one NULL-element embedding vector. Columns are built
+    with DIRECT pyarrow arrays — the pandas round-trip the r9 lens used
+    silently converts float NaN to parquet NULL (nan_as_null), so that
+    lens never actually tested NaN; a non-pandas writer (Spark itself,
+    Arrow-native producers) emits real NaN storage. Scope matches the
+    bad-telemetry story: sensor values, account balances, model-output
+    embeddings — NOT the TPC-H ledger prices (a NaN price is upstream
+    corruption no engine should paper over)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    poison = {
+        ("events", "value", "event_id"): [math.nan, math.inf, -math.inf],
+        ("customer", "c_acctbal", "c_custkey"): [math.nan, math.inf, -math.inf],
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        hit = [k for k in poison if k[0] == name]
+        if name == "embeddings":
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == "vec_id":
+                    base = base + [920001, 920002, 920003]
+                elif field.name == "embedding":
+                    dim = len(base[0])
+                    nan_vec = [float(x) for x in base[0]]; nan_vec[0] = math.nan
+                    inf_vec = [float(x) for x in base[1]]; inf_vec[0] = math.inf
+                    null_vec = [float(x) for x in base[2]]; null_vec[0] = None
+                    base = base + [nan_vec, inf_vec, null_vec]
+                else:
+                    base = base + base[:3]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        elif hit:
+            (_, vcol, kcol) = hit[0]
+            vals = poison[hit[0]]
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == vcol:
+                    base = base + vals
+                elif field.name == kcol:
+                    mx = max(base)
+                    base = base + [mx + 1, mx + 2, mx + 3]
+                else:
+                    base = base + base[:3]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        else:
+            pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 LENSES = {
+    "nonfinite": build_nonfinite,
     "dates": build_dates,
     "empty": build_empty,
     "dup": build_dup,

@@ -4,8 +4,8 @@ tests encoded is now the REGISTERED implementation/oracle, so each pin
 runs the registered query + oracle on the same hostile fixture and
 asserts exact parity).
 
-The batch (all eighteen names r8-vintage, landed slot-neutral in their
-own due round — see __spark_entry__._CHANGED):
+The batch (all twenty-one names r8-vintage, landed slot-neutral in
+their own due round — see __spark_entry__._CHANGED):
 
 - dedup_minhash_lsh / dedup_token_jaccard / dedup_incremental_vs_corpus:
   duck_h62 '||' NULL-propagation + WHERE text IS NOT NULL at the corpus
@@ -28,6 +28,11 @@ own due round — see __spark_entry__._CHANGED):
   byte-row dedup (both oracle-only).
 - similarity_topk_batch: DISTINCT vec_id before ORDER BY/LIMIT.
 - agg_approx_percentile: coalesce(within, e50 IS NULL) tolerance flag.
+- r11 nonfinite lens (in-round): finite_or_null on events_value_zscore /
+  window_time_range_rolling / events_resample_gapfill /
+  events_anomaly_mad; functions.vec_finite on embedding_norms /
+  embedding_kmeans_assign / embedding_quantize_int8 /
+  similarity_topk_batch.
 """
 from __future__ import annotations
 
@@ -448,3 +453,73 @@ def test_approx_percentile_all_null_group_flag(spark, tmp_path):
     null_grp = got[got["l_returnflag"].isna()]
     assert len(null_grp) == 1
     assert bool(null_grp["approx_within_1pct"].iloc[0]) is True
+
+
+# ---------------------------------------------------------------------------
+# r11 nonfinite lens (run in-round): TRUE NaN/±Inf storage via direct
+# pyarrow arrays — the r9 pandas-written NaN probe silently tested NULL
+# instead (from_pandas nan_as_null). Eight due-cohort members landed the
+# bad-telemetry contract in their r11 slots: events.value consumers take
+# finite_or_null; embedding consumers take functions.vec_finite. The four
+# r10-vintage findings (window_tumbling/sliding, q22, dedup_embedding_
+# cosine) are queued for r13 (tests/test_r13_premeasure.py).
+# ---------------------------------------------------------------------------
+
+
+def _nonfinite_sf(tmp_path):
+    from hostile_probe import build_nonfinite
+
+    sf = str(tmp_path / "nf")
+    os.makedirs(sf, exist_ok=True)
+    build_nonfinite(SF_SMOKE, sf)
+    return sf, _con_over(sf)
+
+
+def test_value_consumers_drop_nonfinite(spark, tmp_path, clean_cache):
+    """finite_or_null on both engines: a NaN/Inf reading no longer
+    crashes the oracle's DECIMAL sums or poisons group stats."""
+    sf, con = _nonfinite_sf(tmp_path)
+    for name in (
+        "events_value_zscore",
+        "window_time_range_rolling",
+        "events_resample_gapfill",
+        "events_anomaly_mad",
+    ):
+        got = _parity(name, spark, sf, con)
+        assert len(got) > 0
+
+    # the lens genuinely planted non-finite readings
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    assert ev.where(F.isnan("value")).count() == 1
+    assert ev.where(F.abs("value") == float("inf")).count() == 2
+    # fixture-invisible at every SF
+    base = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert (
+        base.where(F.isnan("value") | (F.abs("value") == float("inf"))).count()
+        == 0
+    )
+
+
+def test_embedding_consumers_drop_unusable_vectors(spark, tmp_path):
+    """vec_finite on both engines: NULL/NaN/Inf-component vectors are in
+    neither engine's scoring space (a NULL component NULL-propagates
+    Spark's folds while DuckDB's list_sum skips it — silent drift; an
+    Inf scale crashed the quantizer's ANSI cast)."""
+    sf, con = _nonfinite_sf(tmp_path)
+    bad_ids = {920001, 920002, 920003}
+    for name in (
+        "embedding_norms",
+        "embedding_kmeans_assign",
+        "embedding_quantize_int8",
+        "similarity_topk_batch",
+    ):
+        got = _parity(name, spark, sf, con)
+        assert not (set(got["vec_id"]) & bad_ids), name
+
+    from dbfs_spark_cache_spark.functions import vec_finite
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assert emb.where(~vec_finite("embedding")).count() == 3
+    # fixture-invisible at every SF: all embeddings finite and dense
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert base.where(~vec_finite("embedding")).count() == 0

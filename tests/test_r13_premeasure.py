@@ -23,6 +23,7 @@ import sys
 
 import duckdb
 import pandas as pd
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(
@@ -186,3 +187,180 @@ def test_fn_json_r13_fix_bounds_integer_gate(spark, tmp_path):
             F.get_json_object("props", "$.k").rlike("^-?[0-9]{19,}$")
         ).count()
         assert over == 0
+
+
+# ---------------------------------------------------------------------------
+# r11 nonfinite lens (TRUE NaN/Inf storage via direct pyarrow arrays — the
+# r9 pandas-written NaN probe silently tested NULL instead, nan_as_null).
+# The eight due-cohort findings landed at r11; these four targets are
+# r10-vintage -> due r13. Fix shape is the established bad-telemetry
+# contract: finite_or_null("value"/"c_acctbal") / functions.vec_finite on
+# BOTH engines. A head filter commutes with pre-filtering the input file
+# (per-row determinism), so each (b) half runs the REGISTERED query over a
+# filtered copy against the WHERE-injected oracle.
+# ---------------------------------------------------------------------------
+
+
+def _nonfinite_sf(tmp_path):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from hostile_probe import build_nonfinite
+
+    sf = str(tmp_path / "nf")
+    os.makedirs(sf, exist_ok=True)
+    build_nonfinite(SF_SMOKE, sf)
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'")
+    return sf, con
+
+
+def _finite_filtered_dir(tmp_path, sf, table: str, col: str, sub: str):
+    """Copy of one table keeping rows where ``col`` IS NULL or finite —
+    built with PURE pyarrow: a pandas round-trip cannot express the
+    filter (pandas reads parquet NaN and NULL both as NaN, and
+    ``to_parquet`` writes NaN back as NULL — the nan_as_null trap the
+    nonfinite lens exists to escape)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path / sub
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf}/{table}.parquet")
+    v = t.column(col)
+    keep = pc.or_kleene(pc.is_null(v), pc.is_finite(v))
+    pq.write_table(t.filter(pc.fill_null(keep, True)), f"{out}/{table}.parquet")
+    return str(out)
+
+
+def test_tumbling_sliding_r13_fix_drops_nonfinite_values(spark, tmp_path):
+    """(a) today one NaN reading crashes BOTH window oracles' DECIMAL
+    sums while the Spark sides run; (b) finite_or_null on both engines
+    restores exact parity; (c) every fixture value is finite."""
+    sf, con = _nonfinite_sf(tmp_path)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    filtered = _finite_filtered_dir(tmp_path, sf, "events", "value", "f_ev")
+    for name in ("window_tumbling", "window_sliding"):
+        got = QUERIES[name](spark, sf).toPandas()
+        assert got is not None, f"{name}: Spark side must still run"
+        with pytest.raises(Exception, match="[Cc]ast|[Cc]onvert"):
+            con.execute(ORACLES[name]).fetchdf()
+
+        fixed = QUERIES[name](spark, filtered).toPandas()
+        fixed_oracle = ORACLES[name].replace(
+            "WHERE ts IS NOT NULL",
+            "WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))",
+        )
+        assert fixed_oracle != ORACLES[name], name
+        fixed_want = con.execute(fixed_oracle).fetchdf()
+        problems = _selfcheck_compare(f"{name}_r13", fixed, fixed_want)
+        assert not problems, f"{name}: {problems}"
+
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .where(F.isnan("value") | (F.abs("value") == float("inf")))
+        .count()
+        == 0
+    )
+
+
+def test_q22_r13_fix_drops_nonfinite_balances(spark, tmp_path):
+    """(a) today a NaN balance crashes the oracle's DECIMAL sum (and
+    pollutes the Spark average into NaN, emptying the rich set); (b)
+    finite_or_null on both engines restores exact parity."""
+    import re
+
+    sf, con = _nonfinite_sf(tmp_path)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    with pytest.raises(Exception, match="[Cc]ast|[Cc]onvert"):
+        con.execute(ORACLES["q22_global_sales_opportunity"]).fetchdf()
+
+    out = _finite_filtered_dir(
+        tmp_path, sf, "customer", "c_acctbal", "filtered_cust"
+    )
+    import shutil as _sh
+
+    _sh.copy(f"{sf}/orders.parquet", f"{out}/orders.parquet")
+    fixed = QUERIES["q22_global_sales_opportunity"](spark, str(out)).toPandas()
+    fixed_oracle = re.sub(
+        r"\bFROM customer\b",
+        "FROM customer WHERE (c_acctbal IS NULL OR isfinite(c_acctbal))",
+        ORACLES["q22_global_sales_opportunity"],
+    )
+    # fold a pre-existing WHERE (either read of customer) into AND
+    fixed_oracle = re.sub(
+        r"isfinite\(c_acctbal\)\)\s+WHERE\s+",
+        "isfinite(c_acctbal)) AND ",
+        fixed_oracle,
+    )
+    assert fixed_oracle != ORACLES["q22_global_sales_opportunity"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("q22_r13", fixed, fixed_want)
+    assert not problems, problems
+
+
+def test_embedding_cosine_r13_fix_excludes_unusable_vectors(spark, tmp_path):
+    """(a) today the NULL-component vector scores a finite cosine on
+    DuckDB (list_sum skips NULLs) but NULL on Spark (fold propagates) —
+    one pair exists on exactly one engine; (b) the vec_finite gate on
+    both engines restores exact parity with the bad vectors in neither
+    candidate space."""
+    import re
+
+    sf, con = _nonfinite_sf(tmp_path)
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    got = QUERIES["dedup_embedding_cosine"](spark, sf).toPandas()
+    want = con.execute(ORACLES["dedup_embedding_cosine"]).fetchdf()
+    assert _selfcheck_compare("cosine_current", got, want), (
+        "expected the NULL-component divergence; if this now matches, "
+        "the fix landed — retire this half"
+    )
+
+    out = tmp_path / "filtered_emb"
+    os.makedirs(out, exist_ok=True)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+
+    def usable(v):
+        if v is None:
+            return False
+        arr = list(v)
+        return all(
+            x is not None and x == x and abs(x) != float("inf") for x in arr
+        )
+
+    emb[emb["embedding"].map(usable)].to_parquet(f"{out}/embeddings.parquet")
+    fixed = QUERIES["dedup_embedding_cosine"](spark, str(out)).toPandas()
+    fixed_oracle = re.sub(
+        r"\bFROM embeddings\b",
+        "FROM embeddings WHERE (embedding IS NOT NULL AND "
+        "len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0)",
+        ORACLES["dedup_embedding_cosine"],
+    )
+    assert fixed_oracle != ORACLES["dedup_embedding_cosine"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("dedup_embedding_cosine_r13", fixed, fixed_want)
+    assert not problems, problems
+
+    # fixture-invisible at every SF: all embeddings finite and dense
+    from dbfs_spark_cache_spark.functions import vec_finite
+
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where(~vec_finite("embedding"))
+        .count()
+        == 0
+    )
