@@ -79,96 +79,43 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r10's window the ledger is 50@r10 + 50@r9 + 50@r8; r11's due
-#   cohort recomputes to exactly the 50 r8-vintage queries — 0 slack —
-#   and contains ALL twenty-one r11-changed names below (verified:
+#   after r11's window the ledger is 50@r11 + 50@r10 + 50@r9; r12's due
+#   cohort recomputes to exactly the 50 r9-vintage queries — 0 slack —
+#   and contains ALL THREE r12-changed names below plus the five r11
+#   duck_h62 '||' oracle riders still in _CHANGED_HELPER (verified:
 #   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
-#   it). r12's cohort recomputes to the 50 r9-vintage queries — the
-#   landing slots for the queued scan_csv_source multiLine,
-#   agg_collect_sorted ''-vs-NULL and dedup_simhash NULL-text fixes
-#   (pre-measures in tests/test_r12_premeasure.py) — and picks up the
-#   seven r11 duck_h62 '||' oracle riders in _CHANGED_HELPER
-#   automatically (all r9-vintage except dedup_cluster_keepers, whose
-#   own NULL-text slot is r13). Steady state: every round's due cohort
-#   is exactly 50, forever, under policy (1).
+#   it). r13's cohort recomputes to the 50 r10-vintage queries — the
+#   landing slots for the queued dedup_cluster_keepers NULL-text,
+#   fn_json {1,18} bound, and the four nonfinite items
+#   (window_tumbling, window_sliding, q22_global_sales_opportunity,
+#   dedup_embedding_cosine) — pre-measures in
+#   tests/test_r13_premeasure.py. Steady state: every round's due
+#   cohort is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r11: the full pre-measured due-slot batch — every fix queued since
-    # r9/r10 with its exact diff encoded in the since-promoted
-    # tests/test_r11_premeasure.py — landed in its own due slot (rule
-    # 2b: all twenty-one names below are r8-vintage, due this round —
+    # r12: the full pre-measured due-slot batch — all three fixes queued
+    # at r10 with their exact diffs encoded in the since-promoted
+    # tests/test_r12_premeasure.py — landed in their own due slots
+    # (rule 2b: all three names below are r9-vintage, due this round —
     # slot-neutral). Hostile parity pinned in
-    # tests/test_r11_window_fixes.py; all re-attested exact at sf0.01
+    # tests/test_r12_window_fixes.py; all re-attested exact at sf0.01
     # AND sf0.1 via scripts/selfcheck.py post-change.
-    # The one plan-shape fix (r9 verdict finding #2): the deviation
-    # frame now stages through the cache engine, collapsing the
-    # registry's single outlier plan from 81 pushed scans / 101
-    # exchanges to 2 / 18 (value-exact by construction):
-    "events_anomaly_mad",
-    # Empty-input grand-total row: Spark's grouping-sets expansion
-    # emits ZERO rows on empty input where the SQL standard (DuckDB)
-    # emits the '()' row — oracle-only HAVING COUNT(*) > 0 replays
-    # Spark's semantics on every input (populated fixtures
-    # byte-identical, proved):
-    "agg_cube",
-    "agg_rollup",
-    "agg_grouping_sets",
-    # All-NULL-group tolerance flag: coalesce(within, e50 IS NULL) —
-    # vacuously true when there is no data to be out of tolerance on:
-    "agg_approx_percentile",
-    # NULL o_orderdate ordered NULLS FIRST on Spark, NULLS LAST on
-    # DuckDB — the window now orders asc_nulls_last:
-    "window_value_frames",
-    # |value| >= ~1e9 overflowed the DECIMAL(30,12) power sum under
-    # ANSI on both engines — widened to DECIMAL(38,12) on both:
-    "events_value_zscore",
-    # ANSI bigint quantization overflow / NULL-embedding exclusion on
-    # both engines:
-    "embedding_kmeans_assign",
-    "embedding_quantize_int8",
-    # duck_h62 '||' NULL-propagation hardening + WHERE text IS NOT NULL
-    # at the corpus head on BOTH engines (Spark signed the NULL-text
-    # doc the crashed-then-hardened oracle drops):
-    "dedup_minhash_lsh",
-    "dedup_token_jaccard",
-    "dedup_incremental_vs_corpus",
-    # NULL-text at the funnel head (CASE-kept vs WHERE-dropped) + the
-    # r10 duplication lens both-engines over-keep (distinct on the
-    # exact-survivor stage, SELECT DISTINCT * in the oracle's
-    # survivors0):
-    "pipeline_dedup_survivors",
-    # İ (U+0130) folded to i BEFORE lowering on both engines in the
-    # shared canonical_clean chain and the two oracles that inline it
-    # (Java FULL lowercase emits i + combining dot, which the strip
-    # step turned into a space):
-    "text_clean_normalize",
-    "pipeline_training_corpus",
-    # r10 duplication lens: the union-window twin gained the oracle's
-    # final (event_id, user_id) grouping (groups of one on unique
-    # fixtures):
-    "asof_join_union_window",
-    # r10 duplication + negated-ids lenses, both oracle-only: exploded
-    # byte rows dedup on (doc_id, hx, i), and the header width/channels
-    # formulas pmod (Python floored vs DuckDB C-style modulo):
-    "multimodal_decode_features",
-    # r10 duplication lens: DISTINCT vec_id before ORDER BY/LIMIT on
-    # both engines (the raw LIMIT collapsed the query batch and the
-    # qids join multiplied scored copies):
-    "similarity_topk_batch",
-    # r11 nonfinite lens (run in-round — TRUE NaN/Inf storage via direct
-    # pyarrow arrays; the r9 pandas-written NaN probe silently tested
-    # NULL instead, nan_as_null): bad-telemetry rows/vectors now drop
-    # identically on both engines. events.value consumers take
-    # finite_or_null (a NaN/Inf reading crashed the oracle's DECIMAL
-    # sums); embedding consumers take functions.vec_finite (a NULL
-    # component NULL-propagates Spark's folds while DuckDB's list_sum
-    # skips it — silent drift — and NaN/Inf poison or crash both).
-    # events_value_zscore / events_anomaly_mad / embedding_kmeans_assign
-    # / embedding_quantize_int8 / similarity_topk_batch above took the
-    # same-lens fixes in their already-listed slots; these three are the
-    # additional due-cohort members:
-    "window_time_range_rolling",
-    "events_resample_gapfill",
-    "embedding_norms",
+    # r10 hostile-content lens: multiLine=True — a quoted embedded
+    # newline (RFC4180-legal, what Spark's own CSV writer emits) split
+    # into two broken records while DuckDB parsed it correctly. The
+    # honest scale trade (non-splittable CSV files) is documented at
+    # the query:
+    "scan_csv_source",
+    # r10 'nulls' lens: the collection emits NULL (not '') over an
+    # all-NULL group — when(size(collected) > 0, array_join(...)), the
+    # SQL aggregate-over-no-values convention:
+    "agg_collect_sorted",
+    # r10 'nulls' lens: WHERE text IS NOT NULL at the head of BOTH
+    # engines (DuckDB's vote CASE gave every NULL-text doc simhash 0 so
+    # they all paired; Spark's NULL chunks never joined) — the
+    # unreadable-payload contract the MinHash/Jaccard siblings landed
+    # at r11. Subsumes its r11 '||' helper-rider note (promoted out of
+    # _CHANGED_HELPER in the same edit, per the hygiene rule):
+    "dedup_simhash",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -188,41 +135,21 @@ _CHANGED: list[str] = [
 # must be dropped — a stale entry's half-step penalty corrupts the
 # ordering invariant one round later. Both rules are pinned by
 # tests/test_rotation.py (disjointness + simulated next-round ledger).
-# Dropped this round under those rules: text_quality_scores,
-# similarity_topk_cosine, dedup_keep_first, q12_shipmode_priority (all
-# r10-attested post-change — DONE); events_anomaly_mad,
-# multimodal_decode_features (promoted into _CHANGED for their r11 due
-# slots — the decode query's r9 NULL-payload helper note is subsumed by
-# the due-slot attestation).
+# Dropped this round under those rules: text_tfidf_topk,
+# text_unigram_logprob, multimodal_frame_sample (all r11-attested
+# post-change — DONE); dedup_simhash (promoted into _CHANGED for its
+# r12 NULL-text due slot — its r11 '||' rider note is subsumed by the
+# due-slot attestation).
 _CHANGED_HELPER: list[str] = [
-    # r9 (VERDICT r8 finding #1): the two vocabulary-sized forced
-    # broadcasts dropped — text.py's tf-idf document-frequency join and
-    # pending_r8.py's unigram-logprob vocab join now let AQE decide
-    # (plans verified still BroadcastHashJoin at sf0.1; at corpus scale
-    # they become shuffle hash joins on `token` instead of OOMing).
-    # Hint-only, value-identical by construction; re-attested exact at
-    # sf0.01 AND sf0.1 via scripts/selfcheck.py post-change. Both
-    # r8-vintage: due THIS round (r11 window members), after which the
-    # entries drop:
-    "text_tfidf_topk",
-    "text_unigram_logprob",
-    # r9 adversarial multimodal review (NULL payload dropped on both
-    # engines inside the mapInPandas passes — see test_r9_fixes.py).
-    # r8-vintage: due THIS round, then drops. (Its sibling
-    # multimodal_decode_features is in _CHANGED for its own r11 fixes —
-    # rule above: never in both lists.)
-    "multimodal_frame_sample",
     # r11 duck_h62 '||' NULL-propagation riders: the shared portable-
-    # hash oracle helper hardened this round (landed with the three
-    # dedup consumers' due slots in _CHANGED above); these consumers'
-    # ORACLE TEXT changed too, but the '||' form is byte-identical to
-    # concat on every non-NULL input, so results are unchanged on every
-    # fixture — re-verified exact at sf0.01 via scripts/selfcheck.py
-    # post-change (all six) and pinned by the r11 regression tests. All
-    # r9-vintage: penalty 8.5 sorts them behind the r8 due cohort (they
-    # displace nothing) and they re-attest at r12, their natural turn:
+    # hash oracle helper hardened at r11; these consumers' ORACLE TEXT
+    # changed too, but the '||' form is byte-identical to concat on
+    # every non-NULL input, so results are unchanged on every fixture —
+    # re-verified exact at sf0.01 via scripts/selfcheck.py post-change
+    # and pinned by the r11 regression tests. All r9-vintage: due THIS
+    # round (r12 window members by staleness alone), after which the
+    # entries drop:
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "split_contamination_check",
     "text_chunk_sliding",
     "text_rolling_hash_shingles",

@@ -896,7 +896,7 @@ def _simhash_oracle() -> str:
     WITH th AS (
         SELECT doc_id,
                list_transform(string_split(text, ' '), t -> {duck_h62('t')}) AS hs
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     sim AS (
         SELECT doc_id,
@@ -944,16 +944,18 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     the round-2 single-block scheme's 8 x 256, whose fixed 2,048-bucket
     population made within-bucket pair counts quadratic in corpus size.
 
-    QUEUED FOR R12 (this query's due slot; r10 'nulls' lens): on a
-    NULL-text doc the engines DIVERGE — DuckDB's vote CASE treats the
-    NULL token list as zero votes, giving every NULL-text doc simhash 0
-    (they all pair with each other at hamming 0), while Spark's NULL
-    simhash yields NULL chunk keys that never join. Fix when due:
-    ``WHERE text IS NOT NULL`` on BOTH engines (the established
-    unreadable-payload contract). Pre-measured in
-    tests/test_r12_premeasure.py; no fixture text is NULL at any SF.
+    NULL-text exclusion (landed r12, this query's due slot; found by
+    the r10 'nulls' lens): on a NULL-text doc the engines DIVERGED —
+    DuckDB's vote CASE treated the NULL token list as zero votes,
+    giving every NULL-text doc simhash 0 (they all paired with each
+    other at hamming 0), while Spark's NULL simhash yielded NULL chunk
+    keys that never join. Both engines now drop NULL-text docs at the
+    head — ``WHERE text IS NOT NULL``, the established
+    unreadable-payload contract its MinHash/Jaccard siblings landed at
+    r11. Parity pinned in tests/test_r12_window_fixes.py; no fixture
+    text is NULL at any SF.
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     # Map-only signature: hash every token instance per row (frequency
     # weighting falls out naturally — each instance votes ±1), then ONE
     # fold of the hash array over a 60-slot vote accumulator. No explode,

@@ -153,19 +153,20 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
     bad-telemetry row killed the whole conversion. The guard drops such
     rows before the cast, so both engines read the same finite file.
 
-    QUEUED FOR R12 (this query's due slot; r10 hostile-content lens):
-    Spark's CSV READER defaults to multiLine=false, so a quoted embedded
-    NEWLINE — RFC4180-legal, and exactly what Spark's own CSV WRITER
-    emits for such a field — splits into two broken records while
-    DuckDB's read_csv parses it correctly (quotes/commas/backslashes/
-    tabs/non-ASCII all round-trip exactly; the JSON twin held parity —
-    JSON escapes inside string literals). Fix when due:
-    ``.option("multiLine", True)`` — pre-measured exact in
-    ``tests/test_r12_premeasure.py``. Scale trade to restate when
-    landing: multiLine makes CSV files non-splittable (one task per
-    file); corpora needing intra-file parallelism must pre-escape
-    newlines at write time instead. Fixture-identical: no fixture
-    string column carries a newline at any SF (verified)."""
+    multiLine=True (landed r12, this query's due slot; found by the r10
+    hostile-content lens): Spark's CSV READER defaults to
+    multiLine=false, so a quoted embedded NEWLINE — RFC4180-legal, and
+    exactly what Spark's own CSV WRITER emits for such a field — split
+    into two broken records while DuckDB's read_csv parsed it correctly
+    (quotes/commas/backslashes/tabs/non-ASCII all round-trip exactly;
+    the JSON twin held parity — JSON escapes inside string literals).
+    Scale trade, stated honestly: multiLine makes CSV files
+    NON-SPLITTABLE (one task per file) because a row boundary can no
+    longer be recognized mid-file; that is the correct default for an
+    RFC4180 connector — correctness over intra-file parallelism.
+    Corpora needing splittable reads must pre-escape newlines at write
+    time and read with multiLine=false. Parity pinned in
+    tests/test_r12_window_fixes.py."""
     customer = (
         load_table(spark, sf, "customer")
         .where(finite_or_null("c_acctbal"))
@@ -179,6 +180,7 @@ def scan_csv_source(spark: SparkSession, sf: str) -> DataFrame:
     return (
         spark.read.schema("c_custkey bigint, c_mktsegment string, acctbal_cents bigint")
         .option("header", True)
+        .option("multiLine", True)
         .csv(_CSV_DIR)
         .groupBy("c_mktsegment")
         .agg(

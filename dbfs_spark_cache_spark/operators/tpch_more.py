@@ -261,16 +261,19 @@ def agg_collect_sorted(spark: SparkSession, sf: str) -> DataFrame:
     pandas canonicalizer cannot hash list-valued cells (r2 finding), and a
     delimited string carries the identical information for comparison.
 
-    QUEUED FOR R12 (this query's due slot; r10 'nulls' lens): both
-    engines skip NULL elements (mixed-group parity held), but over an
-    ALL-NULL group Spark's array_join of the empty array emits '' while
-    STRING_AGG emits NULL. Fix when due: emit NULL for the empty
-    collection — ``when(size(collected) > 0, array_join(...))``, the
-    SQL aggregate-over-no-values convention. Pre-measured in
-    tests/test_r12_premeasure.py; no fixture group is all-NULL."""
+    Empty-collection NULL (landed r12, this query's due slot; found by
+    the r10 'nulls' lens): both engines SKIP NULL elements (mixed-group
+    parity needs no code — collect_list and STRING_AGG agree), but over
+    an ALL-NULL group Spark's array_join of the empty array emitted ''
+    while STRING_AGG emits NULL. The collection now emits NULL when the
+    collected array is empty — the SQL aggregate-over-no-values
+    convention. Parity pinned in tests/test_r12_window_fixes.py; no
+    fixture group is all-NULL."""
     nation = load_table(spark, sf, "nation")
     collected = F.array_sort(F.collect_list("n_name"))
     return nation.groupBy("n_regionkey").agg(
-        F.array_join(collected, ",").alias("nation_csv"),
+        F.when(F.size(collected) > 0, F.array_join(collected, ",")).alias(
+            "nation_csv"
+        ),
         F.count(F.lit(1)).alias("n_nations"),
     )
