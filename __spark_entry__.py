@@ -116,6 +116,19 @@ _CHANGED: list[str] = [
     # at r11. Subsumes its r11 '||' helper-rider note (promoted out of
     # _CHANGED_HELPER in the same edit, per the hygiene rule):
     "dedup_simhash",
+    # ADVICE r11 #3 hazard class, fixed in its due slot: the doc frame
+    # now reaches spark.sql as a DataFrame argument instead of a
+    # session-global temp view (shared mutable state that could race
+    # across interleaved sf dirs on one session). Result-identical:
+    "udtf_tokenize",
+    # ADVICE r11 #2: _verify_oracle's source_where now filters through
+    # a prepended documents_src CTE (name swap) instead of appending
+    # WHERE after every 'FROM documents' (double-WHERE hazard if a body
+    # CTE gains its own WHERE). Oracle text changed, values identical
+    # (re-attested exact both SFs); due this round, so promoted out of
+    # _CHANGED_HELPER per the hygiene rule. Its non-due sibling
+    # dedup_token_jaccard rides _CHANGED_HELPER:
+    "dedup_ngram_jaccard",
 ]
 
 # Queries whose implementation was NOT edited but whose shared helper was
@@ -148,12 +161,22 @@ _CHANGED_HELPER: list[str] = [
     # re-verified exact at sf0.01 via scripts/selfcheck.py post-change
     # and pinned by the r11 regression tests. All r9-vintage: due THIS
     # round (r12 window members by staleness alone), after which the
-    # entries drop:
-    "dedup_ngram_jaccard",
+    # entries drop. (dedup_ngram_jaccard's rider was promoted into
+    # _CHANGED above — its oracle changed again this round):
     "split_contamination_check",
     "text_chunk_sliding",
     "text_rolling_hash_shingles",
     "train_val_test_split",
+    # r12 ADVICE riders, both r11-vintage (penalty 10.5 — displace
+    # nothing, re-attest r14, their natural turn), both re-verified
+    # exact at sf0.01 AND sf0.1 via scripts/selfcheck.py post-change:
+    # the CTE-injection rewrite of _verify_oracle changed this oracle's
+    # TEXT result-identically (ADVICE r11 #2):
+    "dedup_token_jaccard",
+    # temp-view -> DataFrame-argument substitution in spark.sql
+    # (ADVICE r11 #3) — impl refactor, result-identical by
+    # construction (same filter, same window SQL):
+    "window_time_range_rolling",
     # Same '||' rider, r10-vintage: its own NULL-text Spark-side filter
     # is queued for its natural r13 slot (tests/test_r13_premeasure.py);
     # until then the hardened oracle NULL-propagates instead of

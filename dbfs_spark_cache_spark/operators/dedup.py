@@ -592,11 +592,16 @@ def _verify_oracle(
     ``sets(doc_id, s)``; the geometry knobs must match the Spark side's
     (:func:`_exact_jaccard_over_candidates`).
 
-    ``source_where`` injects a predicate on EVERY read of the
-    ``documents`` relation — the candidate CTEs and the sets CTE alike —
-    word-boundary-anchored so a relation named ``documents_*`` can never
-    be rewritten into invalid SQL, and visible here rather than as
-    post-hoc string surgery at a register() call site (ADVICE r9 #2)."""
+    ``source_where`` filters EVERY read of the ``documents`` relation —
+    the candidate CTEs and the sets CTE alike — by prepending a
+    ``documents_src AS (SELECT * FROM documents WHERE <pred>)`` CTE and
+    redirecting each read to it (ADVICE r11 #2: a pure NAME swap
+    commutes with any WHERE clause or alias a body CTE may later gain,
+    where the previous form — appending ``WHERE <pred>`` after ``FROM
+    documents`` — would silently produce invalid double-WHERE SQL the
+    moment any occurrence stopped being bare). The swap pattern stays
+    word-boundary-anchored so a relation named ``documents_*`` can
+    never be rewritten (ADVICE r9 #2)."""
     import re as _re
 
     cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, n_bands)
@@ -616,8 +621,14 @@ def _verify_oracle(
     FROM ver
     WHERE CAST(n_inter AS DOUBLE) / n_union >= {threshold}"""
     if source_where:
-        sql = _re.sub(
-            r"\bFROM documents\b", f"FROM documents WHERE {source_where}", sql
+        sql = _re.sub(r"\bFROM documents\b", "FROM documents_src", sql)
+        prefix = "WITH "
+        if not sql.startswith(prefix):  # structural invariant of cands
+            raise ValueError("_verify_oracle body must start with WITH")
+        sql = (
+            f"{prefix}documents_src AS "
+            f"(SELECT * FROM documents WHERE {source_where}),\n    "
+            + sql[len(prefix):]
         )
     return sql
 

@@ -176,7 +176,15 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     *mechanism* gets a full value oracle (split+unnest in DuckDB);
     equivalence with explode-based tokenization is additionally pinned in
     tests/test_operators_pipeline.py. Deterministic subset via a doc_id
-    predicate, not LIMIT (unordered LIMIT is layout-dependent)."""
+    predicate, not LIMIT (unordered LIMIT is layout-dependent).
+
+    The doc frame is passed to spark.sql as a DataFrame argument
+    ({docs} substitution) rather than through a session-global temp
+    view (r12, this query's due slot; same hazard class as ADVICE r11
+    #3): a shared view name is mutable session state — two interleaved
+    invocations on one SparkSession at different sf dirs could race
+    and read the wrong fixture. The UDTF registration is sf-independent
+    and idempotent, so it carries no such hazard."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, token string")
@@ -191,10 +199,10 @@ def udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 50)
     spark.udtf.register("tokenize_udtf", Tokenize)
-    docs.createOrReplaceTempView("udtf_docs")
     return spark.sql(
         "SELECT t.doc_id, t.pos, t.token "
-        "FROM udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+        "FROM {docs}, LATERAL tokenize_udtf(doc_id, text) t",
+        docs=docs,
     )
 
 

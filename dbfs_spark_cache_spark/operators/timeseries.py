@@ -417,27 +417,33 @@ def window_time_range_rolling(spark: SparkSession, sf: str) -> DataFrame:
     Non-finite contract (r11, this query's due slot; nonfinite lens —
     true NaN/Inf storage): a single NaN/Inf reading crashed the
     oracle's DECIMAL frame sums — bad-telemetry rows now drop
-    identically on both engines (registry.finite_or_null on a filtered
-    view here — Spark SQL has no isfinite() builtin, so the SQL text
+    identically on both engines (registry.finite_or_null on the Spark
+    frame — Spark SQL has no isfinite() builtin, so the SQL text
     cannot be shared verbatim; the RANGE window itself is identical
     text. NULL values keep flowing through the three-valued frame
     sums). Regression pin in tests/test_r11_window_fixes.py; every
     fixture value is finite.
+
+    The filtered frame is passed to spark.sql as a DataFrame argument
+    ({events_finite} substitution) rather than through a session-global
+    temp view (ADVICE r11 #3): a shared view name is mutable session
+    state — two interleaved invocations on one SparkSession at
+    different sf dirs could race and read the wrong fixture (the
+    --lens all single-session probe mode makes that shape real).
     """
     from ..sources import load_table
     from .registry import finite_or_null
 
-    load_table(spark, sf, "events").where(
-        finite_or_null("value")
-    ).createOrReplaceTempView("events_finite")
+    finite = load_table(spark, sf, "events").where(finite_or_null("value"))
     return spark.sql(
         """
         SELECT event_id, user_id, ts,
                COUNT(*) OVER w AS n_last_hour,
                CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE)
                    AS value_last_hour
-        FROM events_finite
+        FROM {events_finite}
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        """
+        """,
+        events_finite=finite,
     )

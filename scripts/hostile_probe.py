@@ -136,7 +136,9 @@ def build_split(src: str, dst: str) -> None:
     for f in sorted(glob.glob(f"{src}/*.parquet")):
         name = os.path.basename(f)
         t = pq.read_table(f)
-        rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+        # take([]) infers a null-typed index array and raises; an empty
+        # table is already "reversed"
+        rev = t if t.num_rows == 0 else t.take(list(range(t.num_rows - 1, -1, -1)))
         outdir = f"{dst}/{name}"
         os.makedirs(outdir, exist_ok=True)
         n = max(1, t.num_rows // 4)
@@ -343,14 +345,16 @@ def build_nonfinite(src: str, dst: str) -> None:
         name = os.path.basename(f).replace(".parquet", "")
         t = pq.read_table(f)
         hit = [k for k in poison if k[0] == name]
-        if name == "embeddings":
+        # guard like the other lenses' len(pdf) >= 3 checks: the poison
+        # rows clone base[0..2] / take max(key), so a tiny or empty
+        # fixture passes through unpoisoned instead of IndexError-ing
+        if name == "embeddings" and t.num_rows >= 3:
             cols = []
             for field in t.schema:
                 base = t.column(field.name).combine_chunks().to_pylist()
                 if field.name == "vec_id":
                     base = base + [920001, 920002, 920003]
                 elif field.name == "embedding":
-                    dim = len(base[0])
                     nan_vec = [float(x) for x in base[0]]; nan_vec[0] = math.nan
                     inf_vec = [float(x) for x in base[1]]; inf_vec[0] = math.inf
                     null_vec = [float(x) for x in base[2]]; null_vec[0] = None
@@ -359,7 +363,7 @@ def build_nonfinite(src: str, dst: str) -> None:
                     base = base + base[:3]
                 cols.append(pa.array(base, type=field.type))
             pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
-        elif hit:
+        elif hit and t.num_rows >= 3:
             (_, vcol, kcol) = hit[0]
             vals = poison[hit[0]]
             cols = []

@@ -137,3 +137,34 @@ def test_split_lens_reverses_and_splits(tmp_path):
         [pd.read_parquet(p)["doc_id"] for p in sorted(glob.glob(f"{d}/*.parquet"))]
     )
     assert sorted(got_ids) == sorted(src_ids)
+
+
+def test_lens_builders_survive_tiny_fixtures(tmp_path):
+    """ADVICE r11 #4: build_nonfinite indexed base[0..2] unconditionally
+    (IndexError on a <3-row embeddings table) where the other lenses
+    guard with len >= 3. Every lens builder must pass a 2-row and a
+    0-row copy of every table through WITHOUT crashing — tiny
+    partitions and empty tables are both normal at 100 TB."""
+    import pyarrow as pa
+
+    for n_rows, tag in ((2, "tiny"), (0, "empty")):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        for f in sorted(glob.glob(f"{SF_SMOKE}/*.parquet")):
+            t = pq.read_table(f)
+            pq.write_table(
+                t.slice(0, n_rows), os.path.join(src, os.path.basename(f))
+            )
+        for lens, build in LENSES.items():
+            dst = str(tmp_path / f"{tag}_{lens}")
+            os.makedirs(dst, exist_ok=True)
+            build(src, dst)  # must not raise
+            # and the output keeps the source schema (pass-through or
+            # poisoned alike)
+            for f in sorted(glob.glob(f"{dst}/*.parquet")):
+                name = os.path.basename(f).replace(".parquet", "")
+                if os.path.isdir(f):
+                    f = sorted(glob.glob(f"{f}/*.parquet"))[0]
+                assert pq.read_schema(f).equals(
+                    pq.read_schema(os.path.join(src, f"{name}.parquet"))
+                ), f"{lens}/{tag}: {name} schema drifted"

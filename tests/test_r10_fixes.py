@@ -86,35 +86,48 @@ def test_created_time_localizes_dropped_abbreviation_from_jvm_zone():
 
 
 def test_verify_oracle_source_where_is_boundary_safe():
-    """ADVICE r9 #2: the predicate injection rewrites reads of the
-    ``documents`` relation ONLY — a relation named documents_* passes
-    through untouched (the old post-hoc .replace would have produced
-    'FROM documents WHERE ... _x', silently invalid SQL). And the
-    registered dedup_ngram_jaccard oracle is byte-identical to the r9
-    string the .replace used to build."""
+    """ADVICE r9 #2 as amended by ADVICE r11 #2: ``source_where`` now
+    filters through a prepended ``documents_src`` CTE with every read
+    redirected to it by a pure NAME swap — which commutes with any
+    WHERE clause or alias a body CTE may later gain, where the previous
+    append-WHERE form would have produced invalid double-WHERE SQL.
+    The swap stays boundary-anchored: documents_* names pass through."""
     from dbfs_spark_cache_spark.operators import ORACLES
     from dbfs_spark_cache_spark.operators.dedup import (
         _NGRAM_SETS_CTE,
         _verify_oracle,
     )
 
-    old = _verify_oracle(
-        _NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25
-    ).replace("FROM documents", "FROM documents WHERE text IS NOT NULL")
-    assert ORACLES["dedup_ngram_jaccard"] == old
-
     import re
 
-    # boundary safety: simulate what the injection does to a documents_*
-    # relation name — the anchored pattern must not touch it
-    sql = "SELECT * FROM documents_x WHERE EXISTS (SELECT 1 FROM documents)"
-    rewritten = re.sub(
-        r"\bFROM documents\b", "FROM documents WHERE text IS NOT NULL", sql
+    sql = ORACLES["dedup_ngram_jaccard"]
+    # the filtered CTE leads, and every base-relation read goes through it
+    assert sql.startswith(
+        "WITH documents_src AS "
+        "(SELECT * FROM documents WHERE text IS NOT NULL),"
     )
+    body = sql.split("),", 1)[1]
+    assert not re.search(r"\bFROM documents\b", body), (
+        "a read bypassed the filtered CTE"
+    )
+    assert "FROM documents_src" in body
+    # parity with the unfiltered build: same body modulo the redirect
+    plain = _verify_oracle(_NGRAM_SETS_CTE, 0.25, n_bands=16, est_threshold=0.25)
+    assert sql.replace("FROM documents_src", "FROM documents").endswith(
+        plain[len("WITH "):]
+    )
+
+    # boundary safety: the anchored swap must not touch documents_* names
+    probe = "SELECT * FROM documents_x WHERE EXISTS (SELECT 1 FROM documents)"
+    rewritten = re.sub(r"\bFROM documents\b", "FROM documents_src", probe)
     assert rewritten.startswith("SELECT * FROM documents_x WHERE")
-    assert rewritten.endswith(
-        "(SELECT 1 FROM documents WHERE text IS NOT NULL)"
-    )
+    assert rewritten.endswith("(SELECT 1 FROM documents_src)")
+
+    # the structural hazard the CTE form closes: a body read that later
+    # gains its own WHERE stays valid SQL under a name swap
+    hazard = "SELECT 1 FROM documents WHERE doc_id > 5"
+    swapped = re.sub(r"\bFROM documents\b", "FROM documents_src", hazard)
+    assert swapped == "SELECT 1 FROM documents_src WHERE doc_id > 5"
 
 
 def test_sink_data_columns_prefers_recorded_schema():
