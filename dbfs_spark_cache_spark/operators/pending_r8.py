@@ -312,6 +312,19 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     (association-independent, so the per-doc mean is identical under any
     partitioning and matches the oracle exactly); the mean divides in
     DOUBLE on both engines.
+
+    QUEUED FOR R14 (this query's next due slot; r12 'unicode' lens —
+    mechanism is rounding, not Unicode): when SUM(logp)/n lands on an
+    EXACT RATIONAL HALF at the 6th decimal (sum_micro*2 % (2n) == n),
+    the IEEE double cannot represent the tie and the engines' ROUND
+    paths disagree (Spark: HALF_UP over the double's full decimal
+    expansion; DuckDB: multiply-by-1e6-then-round). The real fixtures
+    carry 5 (sf0.001) / 7 (sf0.01) such tie docs where the two float
+    paths currently agree by coincidence. Fix when due: round the mean
+    in pure INTEGER space on both engines — mean_micro = sign(s) *
+    ((2*|CAST(s*1e6 AS BIGINT)| + n) DIV (2n)) — bit-specified, tie
+    class eliminated. Fixture-VISIBLE (tie docs shift 1e-6; impl and
+    oracle move together). Pre-measured in tests/test_r14_premeasure.py.
     """
     docs = load_table(spark, sf, "documents")
     toks = docs.select(

@@ -382,7 +382,108 @@ def build_nonfinite(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_unicode(src: str, dst: str) -> None:
+    """Unicode normalization forms (r12 lens): the same text planted
+    composed (NFC) and decomposed (NFD, e.g. e + U+0301) — equal to a
+    human, unequal to a byte-hash. Neither engine normalizes, so parity
+    requires every string operation along the way (case folding, regex
+    classes, substr windows, md5/h62 keys, shingles, group-by hashing)
+    to treat the two forms CONSISTENTLY on both engines; any hidden
+    normalization or form-sensitive fold on one side diverges. Poisons
+    the text-bearing columns: documents.text (standalone NFC/NFD twins
+    AND an NFD token embedded mid-document to stress shingling),
+    part.p_name, customer.c_mktsegment (a grouping key),
+    supplier.s_name (rides the JSON/CSV connector round-trip), and
+    nation.n_name (collected/sorted aggregates)."""
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = [
+        "café résumé naïve",
+        "Ångström señor Über",
+        "Zürich crème brûlée",
+    ]
+    nfc = [unicodedata.normalize("NFC", s) for s in base]
+    nfd = [unicodedata.normalize("NFD", s) for s in base]
+    assert all(c != d for c, d in zip(nfc, nfd))  # genuinely distinct bytes
+
+    def poison(pdf, col, rows_vals):
+        for i, v in rows_vals:
+            if i < len(pdf):
+                pdf.loc[i, col] = v
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "documents" and len(pdf) >= 9:
+            poison(pdf, "text", list(enumerate(nfc)))
+            poison(pdf, "text", [(3 + i, s) for i, s in enumerate(nfd)])
+            # NFD token spliced into real text: shingle windows now
+            # cross combining marks
+            for k in range(3):
+                poison(
+                    pdf,
+                    "text",
+                    [(6 + k, f"{pdf.loc[6 + k, 'text']} {nfd[k]}")],
+                )
+        elif name == "part":
+            poison(pdf, "p_name", [(0, nfc[0]), (1, nfd[0])])
+        elif name == "customer":
+            poison(
+                pdf,
+                "c_mktsegment",
+                [(0, "CAFÉ"), (1, "CAFÉ")],  # NFC vs NFD group keys
+            )
+        elif name == "supplier":
+            poison(pdf, "s_name", [(0, nfc[1]), (1, nfd[1])])
+        elif name == "nation":
+            poison(pdf, "n_name", [(0, nfc[2]), (1, nfd[2])])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
+def build_evolve(src: str, dst: str) -> None:
+    """Schema-evolution layout (r12 lens): events and documents become
+    DIRECTORIES of part files whose schemas DISAGREE — parts 00 and 02
+    carry an added trailing ``ingest_source`` string column, part 01
+    keeps the original schema. This is the 100 TB reality every
+    long-lived corpus directory converges to (a column added mid-year);
+    the queried ORIGINAL columns are present in every file, so a
+    correct reader pair must agree on every registered query. The
+    evolved schema leads the listing (part-00) so footer-based
+    inference sees the union deterministically; readers that union by
+    name backfill NULL for part 01's missing column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    evolve = {"events", "documents"}
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f)
+        t = pq.read_table(f)
+        if name.replace(".parquet", "") not in evolve or t.num_rows < 3:
+            pq.write_table(t, f"{dst}/{name}")
+            continue
+        outdir = f"{dst}/{name}"
+        os.makedirs(outdir, exist_ok=True)
+        n = max(1, t.num_rows // 3)
+        for part, off in enumerate(range(0, t.num_rows, n)):
+            chunk = t.slice(off, n)
+            if part % 2 == 0:  # parts 00, 02, ... evolved; 01 original
+                chunk = chunk.append_column(
+                    "ingest_source",
+                    pa.array(["backfill-2026"] * chunk.num_rows, pa.string()),
+                )
+            pq.write_table(chunk, f"{outdir}/part-{part:02d}.parquet")
+
+
 LENSES = {
+    "unicode": build_unicode,
+    "evolve": build_evolve,
     "nonfinite": build_nonfinite,
     "dates": build_dates,
     "empty": build_empty,
@@ -413,9 +514,17 @@ def _probe_lens(spark, lens: str, sf: str, only: str) -> list:
     con = duckdb.connect()
     for f in sorted(glob.glob(f"{dst}/*.parquet")):
         tbl = os.path.basename(f).replace(".parquet", "")
-        # a lens may emit each table as a DIRECTORY of part files
-        src = f"{f}/*.parquet" if os.path.isdir(f) else f
-        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{src}'")
+        if os.path.isdir(f):
+            # a lens may emit each table as a DIRECTORY of part files;
+            # union_by_name is the definitionally-correct read when
+            # footers disagree (evolve lens) and a no-op when they
+            # don't (split lens)
+            con.execute(
+                f"CREATE VIEW {tbl} AS SELECT * FROM "
+                f"read_parquet('{f}/*.parquet', union_by_name=true)"
+            )
+        else:
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{f}'")
 
     names = only.split(",") if only else list(QUERIES)
     bad = []

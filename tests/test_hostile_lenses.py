@@ -54,6 +54,15 @@ def test_lens_preserves_physical_schema(lens, tmp_path, src_schemas):
     built = _schemas(dst)
     assert set(built) == set(src_schemas), f"{lens}: table set changed"
     for name, schema in built.items():
+        if lens == "evolve" and name in ("events", "documents"):
+            # the evolve lens CHANGES schemas on purpose — its honesty
+            # contract is below (test_evolve_lens_disagreeing_footers);
+            # here only the original columns must survive intact
+            for field in src_schemas[name]:
+                assert schema.field(field.name).equals(field), (
+                    f"evolve/{name}: original column {field.name} drifted"
+                )
+            continue
         assert schema.equals(src_schemas[name]), (
             f"{lens}/{name}: physical schema drifted — both engines would "
             "read a different shape than the registered queries expect"
@@ -168,3 +177,42 @@ def test_lens_builders_survive_tiny_fixtures(tmp_path):
                 assert pq.read_schema(f).equals(
                     pq.read_schema(os.path.join(src, f"{name}.parquet"))
                 ), f"{lens}/{tag}: {name} schema drifted"
+
+
+def test_evolve_lens_disagreeing_footers(tmp_path):
+    """Evolve-lens honesty: events/documents become directories whose
+    part files genuinely DISAGREE — even parts carry the added
+    ingest_source column, odd parts keep the original schema, original
+    columns present everywhere, all rows preserved."""
+    dst = _build("evolve", tmp_path)
+    for name in ("events", "documents"):
+        parts = sorted(glob.glob(f"{dst}/{name}.parquet/part-*.parquet"))
+        assert len(parts) >= 3, f"{name}: want >=3 part files"
+        n_src = pq.read_table(f"{SF_SMOKE}/{name}.parquet").num_rows
+        n_dst = 0
+        for i, p in enumerate(parts):
+            s = pq.read_schema(p)
+            has_extra = "ingest_source" in s.names
+            assert has_extra == (i % 2 == 0), f"{name} part {i}"
+            n_dst += pq.read_table(p).num_rows
+        assert n_dst == n_src, f"{name}: rows lost in the split"
+
+
+def test_unicode_lens_plants_both_forms(tmp_path):
+    """Unicode-lens honesty: the NFC and NFD twins are byte-distinct in
+    the built fixture (a normalizing writer would silently collapse
+    them and make the probe vacuous)."""
+    import unicodedata
+
+    dst = _build("unicode", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    t0, t3 = docs.loc[0, "text"], docs.loc[3, "text"]
+    assert t0 != t3
+    assert unicodedata.normalize("NFC", t3) == t0
+    # the embedded NFD token survived inside a real document
+    assert unicodedata.normalize("NFD", "café résumé naïve") in docs.loc[6, "text"]
+    cust = pd.read_parquet(f"{dst}/customer.parquet")
+    assert cust.loc[0, "c_mktsegment"] != cust.loc[1, "c_mktsegment"]
+    assert unicodedata.normalize("NFC", cust.loc[1, "c_mktsegment"]) == cust.loc[
+        0, "c_mktsegment"
+    ]

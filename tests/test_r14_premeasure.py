@@ -1,0 +1,175 @@
+"""Pre-measurement for the r14-queued fix (target r11-vintage, natural
+re-attest r14). From the r12 'unicode' lens — though the mechanism has
+nothing to do with Unicode: the NFC/NFD poison merely reshaped the
+vocabulary until one document's mean landed on the boundary.
+
+- text_unigram_logprob: the per-doc mean is ROUND(SUM(logp)/n, 6) where
+  SUM(logp) is an exact DECIMAL(18,6). Whenever SUM*1e6 is an odd
+  multiple of n/gcd... i.e. the mean in micro-units is an EXACT
+  RATIONAL HALF (sum_micro*2 % (2n) == n), the IEEE double of sum/n
+  cannot represent the tie and the engines' rounding paths disagree:
+  Spark's round() applies HALF_UP to the full decimal expansion of the
+  double (which sits strictly on one side), while DuckDB's ROUND
+  multiplies by 1e6 first (the multiply can re-land exactly on .5) and
+  rounds half-away. Under the lens fixture doc 60's mean is exactly
+  -6807083.5 micro-units: Spark says -3.403541, DuckDB -3.403542.
+
+  The REAL fixtures carry such exact-tie docs too (5 at sf0.001, 7 at
+  sf0.01) where the two float paths currently agree BY COINCIDENCE —
+  every one is a latent coin flip against a libm or JVM revision.
+
+  Fix when due: compute the rounded mean in pure INTEGER space on both
+  engines — sum_micro = CAST(s*1000000 AS BIGINT) (exact: s has scale
+  6), mean_micro = sign(s) * ((2*|sum_micro| + n) DIV (2*n)) (half-away
+  -from-zero by construction), mean = CAST(mean_micro AS DOUBLE)/1e6.
+  Integer division is bit-specified on both engines, so the tie class
+  is eliminated rather than dodged. FIXTURE-VISIBLE: the exact rounding
+  shifts the currently-coin-flipped tie docs by 1e-6 (1 row at
+  sf0.001) — impl and oracle land together in the same slot, so the
+  driver pair stays green.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    ),
+)
+from hostile_probe import build_unicode  # noqa: E402
+from selfcheck import compare as _selfcheck_compare  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+_PROPOSED_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM vocab),
+logp AS (
+    SELECT token,
+           CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS logp
+    FROM vocab CROSS JOIN total
+),
+agg AS (
+    SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.logp) AS s
+    FROM toks t JOIN logp l ON t.token = l.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+            * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_tokens)
+               // (2 * n_tokens)) AS DOUBLE) / 1000000.0 AS mean_logprob
+FROM agg
+"""
+
+
+def _proposed_spark(spark, sf):
+    from dbfs_spark_cache_spark.sources import load_table
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    agg = (
+        toks.join(logp, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("s"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END "
+            "* ((2*CAST(abs(s)*1000000 AS BIGINT) + n_tokens) "
+            "DIV (2*n_tokens)) AS DOUBLE) / 1000000.0"
+        ).alias("mean_logprob"),
+    )
+
+
+def _con_over(sf: str):
+    con = duckdb.connect()
+    for f in sorted(glob.glob(f"{sf}/*.parquet")):
+        tbl = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{f}'")
+    return con
+
+
+def test_unigram_logprob_r14_fix_integer_tie_rounding(spark):
+    """(a) the registered pair diverges TODAY under the unicode lens
+    (exact rational tie at doc 60); (b) the proposed integer-space
+    rounding restores exact parity under the lens; (c) the proposed
+    pair also agrees on the REAL fixture (fixture-VISIBLE relative to
+    the registered values on the tie docs, but impl+oracle move
+    together); (d) the real fixture genuinely carries exact-tie docs,
+    so the coincidence the fix removes is non-vacuous."""
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    dst = tempfile.mkdtemp(prefix="uni_r14_")
+    build_unicode(SF_SMOKE, dst)
+    con = _con_over(dst)
+
+    got = QUERIES["text_unigram_logprob"](spark, dst).toPandas()
+    want = con.execute(ORACLES["text_unigram_logprob"]).fetchdf()
+    assert _selfcheck_compare("registered_under_lens", got, want), (
+        "expected the registered pair to diverge under the unicode lens; "
+        "if it now matches, the fix landed — retire this half"
+    )
+
+    # (b) proposed pair: exact under the lens
+    fixed = _proposed_spark(spark, dst).toPandas()
+    fixed_want = con.execute(_PROPOSED_ORACLE).fetchdf()
+    assert not _selfcheck_compare("proposed_under_lens", fixed, fixed_want)
+
+    # (c) proposed pair: exact on the real fixture too
+    con_f = _con_over(SF_SMOKE)
+    got_f = _proposed_spark(spark, SF_SMOKE).toPandas()
+    want_f = con_f.execute(_PROPOSED_ORACLE).fetchdf()
+    assert not _selfcheck_compare("proposed_on_fixture", got_f, want_f)
+
+    # (d) the tie class is real on the fixture (coin-flip docs exist)
+    ties = con_f.execute(
+        """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+        total AS (SELECT SUM(cnt) AS total FROM vocab),
+        logp AS (
+            SELECT token,
+                   CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS logp
+            FROM vocab CROSS JOIN total
+        ),
+        agg AS (
+            SELECT t.doc_id, COUNT(*) AS n, SUM(l.logp) AS s
+            FROM toks t JOIN logp l ON t.token = l.token GROUP BY t.doc_id
+        )
+        SELECT COUNT(*) FROM agg
+        WHERE (2 * CAST(abs(s) * 1000000 AS BIGINT)) % (2 * n) = n
+        """
+    ).fetchone()[0]
+    assert ties >= 1, "no exact-tie docs on the fixture — premise gone"
