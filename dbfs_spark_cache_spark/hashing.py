@@ -87,8 +87,15 @@ def hash_input_data(
         digest = hashlib.md5()
         # Schema participates in identity: the same values as int32 vs int64
         # produce different Spark schemas, so they are different caches.
-        for col in frame.columns:
-            digest.update(f"{col}:{frame[col].dtype};".encode("utf-8"))
+        # dtypes.items(), not frame[col].dtype: with DUPLICATE column names
+        # (legal in pandas AND in Spark createDataFrame) frame[col] returns
+        # a sub-FRAME whose .dtype raises, dropping to the parquet fallback
+        # — which then refuses duplicates outright (r12 fresh-eyes finding:
+        # an opaque ValueError out of the identity function). dtypes
+        # iterates positionally, emitting the identical name:dtype byte
+        # sequence for every uniquely-named frame — no key-format change.
+        for col, dtype in frame.dtypes.items():
+            digest.update(f"{col}:{dtype};".encode("utf-8"))
         for value in row_hashes.values:
             digest.update(str(value).encode("utf-8"))
         return digest.hexdigest()

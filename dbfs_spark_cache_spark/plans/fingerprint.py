@@ -67,6 +67,14 @@ _PLAN_ID = re.compile(r"\[?plan_id=\d+\]?")
 # counter is followed directly by the attribute's type-suffix letter (x_1L).
 _LAMBDA_VAR = re.compile(r"(?<=\blambda )('?\w+?)_\d+")
 _WS = re.compile(r"\s+")
+# SparkStringUtils.truncatedString elides long field lists in plan text as
+# "... N more fields" when a node exceeds spark.sql.debug.maxToStringFields
+# (default 25). A truncated rendering is NOT content-addressable: two plans
+# differing only in the elided tail canonicalize IDENTICALLY and would share
+# a cache key — a wrong-data hit (r12 fresh-eyes finding; reproduced with
+# two 41-column projections differing in column 41 only).
+_TRUNCATED_FIELDS = re.compile(r"\.\.\. \d+ more fields")
+_MAX_FIELDS_CONF = "spark.sql.debug.maxToStringFields"
 
 
 def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
@@ -82,12 +90,16 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
     semantically identical queries hash equal.
     """
     mode = mode or getattr(config, "PLAN_FINGERPRINT_MODE", "analyzed")
-    raw = None
-    if mode == "analyzed":
-        try:
-            raw = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
-        except Exception:
-            raw = None
+
+    def _render() -> Optional[str]:
+        if mode == "analyzed":
+            try:
+                return df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+            except Exception:
+                return None
+        return None
+
+    raw = _render()
     if raw is None:
         buf = io.StringIO()
         try:
@@ -96,6 +108,41 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
         except Exception as exc:  # pragma: no cover - defensive
             return f"Error: {exc}"
         raw = buf.getvalue()
+
+    if _TRUNCATED_FIELDS.search(raw):
+        # The rendering elided fields ("... N more fields"): two plans
+        # differing only in the elided tail would canonicalize equal and
+        # SHARE A CACHE KEY — wrong data on the hit. Re-render with the
+        # field limit raised (runtime SQLConf; restored in finally).
+        try:
+            sess = df.sparkSession
+            old = sess.conf.get(_MAX_FIELDS_CONF, None)
+            try:
+                sess.conf.set(_MAX_FIELDS_CONF, str(2**31 - 1))
+                full = _render()
+            finally:
+                if old is None:
+                    sess.conf.unset(_MAX_FIELDS_CONF)
+                else:
+                    sess.conf.set(_MAX_FIELDS_CONF, old)
+        except Exception as exc:
+            log.warning("un-truncated plan re-render failed: %s", exc)
+            full = None
+        if full is not None and not _TRUNCATED_FIELDS.search(full):
+            raw = full
+        else:
+            # Still truncated (foreign session refused the conf, or the
+            # extended-mode fallback path): loud and UNMATCHABLE, never
+            # a collidable key — this plan misses and rebuilds each run
+            # (conversion cost) instead of risking a wrong-data hit.
+            import uuid
+
+            log.warning(
+                "plan text remains field-truncated after raising %s — "
+                "fingerprint made unmatchable; this DataFrame cannot hit "
+                "or create a reusable cache entry", _MAX_FIELDS_CONF,
+            )
+            raw += f"\n<truncated-plan;uncacheable;id={uuid.uuid4().hex}>"
     # Reference parity (core_caching.py:320-321): on Photon-enabled
     # clusters the explain output annotates unsupported operators — surface
     # that, since a partially-Photon plan caches fine but recomputes slower.
