@@ -167,9 +167,26 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
     addresses scrubbed. Two closure values whose reprs differ only by
     address collide, which is acceptable: the tag is an invalidation aid,
     and such reprs carry no content to distinguish anyway.
+
+    REFERENCED GLOBALS participate too (r12 review): a UDF body calling a
+    module-level helper (``def scorer(s): return _normalize(s) * W``)
+    shares bytecode/consts/closure across edits OF THE HELPER OR THE
+    CONSTANT — without chasing them, editing ``_normalize`` or ``W``
+    kept the old tag and served the stale cached result, the exact
+    staleness class this wrapper exists to close. Globals that are plain
+    Python functions hash structurally (code + defaults + closure,
+    recursing into THEIR referenced globals, cycle-guarded by qualname);
+    globals that are literals (or tuples of literals) hash by repr.
+    Everything else — modules, classes, arbitrary objects — is skipped
+    on purpose: their reprs embed file paths and addresses, which would
+    make the tag differ across machines sharing one cache (the
+    cross-process stability rule above outranks invalidation depth).
+    Tag-format note: tags of UDFs referencing module functions/constants
+    change once at this boundary — their CA-UDF cache entries rebuild.
     """
     import hashlib
     import re as _re
+    import types as _types
 
     # Scrub only ADDRESS contexts ("<code object f at 0x7f..>", "<Model
     # object at 0x7f..>") — a bare 0x[hex] pattern would also collapse
@@ -228,12 +245,65 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
         _feed(sub, obj)
         return sub.hexdigest()
 
+    _LITERALS = (int, float, complex, str, bytes, bool, type(None))
+
+    def _collect_names(code_obj, out: set) -> None:
+        out.update(code_obj.co_names)
+        for const in code_obj.co_consts:
+            if hasattr(const, "co_code"):
+                _collect_names(const, out)
+
+    def _feed_fn_identity(digest, f, visited: set) -> None:
+        """Structural identity of one function: code + defaults +
+        closure + its own referenced globals (recursive)."""
+        _feed(digest, f.__code__)
+        for dval in f.__defaults__ or ():
+            _feed(digest, dval)
+        for kname in sorted(f.__kwdefaults__ or {}):
+            digest.update(kname.encode())
+            _feed(digest, (f.__kwdefaults__ or {})[kname])
+        if f.__closure__:
+            for cell in f.__closure__:
+                try:
+                    _feed(digest, cell.cell_contents)
+                except ValueError:  # empty cell (still-building recursion)
+                    digest.update(b"<empty-cell>")
+        names: set = set()
+        _collect_names(f.__code__, names)
+        for n in sorted(names):
+            if n in f.__globals__:
+                _feed_global(digest, n, f.__globals__[n], visited)
+
+    def _feed_global(digest, name: str, val, visited: set) -> None:
+        if isinstance(val, _types.FunctionType):
+            key = (getattr(val, "__module__", ""), getattr(val, "__qualname__", name))
+            if key in visited:
+                digest.update(f"<cycle:{name}>".encode())
+                return
+            visited.add(key)
+            digest.update(f"<global-fn:{name}>".encode())
+            _feed_fn_identity(digest, val, visited)
+        elif isinstance(val, _LITERALS) or (
+            isinstance(val, tuple) and all(isinstance(x, _LITERALS) for x in val)
+        ):
+            digest.update(f"<global-const:{name}>".encode())
+            _feed(digest, val)
+        # modules / classes / arbitrary objects: deliberately skipped —
+        # path- and address-bearing reprs would destabilize the tag
+        # across machines; their NAMES already ride in the code hash.
+
     code = fn.__code__
     digest = hashlib.md5()
     _feed(digest, code)
     if fn.__closure__:
         for cell in fn.__closure__:
             _feed(digest, cell.cell_contents)
+    _referenced: set = set()
+    _collect_names(code, _referenced)
+    _visited: set = {(getattr(fn, "__module__", ""), getattr(fn, "__qualname__", ""))}
+    for _n in sorted(_referenced):
+        if _n in fn.__globals__:
+            _feed_global(digest, _n, fn.__globals__[_n], _visited)
     # Default values are behavior too: `def f(s, scale=2.0)` and
     # `def f(s, scale=3.0)` share bytecode/consts/closure, so without
     # this a default edit kept the old tag and served the stale cached

@@ -481,9 +481,26 @@ def build_evolve(src: str, dst: str) -> None:
             pq.write_table(chunk, f"{outdir}/part-{part:02d}.parquet")
 
 
+def build_colperm(src: str, dst: str) -> None:
+    """Physical column-order permutation (r12 lens): every table is
+    rewritten with its columns REVERSED — values untouched. Different
+    writers (and different pipeline versions) emit different physical
+    column orders into the same directory at 100 TB; any operator or
+    oracle that binds columns POSITIONALLY instead of by name silently
+    reads the wrong field. A clean sweep proves corpus-wide by-name
+    binding on both engines."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        t = pq.read_table(f)
+        rev = t.select(list(reversed(t.schema.names)))
+        pq.write_table(rev, f"{dst}/{os.path.basename(f)}")
+
+
 LENSES = {
     "unicode": build_unicode,
     "evolve": build_evolve,
+    "colperm": build_colperm,
     "nonfinite": build_nonfinite,
     "dates": build_dates,
     "empty": build_empty,

@@ -54,6 +54,16 @@ def test_lens_preserves_physical_schema(lens, tmp_path, src_schemas):
     built = _schemas(dst)
     assert set(built) == set(src_schemas), f"{lens}: table set changed"
     for name, schema in built.items():
+        if lens == "colperm":
+            # this lens PERMUTES physical column order on purpose — the
+            # honesty contract is field-set + per-field equality with
+            # the order genuinely reversed (non-vacuity pinned below)
+            assert set(schema.names) == set(src_schemas[name].names)
+            for field in src_schemas[name]:
+                assert schema.field(field.name).equals(field), (
+                    f"colperm/{name}: column {field.name} drifted"
+                )
+            continue
         if lens == "evolve" and name in ("events", "documents"):
             # the evolve lens CHANGES schemas on purpose — its honesty
             # contract is below (test_evolve_lens_disagreeing_footers);
@@ -174,9 +184,17 @@ def test_lens_builders_survive_tiny_fixtures(tmp_path):
                 name = os.path.basename(f).replace(".parquet", "")
                 if os.path.isdir(f):
                     f = sorted(glob.glob(f"{f}/*.parquet"))[0]
-                assert pq.read_schema(f).equals(
-                    pq.read_schema(os.path.join(src, f"{name}.parquet"))
-                ), f"{lens}/{tag}: {name} schema drifted"
+                got = pq.read_schema(f)
+                want = pq.read_schema(os.path.join(src, f"{name}.parquet"))
+                if lens == "colperm":  # permutes field order on purpose
+                    assert sorted(got.names) == sorted(want.names)
+                    assert all(
+                        got.field(n).equals(want.field(n)) for n in got.names
+                    ), f"colperm/{tag}: {name} field drifted"
+                else:
+                    assert got.equals(want), (
+                        f"{lens}/{tag}: {name} schema drifted"
+                    )
 
 
 def test_evolve_lens_disagreeing_footers(tmp_path):
@@ -216,3 +234,18 @@ def test_unicode_lens_plants_both_forms(tmp_path):
     assert unicodedata.normalize("NFC", cust.loc[1, "c_mktsegment"]) == cust.loc[
         0, "c_mktsegment"
     ]
+
+
+def test_colperm_lens_reverses_column_order(tmp_path):
+    """Colperm-lens honesty: the physical field order is genuinely
+    reversed (a writer that normalizes order would make the by-name
+    binding sweep vacuous) and values ride along unchanged."""
+    dst = _build("colperm", tmp_path)
+    for f in sorted(glob.glob(f"{SF_SMOKE}/*.parquet")):
+        name = os.path.basename(f)
+        src_names = pq.read_schema(f).names
+        got_names = pq.read_schema(f"{dst}/{name}").names
+        assert got_names == list(reversed(src_names)), name
+    src = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").sort_values("doc_id")
+    got = pd.read_parquet(f"{dst}/documents.parquet").sort_values("doc_id")
+    assert (src["text"].values == got["text"].values).all()

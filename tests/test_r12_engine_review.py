@@ -201,3 +201,63 @@ def test_backup_survives_concurrent_unpersist(spark, clean_cache):
     hit = read_cache_if_exist(df)
     assert hit is not None
     assert hit.count() == df.count()
+
+
+def _tag_of(source: str) -> str:
+    """Build fn (+ any helpers) in a fresh namespace, wrap, return tag."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    ns: dict = {}
+    exec(source, ns)
+    u = content_addressed_udf(ns["fn"], DoubleType())
+    return u.func.__name__.rsplit("__", 1)[1]
+
+
+def test_udf_tag_tracks_referenced_helper_body():
+    """Editing a module-level helper the UDF calls must retag it — the
+    UDF's own bytecode/consts/closure are identical across the edit, so
+    before the r12 fix the old tag served the stale cached result."""
+    a = (
+        "def _normalize(x):\n    return x / 10.0\n"
+        "def fn(s):\n    return _normalize(s)\n"
+    )
+    b = a.replace("x / 10.0", "x / 20.0")
+    assert _tag_of(a) == _tag_of(a)  # stable
+    assert _tag_of(a) != _tag_of(b)
+
+
+def test_udf_tag_tracks_referenced_module_constant():
+    """Same staleness class through a module-level literal constant."""
+    a = "W = 2.0\ndef fn(s):\n    return s * W\n"
+    b = a.replace("W = 2.0", "W = 3.0")
+    assert _tag_of(a) == _tag_of(a)
+    assert _tag_of(a) != _tag_of(b)
+
+
+def test_udf_tag_tracks_transitive_helper():
+    """The chase recurses: helper calls helper2; editing helper2 retags."""
+    a = (
+        "def _inner(x):\n    return x + 1.0\n"
+        "def _outer(x):\n    return _inner(x) * 2.0\n"
+        "def fn(s):\n    return _outer(s)\n"
+    )
+    b = a.replace("x + 1.0", "x + 5.0")
+    assert _tag_of(a) != _tag_of(b)
+
+
+def test_udf_tag_survives_mutual_recursion_and_skips_unstable_globals():
+    """Mutually recursive helpers terminate via the cycle guard, and
+    module/class/object globals are skipped (their reprs embed paths and
+    addresses — feeding them would destabilize the tag across machines
+    sharing one cache)."""
+    src = (
+        "import math\n"
+        "class Cfg:\n    pass\n"
+        "CFG = Cfg()\n"
+        "def _even(x):\n    return 1.0 if x == 0 else _odd(x - 1)\n"
+        "def _odd(x):\n    return 0.0 if x == 0 else _even(x - 1)\n"
+        "def fn(s):\n    return _even(int(math.fabs(s))) + (0.0 if CFG else 0.0)\n"
+    )
+    assert _tag_of(src) == _tag_of(src)
