@@ -188,6 +188,18 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     truth — the oracle now pmods both doc_id formulas. Regression pins
     for both in ``tests/test_r11_window_fixes.py``; doc_id is unique
     and non-negative at every SF (fixture-identical).
+
+    QUEUED FOR R14 (this query's next due slot; r12 'conflict' lens —
+    conflicting duplicate keys, the upstream-corruption twin of
+    at-least-once duplication): the oracle's byte stats GROUP BY
+    ``doc_id`` alone, so when the same doc_id reappears with a
+    DIFFERENT payload both payloads' bytes POOL into one group and both
+    output rows read the pooled stats, while the Spark decode is a
+    per-row map pass. Fix when due (oracle-only): group AND join back
+    by ``(doc_id, hx)`` — the payload identity. Identical at-least-once
+    copies still collapse (same hx), so the r11 duplication contract
+    survives; doc_id is unique at every SF (fixture-identical).
+    Pre-measured in tests/test_r14_premeasure.py.
     """
     docs = (
         load_table(spark, sf, "documents")

@@ -481,6 +481,41 @@ def build_evolve(src: str, dst: str) -> None:
             pq.write_table(chunk, f"{outdir}/part-{part:02d}.parquet")
 
 
+def build_conflict(src: str, dst: str) -> None:
+    """Conflicting-duplicate-key lens (r12): the first three documents
+    and events reappear with the SAME primary key but a DIFFERENT
+    payload — the upstream-corruption twin of the r10 'dup' lens (which
+    models at-least-once redelivery with identical payloads). Overlapping
+    id ranges from two shards are a real 100 TB failure; a clean sweep
+    proves no operator resolves such a conflict by file/row position
+    (every keeper/rank/first decision carries a content- or key-complete
+    total order on BOTH engines)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "documents" and len(pdf) >= 3:
+            extra = pdf.iloc[:3].copy()
+            extra["text"] = [
+                "conflicting payload one",
+                "conflicting payload two",
+                "conflicting payload three",
+            ]
+            pdf = pd.concat([pdf, extra], ignore_index=True)
+        elif name == "events" and len(pdf) >= 3:
+            extra = pdf.iloc[:3].copy()
+            extra["value"] = extra["value"] + 1000.0
+            pdf = pd.concat([pdf, extra], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 def build_colperm(src: str, dst: str) -> None:
     """Physical column-order permutation (r12 lens): every table is
     rewritten with its columns REVERSED — values untouched. Different
@@ -501,6 +536,7 @@ LENSES = {
     "unicode": build_unicode,
     "evolve": build_evolve,
     "colperm": build_colperm,
+    "conflict": build_conflict,
     "nonfinite": build_nonfinite,
     "dates": build_dates,
     "empty": build_empty,

@@ -249,3 +249,20 @@ def test_colperm_lens_reverses_column_order(tmp_path):
     src = pd.read_parquet(f"{SF_SMOKE}/documents.parquet").sort_values("doc_id")
     got = pd.read_parquet(f"{dst}/documents.parquet").sort_values("doc_id")
     assert (src["text"].values == got["text"].values).all()
+
+
+def test_conflict_lens_plants_conflicting_keys(tmp_path):
+    """Conflict-lens honesty: the duplicated keys carry genuinely
+    DIFFERENT payloads (identical payloads would degrade this into the
+    existing 'dup' lens and attest nothing new)."""
+    dst = _build("conflict", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    src = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    assert len(docs) == len(src) + 3
+    for i in range(3):
+        twin = docs[docs["doc_id"] == src.loc[i, "doc_id"]]
+        assert len(twin) == 2 and twin["text"].nunique() == 2, i
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    src_ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    twin = ev[ev["event_id"] == src_ev.loc[0, "event_id"]]
+    assert len(twin) == 2 and twin["value"].nunique() == 2

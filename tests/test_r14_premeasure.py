@@ -1,7 +1,14 @@
-"""Pre-measurement for the r14-queued fix (target r11-vintage, natural
-re-attest r14). From the r12 'unicode' lens — though the mechanism has
-nothing to do with Unicode: the NFC/NFD poison merely reshaped the
-vocabulary until one document's mean landed on the boundary.
+"""Pre-measurement for the r14-queued fixes (targets r11-vintage,
+natural re-attest r14). Two entries:
+
+- text_unigram_logprob (r12 'unicode' lens — though the mechanism has
+  nothing to do with Unicode: the NFC/NFD poison merely reshaped the
+  vocabulary until one document's mean landed on the boundary), below.
+- multimodal_decode_features (r12 'conflict' lens): the oracle pools
+  byte stats by doc_id alone, so conflicting duplicate keys (same id,
+  different payload) share pooled stats while the Spark decode is
+  per-row. Oracle-only fix: key the stats by (doc_id, hx) — see
+  test_decode_features_r14_fix_payload_keyed_stats.
 
 - text_unigram_logprob: the per-doc mean is ROUND(SUM(logp)/n, 6) where
   SUM(logp) is an exact DECIMAL(18,6). Whenever SUM*1e6 is an odd
@@ -173,3 +180,94 @@ def test_unigram_logprob_r14_fix_integer_tie_rounding(spark):
         """
     ).fetchone()[0]
     assert ties >= 1, "no exact-tie docs on the fixture — premise gone"
+
+
+def _mm_fixed_oracle() -> str:
+    """The proposed r14 oracle for multimodal_decode_features: byte stats
+    grouped (and joined back) by (doc_id, hx) — the PAYLOAD identity —
+    instead of doc_id alone."""
+    from dbfs_spark_cache_spark.operators.multimodal import _STAT_WINDOW
+
+    return f"""
+    WITH h AS (
+        SELECT doc_id, source AS asset_source,
+               hex(encode(text)) AS hx,
+               OCTET_LENGTH(ENCODE(text)) AS n_bytes
+        FROM documents
+        WHERE text IS NOT NULL
+    ), d AS (
+        SELECT doc_id, asset_source, n_bytes, hx,
+               ((doc_id % 64) + 64) % 64 + 1 AS width,
+               n_bytes % 64 + 1 AS height,
+               ((doc_id % 3) + 3) % 3 + 1 AS channels,
+               LEAST(n_bytes, {_STAT_WINDOW}) AS wn
+        FROM h
+    ), u AS (
+        SELECT DISTINCT doc_id, hx, i FROM (SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d)
+    ), b AS (
+        SELECT doc_id, hx,
+               (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+        FROM u
+    ), s AS (
+        SELECT doc_id, hx, AVG(byte) AS byte_mean, MIN(byte) AS byte_min,
+               MAX(byte) AS byte_max,
+               CAST(SUM(byte) % 65536 AS BIGINT) AS window_checksum
+        FROM b GROUP BY doc_id, hx
+    )
+    SELECT d.doc_id, d.asset_source, d.n_bytes, d.width, d.height, d.channels,
+           COALESCE(s.byte_mean, 0.0) AS byte_mean,
+           COALESCE(s.byte_min, 0) AS byte_min,
+           COALESCE(s.byte_max, 0) AS byte_max,
+           COALESCE(s.window_checksum, 0) AS window_checksum
+    FROM d LEFT JOIN s ON d.doc_id = s.doc_id AND d.hx = s.hx
+"""
+
+
+def test_decode_features_r14_fix_payload_keyed_stats(spark, tmp_path):
+    """Pre-measure the r14-queued multimodal_decode_features fix (r12
+    'conflict' lens — conflicting duplicate keys: the same doc_id
+    reappears with a DIFFERENT payload). The registered oracle's byte
+    stats GROUP BY doc_id alone, so the two conflicting payloads' bytes
+    POOL into one group and both output rows read the pooled stats,
+    while Spark's decode is a per-row map pass. Fix when due
+    (oracle-only): group AND join back by (doc_id, hx) — the payload
+    identity. Identical at-least-once copies still collapse (same hx —
+    the r11 duplication contract survives, proved below), and doc_id is
+    unique at every SF so the registered pair is fixture-identical."""
+    from hostile_probe import build_conflict, build_dup
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    dst = str(tmp_path / "conflict")
+    os.makedirs(dst, exist_ok=True)
+    build_conflict(SF_SMOKE, dst)
+    con = _con_over(dst)
+
+    got = QUERIES["multimodal_decode_features"](spark, dst).toPandas()
+    want = con.execute(ORACLES["multimodal_decode_features"]).fetchdf()
+    assert _selfcheck_compare("mm_registered_under_conflict", got, want), (
+        "expected the registered pair to diverge under the conflict lens; "
+        "if it now matches, the fix landed — retire this half"
+    )
+
+    # (b) proposed oracle: exact under conflict AND under plain
+    # at-least-once duplication (the r11 contract must survive)
+    fixed = _mm_fixed_oracle()
+    want_fixed = con.execute(fixed).fetchdf()
+    assert not _selfcheck_compare("mm_fixed_under_conflict", got, want_fixed)
+
+    dup_dst = str(tmp_path / "dup")
+    os.makedirs(dup_dst, exist_ok=True)
+    build_dup(SF_SMOKE, dup_dst)
+    con_dup = _con_over(dup_dst)
+    got_dup = QUERIES["multimodal_decode_features"](spark, dup_dst).toPandas()
+    want_dup = con_dup.execute(fixed).fetchdf()
+    assert not _selfcheck_compare("mm_fixed_under_dup", got_dup, want_dup)
+
+    # (c) fixture-identical: registered and fixed oracles agree on the
+    # real fixture (doc_id unique -> (doc_id, hx) ≡ doc_id grouping)
+    con_f = _con_over(SF_SMOKE)
+    a = con_f.execute(ORACLES["multimodal_decode_features"]).fetchdf()
+    b = con_f.execute(fixed).fetchdf()
+    assert not _selfcheck_compare("mm_fixture_identity", a, b)
