@@ -494,6 +494,13 @@ def build_conflict(src: str, dst: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    numeric_twist = {
+        "events": ("value", 1000.0),
+        "customer": ("c_acctbal", 1000.0),
+        "orders": ("o_totalprice", 1000.0),
+        "part": ("p_retailprice", 50.0),
+        "supplier": ("s_acctbal", 1000.0),
+    }
     for f in sorted(glob.glob(f"{src}/*.parquet")):
         name = os.path.basename(f).replace(".parquet", "")
         t = pq.read_table(f)
@@ -506,9 +513,10 @@ def build_conflict(src: str, dst: str) -> None:
                 "conflicting payload three",
             ]
             pdf = pd.concat([pdf, extra], ignore_index=True)
-        elif name == "events" and len(pdf) >= 3:
+        elif name in numeric_twist and len(pdf) >= 3:
+            col, delta = numeric_twist[name]
             extra = pdf.iloc[:3].copy()
-            extra["value"] = extra["value"] + 1000.0
+            extra[col] = extra[col] + delta
             pdf = pd.concat([pdf, extra], ignore_index=True)
         pq.write_table(
             pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
