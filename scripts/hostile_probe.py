@@ -524,6 +524,41 @@ def build_conflict(src: str, dst: str) -> None:
         )
 
 
+def build_whitespace(src: str, dst: str) -> None:
+    """Degenerate whitespace (r12 lens): leading / trailing / doubled
+    spaces, tab-separated tokens, and a single-space document. The
+    single-space split(' ') yields TWO empty-string tokens on both
+    engines; every tokenizer, shingler, quality metric, and md5-keyed
+    dedup path must treat empty tokens and whitespace runs identically
+    on both engines — the classic tokenizer edge at web-corpus scale.
+    n_chars is kept consistent with the rewritten text (the width lens'
+    established honesty rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ws = [
+        "  leading double space",
+        "trailing space ",
+        "double  inner  spaces",
+        "tab\tseparated\ttokens",
+        " ",
+        "a  ",
+    ]
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "documents" and len(pdf) >= len(ws):
+            for i, s in enumerate(ws):
+                pdf.loc[i, "text"] = s
+                if "n_chars" in pdf.columns:
+                    pdf.loc[i, "n_chars"] = len(s)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 def build_colperm(src: str, dst: str) -> None:
     """Physical column-order permutation (r12 lens): every table is
     rewritten with its columns REVERSED — values untouched. Different
@@ -545,6 +580,7 @@ LENSES = {
     "evolve": build_evolve,
     "colperm": build_colperm,
     "conflict": build_conflict,
+    "ws": build_whitespace,
     "nonfinite": build_nonfinite,
     "dates": build_dates,
     "empty": build_empty,

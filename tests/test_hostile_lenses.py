@@ -266,3 +266,16 @@ def test_conflict_lens_plants_conflicting_keys(tmp_path):
     src_ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
     twin = ev[ev["event_id"] == src_ev.loc[0, "event_id"]]
     assert len(twin) == 2 and twin["value"].nunique() == 2
+
+
+def test_ws_lens_plants_degenerate_whitespace(tmp_path):
+    """Whitespace-lens honesty: the single-space doc and the doubled
+    inner spaces survive the round-trip byte-exactly, and n_chars stays
+    consistent with the rewritten text."""
+    dst = _build("ws", tmp_path)
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    assert docs.loc[4, "text"] == " "
+    assert docs.loc[2, "text"] == "double  inner  spaces"
+    assert docs.loc[3, "text"] == "tab\tseparated\ttokens"
+    head = docs.iloc[:6]
+    assert (head["n_chars"] == head["text"].str.len()).all()
