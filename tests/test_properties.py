@@ -400,3 +400,75 @@ def test_udf_tag_frozenset_const_order_free(elems, rotation):
 
     tag = lambda u: u.func.__name__.rsplit("__", 1)[1]
     assert tag(build(items)) == tag(build(rotated))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_cols=st.integers(min_value=26, max_value=60),
+    mutate_at=st.integers(min_value=0, max_value=59),
+    delta=st.integers(min_value=1, max_value=7),
+)
+def test_wide_plan_fingerprints_injective_under_truncation(
+    spark, n_cols, mutate_at, delta
+):
+    """Generalizes the r12 truncation pin: for ANY projection wider than
+    spark.sql.debug.maxToStringFields (default 25), mutating any single
+    column expression must change the canonical plan — before the r12
+    fix every mutation beyond the field limit collapsed onto one cache
+    key (a wrong-data hit)."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    mutate_at = mutate_at % n_cols
+    base = spark.range(5)
+
+    def projection(mutated: bool):
+        cols = []
+        for i in range(n_cols):
+            expr = F.col("id") + i
+            if mutated and i == mutate_at:
+                expr = F.col("id") * (1000 + delta)
+            cols.append(expr.alias(f"c{i}"))
+        return base.select(*cols)
+
+    pa_ = canonical_plan(projection(False))
+    pb_ = canonical_plan(projection(True))
+    assert pa_ != pb_, (
+        f"mutating column {mutate_at} of {n_cols} left the fingerprint "
+        "unchanged — the truncation collision is back"
+    )
+    assert "more fields" not in pa_ and "more fields" not in pb_
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=-10_000, max_value=10_000),
+    w2=st.integers(min_value=-10_000, max_value=10_000),
+    unrelated=st.integers(min_value=-10_000, max_value=10_000),
+)
+def test_udf_tag_tracks_exactly_the_referenced_globals(w, w2, unrelated):
+    """Generalizes the r12 global-chase pins: the tag changes iff a
+    REFERENCED global's value changes — an unreferenced module global
+    never participates (so unrelated module churn cannot spuriously
+    invalidate persistent caches)."""
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    def tag(w_val, unrelated_val):
+        ns: dict = {}
+        exec(
+            "def fn(s):\n    return s * W\n",
+            ns,
+        )
+        ns["W"] = w_val
+        ns["UNRELATED"] = unrelated_val
+        # rebuild fn so __globals__ is the populated namespace
+        exec("def fn(s):\n    return s * W\n", ns)
+        u = content_addressed_udf(ns["fn"], DoubleType())
+        return u.func.__name__.rsplit("__", 1)[1]
+
+    assert tag(w, unrelated) == tag(w, unrelated - 1) == tag(w, 0)
+    if w != w2:
+        assert tag(w, unrelated) != tag(w2, unrelated)
