@@ -12,6 +12,21 @@ from pyspark.sql import functions as F
 from .registry import register
 
 
+def _reject_reserved_columns(helper: str, names: tuple, *frames: DataFrame) -> None:
+    """Refuse input frames already carrying a helper-internal column name
+    (r12 review): ``withColumn`` silently OVERWRITES an existing column,
+    so a caller's ``__salt``/``__bucket``/... would be clobbered and the
+    helper's own bookkeeping corrupted — wrong rows, no error. A loud
+    precondition beats silent data loss; callers rename first."""
+    for frame in frames:
+        clash = [c for c in frame.columns if c in names]
+        if clash:
+            raise ValueError(
+                f"{helper}: input columns {clash} collide with the "
+                "helper's internal bookkeeping names — rename them first"
+            )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -48,6 +63,7 @@ def salted_join(
             "replicated per salt, which duplicates unmatched rows in "
             "right/full outer joins"
         )
+    _reject_reserved_columns("salted_join", ("__salt",), fact, dim)
     salted_fact = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),
@@ -141,6 +157,11 @@ def distributed_global_percentiles(
     """
     from pyspark.sql import Window as W
 
+    _reject_reserved_columns(
+        "distributed_global_percentiles",
+        ("__lo", "__hi", "__bucket", "__cnt", "__n", "__offset"),
+        df,
+    )
     parts: List[str] = list(partition_cols or [])
 
     if parts:
@@ -316,6 +337,7 @@ def grouped_median_mad(
     :func:`grouped_exact_median` (low-cardinality ``part_col`` contract,
     no single-task sorts).
     """
+    _reject_reserved_columns("grouped_median_mad", ("__dev", "median_value"), df)
     med = grouped_exact_median(
         df, value_col, part_col, "median_value", tiebreak_col=tiebreak_col
     )

@@ -261,3 +261,42 @@ def test_udf_tag_survives_mutual_recursion_and_skips_unstable_globals():
         "def fn(s):\n    return _even(int(math.fabs(s))) + (0.0 if CFG else 0.0)\n"
     )
     assert _tag_of(src) == _tag_of(src)
+
+
+def test_scale_helpers_refuse_reserved_column_collisions(spark):
+    """r12 review of operators/scale.py: withColumn silently OVERWRITES
+    an existing column, so a caller frame already carrying __salt /
+    __bucket / median_value would have its data clobbered and the
+    helper's bookkeeping corrupted — wrong rows, no error. The helpers
+    now refuse loudly."""
+    import pytest as _pytest
+
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+        grouped_median_mad,
+        salted_join,
+    )
+
+    base = spark.range(5).withColumnRenamed("id", "k")
+    dim = spark.range(3).withColumnRenamed("id", "k")
+
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(base.withColumn("__salt", F.lit(1)), dim, "k")
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(base, dim.withColumn("__salt", F.lit(1)), "k")
+    with _pytest.raises(ValueError, match="__bucket"):
+        distributed_global_percentiles(
+            base.withColumn("__bucket", F.lit(1)), "k", tiebreak_col="k"
+        )
+    with _pytest.raises(ValueError, match="median_value"):
+        grouped_median_mad(
+            base.withColumn("median_value", F.lit(1.0)).withColumn(
+                "g", F.lit(1)
+            ),
+            "k",
+            "g",
+            tiebreak_col="k",
+        )
+    # clean frames still work end to end
+    out = salted_join(base, dim, "k").count()
+    assert out == 3
