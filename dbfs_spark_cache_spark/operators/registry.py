@@ -9,6 +9,20 @@ Float discipline (so value hashes match the oracle exactly): monetary/ratio
 aggregates are summed as DECIMAL (exact, association-independent) and cast to
 DOUBLE at the end; divisions happen in DOUBLE on both sides; orderings that
 feed LIMIT/row_number always carry a unique tie-break key.
+
+Exactness domain (r12 magnitude probe): the final DECIMAL->DOUBLE cast is
+bit-identical across engines only while |sum| < 2^53 (~9e15) — beyond
+that, doubles are spaced wider than 1 and the two engines' decimal->double
+rounding can differ by 1 ULP on a value that is EXACTLY equal in decimal.
+In practice the domain never binds: a sum that large requires corrupt
+ledger magnitudes (a 9e17 "price"), which the DECIMAL casts reject LOUDLY
+with ANSI overflow on both engines well before silent drift — measured:
+poisoning every money column with ±9e17 crashed 17 queries loudly on BOTH
+engines, left 130 exact, and produced exactly 2 one-ULP rendering diffs.
+Ledger prices are deliberately outside the bad-telemetry guard scope
+(finite_or_null covers sensor values/balances/embeddings): a NaN or
+negative or 1e17 price is upstream corruption no engine should paper
+over, and a loud failure is the correct response at 100 TB.
 """
 from __future__ import annotations
 
