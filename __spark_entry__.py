@@ -79,61 +79,58 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r11's window the ledger is 50@r11 + 50@r10 + 50@r9; r12's due
-#   cohort recomputes to exactly the 50 r9-vintage queries — 0 slack —
-#   and contains ALL THREE r12-changed names below plus the five r11
-#   duck_h62 '||' oracle riders still in _CHANGED_HELPER (verified:
+#   after r12's window the ledger is 50@r12 + 50@r11 + 50@r10; r13's
+#   due cohort recomputes to exactly the 50 r10-vintage queries — 0
+#   slack — and contains ALL SIX r13-changed names below (verified:
 #   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
-#   it). r13's cohort recomputes to the 50 r10-vintage queries — the
-#   landing slots for the queued dedup_cluster_keepers NULL-text,
-#   fn_json {1,18} bound, and the four nonfinite items
-#   (window_tumbling, window_sliding, q22_global_sales_opportunity,
-#   dedup_embedding_cosine) — pre-measures in
-#   tests/test_r13_premeasure.py. Steady state: every round's due
-#   cohort is exactly 50, forever, under policy (1).
+#   it). r14's cohort recomputes to the 50 r11-vintage queries — the
+#   landing slots for the two queued items (text_unigram_logprob
+#   integer-space rounding, multimodal_decode_features conflict-keyed
+#   oracle — premeasures in tests/test_r14_premeasure.py) and the two
+#   r12 ADVICE riders still in _CHANGED_HELPER. Steady state: every
+#   round's due cohort is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r12: the full pre-measured due-slot batch — all three fixes queued
-    # at r10 with their exact diffs encoded in the since-promoted
-    # tests/test_r12_premeasure.py — landed in their own due slots
-    # (rule 2b: all three names below are r9-vintage, due this round —
-    # slot-neutral). Hostile parity pinned in
-    # tests/test_r12_window_fixes.py; all re-attested exact at sf0.01
+    # r13: the full pre-measured due-slot batch — all six fixes (four
+    # queued at r11's nonfinite lens, one at r10's nulls lens, one from
+    # ADVICE r10 #2) with their exact diffs encoded in the
+    # since-promoted tests/test_r13_premeasure.py — landed in their own
+    # due slots (rule 2b: all six names below are r10-vintage, due this
+    # round — slot-neutral). Hostile parity pinned in
+    # tests/test_r13_window_fixes.py; all re-attested exact at sf0.01
     # AND sf0.1 via scripts/selfcheck.py post-change.
-    # r10 hostile-content lens: multiLine=True — a quoted embedded
-    # newline (RFC4180-legal, what Spark's own CSV writer emits) split
-    # into two broken records while DuckDB parsed it correctly. The
-    # honest scale trade (non-splittable CSV files) is documented at
-    # the query:
-    "scan_csv_source",
-    # r10 'nulls' lens: the collection emits NULL (not '') over an
-    # all-NULL group — when(size(collected) > 0, array_join(...)), the
-    # SQL aggregate-over-no-values convention:
-    "agg_collect_sorted",
-    # r10 'nulls' lens: WHERE text IS NOT NULL at the head of BOTH
-    # engines (DuckDB's vote CASE gave every NULL-text doc simhash 0 so
-    # they all paired; Spark's NULL chunks never joined) — the
-    # unreadable-payload contract the MinHash/Jaccard siblings landed
-    # at r11. Subsumes its r11 '||' helper-rider note (promoted out of
-    # _CHANGED_HELPER in the same edit, per the hygiene rule):
-    "dedup_simhash",
-    # ADVICE r11 #3 hazard class, fixed in its due slot: the doc frame
-    # now reaches spark.sql as a DataFrame argument instead of a
-    # session-global temp view (shared mutable state that could race
-    # across interleaved sf dirs on one session). Result-identical:
-    "udtf_tokenize",
-    # ADVICE r11 #2: _verify_oracle's source_where now filters through
-    # a prepended documents_src CTE (name swap) instead of appending
-    # WHERE after every 'FROM documents' (double-WHERE hazard if a body
-    # CTE gains its own WHERE). Oracle text changed, values identical
-    # (re-attested exact both SFs); due this round, so promoted out of
-    # _CHANGED_HELPER per the hygiene rule. Its non-due sibling
-    # dedup_token_jaccard rides _CHANGED_HELPER:
-    "dedup_ngram_jaccard",
+    # r11 nonfinite lens (true NaN/Inf storage): finite_or_null("value")
+    # on BOTH engines — a single NaN reading crashed the oracles'
+    # DECIMAL bucket sums while the Spark sides ran:
+    "window_tumbling",
+    "window_sliding",
+    # r11 nonfinite lens: finite_or_null("c_acctbal") on BOTH engines —
+    # a NaN balance crashed the oracle's DECIMAL sum and silently
+    # emptied this side's rich set (NaN in-plan average):
+    "q22_global_sales_opportunity",
+    # r11 nonfinite lens: functions.vec_finite gate on BOTH engines — a
+    # NULL-component vector scored finite on DuckDB (list_sum skips
+    # NULLs) but NULL on Spark (fold propagates):
+    "dedup_embedding_cosine",
+    # r10 'nulls' lens: WHERE text IS NOT NULL at the corpus head of
+    # BOTH engines (the r11 NULL-text contract; Spark paired identical
+    # all-NULL signatures while the '||'-hardened oracle emitted
+    # singletons). Subsumes its r11 '||' helper-rider note (promoted
+    # out of _CHANGED_HELPER in the same edit, per the hygiene rule):
+    "dedup_cluster_keepers",
+    # ADVICE r10 #2: the integer gate bounded to ^-?[0-9]{1,18}$ on
+    # both engines — a 19+-digit k passed the old gate and the BIGINT
+    # cast crashed BOTH engines:
+    "fn_json",
 ]
 
-# Queries whose implementation was NOT edited but whose shared helper was
-# refactored this round in a result-identical way (pinned by pytest and
-# re-verified exact against the oracle locally via scripts/selfcheck.py).
+# Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
+# round — a shared-helper refactor, an oracle-text rewrite, or an impl
+# refactor proven value-identical — pinned by pytest and re-verified
+# exact against the oracle locally via scripts/selfcheck.py. (ADVICE
+# r12 #3 broadened this contract from "helper only": what earns a seat
+# here is that the change CANNOT move values — membership is about
+# re-attestation priority, not about which file was edited. Changes
+# that CAN move values go in _CHANGED, due-slot rules apply.)
 # They take a half-step vintage penalty in _full_order: they never
 # displace a genuinely-staler vintage from the window, but when the due
 # cohort is SMALLER than the window (spare slots exist this round) they
@@ -148,28 +145,17 @@ _CHANGED: list[str] = [
 # must be dropped — a stale entry's half-step penalty corrupts the
 # ordering invariant one round later. Both rules are pinned by
 # tests/test_rotation.py (disjointness + simulated next-round ledger).
-# Dropped this round under those rules: text_tfidf_topk,
-# text_unigram_logprob, multimodal_frame_sample (all r11-attested
-# post-change — DONE); dedup_simhash (promoted into _CHANGED for its
-# r12 NULL-text due slot — its r11 '||' rider note is subsumed by the
-# due-slot attestation).
+# Dropped this round under those rules: split_contamination_check,
+# text_chunk_sliding, text_rolling_hash_shingles, train_val_test_split
+# (the four remaining r11 '||' riders — all r12-attested post-change,
+# DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
+# NULL-text due slot — its '||' rider note is subsumed by the due-slot
+# attestation).
 _CHANGED_HELPER: list[str] = [
-    # r11 duck_h62 '||' NULL-propagation riders: the shared portable-
-    # hash oracle helper hardened at r11; these consumers' ORACLE TEXT
-    # changed too, but the '||' form is byte-identical to concat on
-    # every non-NULL input, so results are unchanged on every fixture —
-    # re-verified exact at sf0.01 via scripts/selfcheck.py post-change
-    # and pinned by the r11 regression tests. All r9-vintage: due THIS
-    # round (r12 window members by staleness alone), after which the
-    # entries drop. (dedup_ngram_jaccard's rider was promoted into
-    # _CHANGED above — its oracle changed again this round):
-    "split_contamination_check",
-    "text_chunk_sliding",
-    "text_rolling_hash_shingles",
-    "train_val_test_split",
-    # r12 ADVICE riders, both r11-vintage (penalty 10.5 — displace
-    # nothing, re-attest r14, their natural turn), both re-verified
-    # exact at sf0.01 AND sf0.1 via scripts/selfcheck.py post-change:
+    # The two r12 ADVICE riders, both r11-vintage (penalty 10.5 —
+    # displace nothing, re-attest r14, their natural turn), both
+    # re-verified exact at sf0.01 AND sf0.1 via scripts/selfcheck.py
+    # at r12 and unchanged since:
     # the CTE-injection rewrite of _verify_oracle changed this oracle's
     # TEXT result-identically (ADVICE r11 #2):
     "dedup_token_jaccard",
@@ -177,11 +163,6 @@ _CHANGED_HELPER: list[str] = [
     # (ADVICE r11 #3) — impl refactor, result-identical by
     # construction (same filter, same window SQL):
     "window_time_range_rolling",
-    # Same '||' rider, r10-vintage: its own NULL-text Spark-side filter
-    # is queued for its natural r13 slot (tests/test_r13_premeasure.py);
-    # until then the hardened oracle NULL-propagates instead of
-    # crashing. Penalty 9.5, displaces nothing, re-attests r13:
-    "dedup_cluster_keepers",
 ]
 
 _WINDOW_SLOTS = 50

@@ -194,11 +194,10 @@ def duck_h62(expr: str) -> str:
     the dedup consumers whose r11 slot is due also gained ``WHERE text
     IS NOT NULL`` at their corpus head on BOTH engines
     (minhash_lsh / token_jaccard / incremental_vs_corpus; ngram_jaccard
-    took it at r9; cluster_keepers' twin filter is queued for its own
-    r13 slot — until then its oracle NULL-propagates instead of
-    crashing while its Spark side still signs, a known, premeasured
-    divergence on hostile input only). Regression pin in
-    ``tests/test_r11_window_fixes.py``; no fixture has NULL text at
+    took it at r9; cluster_keepers landed its twin filter in its own
+    r13 slot — the contract now covers every dedup consumer).
+    Regression pins in ``tests/test_r11_window_fixes.py`` and
+    ``tests/test_r13_window_fixes.py``; no fixture has NULL text at
     any SF, so all attestations are honest."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
@@ -516,8 +515,9 @@ _SHINGLE_HS_CTES = "WITH " + _shingle_hs_body("documents")
 
 # NULL-text-excluded twin for the consumers whose corpus head filters
 # unreadable documents on both engines (r11 NULL-text contract — see
-# duck_h62). Kept separate from _SHINGLE_HS_CTES: dedup_cluster_keepers'
-# oracle must keep the unfiltered head until its own r13 slot.
+# duck_h62; dedup_cluster_keepers joined at r13). The unfiltered
+# _SHINGLE_HS_CTES remains for _verify_oracle, whose source_where CTE
+# injection applies the filter to every documents read at once.
 _SHINGLE_HS_CTES_NN = "WITH " + _shingle_hs_body(
     "documents WHERE text IS NOT NULL"
 )
@@ -808,6 +808,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
                       CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
+        WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
+               x -> x IS NULL OR NOT isfinite(x))) = 0)
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -836,17 +838,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     ~0.95+. All vector math is JVM-side (zip_with/aggregate folds in
     functions.vectors) and per-pair, so the DuckDB oracle matches exactly.
 
-    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens): a
-    NULL-component vector scores a FINITE cosine on DuckDB (list_sum
-    skips NULLs) but NULL on Spark (the fold propagates), so one pair
-    exists on exactly one engine. Fix when due: ``functions.vec_finite``
-    gate on BOTH engines (the usable-embedding contract its similarity
-    siblings landed at r11). Pre-measured in
-    tests/test_r13_premeasure.py; every fixture embedding is finite and
-    dense.
+    r13 (landed in this query's due slot; pre-measured at r11's
+    nonfinite lens; premeasure since promoted to
+    tests/test_r13_window_fixes.py): a NULL-component vector scored a
+    FINITE cosine on DuckDB (list_sum skips NULLs) but NULL on Spark
+    (the fold propagates), so one pair existed on exactly one engine.
+    Both engines now gate on the usable-embedding contract
+    (``functions.vec_finite`` / its SQL twin — the oracle WHERE mirrors
+    ``similarity.DUCK_VEC_FINITE``) the similarity siblings landed at
+    r11. Fixture-invisible (every fixture embedding is finite and
+    dense).
     """
-    emb = load_table(spark, sf, "embeddings")
-    from ..functions import sign_bits_str, vec_dot, vec_l2_norm
+    from ..functions import sign_bits_str, vec_dot, vec_finite, vec_l2_norm
+
+    emb = load_table(spark, sf, "embeddings").where(vec_finite("embedding"))
 
     # Norm computed once per ROW before the join — the per-pair formulation
     # folds each vector twice per candidate pair (O(pairs x dim) instead of
@@ -1035,7 +1040,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cluster_keepers_oracle() -> str:
-    cands = _duck_minhash_cands(_SHINGLE_HS_CTES, N_MINHASH, N_BANDS)
+    cands = _duck_minhash_cands(_SHINGLE_HS_CTES_NN, N_MINHASH, N_BANDS)
     # WITH RECURSIVE admits the whole non-recursive CTE chain; only the
     # self-referencing `reach` iterates.
     cands = cands.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1050,6 +1055,7 @@ def _cluster_keepers_oracle() -> str:
     ),
     reach AS (
         SELECT doc_id, doc_id AS root FROM documents
+        WHERE text IS NOT NULL
         UNION
         SELECT s.doc_a AS doc_id, r.root
         FROM sym s JOIN reach r ON s.doc_b = r.doc_id
@@ -1107,8 +1113,20 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     The DuckDB oracle replays the same components via WITH RECURSIVE
     transitive closure, so even this iterative, non-single-query operator
     is exact-value-checked.
+
+    r13 (landed in this query's due slot; pre-measured at r11's nulls
+    lens; premeasure since promoted to tests/test_r13_window_fixes.py):
+    the corpus head now filters ``WHERE text IS NOT NULL`` on BOTH
+    engines — the r11 NULL-text contract its minhash/jaccard siblings
+    landed (see :func:`duck_h62`). Previously Spark signed NULL-text
+    docs (identical all-NULL signatures paired them into one cluster)
+    while the '||'-hardened oracle NULL-propagated their hashes and
+    emitted them as two singletons. An unreadable payload is not a
+    document to cluster: NULL-text docs now appear in NEITHER the edge
+    graph NOR the singleton set. Fixture-invisible (no fixture has NULL
+    text at any SF).
     """
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     edges = (
         lsh_candidate_pairs(minhash_signatures(docs))
         .select("doc_a", "doc_b")

@@ -1210,9 +1210,9 @@ def fn_math(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]{1,18}$')
                          THEN CAST(ks AS BIGINT) END) AS BIGINT) AS sum_k,
-           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+           CAST(SUM(CASE WHEN regexp_matches(ks, '^-?[0-9]{1,18}$')
                          THEN CAST(ks AS BIGINT) END) AS DOUBLE) / COUNT(*) AS avg_k
     FROM g
     GROUP BY event_type
@@ -1233,20 +1233,22 @@ def fn_json(spark: SparkSession, sf: str) -> DataFrame:
     returns NULL. Fixture-identical (no invalid JSON / non-integer k at
     any SF); hostile parity pinned in tests/test_r10_window_fixes.py.
 
-    QUEUED r13 (this query's next due slot; ADVICE r10 #2): the
-    integer-literal gate is UNBOUNDED in magnitude — a 19+-digit k
-    (``{"k": "99999999999999999999"}``) passes the regex and the BIGINT
-    cast then crashes BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB
+    r13 (landed in this query's due slot; ADVICE r10 #2; pre-measured
+    at r10, premeasure since promoted to
+    tests/test_r13_window_fixes.py): the integer-literal gate was
+    UNBOUNDED in magnitude — a 19+-digit k
+    (``{"k": "99999999999999999999"}``) passed the regex and the BIGINT
+    cast then crashed BOTH engines (Spark ANSI CAST_OVERFLOW, DuckDB
     conversion error) — the same one-bad-row-kills-the-corpus-pass
-    class this gate exists to close. Fix when due: bound the gate to
+    class this gate exists to close. The gate is now bounded to
     BIGINT-safe lengths (``^-?[0-9]{1,18}$``) on both engines — an
     18-digit magnitude is always < 2^63; the sacrificed corner
-    (legitimate 19-digit values that happen to fit) is unrepresentable
-    policy-free anyway since 19-digit strings straddle the BIGINT
-    boundary. Pre-measured in tests/test_r13_premeasure.py."""
+    (legitimate 19-digit values that happen to fit) is a policy-free
+    call since 19-digit strings straddle the BIGINT boundary.
+    Fixture-identical (every fixture k is <= 18 digits at any SF)."""
     events = load_table(spark, sf, "events")
     ks = F.get_json_object("props", "$.k")
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+    k = F.when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long"))
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(k).alias("sum_k"),

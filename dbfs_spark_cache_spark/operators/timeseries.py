@@ -213,7 +213,7 @@ def sessionization(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
     FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     GROUP BY bucket_start, event_type
     """,
 )
@@ -230,15 +230,21 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     emitted the NULL bucket TWICE). Fixture-invisible; hostile parity
     pinned in tests/test_r10_window_fixes.py.
 
-    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens —
-    true NaN/Inf storage): a single NaN/Inf reading crashes the
-    oracle's DECIMAL bucket sums while this side runs. Fix when due:
-    ``finite_or_null("value")`` + the oracle WHERE rider, on BOTH
-    engines (same as window_time_range_rolling's landed r11 fix; same
-    fix on window_sliding below). Pre-measured in
-    tests/test_r13_premeasure.py; every fixture value is finite.
+    r13 (landed in this query's due slot; pre-measured at r11's
+    nonfinite lens — true NaN/Inf storage; premeasure since promoted to
+    tests/test_r13_window_fixes.py): a single NaN/Inf reading crashed
+    the oracle's DECIMAL bucket sums while this side ran. Both engines
+    now drop non-finite readings (``finite_or_null("value")`` / the
+    oracle WHERE rider) — the bad-telemetry contract
+    window_time_range_rolling landed at r11; same fix on
+    window_sliding below. Fixture-invisible (every fixture value is
+    finite).
     """
-    events = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
+    from .registry import finite_or_null
+
+    events = load_table(spark, sf, "events").where(
+        F.col("ts").isNotNull() & finite_or_null("value")
+    )
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -259,10 +265,12 @@ def window_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH assigned AS (
         SELECT DATE_TRUNC('hour', ts) AS bucket_start, value
-        FROM events WHERE ts IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
         UNION ALL
         SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, value
-        FROM events WHERE ts IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
     )
     SELECT bucket_start,
            COUNT(*) AS n_events,
@@ -277,8 +285,15 @@ def window_sliding(spark: SparkSession, sf: str) -> DataFrame:
     out as a union of the two shifted tumbling assignments.
 
     r10 (due slot): NULL-ts rows dropped explicitly on BOTH engines —
-    see ``window_tumbling`` above for the diagnosis."""
-    events = load_table(spark, sf, "events").where(F.col("ts").isNotNull())
+    see ``window_tumbling`` above for the diagnosis.
+
+    r13 (due slot): non-finite readings dropped on BOTH engines
+    (``finite_or_null``) — see ``window_tumbling`` above."""
+    from .registry import finite_or_null
+
+    events = load_table(spark, sf, "events").where(
+        F.col("ts").isNotNull() & finite_or_null("value")
+    )
     return (
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(

@@ -158,9 +158,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     WITH rich AS (
         SELECT c_custkey, c_acctbal, SUBSTRING(c_name, 17, 2) AS cust_code
         FROM customer
-        WHERE c_acctbal > (
+        WHERE (c_acctbal IS NULL OR isfinite(c_acctbal)) AND c_acctbal > (
             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(22,2))) AS DOUBLE) / COUNT(*)
-            FROM customer WHERE c_acctbal > 0)
+            FROM customer
+            WHERE (c_acctbal IS NULL OR isfinite(c_acctbal)) AND c_acctbal > 0)
     )
     SELECT r.cust_code,
            COUNT(*) AS numcust,
@@ -181,13 +182,19 @@ def q22_global_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
     driver ``collect()``: one job, and the plan fingerprint doesn't bake in a
     data-dependent literal.
 
-    QUEUED FOR R13 (this query's next due slot; r11 nonfinite lens — true
-    NaN/Inf storage): a single NaN balance crashes the oracle's DECIMAL
-    sum (and pollutes this side's in-plan average into NaN, silently
-    emptying the rich set). Fix when due: ``finite_or_null("c_acctbal")``
-    + the oracle WHERE rider on BOTH engines. Pre-measured in
-    tests/test_r13_premeasure.py; every fixture balance is finite."""
-    customer = load_table(spark, sf, "customer")
+    r13 (landed in this query's due slot; pre-measured at r11's
+    nonfinite lens; premeasure since promoted to
+    tests/test_r13_window_fixes.py): a single NaN balance crashed the
+    oracle's DECIMAL sum and polluted this side's in-plan average into
+    NaN, silently emptying the rich set. Both engines now drop
+    non-finite balances (``finite_or_null("c_acctbal")`` / the oracle
+    WHERE riders) — the bad-telemetry contract. Fixture-invisible
+    (every fixture balance is finite)."""
+    from .registry import finite_or_null
+
+    customer = load_table(spark, sf, "customer").where(
+        finite_or_null("c_acctbal")
+    )
     avg_bal = (
         customer.where(F.col("c_acctbal") > 0)
         .agg((F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"))

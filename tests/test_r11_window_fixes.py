@@ -462,7 +462,7 @@ def test_approx_percentile_all_null_group_flag(spark, tmp_path):
 # bad-telemetry contract in their r11 slots: events.value consumers take
 # finite_or_null; embedding consumers take functions.vec_finite. The four
 # r10-vintage findings (window_tumbling/sliding, q22, dedup_embedding_
-# cosine) are queued for r13 (tests/test_r13_premeasure.py).
+# cosine) landed at r13 (pins in tests/test_r13_window_fixes.py).
 # ---------------------------------------------------------------------------
 
 
