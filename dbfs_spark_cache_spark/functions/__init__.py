@@ -276,7 +276,17 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
 
     def _feed_global(digest, name: str, val, visited: set) -> None:
         if isinstance(val, _types.FunctionType):
-            key = (getattr(val, "__module__", ""), getattr(val, "__qualname__", name))
+            # Visited is keyed by OBJECT IDENTITY, not (module, qualname):
+            # all module-level lambdas share qualname '<lambda>', so a
+            # qualname key treated the SECOND referenced lambda as a cycle
+            # and its body never entered the digest — editing it kept the
+            # old tag and served a stale cached result (ADVICE r12 #1).
+            # id() is safe here because every visited function is held
+            # alive by the globals dict for the duration of this (fully
+            # synchronous) tag computation, and the id never enters the
+            # digest — only the name-bearing cycle marker does, so tags
+            # stay machine-stable.
+            key = id(val)
             if key in visited:
                 digest.update(f"<cycle:{name}>".encode())
                 return
@@ -300,7 +310,7 @@ def content_addressed_udf(fn, return_type, vectorized: bool = True):
             _feed(digest, cell.cell_contents)
     _referenced: set = set()
     _collect_names(code, _referenced)
-    _visited: set = {(getattr(fn, "__module__", ""), getattr(fn, "__qualname__", ""))}
+    _visited: set = {id(fn)}
     for _n in sorted(_referenced):
         if _n in fn.__globals__:
             _feed_global(digest, _n, fn.__globals__[_n], _visited)

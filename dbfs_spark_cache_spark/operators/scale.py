@@ -157,9 +157,23 @@ def distributed_global_percentiles(
     """
     from pyspark.sql import Window as W
 
+    # The guard covers the internal bookkeeping names AND the
+    # caller-supplied output names (ADVICE r12 #4: grouped_exact_median
+    # calls this with pct_col="__pct"/cume_col="__cume"/tile_col="__tile",
+    # and an input frame already carrying one of those was silently
+    # clobbered by the final select's alias — the same silent-overwrite
+    # hazard class the guard exists to close).
+    _out_names = tuple(
+        c for c in (pct_col, cume_col, tile_col, count_col) if c
+    )
     _reject_reserved_columns(
         "distributed_global_percentiles",
-        ("__lo", "__hi", "__bucket", "__cnt", "__n", "__offset"),
+        tuple(
+            dict.fromkeys(
+                ("__lo", "__hi", "__bucket", "__cnt", "__n", "__offset")
+                + _out_names
+            )
+        ),
         df,
     )
     parts: List[str] = list(partition_cols or [])

