@@ -702,15 +702,25 @@ def read_exactly_once_output(
                 )
             return (
                 spark.read.option("basePath", base_path)
-                .parquet(*dirs)
+                .option("mergeSchema", True)  # same evolution contract
+                .parquet(*dirs)               # as the schema-pure view
                 .withColumn("batch_id", F.col("batch_id").cast("long"))
             )
         # The leaf dirs are read WITHOUT basePath so partition discovery
         # does not synthesize a batch_id column: the committed view is
         # schema-pure — exactly what the sink wrote, identical to the
         # recorded-schema empty view below. The batch id is ledger
-        # metadata, not data.
-        return spark.read.parquet(*dirs)
+        # metadata, not data. mergeSchema because a redeployed pipeline
+        # evolves the sink schema across committed dirs (r13 review; the
+        # r12 evolve lens established the recipe): a plain read infers
+        # from ONE footer, so whether an added column appeared — or a
+        # dropped one vanished, silently truncating historic batches —
+        # was a footer lottery. The union is deterministic: evolved
+        # columns surface with NULL backfill, and a genuine type
+        # conflict across batches fails loudly instead of serving
+        # whichever footer won. Identical footers (the normal
+        # population) read identically to before.
+        return spark.read.option("mergeSchema", True).parquet(*dirs)
     schema_path = f"{base_path}/_committed/{_LEDGER_SCHEMA}"
     schema_txt = fs.read_text(schema_path)
     if schema_txt is None:
@@ -1021,6 +1031,17 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if _already_committed(fs, base_path, batch_id):
             return
+        # withColumn silently OVERWRITES an existing column (r13 review —
+        # the same silent-clobber class operators/scale's reserved-name
+        # guard closes): a source batch already carrying __valid would
+        # have its data replaced by the gate flag and then dropped from
+        # BOTH outputs. Refuse loudly; the caller renames first.
+        if "__valid" in batch_df.columns:
+            raise ValueError(
+                "validated_exactly_once_sink: the batch already has a "
+                "__valid column — it would be clobbered by the gate "
+                "flag; rename it before the sink"
+            )
         marker = f"{base_path}/_committed/{batch_id}.txt"
         flagged = batch_df.withColumn(
             "__valid", F.coalesce(valid, F.lit(False))
@@ -1092,8 +1113,10 @@ def read_quarantine(
             )
         return (
             spark.read.option("basePath", f"{base_path}/_quarantine")
+            .option("mergeSchema", True)
             .parquet(*dirs)
             .withColumn("batch_id", F.col("batch_id").cast("long"))
         )
-    # No basePath: schema-pure rows, same contract as the committed view.
-    return spark.read.parquet(*dirs)
+    # No basePath: schema-pure rows, same contract as the committed view
+    # (mergeSchema — see read_exactly_once_output's evolution note).
+    return spark.read.option("mergeSchema", True).parquet(*dirs)

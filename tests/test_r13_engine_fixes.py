@@ -173,3 +173,84 @@ def test_percentiles_reject_output_name_collisions(spark):
     # clean frames still work end to end
     out = distributed_global_percentiles(base, "k", tiebreak_col="k")
     assert out.count() == 8
+
+
+# ---------------------------------------------------------------------------
+# r13 fresh-eyes review of streaming/__init__.py (VERDICT r12 #6: the
+# module's exactly-once ledger and gate paths, last deep-reviewed r7).
+# Two real defects found and fixed:
+#   4. validated_exactly_once_sink silently CLOBBERED a source batch's
+#      own __valid column (withColumn overwrites) — the gate flag
+#      replaced the data and was then dropped from BOTH outputs.
+#   5. the committed/quarantine views inferred their schema from ONE
+#      parquet footer, so a redeployed pipeline that evolved the sink
+#      schema served a footer-lottery shape: an added column appeared
+#      or vanished depending on which dir won, and a dropped column
+#      silently truncated historic batches. All four reader paths now
+#      mergeSchema (the r12 evolve-lens recipe): deterministic union,
+#      NULL backfill, loud failure on genuine type conflicts.
+# ---------------------------------------------------------------------------
+
+
+def test_validated_sink_refuses_valid_column_collision(spark, tmp_path):
+    from dbfs_spark_cache_spark.streaming import validated_exactly_once_sink
+
+    base = str(tmp_path / "eo")
+    batch = spark.range(4).withColumn("__valid", F.lit(True))
+    sink = validated_exactly_once_sink(base, F.col("id") > 1)
+    with pytest.raises(ValueError, match="__valid"):
+        sink(batch, 0)
+    # and nothing was committed
+    assert not os.path.exists(f"{base}/_committed/0.txt")
+
+
+def test_exactly_once_reader_serves_evolved_schema(spark, tmp_path):
+    """Batch 0 writes (id, a); a redeploy adds column b for batch 1. The
+    committed view must surface BOTH columns deterministically, with
+    NULL backfill on the old batch — not whichever footer wins."""
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "eo_evolve")
+    sink = exactly_once_append_sink(base)
+    b0 = spark.range(3).withColumn("a", F.col("id") * 2)
+    b1 = (
+        spark.range(3, 6)
+        .withColumn("a", F.col("id") * 2)
+        .withColumn("b", F.lit("new"))
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    got = read_exactly_once_output(spark, base)
+    assert set(got.columns) == {"id", "a", "b"}
+    rows = {r.id: r for r in got.collect()}
+    assert len(rows) == 6
+    assert rows[0].b is None and rows[4].b == "new"
+    # provenance view carries the same union
+    with_id = read_exactly_once_output(spark, base, include_batch_id=True)
+    assert set(with_id.columns) == {"id", "a", "b", "batch_id"}
+    assert with_id.where(F.col("b").isNull()).count() == 3
+
+
+def test_quarantine_reader_serves_evolved_schema(spark, tmp_path):
+    from dbfs_spark_cache_spark.streaming import (
+        read_quarantine,
+        validated_exactly_once_sink,
+    )
+
+    base = str(tmp_path / "eo_q_evolve")
+    gate = F.col("id") % 2 == 0
+    sink = validated_exactly_once_sink(base, gate)
+    sink(spark.range(4).withColumn("a", F.col("id") * 2), 0)
+    sink(
+        spark.range(4, 8)
+        .withColumn("a", F.col("id") * 2)
+        .withColumn("b", F.lit("new")),
+        1,
+    )
+    q = read_quarantine(spark, base)
+    assert set(q.columns) == {"id", "a", "b"}
+    assert q.count() == 4  # odd ids from both batches
+    assert q.where(F.col("b").isNull()).count() == 2
