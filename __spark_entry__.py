@@ -121,6 +121,19 @@ _CHANGED: list[str] = [
     # both engines — a 19+-digit k passed the old gate and the BIGINT
     # cast crashed BOTH engines:
     "fn_json",
+    # r13 giant lens, found AND fixed in-round in their own due slots
+    # (rule 2b — all four are r10-vintage cohort members): the
+    # usable-embedding contract extended to DIMENSION
+    # (similarity.DUCK_VEC_USABLE) on BOTH engines. A truncated-but-
+    # finite vector crashed every sign-bit consumer (ANSI element_at
+    # OOB — the helper is also F.get-hardened now), an over-long one
+    # made zip_with pad NULLs that Spark's fold propagates and DuckDB
+    # skips. dedup_embedding_cosine (above) took the same dim extension
+    # in its slot:
+    "similarity_lsh_buckets",
+    "similarity_multiprobe",
+    "similarity_ivf_search",
+    "similarity_topk_cosine",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent

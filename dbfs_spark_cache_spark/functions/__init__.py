@@ -51,8 +51,16 @@ def vec_add(a, b) -> Column:
 def sign_bits_str(a, n: int) -> Column:
     """Axis-aligned sign-bit LSH signature as a string: '1' per
     non-negative dim over the first ``n`` dims ('0' otherwise, including
-    past-the-end / NULL dims — ``element_at`` past the array end is NULL
-    and the three-valued ``>=`` fails the WHEN on both engines).
+    past-the-end / NULL dims — ``F.get`` past the array end is NULL and
+    the three-valued ``>=`` fails the WHEN on both engines).
+
+    r13 (giant lens): the index is 0-based ``F.get``, NOT ``element_at``
+    — under ANSI (Spark 4 default) ``element_at`` past the array end
+    RAISES INVALID_ARRAY_INDEX, so ONE truncated vector killed the
+    whole corpus pass of every consumer while this docstring claimed
+    NULL semantics. ``F.get`` is the documented contract; consumers
+    additionally gate wrong-dimension vectors out entirely
+    (``similarity.DUCK_VEC_USABLE``).
 
     r10 consolidation (its four consumers' shared due slot): this exact
     comprehension was hand-kept in similarity_lsh_buckets (8-bit),
@@ -64,7 +72,7 @@ def sign_bits_str(a, n: int) -> Column:
     """
     return F.concat(
         *[
-            F.when(F.element_at(a, i + 1) >= 0, "1").otherwise("0")
+            F.when(F.get(a, F.lit(i)) >= 0, "1").otherwise("0")
             for i in range(n)
         ]
     )
@@ -72,11 +80,12 @@ def sign_bits_str(a, n: int) -> Column:
 
 def sign_bits_int(a, n: int) -> Column:
     """Integer twin of ``sign_bits_str``: bit i set iff dim i+1 is
-    non-negative — the XOR-probeable form multi-probe LSH needs."""
+    non-negative — the XOR-probeable form multi-probe LSH needs.
+    0-based ``F.get`` for the same ANSI OOB reason as the string twin."""
     acc = F.lit(0)
     for i in range(n):
         acc = acc + F.when(
-            F.element_at(a, i + 1) >= 0, F.lit(1 << i)
+            F.get(a, F.lit(i)) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return acc.cast("int")
 

@@ -808,8 +808,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
                       CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
-        WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
-               x -> x IS NULL OR NOT isfinite(x))) = 0)
+        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
+               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -843,15 +843,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_r13_window_fixes.py): a NULL-component vector scored a
     FINITE cosine on DuckDB (list_sum skips NULLs) but NULL on Spark
     (the fold propagates), so one pair existed on exactly one engine.
-    Both engines now gate on the usable-embedding contract
-    (``functions.vec_finite`` / its SQL twin — the oracle WHERE mirrors
-    ``similarity.DUCK_VEC_FINITE``) the similarity siblings landed at
-    r11. Fixture-invisible (every fixture embedding is finite and
-    dense).
+    Both engines now gate on the FULL usable-embedding contract —
+    dimension + finite (``similarity.DUCK_VEC_USABLE``; the r13 giant
+    lens showed a truncated-but-finite vector crashing the sign-bit
+    pass outright via ANSI element_at, and an over-long one feeding the
+    same NULL-pad divergence through zip_with). Fixture-invisible
+    (every fixture embedding is 64-dim, finite, dense).
     """
-    from ..functions import sign_bits_str, vec_dot, vec_finite, vec_l2_norm
+    from ..functions import sign_bits_str, vec_dot, vec_l2_norm
 
-    emb = load_table(spark, sf, "embeddings").where(vec_finite("embedding"))
+    from .similarity import _vec_usable
+
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable())
 
     # Norm computed once per ROW before the join — the per-pair formulation
     # folds each vector twice per candidate pair (O(pairs x dim) instead of

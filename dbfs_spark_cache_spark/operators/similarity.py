@@ -40,6 +40,25 @@ DUCK_VEC_FINITE = (
     "x -> x IS NULL OR NOT isfinite(x))) = 0)"
 )
 
+# The corpus embedding dimensionality (the fixture model's 64; a
+# production pipeline sets its own model's dim). r13 giant lens extended
+# the usable-embedding contract to DIMENSION: a perfectly-finite vector
+# of the wrong length is not an embedding from this model — a truncated
+# one crashed every sign-bit consumer outright (ANSI element_at OOB,
+# since hardened to F.get in functions.sign_bits_*), a longer one made
+# zip_with pad with NULLs that Spark's fold propagates and DuckDB's
+# list_sum silently skips (pairs existing on exactly one engine), and an
+# empty one scored a 0.0 Spark norm against DuckDB's NULL. Scoring and
+# bucketing paths gate on the FULL contract below; diagnostics queries
+# (embedding_norms reports dim per vector) keep wrong-dim rows visible.
+EXPECTED_DIM = 64
+DUCK_VEC_USABLE = f"(len(embedding) = {EXPECTED_DIM} AND {DUCK_VEC_FINITE})"
+
+
+def _vec_usable(col: str = "embedding"):
+    """Spark twin of :data:`DUCK_VEC_USABLE`."""
+    return (F.size(col) == EXPECTED_DIM) & _vec_finite(col)
+
 
 @register(
     "embedding_norms",
@@ -114,10 +133,15 @@ def _cosine_vs_query():
 @register(
     "similarity_topk_cosine",
     oracle="""
-    WITH q AS (
+    WITH u AS (
+        SELECT * FROM embeddings
+        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
+           len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+    ),
+    q AS (
         SELECT embedding AS q_emb
-        FROM embeddings
-        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        FROM u
+        WHERE vec_id = (SELECT MIN(vec_id) FROM u)
     ),
     scored AS (
         SELECT e.vec_id, e.label,
@@ -127,8 +151,8 @@ def _cosine_vs_query():
                  / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                     * SQRT(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                4) AS cosine
-        FROM embeddings e CROSS JOIN q
-        WHERE e.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+        FROM u e CROSS JOIN q
+        WHERE e.vec_id <> (SELECT MIN(vec_id) FROM u)
     )
     SELECT vec_id, label, cosine
     FROM scored
@@ -147,8 +171,15 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     The query-vector selection stays INSIDE the plan (broadcast join on the
     min-id aggregate) — no driver-side ``collect()``: one job instead of two,
     and the cache fingerprint tracks the query, not a data-dependent literal.
+
+    r13 (landed in this query's due slot; giant lens): both the corpus
+    AND the query-row selection now score only USABLE vectors
+    (dimension + finite, DUCK_VEC_USABLE) — a longer-than-model vector
+    zipped against the 64-dim query made Spark's fold NULL while
+    DuckDB's list_sum skipped the padded NULLs, a coincidentally-green
+    ranking one cosine away from divergence. Fixture-invisible.
     """
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable())
     # The query norm rides in the broadcast row — computed once, not
     # re-folded against every corpus row.
     query = _min_id_query_row(emb)
@@ -176,6 +207,8 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n_vectors,
            COUNT(DISTINCT label) AS n_labels
     FROM embeddings
+    WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
+           len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
     GROUP BY 1
     """,
 )
@@ -185,8 +218,14 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     The scale pattern: assign every vector an 8-bit signature, search only
     within (or near) the query's bucket — turns 100 TB brute force into a
     256-way partition-pruned scan. Random-hyperplane variants are in
-    functions.vectors + tests."""
-    emb = load_table(spark, sf, "embeddings")
+    functions.vectors + tests.
+
+    r13 (landed in this query's due slot; giant lens): only USABLE
+    vectors are bucketed — the full contract (dimension + finite, see
+    DUCK_VEC_USABLE) on BOTH engines. A truncated vector used to crash
+    the whole pass via ANSI element_at. Fixture-invisible (every
+    fixture embedding is 64-dim, finite, dense)."""
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable())
     return emb.groupBy(
         _sign_bits_str("embedding", 8).alias("bucket")
     ).agg(
@@ -205,10 +244,12 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
                 + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
                 + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
         FROM embeddings
+        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
+               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
     ),
     q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
-        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM b)
     ),
     probes AS (
         SELECT q_id, q_emb,
@@ -250,8 +291,14 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     table scan of the cached index, and a corpus change rebuilds it via
     the ordinary invalidation path. Falls back to the inline plan where
     cache storage is unavailable.
+
+    r13 (landed in this query's due slot; giant lens): only USABLE
+    vectors (dimension + finite, DUCK_VEC_USABLE) enter the staged
+    index or the probes, on BOTH engines — see similarity_ivf_search.
+    Fixture-invisible; the staged index rebuilds once (its input plan
+    changed).
     """
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable())
     bucketed = _stage_cache(
         emb.select(
             "vec_id",
@@ -294,10 +341,12 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
                       CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
+        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
+               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
     ),
     q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
-        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+        FROM b WHERE vec_id = (SELECT MIN(vec_id) FROM b)
     )
     SELECT b.vec_id, b.label, b.bucket,
            ROUND(
@@ -322,8 +371,13 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     the result itself is fully deterministic, so it carries an exact DuckDB
     oracle. Query selection is an in-plan broadcast join (no driver
     ``collect()``).
+
+    r13 (landed in this query's due slot; giant lens): only USABLE
+    vectors (dimension + finite, DUCK_VEC_USABLE) enter the index or
+    the query selection, on BOTH engines — a truncated vector crashed
+    the signature pass via ANSI element_at. Fixture-invisible.
     """
-    emb = load_table(spark, sf, "embeddings")
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable())
     # Coarser cells than the LSH query (4 bits -> 16 cells) so each inverted
     # list holds a meaningful candidate set at fixture scale.
     bucketed = emb.select(

@@ -575,7 +575,127 @@ def build_colperm(src: str, dst: str) -> None:
         pq.write_table(rev, f"{dst}/{os.path.basename(f)}")
 
 
+def build_tz(src: str, dst: str) -> None:
+    """DST-hostile wall-clock instants (r13 lens): event timestamps and
+    order/ship dates planted exactly inside daylight-saving transition
+    windows — 2026-03-08 02:30 (nonexistent local time in US zones:
+    clocks jump 02:00->03:00), 2026-11-01 01:30 (ambiguous: occurs
+    twice), 2026-03-29 02:30 (EU spring-forward), plus the transition
+    midnights as dates. The fixtures store NAIVE timestamps and both
+    engines run session-pinned UTC, so every one of these instants is a
+    perfectly ordinary microsecond value — ANY divergence means a
+    local-time conversion (to_unix/from_unix via host zone, a
+    zone-aware bucket) crept into a query or the normalize path. The
+    session-timezone-change half of the probe (same data, non-UTC
+    session) is pinned in tests/test_r13_tz_giant_lenses.py — a lens
+    build can only poison FILES, not the session."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    hostile_ts = [
+        pd.Timestamp("2026-03-08 02:30:00"),        # US nonexistent
+        pd.Timestamp("2026-11-01 01:30:00"),        # US ambiguous
+        pd.Timestamp("2026-03-29 02:30:00.500000"), # EU nonexistent
+        pd.Timestamp("2026-10-25 02:59:59.999999"), # EU ambiguous edge
+    ]
+    hostile_dates = [
+        pd.Timestamp("2026-03-08"),
+        pd.Timestamp("2026-11-01"),
+        pd.Timestamp("2026-03-29"),
+    ]
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "events" and len(pdf) >= len(hostile_ts):
+            for i, ts in enumerate(hostile_ts):
+                pdf.loc[i, "ts"] = ts
+        elif name == "orders" and len(pdf) >= len(hostile_dates):
+            for i, d in enumerate(hostile_dates):
+                pdf.loc[i, "o_orderdate"] = d
+        elif name == "lineitem" and len(pdf) >= len(hostile_dates):
+            for i, d in enumerate(hostile_dates):
+                pdf.loc[i, "l_shipdate"] = d
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
+def build_giant(src: str, dst: str) -> None:
+    """Giant rows + corrupt vector dimensions (r13 lens — the two shapes
+    a 100 TB corpus ships daily that sf-fixtures never do):
+
+    documents — one ~90 kB document (a sentence repeated 2k times with
+    a unique tail, the concatenated-crawl-page shape; ~160x the largest
+    fixture doc) and one ~50 kB SINGLE-TOKEN document (minified JS /
+    base64 blob: no whitespace at all), stressing shingle/chunk/token
+    shapes and the empty/degenerate-token discipline at sizes the
+    fixtures never reach. Sizes are calibrated to what the DuckDB
+    oracle replay can grind through 150 times (the first cut used a
+    2 MB doc: ~400k tokens x 32 minhash permutations = ~13M md5 calls
+    PER shingle-replaying oracle — a >1 h sweep that proves nothing
+    90 kB doesn't); the true multi-MB memory probe is Spark-side only,
+    in tests/test_r13_tz_giant_lenses.py.
+
+    embeddings — three FINITE but wrong-dimension vectors: one LONGER
+    than the corpus dim (66), one truncated (6), one empty ([]). The
+    nonfinite lens cannot see these: every component is a perfectly
+    healthy float. They stress (a) Spark's ANSI ``element_at`` OOB
+    crash vs DuckDB's NULL on ``embedding[7]``, and (b) ``zip_with``
+    NULL-padding on length mismatch (Spark's fold NULL-propagates,
+    DuckDB's list_sum skips) — one corrupt vector either kills a whole
+    corpus pass or conjures pairs on exactly one engine.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        if name == "documents":
+            pdf = t.to_pandas()
+            giant = ("the quick brown fox jumps over the lazy dog " * 2000
+                     + "UNIQUE_GIANT_TAIL_980001")
+            blob = "x" * 50_000  # one token, zero whitespace
+            extra = pd.DataFrame(
+                [
+                    {"doc_id": 980001, "text": giant, "lang": "en",
+                     "source": "giant", "n_chars": len(giant)},
+                    {"doc_id": 980002, "text": blob, "lang": "en",
+                     "source": "giant", "n_chars": len(blob)},
+                ]
+            )
+            t = pa.concat_tables(
+                [t, pa.Table.from_pandas(extra, schema=t.schema,
+                                         preserve_index=False)]
+            )
+        elif name == "embeddings":
+            emb_type = t.schema.field("embedding").type
+            lab_type = t.schema.field("label").type
+            extra = pa.table(
+                {
+                    "vec_id": pa.array([980001, 980002, 980003],
+                                       type=pa.int64()),
+                    "embedding": pa.array(
+                        [[0.25 * ((i % 7) - 3) for i in range(66)],
+                         [0.5, -0.25, 0.75, -0.5, 0.25, -0.75],
+                         []],
+                        type=emb_type,
+                    ),
+                    "label": pa.array([0, 0, 0], type=lab_type),
+                },
+                schema=t.schema,
+            )
+            t = pa.concat_tables([t, extra])
+        pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 LENSES = {
+    "tz": build_tz,
+    "giant": build_giant,
     "unicode": build_unicode,
     "evolve": build_evolve,
     "colperm": build_colperm,

@@ -279,3 +279,37 @@ def test_ws_lens_plants_degenerate_whitespace(tmp_path):
     assert docs.loc[3, "text"] == "tab\tseparated\ttokens"
     head = docs.iloc[:6]
     assert (head["n_chars"] == head["text"].str.len()).all()
+
+
+def test_tz_lens_plants_dst_window_instants(tmp_path):
+    from hostile_probe import build_tz
+
+    dst = str(tmp_path / "tz")
+    os.makedirs(dst, exist_ok=True)
+    build_tz(SF_SMOKE, dst)
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    ts = set(ev["ts"].head(4))
+    assert pd.Timestamp("2026-03-08 02:30:00") in ts  # US nonexistent
+    assert pd.Timestamp("2026-11-01 01:30:00") in ts  # US ambiguous
+    orders = pd.read_parquet(f"{dst}/orders.parquet")
+    assert pd.Timestamp("2026-03-08") in set(orders["o_orderdate"].head(3))
+
+
+def test_giant_lens_plants_giant_and_wrong_dim(tmp_path):
+    from hostile_probe import build_giant
+
+    dst = str(tmp_path / "giant")
+    os.makedirs(dst, exist_ok=True)
+    build_giant(SF_SMOKE, dst)
+    docs = pd.read_parquet(f"{dst}/documents.parquet").set_index("doc_id")
+    assert len(docs.loc[980001, "text"]) > 80_000
+    assert " " not in docs.loc[980002, "text"]  # single token
+    emb = pd.read_parquet(f"{dst}/embeddings.parquet").set_index("vec_id")
+    dims = {i: len(emb.loc[i, "embedding"]) for i in (980001, 980002, 980003)}
+    assert dims == {980001: 66, 980002: 6, 980003: 0}
+    # every hostile component is FINITE — the shape nonfinite cannot see
+    assert all(
+        x == x and abs(x) != float("inf")
+        for i in (980001, 980002)
+        for x in emb.loc[i, "embedding"]
+    )

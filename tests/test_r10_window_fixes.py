@@ -214,10 +214,14 @@ def test_dedup_fingerprint_lower_parity(spark, tmp_path):
 
 def test_sign_bits_helpers_match_inline_variants(spark):
     """The consolidated functions.sign_bits_str / sign_bits_int must
-    reproduce the four retired hand-kept comprehensions bit-for-bit —
-    including on hostile vectors (NULL embedding, short embedding, exact
-    0.0 / -0.0 components: element_at past the end is NULL, so both
-    formulations emit '0' / clear-bit identically)."""
+    reproduce the documented NULL-past-the-end comprehension bit-for-bit
+    — including on hostile vectors (NULL embedding, SHORT embedding,
+    exact 0.0 / -0.0 components). The inline reference uses
+    try_element_at: the r13 giant lens showed plain element_at RAISES
+    past the array end under ANSI (Spark 4 default) — the retired
+    hand-kept comprehensions and the r10 version of this very pin
+    carried that latent crash, so the helper now uses 0-based F.get and
+    this test ALSO asserts the short vector no longer kills the pass."""
     from tests.conftest import SF_SMOKE
 
     from dbfs_spark_cache_spark.functions import sign_bits_int, sign_bits_str
@@ -236,7 +240,8 @@ def test_sign_bits_helpers_match_inline_variants(spark):
     for n in (4, 8):
         inline_str = F.concat(
             *[
-                F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+                F.when(F.try_element_at("embedding", F.lit(i + 1)) >= 0, "1")
+                .otherwise("0")
                 for i in range(n)
             ]
         )
@@ -251,9 +256,9 @@ def test_sign_bits_helpers_match_inline_variants(spark):
         assert mismatch == 0, f"string variant n={n}"
 
     inline_int = sum(
-        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        F.when(
+            F.try_element_at("embedding", F.lit(i + 1)) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         for i in range(4)
     ).cast("int")
     mismatch = (
@@ -265,6 +270,14 @@ def test_sign_bits_helpers_match_inline_variants(spark):
         .count()
     )
     assert mismatch == 0, "integer variant n=4"
+    # the short (3-component) hostile vector flows through an 8-bit
+    # signature WITHOUT the ANSI element_at crash — missing dims read '0'
+    short_sig = (
+        allv.where(F.size("embedding") == 3)
+        .select(sign_bits_str("embedding", 8).alias("sig"))
+        .collect()
+    )
+    assert [r.sig for r in short_sig] == ["11100000"]
 
 
 def _dup_fixture(tmp_path, tables):

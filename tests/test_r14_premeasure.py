@@ -271,3 +271,118 @@ def test_decode_features_r14_fix_payload_keyed_stats(spark, tmp_path):
     a = con_f.execute(ORACLES["multimodal_decode_features"]).fetchdf()
     b = con_f.execute(fixed).fetchdf()
     assert not _selfcheck_compare("mm_fixture_identity", a, b)
+
+
+# ---------------------------------------------------------------------------
+# r13 'giant' lens findings on r11-vintage targets (natural re-attest
+# r14) — the corrupt-DIMENSION shapes the nonfinite lens cannot see
+# (every component is a healthy float). The four r10-vintage siblings
+# (similarity trio + topk_cosine; dedup_embedding_cosine) landed the
+# DUCK_VEC_USABLE dimension gate in their own r13 due slots; these two
+# queue for r14:
+#
+# - embedding_kmeans_assign: a truncated (6-dim) vector passes the
+#   finite+quant-bound gate and CRASHES Spark's centroid sums (ANSI
+#   element_at over _KM_DIM positions) while DuckDB's q[d] returns NULL
+#   past the end. Fix when due: `len(embedding) = 64 AND` in the
+#   oracle's q-CTE WHERE + `_vec_usable()` on the Spark head.
+# - embedding_norms: the EMPTY vector [] passes vec_finite on both
+#   engines (no bad component to find), then Spark's fold-over-nothing
+#   yields norm 0.0 while DuckDB's list_sum([]) is NULL. The query is a
+#   DIAGNOSTIC (it reports dim per vector), so wrong-dim rows stay
+#   VISIBLE; the fix is the SQL aggregate-over-no-values convention on
+#   the Spark side: `when(size(embedding) > 0, round(sqrt(...), 6))`.
+# ---------------------------------------------------------------------------
+
+
+def _giant_sf(tmp_path):
+    from hostile_probe import build_giant
+
+    sf = str(tmp_path / "giant")
+    os.makedirs(sf, exist_ok=True)
+    build_giant(SF_SMOKE, sf)
+    con = duckdb.connect()
+    for f in sorted(glob.glob(f"{sf}/*.parquet")):
+        tbl = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{f}'")
+    return sf, con
+
+
+def test_kmeans_assign_r14_fix_dim_gate(spark, tmp_path):
+    """(a) today a truncated vector crashes Spark's centroid sums while
+    the oracle runs; (b) the proposed dim gate on both engines restores
+    exact parity; (c) every fixture embedding is 64-dim."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    sf, con = _giant_sf(tmp_path)
+
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        QUERIES["embedding_kmeans_assign"](spark, sf).toPandas()
+    want = con.execute(ORACLES["embedding_kmeans_assign"]).fetchdf()
+    assert len(want) > 0  # the oracle side serves rows today
+
+    # (b) head filter commutes with pre-filtering the file, so the
+    # REGISTERED query over a dim-filtered copy IS the proposed variant
+    out = tmp_path / "dimmed"
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    keep = pc.equal(pc.list_value_length(t.column("embedding")), 64)
+    pq.write_table(t.filter(pc.fill_null(keep, False)),
+                   f"{out}/embeddings.parquet")
+    fixed = QUERIES["embedding_kmeans_assign"](spark, str(out)).toPandas()
+    fixed_oracle = ORACLES["embedding_kmeans_assign"].replace(
+        "FROM embeddings WHERE", "FROM embeddings WHERE len(embedding) = 64 AND"
+    )
+    assert fixed_oracle != ORACLES["embedding_kmeans_assign"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("kmeans_r14", fixed, fixed_want)
+    assert not problems, problems
+
+    # (c) fixture-invisible
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where(F.size("embedding") != 64)
+        .count()
+        == 0
+    )
+
+
+def test_embedding_norms_r14_fix_empty_vector_null(spark, tmp_path):
+    """(a) today the empty vector diverges (Spark 0.0 vs DuckDB NULL);
+    (b) the proposed when(size > 0) Spark-side fix reaches exact parity
+    with the UNCHANGED oracle, keeping the wrong-dim diagnostic rows
+    visible on both engines."""
+    from dbfs_spark_cache_spark.functions import vec_finite, vec_sq_norm
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+    from dbfs_spark_cache_spark.sources import load_table
+
+    sf, con = _giant_sf(tmp_path)
+
+    got = QUERIES["embedding_norms"](spark, sf).toPandas()
+    want = con.execute(ORACLES["embedding_norms"]).fetchdf()
+    assert _selfcheck_compare("norms_current", got, want), (
+        "expected the empty-vector divergence; if this matches, the fix "
+        "landed — retire this half"
+    )
+    g = got.set_index("vec_id")
+    assert g.loc[980003, "l2_norm"] == 0.0  # today's wrong Spark answer
+
+    # (b) the proposed variant, inline
+    emb = load_table(spark, sf, "embeddings").where(vec_finite("embedding"))
+    fixed = emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.when(
+            F.size("embedding") > 0,
+            F.round(F.sqrt(vec_sq_norm("embedding")), 6),
+        ).alias("l2_norm"),
+    ).toPandas()
+    problems = _selfcheck_compare("norms_r14", fixed, want)
+    assert not problems, problems
+    # the wrong-dim rows stay VISIBLE (diagnostics contract)
+    assert {980001, 980002, 980003} <= set(fixed["vec_id"])
