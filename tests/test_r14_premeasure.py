@@ -386,3 +386,81 @@ def test_embedding_norms_r14_fix_empty_vector_null(spark, tmp_path):
     assert not problems, problems
     # the wrong-dim rows stay VISIBLE (diagnostics contract)
     assert {980001, 980002, 980003} <= set(fixed["vec_id"])
+
+
+def test_topk_batch_r14_fix_dim_gate(spark, tmp_path):
+    """similarity_topk_batch's giant-lens green is COINCIDENTAL — the
+    hostile wrong-dim vectors score NULL cosine on Spark (fold
+    propagates the zip_with pads) vs a FINITE cosine on DuckDB
+    (list_sum skips), and only random-vector luck kept them out of the
+    top-10. (a) One near-duplicate-of-a-query vector with two extra
+    trailing dims flips the coin: DuckDB ranks it ~first, Spark drops
+    it — rows diverge today; (b) the proposed fix (the full
+    usable-embedding contract — dimension + finite, DUCK_VEC_USABLE —
+    replacing the finite-only gate on BOTH engines) restores exact
+    parity; (c) every fixture embedding is 64-dim."""
+    import pandas as pd
+    import pytest
+
+    from dbfs_spark_cache_spark.operators import ORACLES, QUERIES
+
+    sf, con = _giant_sf(tmp_path)
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    qvec = list(emb.set_index("vec_id").loc[0, "embedding"])
+    near_dup = pd.DataFrame(
+        [{"vec_id": 980004,
+          "embedding": [float(x) for x in qvec] + [0.1, 0.1],
+          "label": 0}]
+    )
+    poisoned = pd.concat([emb, near_dup], ignore_index=True)
+    poisoned["embedding"] = poisoned["embedding"].map(
+        lambda v: [float(x) for x in v]
+    )
+    poisoned.to_parquet(f"{sf}/embeddings.parquet")
+    con.execute("DROP VIEW embeddings")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+
+    # (a) today the engines DIVERGE: DuckDB ranks the 66-dim near-dup in
+    # query 0's top-10, Spark's NULL cosine drops it
+    got = QUERIES["similarity_topk_batch"](spark, sf).toPandas()
+    want = con.execute(ORACLES["similarity_topk_batch"]).fetchdf()
+    assert 980004 in set(want["vec_id"]), (
+        "the near-dup must enter DuckDB's top-10 for the coin to flip"
+    )
+    assert 980004 not in set(got["vec_id"])
+    assert _selfcheck_compare("topk_batch_current", got, want), (
+        "expected the wrong-dim divergence; if this matches, the fix "
+        "landed — retire this half"
+    )
+
+    # (b) head filter commutes with pre-filtering the file: the
+    # REGISTERED query over a dim-filtered copy vs the USABLE-gated oracle
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "dimmed_tb"
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    keep = pc.equal(pc.list_value_length(t.column("embedding")), 64)
+    pq.write_table(t.filter(pc.fill_null(keep, False)),
+                   f"{out}/embeddings.parquet")
+    fixed = QUERIES["similarity_topk_batch"](spark, str(out)).toPandas()
+    fixed_oracle = ORACLES["similarity_topk_batch"].replace(
+        "WHERE (embedding IS NOT NULL",
+        "WHERE len(embedding) = 64 AND (embedding IS NOT NULL",
+    )
+    assert fixed_oracle != ORACLES["similarity_topk_batch"]
+    fixed_want = con.execute(fixed_oracle).fetchdf()
+    problems = _selfcheck_compare("topk_batch_r14", fixed, fixed_want)
+    assert not problems, problems
+
+    # (c) fixture-invisible
+    assert (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where(F.size("embedding") != 64)
+        .count()
+        == 0
+    )
