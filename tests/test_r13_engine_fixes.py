@@ -254,3 +254,92 @@ def test_quarantine_reader_serves_evolved_schema(spark, tmp_path):
     assert set(q.columns) == {"id", "a", "b"}
     assert q.count() == 4  # odd ids from both batches
     assert q.where(F.col("b").isNull()).count() == 2
+
+
+def test_vec_usable_contract_matches_duckdb_on_all_shapes(spark, tmp_path):
+    """Cross-engine pin for the full usable-embedding contract: Spark's
+    _vec_usable and similarity.DUCK_VEC_USABLE agree row-by-row on every
+    hostile vector shape (NULL vector, empty, short, long, exact-dim
+    with NULL / NaN / +-Inf / -0.0 components, all-zeros), and the
+    F.get-hardened sign_bits_str neither raises nor disagrees with the
+    documented Python definition on any of them."""
+    import duckdb
+    import math
+
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.functions import sign_bits_str
+    from dbfs_spark_cache_spark.operators.similarity import (
+        DUCK_VEC_USABLE,
+        EXPECTED_DIM,
+        _vec_usable,
+    )
+
+    base = [0.5 * ((i % 7) - 3) for i in range(EXPECTED_DIM)]
+    shapes = {
+        1: None,
+        2: [],
+        3: base[:6],
+        4: base + [0.1, 0.2],
+        5: base,
+        6: [float("nan")] + base[1:],
+        7: [float("inf")] + base[1:],
+        8: [-float("inf")] + base[1:],
+        9: [None] + base[1:],
+        10: [-0.0] * EXPECTED_DIM,
+        11: [0.0] * EXPECTED_DIM,
+        12: base[:-1] + [None],
+    }
+    pdf = pd.DataFrame(
+        {"vec_id": list(shapes), "embedding": list(shapes.values())}
+    )
+    pdf.to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    df = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        r.vec_id: bool(r.u)
+        for r in df.select(
+            "vec_id", F.coalesce(_vec_usable(), F.lit(False)).alias("u")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        int(vid): bool(u)
+        for vid, u in con.execute(
+            f"SELECT vec_id, COALESCE({DUCK_VEC_USABLE}, FALSE) "
+            f"FROM '{tmp_path}/embeddings.parquet'"
+        ).fetchall()
+    }
+    assert got == want, f"contract drift: {got} vs {want}"
+    assert [v for k, v in sorted(got.items())] == [
+        False, False, False, False, True,
+        False, False, False, False, True, True, False,
+    ]
+
+    # sign_bits_str is TOTAL: 8-bit signatures for every shape, no ANSI
+    # crash, and '0' for NULL/missing/negative dims per the docstring
+    sigs = {
+        r.vec_id: r.sig
+        for r in df.select(
+            "vec_id", sign_bits_str("embedding", 8).alias("sig")
+        ).collect()
+    }
+
+    def ref(vec):
+        if vec is None:
+            return None  # concat over all-NULL whens is still a string...
+        bits = []
+        for i in range(8):
+            x = vec[i] if i < len(vec) else None
+            ok = (
+                x is not None
+                and not (isinstance(x, float) and math.isnan(x))
+                and x >= 0
+            )
+            bits.append("1" if ok else "0")
+        return "".join(bits)
+
+    for vid, vec in shapes.items():
+        if vec is None:
+            continue  # a NULL array has no signature to check
+        assert sigs[vid] == ref(vec), (vid, sigs[vid], ref(vec))
