@@ -84,10 +84,13 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #   slack — and contains ALL SIX r13-changed names below (verified:
 #   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
 #   it). r14's cohort recomputes to the 50 r11-vintage queries — the
-#   landing slots for the two queued items (text_unigram_logprob
-#   integer-space rounding, multimodal_decode_features conflict-keyed
-#   oracle — premeasures in tests/test_r14_premeasure.py) and the two
-#   r12 ADVICE riders still in _CHANGED_HELPER. Steady state: every
+#   landing slots for the FIVE queued items (text_unigram_logprob
+#   integer-space rounding — promote first, its tie is live on real
+#   fixtures; multimodal_decode_features conflict-keyed oracle;
+#   embedding_kmeans_assign dim gate; embedding_norms empty-vector NULL
+#   norm; similarity_topk_batch dim gate — premeasures in
+#   tests/test_r14_premeasure.py, every target a cohort member) and the
+#   two r12 ADVICE riders still in _CHANGED_HELPER. Steady state: every
 #   round's due cohort is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
     # r13: the full pre-measured due-slot batch — all six fixes (four
