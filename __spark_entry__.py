@@ -79,64 +79,50 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r12's window the ledger is 50@r12 + 50@r11 + 50@r10; r13's
-#   due cohort recomputes to exactly the 50 r10-vintage queries — 0
-#   slack — and contains ALL SIX r13-changed names below (verified:
-#   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py pins
-#   it). r14's cohort recomputes to the 50 r11-vintage queries — the
-#   landing slots for the FIVE queued items (text_unigram_logprob
-#   integer-space rounding — promote first, its tie is live on real
-#   fixtures; multimodal_decode_features conflict-keyed oracle;
-#   embedding_kmeans_assign dim gate; embedding_norms empty-vector NULL
-#   norm; similarity_topk_batch dim gate — premeasures in
-#   tests/test_r14_premeasure.py, every target a cohort member) and the
-#   two r12 ADVICE riders still in _CHANGED_HELPER. Steady state: every
-#   round's due cohort is exactly 50, forever, under policy (1).
+#   after r13's window the ledger is 50@r13 + 50@r12 + 50@r11; r14's
+#   due cohort recomputes to exactly the 50 r11-vintage queries — 0
+#   slack — and contains ALL FIVE r14-changed names below plus both
+#   r12 ADVICE riders in _CHANGED_HELPER (verified: set(_CHANGED) <=
+#   the recomputed cohort; tests/test_rotation.py pins the ordering
+#   invariants). r15's cohort recomputes to the 50 r12-vintage
+#   queries. The five r13-vintage _CHANGED_HELPER entries (the ADVICE
+#   r13 #2 oracle-text interpolation — result-identical) displace
+#   nothing and re-attest at their natural r16 turn. Steady state:
+#   every round's due cohort is exactly 50, forever, under policy (1).
 _CHANGED: list[str] = [
-    # r13: the full pre-measured due-slot batch — all six fixes (four
-    # queued at r11's nonfinite lens, one at r10's nulls lens, one from
-    # ADVICE r10 #2) with their exact diffs encoded in the
-    # since-promoted tests/test_r13_premeasure.py — landed in their own
-    # due slots (rule 2b: all six names below are r10-vintage, due this
-    # round — slot-neutral). Hostile parity pinned in
-    # tests/test_r13_window_fixes.py; all re-attested exact at sf0.01
-    # AND sf0.1 via scripts/selfcheck.py post-change.
-    # r11 nonfinite lens (true NaN/Inf storage): finite_or_null("value")
-    # on BOTH engines — a single NaN reading crashed the oracles'
-    # DECIMAL bucket sums while the Spark sides ran:
-    "window_tumbling",
-    "window_sliding",
-    # r11 nonfinite lens: finite_or_null("c_acctbal") on BOTH engines —
-    # a NaN balance crashed the oracle's DECIMAL sum and silently
-    # emptied this side's rich set (NaN in-plan average):
-    "q22_global_sales_opportunity",
-    # r11 nonfinite lens: functions.vec_finite gate on BOTH engines — a
-    # NULL-component vector scored finite on DuckDB (list_sum skips
-    # NULLs) but NULL on Spark (fold propagates):
-    "dedup_embedding_cosine",
-    # r10 'nulls' lens: WHERE text IS NOT NULL at the corpus head of
-    # BOTH engines (the r11 NULL-text contract; Spark paired identical
-    # all-NULL signatures while the '||'-hardened oracle emitted
-    # singletons). Subsumes its r11 '||' helper-rider note (promoted
-    # out of _CHANGED_HELPER in the same edit, per the hygiene rule):
-    "dedup_cluster_keepers",
-    # ADVICE r10 #2: the integer gate bounded to ^-?[0-9]{1,18}$ on
-    # both engines — a 19+-digit k passed the old gate and the BIGINT
-    # cast crashed BOTH engines:
-    "fn_json",
-    # r13 giant lens, found AND fixed in-round in their own due slots
-    # (rule 2b — all four are r10-vintage cohort members): the
-    # usable-embedding contract extended to DIMENSION
-    # (similarity.DUCK_VEC_USABLE) on BOTH engines. A truncated-but-
-    # finite vector crashed every sign-bit consumer (ANSI element_at
-    # OOB — the helper is also F.get-hardened now), an over-long one
-    # made zip_with pad NULLs that Spark's fold propagates and DuckDB
-    # skips. dedup_embedding_cosine (above) took the same dim extension
-    # in its slot:
-    "similarity_lsh_buckets",
-    "similarity_multiprobe",
-    "similarity_ivf_search",
-    "similarity_topk_cosine",
+    # r14: the full pre-measured due-slot batch — all five queued fixes
+    # (two from the r12 unicode/conflict lenses, three from the r13
+    # giant lens) with their exact diffs encoded in the since-promoted
+    # r14 premeasure suite — landed in their own due slots (rule 2b:
+    # all five names below are r11-vintage, due this round —
+    # slot-neutral). Hostile parity pinned in
+    # tests/test_r14_window_fixes.py; all re-attested exact at sf0.001
+    # AND sf0.01 via scripts/selfcheck.py post-change.
+    # r12 unicode lens (mechanism: exact-rational-half rounding — live
+    # on 5-7 real fixture docs, promoted FIRST): the per-doc mean now
+    # rounds in pure INTEGER space on BOTH engines (bit-specified DIV;
+    # tie class eliminated). Fixture-VISIBLE — impl and oracle moved
+    # together in this slot:
+    "text_unigram_logprob",
+    # r12 conflict lens (conflicting duplicate keys): the oracle's byte
+    # stats now group AND join back by (doc_id, hx) — the payload
+    # identity — instead of doc_id alone (oracle-only; the Spark decode
+    # was already a per-row map pass):
+    "multimodal_decode_features",
+    # r13 giant lens: the FULL usable-embedding contract (dimension +
+    # finite, similarity.DUCK_VEC_USABLE) on BOTH engines — a truncated
+    # vector CRASHED Spark's centroid sums (ANSI element_at OOB over
+    # _KM_DIM positions) while DuckDB's q[d] returned NULL:
+    "embedding_kmeans_assign",
+    # r13 giant lens: empty-vector NULL norm on the Spark side (the SQL
+    # aggregate-over-no-values convention; fold-over-nothing was 0.0 vs
+    # DuckDB's NULL). Diagnostic query — wrong-dim rows stay VISIBLE:
+    "embedding_norms",
+    # r13 giant lens: the same dim gate as kmeans — the finite-only
+    # gate's green was coincidental (Spark NULL-fold vs DuckDB
+    # NULL-skip on zip_with pads; a near-dup query vector with two
+    # extra dims flipped the coin):
+    "similarity_topk_batch",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -161,17 +147,17 @@ _CHANGED: list[str] = [
 # must be dropped — a stale entry's half-step penalty corrupts the
 # ordering invariant one round later. Both rules are pinned by
 # tests/test_rotation.py (disjointness + simulated next-round ledger).
-# Dropped this round under those rules: split_contamination_check,
+# Dropped at r13 under those rules: split_contamination_check,
 # text_chunk_sliding, text_rolling_hash_shingles, train_val_test_split
 # (the four remaining r11 '||' riders — all r12-attested post-change,
 # DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
-# NULL-text due slot — its '||' rider note is subsumed by the due-slot
-# attestation).
+# NULL-text due slot).
 _CHANGED_HELPER: list[str] = [
     # The two r12 ADVICE riders, both r11-vintage (penalty 10.5 —
-    # displace nothing, re-attest r14, their natural turn), both
-    # re-verified exact at sf0.01 AND sf0.1 via scripts/selfcheck.py
-    # at r12 and unchanged since:
+    # displace nothing, re-attest THIS round, their natural turn; drop
+    # both next round once the r14 green rows land, per the hygiene
+    # rule above), both re-verified exact at sf0.01 AND sf0.1 via
+    # scripts/selfcheck.py at r12 and unchanged since:
     # the CTE-injection rewrite of _verify_oracle changed this oracle's
     # TEXT result-identically (ADVICE r11 #2):
     "dedup_token_jaccard",
@@ -179,6 +165,20 @@ _CHANGED_HELPER: list[str] = [
     # (ADVICE r11 #3) — impl refactor, result-identical by
     # construction (same filter, same window SQL):
     "window_time_range_rolling",
+    # ADVICE r13 #2 riders, all r13-vintage (penalty 12.5 — displace
+    # nothing, natural re-attest r16): the five oracles that hardcoded
+    # 'len(embedding) = 64' as a string literal now f-string-interpolate
+    # similarity.DUCK_VEC_USABLE, so both engines share ONE dim constant
+    # (changing EXPECTED_DIM can no longer silently skew the
+    # usable-embedding contract cross-engine). Oracle TEXT changed
+    # result-identically (the interpolated predicate is the same
+    # predicate, reformatted); all five re-verified exact at sf0.001
+    # via scripts/selfcheck.py in-round:
+    "similarity_topk_cosine",
+    "similarity_lsh_buckets",
+    "similarity_multiprobe",
+    "similarity_ivf_search",
+    "dedup_embedding_cosine",
 ]
 
 _WINDOW_SLOTS = 50

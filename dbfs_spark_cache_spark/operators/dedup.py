@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .registry import register
+from .similarity import DUCK_VEC_USABLE
 
 
 @register(
@@ -796,7 +797,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT vec_id, embedding,
                CONCAT(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -808,8 +809,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
                       CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
-        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
-               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+        WHERE {DUCK_VEC_USABLE}
     ),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -131,22 +131,29 @@ _DECODE_ORACLE = f"""
         -- i. Landed r11 with the pmod fix above (oracle-only pair).
         SELECT DISTINCT doc_id, hx, i FROM (SELECT doc_id, hx, unnest(generate_series(0, wn - 1)) AS i FROM d)
     ), b AS (
-        SELECT doc_id,
+        -- stats keyed by (doc_id, hx) — the PAYLOAD identity (r14, this
+        -- query's due slot; r12 'conflict' lens): grouping by doc_id
+        -- alone POOLED the bytes of conflicting duplicate keys (same id,
+        -- DIFFERENT payload) into one stat group that both output rows
+        -- then read, while the Spark decode is a per-row map pass.
+        -- Identical at-least-once copies still collapse (same hx), so
+        -- the r11 duplication contract survives.
+        SELECT doc_id, hx,
                (strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
                + (strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1) AS byte
         FROM u
     ), s AS (
-        SELECT doc_id, AVG(byte) AS byte_mean, MIN(byte) AS byte_min,
+        SELECT doc_id, hx, AVG(byte) AS byte_mean, MIN(byte) AS byte_min,
                MAX(byte) AS byte_max,
                CAST(SUM(byte) % 65536 AS BIGINT) AS window_checksum
-        FROM b GROUP BY doc_id
+        FROM b GROUP BY doc_id, hx
     )
     SELECT d.doc_id, d.asset_source, d.n_bytes, d.width, d.height, d.channels,
            COALESCE(s.byte_mean, 0.0) AS byte_mean,
            COALESCE(s.byte_min, 0) AS byte_min,
            COALESCE(s.byte_max, 0) AS byte_max,
            COALESCE(s.window_checksum, 0) AS window_checksum
-    FROM d LEFT JOIN s USING (doc_id)
+    FROM d LEFT JOIN s ON d.doc_id = s.doc_id AND d.hx = s.hx
 """
 
 
@@ -189,17 +196,18 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     for both in ``tests/test_r11_window_fixes.py``; doc_id is unique
     and non-negative at every SF (fixture-identical).
 
-    QUEUED FOR R14 (this query's next due slot; r12 'conflict' lens —
-    conflicting duplicate keys, the upstream-corruption twin of
-    at-least-once duplication): the oracle's byte stats GROUP BY
-    ``doc_id`` alone, so when the same doc_id reappears with a
-    DIFFERENT payload both payloads' bytes POOL into one group and both
-    output rows read the pooled stats, while the Spark decode is a
-    per-row map pass. Fix when due (oracle-only): group AND join back
-    by ``(doc_id, hx)`` — the payload identity. Identical at-least-once
-    copies still collapse (same hx), so the r11 duplication contract
-    survives; doc_id is unique at every SF (fixture-identical).
-    Pre-measured in tests/test_r14_premeasure.py.
+    Conflict-keyed stats (r14, this query's due slot; r12 'conflict'
+    lens — conflicting duplicate keys, the upstream-corruption twin of
+    at-least-once duplication): the oracle's byte stats used to GROUP
+    BY ``doc_id`` alone, so when the same doc_id reappeared with a
+    DIFFERENT payload both payloads' bytes POOLED into one group and
+    both output rows read the pooled stats, while the Spark decode is a
+    per-row map pass. Oracle-only fix, landed: the stats group AND join
+    back by ``(doc_id, hx)`` — the payload identity. Identical
+    at-least-once copies still collapse (same hx), so the r11
+    duplication contract survives; doc_id is unique at every SF
+    (fixture-identical). Premeasured in the r14 premeasure suite,
+    promoted to the regression pin in ``tests/test_r14_window_fixes.py``.
     """
     docs = (
         load_table(spark, sf, "documents")

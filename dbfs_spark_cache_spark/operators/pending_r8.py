@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vec_dot as _dot, vec_sq_norm as _sq_norm
 from ..sources import load_table
+from .similarity import DUCK_VEC_USABLE, _vec_usable
 
 QUERIES_R8: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES_R8: Dict[str, str] = {}
@@ -59,11 +60,10 @@ def _pending(name: str, oracle: str):
 
 @_pending(
     "similarity_topk_batch",
-    oracle="""
+    oracle=f"""
     WITH emb AS (
         SELECT * FROM embeddings
-        WHERE (embedding IS NOT NULL AND len(list_filter(embedding,
-               x -> x IS NULL OR NOT isfinite(x))) = 0)
+        WHERE {DUCK_VEC_USABLE}
     ),
     qids AS (SELECT DISTINCT vec_id FROM emb ORDER BY vec_id LIMIT 5),
     q AS (
@@ -128,12 +128,24 @@ def similarity_topk_batch(spark: SparkSession, sf: str) -> DataFrame:
     vectors (NULL/NaN/Inf components — ``functions.vec_finite``) are
     now excluded from BOTH the query batch and the corpus on both
     engines; pin in ``tests/test_r11_window_fixes.py``.
+
+    Dimension gate (r14, this query's due slot; r13 'giant' lens): the
+    finite-only gate's green was COINCIDENTAL — a wrong-dimension but
+    finite vector scores NULL cosine on Spark (zip_with pads NULLs, the
+    fold propagates) vs a FINITE cosine on DuckDB (list_sum skips the
+    pads), and only random-vector luck kept such vectors out of the
+    top-10: one near-duplicate-of-a-query vector with two extra
+    trailing dims entered DuckDB's top-10 while Spark dropped it. Both
+    engines now gate on the FULL usable-embedding contract (dimension +
+    finite — ``similarity.DUCK_VEC_USABLE`` / ``_vec_usable``, the same
+    r13 contract the other five similarity consumers landed in their
+    own slots). Fixture-invisible (every fixture embedding is 64-dim);
+    premeasured in the r14 premeasure suite, promoted to the regression
+    pin in ``tests/test_r14_window_fixes.py``.
     """
     from pyspark.sql import Window as W
 
-    from ..functions import vec_finite as _vec_finite
-
-    emb = load_table(spark, sf, "embeddings").where(_vec_finite("embedding"))
+    emb = load_table(spark, sf, "embeddings").where(_vec_usable("embedding"))
     # Query selection stays IN-plan (no driver collect): lowest 5 ids.
     qids = emb.select("vec_id").distinct().orderBy("vec_id").limit(5)
     queries = emb.join(F.broadcast(qids), "vec_id").select(
@@ -285,12 +297,17 @@ def events_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
                     AS DECIMAL(18,6)) AS logp
         FROM vocab CROSS JOIN total
+    ),
+    agg AS (
+        SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.logp) AS s
+        FROM toks t JOIN logp l ON t.token = l.token
+        GROUP BY t.doc_id
     )
-    SELECT t.doc_id,
-           COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(l.logp) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
-    FROM toks t JOIN logp l ON t.token = l.token
-    GROUP BY t.doc_id
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END
+                * ((2 * CAST(abs(s) * 1000000 AS BIGINT) + n_tokens)
+                   // (2 * n_tokens)) AS DOUBLE) / 1000000.0 AS mean_logprob
+    FROM agg
     """,
 )
 def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
@@ -310,21 +327,24 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     shuffle on doc_id). Float discipline:
     each token's ln(p) rounds to 6 decimals and SUMS AS DECIMAL(18,6)
     (association-independent, so the per-doc mean is identical under any
-    partitioning and matches the oracle exactly); the mean divides in
-    DOUBLE on both engines.
+    partitioning and matches the oracle exactly).
 
-    QUEUED FOR R14 (this query's next due slot; r12 'unicode' lens —
-    mechanism is rounding, not Unicode): when SUM(logp)/n lands on an
-    EXACT RATIONAL HALF at the 6th decimal (sum_micro*2 % (2n) == n),
-    the IEEE double cannot represent the tie and the engines' ROUND
-    paths disagree (Spark: HALF_UP over the double's full decimal
-    expansion; DuckDB: multiply-by-1e6-then-round). The real fixtures
-    carry 5 (sf0.001) / 7 (sf0.01) such tie docs where the two float
-    paths currently agree by coincidence. Fix when due: round the mean
-    in pure INTEGER space on both engines — mean_micro = sign(s) *
-    ((2*|CAST(s*1e6 AS BIGINT)| + n) DIV (2n)) — bit-specified, tie
-    class eliminated. Fixture-VISIBLE (tie docs shift 1e-6; impl and
-    oracle move together). Pre-measured in tests/test_r14_premeasure.py.
+    Integer-space tie rounding (r14, this query's due slot; r12
+    'unicode' lens — mechanism is rounding, not Unicode): the old
+    ``ROUND(SUM/n, 6)`` diverged whenever the mean landed on an EXACT
+    RATIONAL HALF at the 6th decimal (sum_micro*2 % (2n) == n) — the
+    IEEE double cannot represent the tie, so Spark's HALF_UP over the
+    double's full decimal expansion and DuckDB's multiply-by-1e6-then-
+    round disagreed. The real fixtures carry 5 (sf0.001) / 7 (sf0.01)
+    such tie docs where the two float paths agreed only by coincidence.
+    The mean now rounds in pure INTEGER space on both engines:
+    sum_micro = CAST(s * 1e6 AS BIGINT) (exact — s has scale 6), then
+    mean_micro = sign(s) * ((2*|sum_micro| + n) DIV (2n)) — half-away-
+    from-zero by construction, bit-specified integer division on both
+    engines, tie class ELIMINATED rather than dodged. Fixture-VISIBLE
+    (the tie docs shifted 1e-6; impl and oracle landed together in the
+    same slot). Premeasured in the r14 premeasure suite, promoted to
+    the regression pin in ``tests/test_r14_window_fixes.py``.
     """
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
@@ -341,15 +361,19 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("logp"),
     )
-    return (
+    agg = (
         toks.join(logp, "token")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("logp").cast("double") / F.count(F.lit(1)), 6
-            ).alias("mean_logprob"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("logp").alias("s"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN s < 0 THEN -1 ELSE 1 END "
+            "* ((2*CAST(abs(s)*1000000 AS BIGINT) + n_tokens) "
+            "DIV (2*n_tokens)) AS DOUBLE) / 1000000.0"
+        ).alias("mean_logprob"),
     )
 
 

@@ -80,13 +80,28 @@ def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
     a NULL component NULL-propagates Spark's fold while DuckDB's
     list_sum skips it (silent norm drift); NaN/Inf poison the fold on
     both. Regression pin in tests/test_r11_window_fixes.py;
-    fixture-identical (every fixture embedding is finite and dense)."""
+    fixture-identical (every fixture embedding is finite and dense).
+
+    Empty-vector contract (r14, this query's due slot; r13 'giant'
+    lens): the EMPTY vector [] passes vec_finite on both engines (no
+    bad component to find), but Spark's fold-over-nothing yielded norm
+    0.0 while DuckDB's list_sum([]) is NULL. This query is a DIAGNOSTIC
+    (it reports dim per vector), so wrong-dim rows stay VISIBLE rather
+    than being gated on DUCK_VEC_USABLE; the fix is the SQL
+    aggregate-over-no-values convention on the Spark side — a vector
+    with no components has no norm (NULL), matching the unchanged
+    oracle. Fixture-invisible (no fixture vector is empty); premeasured
+    in the r14 premeasure suite, promoted to the regression pin in
+    ``tests/test_r14_window_fixes.py``."""
     emb = load_table(spark, sf, "embeddings").where(_vec_finite("embedding"))
     return emb.select(
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(F.sqrt(_sq_norm("embedding")), 6).alias("l2_norm"),
+        F.when(
+            F.size("embedding") > 0,
+            F.round(F.sqrt(_sq_norm("embedding")), 6),
+        ).alias("l2_norm"),
     )
 
 
@@ -132,11 +147,10 @@ def _cosine_vs_query():
 
 @register(
     "similarity_topk_cosine",
-    oracle="""
+    oracle=f"""
     WITH u AS (
         SELECT * FROM embeddings
-        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
-           len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+        WHERE {DUCK_VEC_USABLE}
     ),
     q AS (
         SELECT embedding AS q_emb
@@ -193,7 +207,7 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "similarity_lsh_buckets",
-    oracle="""
+    oracle=f"""
     SELECT CONCAT(
                CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
@@ -207,8 +221,7 @@ def similarity_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(*) AS n_vectors,
            COUNT(DISTINCT label) AS n_labels
     FROM embeddings
-    WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
-           len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+    WHERE {DUCK_VEC_USABLE}
     GROUP BY 1
     """,
 )
@@ -236,7 +249,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "similarity_multiprobe",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT vec_id, label, embedding,
                (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
@@ -244,8 +257,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
                 + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
                 + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
         FROM embeddings
-        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
-               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+        WHERE {DUCK_VEC_USABLE}
     ),
     q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
@@ -333,7 +345,7 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "similarity_ivf_search",
-    oracle="""
+    oracle=f"""
     WITH b AS (
         SELECT vec_id, label, embedding,
                CONCAT(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -341,8 +353,7 @@ def similarity_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                       CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
                       CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
-        WHERE (len(embedding) = 64 AND (embedding IS NOT NULL AND
-               len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0))
+        WHERE {DUCK_VEC_USABLE}
     ),
     q AS (
         SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
@@ -399,7 +410,10 @@ def similarity_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _KM_K = 4          # clusters
-_KM_DIM = 64       # embedding dimensionality (fixture)
+_KM_DIM = EXPECTED_DIM  # embedding dimensionality — tied to the usable gate:
+                        # the r14 dim gate guarantees every vector reaching
+                        # the element_at(q, 1.._KM_DIM) centroid sums has
+                        # exactly this many components
 _KM_Q = 1_000_000  # quantization scale: float32 -> integer micro-units
 # Quantization domain: |x| * _KM_Q must fit a signed 64-bit integer.
 # Vectors at or beyond this bound are excluded on BOTH engines (r11 fix,
@@ -422,7 +436,7 @@ def _kmeans_oracle() -> str:
         SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(round(CAST(x AS DOUBLE) * {_KM_Q}, 0) AS BIGINT)) AS q
-        FROM embeddings WHERE {DUCK_VEC_FINITE}
+        FROM embeddings WHERE {DUCK_VEC_USABLE}
           AND list_max(list_transform(embedding, x -> abs(x))) < {_KM_QUANT_BOUND}
     ),
     c0 AS (
@@ -490,11 +504,25 @@ def embedding_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     _KM_QUANT_BOUND``); regression pins in
     ``tests/test_r11_window_fixes.py``. No fixture vector comes within
     9 orders of magnitude of the bound (fixture-identical at every SF).
+
+    Dimension gate (r14, this query's due slot; r13 'giant' lens): a
+    TRUNCATED but perfectly-finite vector passed the finite+quant-bound
+    gate and CRASHED Spark's centroid sums outright — the per-dimension
+    ``element_at(q, d)`` over all ``_KM_DIM`` positions is an ANSI
+    INVALID_ARRAY_INDEX past the short vector's end, while DuckDB's
+    ``q[d]`` returns NULL and the oracle kept serving rows. At 100 TB
+    one corrupt embedding killing a full K-Means pass is a 6-hour retry
+    loop, not a quarantine row. Both engines now gate on the FULL
+    usable-embedding contract (dimension + finite — ``DUCK_VEC_USABLE``
+    / ``_vec_usable``) in addition to the quantization bound.
+    Fixture-invisible (every fixture embedding is 64-dim); premeasured
+    in the r14 premeasure suite, promoted to the regression pin in
+    ``tests/test_r14_window_fixes.py``.
     """
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf, "embeddings").where(
-        _vec_finite("embedding")
+        _vec_usable("embedding")
         & (
             F.array_max(F.transform("embedding", lambda x: F.abs(x)))
             < F.lit(_KM_QUANT_BOUND)

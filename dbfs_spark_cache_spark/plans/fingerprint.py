@@ -114,7 +114,20 @@ def canonical_plan(df: DataFrame, mode: Optional[str] = None) -> str:
     try:
         raw = _render()
     except Exception as exc:  # pragma: no cover - defensive
-        return f"Error: {exc}"
+        # ADVICE r13 #3: a bare f"Error: {exc}" is a COLLIDABLE
+        # fingerprint — two different failing plans with identical
+        # exception text would share a cache key (the same wrong-data-hit
+        # class the truncation branch below uuid-salts). Salt the error
+        # return the same way: loud and UNMATCHABLE, so a render failure
+        # can never produce a shared key — the DataFrame recomputes each
+        # run instead of risking a hit on someone else's data.
+        import uuid
+
+        log.warning(
+            "plan render failed (%s) — fingerprint made unmatchable; this "
+            "DataFrame cannot hit or create a reusable cache entry", exc,
+        )
+        return f"Error: {exc}\n<render-failed;uncacheable;id={uuid.uuid4().hex}>"
 
     if _TRUNCATED_FIELDS.search(raw):
         # The rendering elided fields ("... N more fields"): two plans
