@@ -264,20 +264,34 @@ def read_cache_if_exist(
     key, _, metadata_path, metadata_txt = table_cache_info(
         info, plan, hash_name=hash_name, cache_path_base=cache_path
     )
-    # A CUSTOM hash_name pins the metadata path, so a hit must require
-    # the stored document to EQUAL the current one — existence alone
-    # would serve day-1 rows forever after the inputs change (the
-    # equality miss sends the call to write_cache, whose in-lock
-    # comparison rewrites the stale entry). The default content-addressed
-    # key keeps the existence check: the key IS the document hash, so a
-    # changed document lands on a different path anyway, and a corrupted
-    # sidecar under the correct key still identifies a valid
-    # materialization (pinned by the corrupt-sidecar healing test) —
-    # equality there would force a spurious recompute.
-    stored = fs.read_text(metadata_path)
-    if stored is None or (hash_name is not None and stored != metadata_txt):
-        return None
-    cached = _read_cache_table(spark, key)
+    # The probe runs UNDER the key's write lock (r14 fresh-eyes review):
+    # writers hold it across saveAsTable + sidecar write, and a custom-
+    # keyed REWRITE ("metadata changed; rewriting") overwrites the table
+    # location non-atomically — an unserialized probe could read the old
+    # sidecar, find the catalog entry mid-overwrite, and fall to the PATH
+    # read of a half-written directory: partial part-files served as a
+    # valid hit (silent wrong data, the worst class). Eviction
+    # (management.clear_cache_for_hash) takes the same lock, so a probe
+    # now sees each entry either fully live or fully gone, never
+    # mid-drop. The lock covers only sidecar read + scan CONSTRUCTION
+    # (driver metadata work, no Spark job); plan/mtime fingerprinting
+    # stays outside it. Same Spark driver only — cross-process races
+    # need a transactional CACHE_FORMAT, as the write-lock note says.
+    with _lock_for_key(key):
+        # A CUSTOM hash_name pins the metadata path, so a hit must require
+        # the stored document to EQUAL the current one — existence alone
+        # would serve day-1 rows forever after the inputs change (the
+        # equality miss sends the call to write_cache, whose in-lock
+        # comparison rewrites the stale entry). The default content-addressed
+        # key keeps the existence check: the key IS the document hash, so a
+        # changed document lands on a different path anyway, and a corrupted
+        # sidecar under the correct key still identifies a valid
+        # materialization (pinned by the corrupt-sidecar healing test) —
+        # equality there would force a spurious recompute.
+        stored = fs.read_text(metadata_path)
+        if stored is None or (hash_name is not None and stored != metadata_txt):
+            return None
+        cached = _read_cache_table(spark, key)
     if cached is None:
         log.warning("Cache metadata exists but table %s is missing", key)
     return cached

@@ -6,11 +6,21 @@ results):
    plans with identical exception text shared a cache key, the same
    wrong-data-hit class the truncation branch uuid-salts). Now salted
    with an uncacheable uuid marker.
+2. Fresh-eyes review of core.py vs management.py (VERDICT r13 #5):
+   ``read_cache_if_exist`` probed (sidecar read -> catalog/path read)
+   WITHOUT the per-key lock that writers and eviction hold. A
+   custom-keyed REWRITE overwrites the table location non-atomically,
+   so an unserialized probe could read the old sidecar, find the
+   catalog entry mid-overwrite, and fall to the PATH read of a
+   half-written directory — partial part-files served as a valid hit
+   (silent wrong data). The probe now runs under ``_lock_for_key``.
 """
 from __future__ import annotations
 
 import os
 import sys
+import threading
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -37,3 +47,72 @@ def test_render_failure_fingerprint_is_unmatchable():
     assert a != b, "identical-text render failures must not share a key"
     for p in (a, b):
         assert "Error:" in p and "uncacheable" in p
+
+
+def _flagship(spark, path):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+def test_probe_serializes_with_writers_and_eviction(spark, clean_cache, tmp_path):
+    """The cache probe must run under the same per-key lock that
+    write_cache/create_cached_dataframe/clear_cache_for_hash hold: an
+    unserialized probe racing a custom-keyed rewrite's non-atomic
+    overwrite could path-read a half-written directory as a valid hit.
+    Pins both halves: (a) the probe's table read happens WHILE the key
+    lock is held; (b) a probe blocks until a concurrent lock holder (a
+    writer or evictor mid-flight) releases, then serves the entry."""
+    import dbfs_spark_cache_spark.core as core
+    from dbfs_spark_cache_spark import (
+        read_cache_if_exist,
+        resolve_table_hash,
+        write_cache,
+    )
+
+    src = str(tmp_path / "li.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(
+        200
+    ).write.parquet(src)
+    df = _flagship(spark, src)
+    write_cache(df)
+    key = resolve_table_hash(df)
+
+    # (a) the table read runs with the key's lock held
+    real_read = core._read_cache_table
+    seen = []
+
+    def spy(spark_, hash_name):
+        seen.append(core._lock_for_key(hash_name).locked())
+        return real_read(spark_, hash_name)
+
+    orig = core._read_cache_table
+    core._read_cache_table = spy
+    try:
+        assert read_cache_if_exist(_flagship(spark, src)) is not None
+    finally:
+        core._read_cache_table = orig
+    assert seen and all(seen), "probe read the table without the key lock"
+
+    # (b) a probe blocks while a writer/evictor holds the key's lock
+    lock = core._lock_for_key(key)
+    lock.acquire()
+    result = {}
+
+    def probe():
+        result["hit"] = read_cache_if_exist(_flagship(spark, src))
+
+    t = threading.Thread(target=probe)
+    try:
+        t.start()
+        time.sleep(0.5)
+        assert "hit" not in result, "probe did not wait for the key lock"
+    finally:
+        lock.release()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert result["hit"] is not None
