@@ -1,0 +1,317 @@
+"""r14 'disorder' lens — event-time disorder for the streaming surface,
+the one subsystem the file-based two-engine lenses cannot reach (VERDICT
+r13 #4a). Three shapes:
+
+1. Out-of-order + watermark-boundary micro-batches against the windowed
+   aggregation. The probe established the ACTUAL Spark 4.1 drop
+   discipline empirically (it is NOT the folklore "row older than the
+   watermark is dropped"):
+   - a late row arriving while its window's state is STILL LIVE merges,
+     no matter how far behind the watermark its event time is;
+   - window state is finalized (emitted + evicted) at the end of the
+     batch whose start-of-batch watermark has passed the window end;
+   - a late row arriving AFTER its window was finalized is dropped
+     (``numRowsDroppedByWatermark``) and the window NEVER re-emits —
+     the per-window-key exactly-once guarantee downstream exactly-once
+     sinks rely on.
+   Both sides of the boundary are pinned with deterministic
+   one-file-per-trigger delivery.
+
+2. Disorder WITHOUT finalization in between is lossless: scrambled
+   micro-batch delivery equals single-batch delivery exactly, for the
+   windowed agg and for streaming dedup.
+
+3. Crash-mid-batch redelivery + schema-evolving redeploy against the
+   r13 mergeSchema readers: a partial (uncommitted) batch directory
+   written with an EVOLVED schema stays invisible; its redelivery
+   commits and the committed view serves the deterministic schema union
+   with NULL backfill in both directions; a genuine type conflict
+   across committed batches fails LOUDLY instead of serving a footer
+   lottery.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _write_batches(spark, root, batches):
+    """One parquet dir per micro-batch, mtimes spaced so the file source
+    (maxFilesPerTrigger=1, latestFirst=false) delivers them in order."""
+    now = time.time()
+    for i, (name, rows) in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "value", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(pdf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.coalesce(1).write.parquet(f"{root}/{name}")
+        for d, _, files in os.walk(f"{root}/{name}"):
+            for f in files:
+                ts = now - 600 + i * 60
+                os.utime(os.path.join(d, f), (ts, ts))
+
+
+def _one_file_per_trigger_stream(spark, root):
+    schema = spark.read.parquet(f"{root}/b=1").schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(str(root))
+    )
+
+
+def _drain(df, name, output_mode="append"):
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
+
+
+def test_late_row_merges_while_window_state_is_live(spark, tmp_path):
+    """A late row whose event time is far behind the watermark still
+    MERGES when its window has not been finalized yet — here the
+    watermark is already 19:00 when the 10:15 straggler arrives, but
+    the [10:00, 11:00) state is still live (finalization for that
+    window happens at this same batch's END), so the window emits once
+    with the straggler included. The 18:30 row lands exactly at the
+    watermark boundary (window end == watermark) and is included the
+    same way."""
+    root = str(tmp_path / "live")
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=1", [(1, 1, "view", 1.0, "2024-06-01 10:00:00"),
+                     (2, 1, "view", 1.0, "2024-06-01 10:30:00")]),
+            # advances max event time to 20:00 -> watermark 19:00
+            ("b=2", [(3, 2, "view", 1.0, "2024-06-01 20:00:00")]),
+            # disordered delivery: stragglers behind the 19:00 watermark
+            ("b=3", [(4, 3, "view", 1.0, "2024-06-01 10:15:00"),
+                     (5, 3, "view", 1.0, "2024-06-01 18:30:00"),
+                     (6, 3, "view", 1.0, "2024-06-01 19:30:00")]),
+            # sentinel pushes the watermark past every real window
+            ("b=4", [(7, 4, "sentinel", 1.0, "2024-06-01 23:00:00")]),
+        ],
+    )
+    from dbfs_spark_cache_spark.streaming import tumbling_counts
+
+    stream = _one_file_per_trigger_stream(spark, root)
+    _drain(
+        tumbling_counts(stream, window="1 hour", watermark="1 hour"),
+        "t_dis_live",
+    )
+    got = {
+        (str(r.bucket_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_dis_live").collect()
+    }
+    assert got == {
+        ("2024-06-01 10:00:00", "view"): 3,   # straggler merged
+        ("2024-06-01 18:00:00", "view"): 1,   # boundary row merged
+        ("2024-06-01 19:00:00", "view"): 1,
+        ("2024-06-01 20:00:00", "view"): 1,
+    }
+    # exactly one emission per window key (append-mode contract)
+    rows = spark.sql(
+        "SELECT bucket_start, event_type, COUNT(*) AS n FROM t_dis_live "
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1"
+    ).collect()
+    assert rows == []
+
+
+def test_late_row_after_finalization_drops_and_never_reemits(spark, tmp_path):
+    """A late row arriving AFTER its window was finalized is DROPPED
+    (visible in numRowsDroppedByWatermark) and the already-emitted
+    window key never re-emits — the downstream exactly-once property.
+    The spacer batch lets the [10:00, 11:00) window finalize (the batch
+    runs with watermark 19:00) before the straggler arrives."""
+    root = str(tmp_path / "evicted")
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=1", [(1, 1, "view", 1.0, "2024-06-01 10:00:00"),
+                     (2, 1, "view", 1.0, "2024-06-01 10:30:00")]),
+            ("b=2", [(3, 2, "view", 1.0, "2024-06-01 20:00:00")]),
+            # spacer: this batch runs with watermark 19:00 and finalizes
+            # [10:00, 11:00) at its end
+            ("b=3", [(4, 2, "view", 1.0, "2024-06-01 20:30:00")]),
+            # straggler for the ALREADY-FINALIZED window
+            ("b=4", [(5, 3, "view", 1.0, "2024-06-01 10:20:00")]),
+            ("b=5", [(7, 4, "sentinel", 1.0, "2024-06-01 23:00:00")]),
+        ],
+    )
+    from dbfs_spark_cache_spark.streaming import tumbling_counts
+
+    stream = _one_file_per_trigger_stream(spark, root)
+    q = (
+        tumbling_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dis_evicted")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in (p["stateOperators"] or [])
+        )
+    finally:
+        q.stop()
+    got = {
+        (str(r.bucket_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_dis_evicted").collect()
+    }
+    assert got == {
+        ("2024-06-01 10:00:00", "view"): 2,   # straggler EXCLUDED
+        ("2024-06-01 20:00:00", "view"): 2,
+    }
+    assert dropped == 1  # the straggler was dropped loudly, not lost silently
+    rows = spark.sql(
+        "SELECT bucket_start, event_type, COUNT(*) AS n FROM t_dis_evicted "
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1"
+    ).collect()
+    assert rows == []  # the finalized window never re-emitted
+
+
+def test_disorder_without_finalization_is_lossless(spark, tmp_path):
+    """Scrambled micro-batch delivery (event times interleaved across
+    batches, never past any window's finalization) must equal the
+    single-batch delivery exactly — for the windowed agg AND for
+    streaming dedup, which must also collapse an out-of-order duplicate
+    delivered two batches after its original."""
+    rows = [
+        (1, 1, "view", 1.0, "2024-06-01 12:10:00"),
+        (2, 1, "view", 1.0, "2024-06-01 10:05:00"),
+        (3, 2, "click", 1.0, "2024-06-01 11:40:00"),
+        (4, 2, "view", 1.0, "2024-06-01 10:55:00"),
+        (5, 3, "click", 1.0, "2024-06-01 12:20:00"),
+        (6, 3, "view", 1.0, "2024-06-01 11:05:00"),
+    ]
+    dup_of_2 = (2, 1, "view", 1.0, "2024-06-01 10:05:00")
+    root = str(tmp_path / "scrambled")
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=1", [rows[0], rows[1]]),
+            ("b=2", [rows[2], rows[3]]),
+            ("b=3", [rows[4], dup_of_2, rows[5]]),
+        ],
+    )
+    from dbfs_spark_cache_spark.streaming import (
+        dedup_events_stream,
+        tumbling_counts,
+    )
+
+    stream = _one_file_per_trigger_stream(spark, root)
+    _drain(
+        tumbling_counts(stream, window="1 hour", watermark="1 day"),
+        "t_dis_scrambled",
+        output_mode="complete",  # nothing finalizes under a 1-day watermark
+    )
+    got = {
+        (str(r.bucket_start), r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_dis_scrambled").collect()
+    }
+    # single-batch ground truth (duplicate counted once by dedup below,
+    # but tumbling_counts sees raw rows: the dup adds one to its bucket)
+    assert got == {
+        ("2024-06-01 10:00:00", "view"): 3,     # ids 2, 4, dup-of-2
+        ("2024-06-01 11:00:00", "click"): 1,
+        ("2024-06-01 11:00:00", "view"): 1,
+        ("2024-06-01 12:00:00", "view"): 1,
+        ("2024-06-01 12:00:00", "click"): 1,
+    }
+
+    deduped = _drain(
+        dedup_events_stream(_one_file_per_trigger_stream(spark, root)),
+        "t_dis_dedup",
+    )
+    ids = [r.event_id for r in spark.sql("SELECT * FROM t_dis_dedup").collect()]
+    assert sorted(ids) == [1, 2, 3, 4, 5, 6]  # out-of-order dup collapsed
+    assert deduped is not None
+
+
+def test_redeploy_schema_evolution_with_crash_mid_batch(spark, tmp_path):
+    """Crash-mid-batch redelivery + schema-evolving redeploy against the
+    r13 mergeSchema committed readers: (a) a partial batch dir written
+    with an EVOLVED schema (no commit marker) is invisible and does not
+    perturb the committed schema; (b) its redelivery commits and the
+    reader serves the deterministic union — NULL backfill for old rows;
+    (c) a redeploy that DROPS a column keeps the column in the union
+    with NULLs for the new batch (historic data is not truncated);
+    (d) a genuine type conflict across committed batches fails loudly."""
+    from dbfs_spark_cache_spark.streaming import (
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    base = str(tmp_path / "redeploy")
+    sink = exactly_once_append_sink(base)
+
+    schema_a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "event_id long, value double"
+    )
+    sink(schema_a, 0)
+    assert read_exactly_once_output(spark, base).columns == ["event_id", "value"]
+
+    # (a) crash mid-batch: the redeployed job wrote data with an EVOLVED
+    # schema, crashed before the marker — invisible, schema unperturbed
+    evolved = spark.createDataFrame(
+        [(3, 30.0, "eu"), (4, 40.0, "us")],
+        "event_id long, value double, region string",
+    )
+    evolved.write.mode("overwrite").parquet(f"{base}/batch_id=1")
+    view = read_exactly_once_output(spark, base)
+    assert view.columns == ["event_id", "value"]
+    assert view.count() == 2
+
+    # (b) redelivery commits the evolved batch: union + NULL backfill
+    sink(evolved, 1)
+    view = read_exactly_once_output(spark, base)
+    assert set(view.columns) == {"event_id", "value", "region"}
+    assert view.count() == 4
+    backfilled = {r.event_id: r.region for r in view.collect()}
+    assert backfilled[1] is None and backfilled[3] == "eu"
+
+    # (c) a later redeploy DROPS value: historic batches keep it
+    dropped_col = spark.createDataFrame(
+        [(5, "ap")], "event_id long, region string"
+    )
+    sink(dropped_col, 2)
+    view = read_exactly_once_output(spark, base)
+    assert set(view.columns) == {"event_id", "value", "region"}
+    vals = {r.event_id: r.value for r in view.collect()}
+    assert vals[5] is None and vals[1] == 10.0
+    assert view.count() == 5
+
+    # (d) a type conflict across committed batches is LOUD, not a lottery
+    conflict = spark.createDataFrame(
+        [(6, "not-a-number", "eu")],
+        "event_id long, value string, region string",
+    )
+    sink(conflict, 3)
+    with pytest.raises(Exception, match="(?i)merge|incompatible|schema"):
+        read_exactly_once_output(spark, base).collect()
