@@ -885,20 +885,39 @@ def stateful_session_flush(
     timeout — the pattern for stateful logic that must FLUSH on silence,
     which no built-in aggregation expresses (``F.session_window`` emits
     aggregates; this emits whole session records with arbitrary Python
-    state transitions, here (start, last, count)).
+    state transitions).
 
-    State is one tuple per OPEN session per user — bounded by key
-    cardinality; closed sessions leave state immediately. In a finite run
-    a session whose timeout the final watermark never passes stays open
-    and is NOT emitted (same boundary as the left-outer join's unmatched
-    rows); the parity test pins that boundary. Late-data contract: a
-    within-watermark late event lands in the open session with the span
-    CLAMPED (start=min, end=max — never regressed below events already
-    absorbed); a straggler older than start-gap merges into the open
-    session rather than retro-splitting it, because (start, last, n)
-    state cannot reconstruct past events — batch re-sessionization is the
-    exact answer when that matters. Emits
-    (user_id, session_start, session_end, n_events) in append mode.
+    State is the user's session INTERVALS (start, last, n) still inside
+    the watermark horizon — bounded: a session leaves state the moment
+    the watermark passes its ``last + gap`` deadline, so at most
+    ~(horizon / gap) + 1 intervals per key exist at once. In a finite
+    run a session whose deadline the final watermark never passes stays
+    open and is NOT emitted (same boundary as the left-outer join's
+    unmatched rows); the parity test pins that boundary.
+
+    Late-data contract (r14 'disorder' lens — the eager form this
+    replaces emitted a session the moment a later event split it by
+    gap, so an in-watermark straggler belonging to the ALREADY-EMITTED
+    session merged into the wrong one, bloating its span backward
+    across the silence; arrival order changed the result): sessions are
+    now held until the WATERMARK closes them, and every event — however
+    disordered within the watermark — merges by gap-adjacency into the
+    interval set (bridging two intervals re-unifies them). Result:
+    session output is ARRIVAL-ORDER-INDEPENDENT for in-watermark data,
+    which is exactly the promise a watermark makes; pinned by
+    ``tests/test_r14_disorder_lens.py``.
+
+    Beyond-horizon boundary (probed, Spark 4.1): unlike windowed
+    aggregation, Spark does NOT drop late input rows for
+    applyInPandasWithState (numRowsDroppedByWatermark stays 0), so a
+    straggler older than the watermark still reaches the function. It
+    merges into its session when that session is still in state
+    (flushable-but-unflushed), else it emits as its own immediate-flush
+    fragment — never silently lost, but arrival-order-dependent BY
+    DEFINITION out there (the emitted session cannot be retracted).
+    Size the watermark to the source's disorder horizon; beyond it,
+    batch re-sessionization is the exact answer. Emits (user_id,
+    session_start, session_end, n_events) in append mode.
     """
     from pyspark.sql.streaming.state import GroupState
 
@@ -907,43 +926,52 @@ def stateful_session_flush(
     def update(key, batches, state: GroupState):
         import pandas as pd  # worker-side import
 
-        out = []
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            out.append((key[0], start_us, last_us, n))
-            state.remove()
-        else:
-            rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
-            if state.exists:
-                start_us, last_us, n = state.get
-            else:
-                start_us = last_us = n = None
-            for ts in rows["ts"]:
-                us = int(pd.Timestamp(ts).value // 1000)
-                if start_us is None:
-                    start_us, last_us, n = us, us, 1
-                elif us - last_us > gap_us:
-                    out.append((key[0], start_us, last_us, n))
-                    start_us, last_us, n = us, us, 1
+        sessions = (
+            sorted(zip(*state.get)) if state.exists else []
+        )  # [(start_us, last_us, n)] sorted by start
+        if not state.hasTimedOut:
+            rows = pd.concat(list(batches), ignore_index=True)
+            # Each event enters as a singleton interval; one sorted merge
+            # pass re-unifies everything within gap-adjacency — late
+            # events slot into (or bridge) the intervals they belong to,
+            # identically for ANY arrival order of the same events.
+            sessions.extend(
+                (int(pd.Timestamp(ts).value // 1000),) * 2 + (1,)
+                for ts in rows["ts"]
+            )
+            sessions.sort()
+            merged = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    prev = merged[-1]
+                    merged[-1] = (
+                        prev[0], max(prev[1], s[1]), prev[2] + s[2]
+                    )
                 else:
-                    # A within-watermark LATE event (us < last_us across
-                    # micro-batch boundaries — rows sort within a batch
-                    # only) must never REGRESS the session span: clamping
-                    # keeps session_end at the true max and the timeout
-                    # armed past it (plain assignment flushed the session
-                    # gap-early and emitted end < a contained event). An
-                    # extreme straggler older than start-gap still merges
-                    # rather than retro-splitting — bounded state cannot
-                    # reconstruct the past; boundary documented above.
-                    start_us = min(start_us, us)
-                    last_us, n = max(last_us, us), n + 1
-            state.update((start_us, last_us, n))
-            # Flush when the watermark passes last-event + gap (timeout API
-            # takes epoch MILLIS; round up so it never undershoots the gap).
-            state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
-        if out:
+                    merged.append(s)
+            sessions = merged
+        # Both branches flush the same way: every session whose deadline
+        # (last + gap) the watermark has passed is emitted exactly once
+        # and leaves state. The timeout branch exists for SILENCE (no new
+        # data for the key); the data branch also flushes so a deadline
+        # passed while data kept arriving never waits for a quiet batch.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        due = [s for s in sessions if s[1] + gap_us <= wm_us]
+        keep = [s for s in sessions if s[1] + gap_us > wm_us]
+        if keep:
+            state.update(tuple(list(col) for col in zip(*keep)))
+            # Next flush when the watermark passes the EARLIEST remaining
+            # deadline (timeout API takes epoch MILLIS; round up so it
+            # never undershoots the gap; > current wm by construction).
+            state.setTimeoutTimestamp(
+                -(-(min(s[1] for s in keep) + gap_us) // 1000)
+            )
+        else:
+            state.remove()
+        if due:
             yield pd.DataFrame(
-                out, columns=["user_id", "start_us", "end_us", "n_events"]
+                [(key[0], s[0], s[1], s[2]) for s in due],
+                columns=["user_id", "start_us", "end_us", "n_events"],
             )
 
     flushed = (
@@ -953,7 +981,9 @@ def stateful_session_flush(
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, start_us long, end_us long, n_events long",
-            stateStructType="start_us long, last_us long, n long",
+            stateStructType=(
+                "starts array<long>, lasts array<long>, ns array<long>"
+            ),
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )

@@ -254,6 +254,108 @@ def test_disorder_without_finalization_is_lossless(spark, tmp_path):
     assert deduped is not None
 
 
+def test_stateful_sessions_under_scrambled_delivery(spark, tmp_path):
+    """The custom sessionizer (applyInPandasWithState) under event-time
+    disorder: the same events delivered scrambled across micro-batches —
+    a user's later event arriving a batch BEFORE an earlier one — must
+    flush the same sessions as ordered single-batch delivery, including
+    the span-clamp contract (a within-watermark straggler extends the
+    open session's span downward, never regresses session_end)."""
+    from dbfs_spark_cache_spark.streaming import (
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    rows = [
+        # user 1: one session 09:00-10:30 (3 events), then 23:30 opens a
+        # second (gap 12h) that the sentinel's watermark flushes
+        (1, 1, "view", 1.0, "2024-06-01 10:30:00"),
+        (2, 1, "view", 1.0, "2024-06-01 09:00:00"),
+        (3, 1, "view", 1.0, "2024-06-01 10:00:00"),
+        (4, 1, "view", 1.0, "2024-06-01 23:30:00"),
+        # user 2: a single session whose straggler (09:40) arrives LAST
+        (5, 2, "view", 1.0, "2024-06-01 10:10:00"),
+        (6, 2, "view", 1.0, "2024-06-01 09:40:00"),
+        # sentinel advances the watermark far enough to flush everything
+        (7, 9, "view", 1.0, "2024-06-03 12:00:00"),
+    ]
+    root = str(tmp_path / "sess_scrambled")
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=1", [rows[0], rows[4]]),   # 10:30 before 09:00/10:00
+            ("b=2", [rows[1], rows[3]]),
+            ("b=3", [rows[2], rows[5]]),   # stragglers
+            ("b=4", [rows[6]]),
+        ],
+    )
+    got_df = run_to_memory_sink(
+        stateful_session_flush(
+            _one_file_per_trigger_stream(spark, root), watermark="1 day"
+        ),
+        "t_dis_sessions",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in got_df.collect()
+    }
+    # ordered single-batch ground truth (the sentinel's own session stays
+    # open at termination — the documented finite-run boundary)
+    assert got == {
+        (1, "2024-06-01 09:00:00", "2024-06-01 10:30:00", 3),
+        (1, "2024-06-01 23:30:00", "2024-06-01 23:30:00", 1),
+        (2, "2024-06-01 09:40:00", "2024-06-01 10:10:00", 2),
+    }
+
+
+def test_sessionizer_beyond_horizon_boundary(spark, tmp_path):
+    """Out-of-contract boundary, pinned so a Spark upgrade changing it is
+    flagged: applyInPandasWithState does NOT drop late input rows (unlike
+    windowed aggregation — numRowsDroppedByWatermark stays 0), so a
+    straggler 20h behind a 2h watermark still reaches the sessionizer and
+    merges into its session when that session is still in state. The
+    merged session flushes with the straggler included; nothing is
+    silently lost."""
+    from dbfs_spark_cache_spark.streaming import stateful_session_flush
+
+    rows = [
+        (1, 1, "view", 1.0, "2024-06-01 10:00:00"),
+        (2, 2, "view", 1.0, "2024-06-02 10:00:00"),  # wm -> June 2 08:00
+        (3, 1, "view", 1.0, "2024-06-01 12:00:00"),  # 20h behind the wm
+        (4, 9, "view", 1.0, "2024-06-04 10:00:00"),  # sentinel flush
+    ]
+    root = str(tmp_path / "horizon")
+    _write_batches(spark, root, [(f"b={i+1}", [r]) for i, r in enumerate(rows)])
+    q = (
+        stateful_session_flush(
+            _one_file_per_trigger_stream(spark, root).select("user_id", "ts"),
+            watermark="2 hours",
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dis_horizon")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in (p["stateOperators"] or [])
+        )
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM t_dis_horizon").collect()
+    }
+    assert dropped == 0  # the stateful operator sees every row
+    assert (1, "2024-06-01 10:00:00", "2024-06-01 12:00:00", 2) in got
+    assert (2, "2024-06-02 10:00:00", "2024-06-02 10:00:00", 1) in got
+
+
 def test_redeploy_schema_evolution_with_crash_mid_batch(spark, tmp_path):
     """Crash-mid-batch redelivery + schema-evolving redeploy against the
     r13 mergeSchema committed readers: (a) a partial batch dir written
