@@ -310,6 +310,85 @@ def test_stateful_sessions_under_scrambled_delivery(spark, tmp_path):
     }
 
 
+def test_sessionizer_state_survives_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across RESTART (not just in-run redelivery): the
+    sessionizer's interval state — the array-typed schema introduced by
+    the disorder fix — must round-trip through the checkpoint. Run 1
+    drains two batches and stops with a session OPEN and a second
+    session PENDING flush; run 2 (same checkpoint) delivers a straggler
+    for the run-1 session plus a sentinel. The union of the two runs'
+    emissions must equal single-run delivery: the cross-restart session
+    carries the straggler, nothing re-emits, nothing is lost."""
+    import glob as _glob
+
+    from dbfs_spark_cache_spark.streaming import stateful_session_flush
+
+    root = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    out = str(tmp_path / "restart_out")
+    os.makedirs(out, exist_ok=True)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    def drain(run):
+        schema = spark.read.parquet(f"{root}/b=1").schema
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .load(root)
+        )
+        q = (
+            stateful_session_flush(
+                stream.select("user_id", "ts"), watermark="1 day"
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: user 1 opens a session; user 2's session becomes flushable
+    # only after the sentinel in run 2
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=1", [(1, 1, "view", 1.0, "2024-06-01 10:00:00"),
+                     (2, 2, "view", 1.0, "2024-06-01 08:00:00")]),
+            ("b=2", [(3, 1, "view", 1.0, "2024-06-01 11:00:00")]),
+        ],
+    )
+    drain(1)
+
+    # run 2 (fresh file, same checkpoint): an in-watermark straggler for
+    # user 1's OPEN session plus the flush sentinel
+    _write_batches(
+        spark,
+        root,
+        [
+            ("b=3", [(4, 1, "view", 1.0, "2024-06-01 10:30:00"),
+                     (5, 9, "view", 1.0, "2024-06-04 12:00:00")]),
+        ],
+    )
+    drain(2)
+
+    files = _glob.glob(f"{out}/*.parquet")
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    } if files else set()
+    assert got == {
+        # the cross-restart session: opened in run 1, straggler from
+        # run 2 absorbed, flushed once by the sentinel's watermark
+        (1, "2024-06-01 10:00:00", "2024-06-01 11:00:00", 3),
+        (2, "2024-06-01 08:00:00", "2024-06-01 08:00:00", 1),
+    }
+
+
 def test_sessionizer_beyond_horizon_boundary(spark, tmp_path):
     """Out-of-contract boundary, pinned so a Spark upgrade changing it is
     flagged: applyInPandasWithState does NOT drop late input rows (unlike
