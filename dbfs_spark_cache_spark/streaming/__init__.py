@@ -931,6 +931,14 @@ def stateful_session_flush(
         )  # [(start_us, last_us, n)] sorted by start
         if not state.hasTimedOut:
             rows = pd.concat(list(batches), ignore_index=True)
+            # A NULL event time is meaningless for sessionization and —
+            # unlike windowed aggregation, which silently drops NULL-ts
+            # rows — applyInPandasWithState delivers EVERY row (probed;
+            # see the beyond-horizon note): an unguarded NaT became a
+            # huge-negative epoch, i.e. a bogus pre-epoch session emitted
+            # on the next flush. Drop them here, identically to what the
+            # built-in watermark operators do.
+            rows = rows.dropna(subset=["ts"])
             # Each event enters as a singleton interval; one sorted merge
             # pass re-unifies everything within gap-adjacency — late
             # events slot into (or bridge) the intervals they belong to,
@@ -966,7 +974,7 @@ def stateful_session_flush(
             state.setTimeoutTimestamp(
                 -(-(min(s[1] for s in keep) + gap_us) // 1000)
             )
-        else:
+        elif state.exists or state.hasTimedOut:
             state.remove()
         if due:
             yield pd.DataFrame(

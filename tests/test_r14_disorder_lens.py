@@ -389,6 +389,46 @@ def test_sessionizer_state_survives_checkpoint_restart(spark, tmp_path):
     }
 
 
+def test_sessionizer_drops_null_event_times(spark, tmp_path):
+    """applyInPandasWithState delivers NULL-ts rows (Spark filters them
+    only for built-in watermark operators), and an unguarded NaT turned
+    into a huge-negative epoch — a bogus pre-epoch session emitted on the
+    next flush. The sessionizer must drop NULL event times identically to
+    what windowed aggregation does, leaving real sessions untouched."""
+    import datetime as dt
+
+    from dbfs_spark_cache_spark.streaming import (
+        run_to_memory_sink,
+        stateful_session_flush,
+    )
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(hours=1)),
+        (1, None),                          # NULL event time
+        (9, base + dt.timedelta(days=3)),   # sentinel flush
+    ]
+    df_src = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    src = str(tmp_path / "natsrc")
+    df_src.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(df_src.schema)
+        .load(src)
+    )
+    got_df = run_to_memory_sink(
+        stateful_session_flush(stream, watermark="1 day"),
+        "t_dis_nat",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in got_df.collect()
+    }
+    assert got == {(1, "2024-06-01 10:00:00", "2024-06-01 11:00:00", 2)}
+
+
 def test_sessionizer_beyond_horizon_boundary(spark, tmp_path):
     """Out-of-contract boundary, pinned so a Spark upgrade changing it is
     flagged: applyInPandasWithState does NOT drop late input rows (unlike
