@@ -59,6 +59,91 @@ def _flagship(spark, path):
     )
 
 
+def test_cache_engine_concurrent_triangle(spark, clean_cache, tmp_path):
+    """Stress the full writer / evictor / prober triangle on ONE key —
+    every pairwise interleaving is individually pinned, this drives the
+    three concurrently and checks the global invariants: no call ever
+    raises (a probe racing an eviction is a clean miss, a write racing a
+    write is a skip-if-identical, an eviction racing a write waits for
+    the lock), and at quiescence the entry is either a consistent PAIR
+    (sidecar + table, correct values) or consistently ABSENT — never a
+    half-pair."""
+    import dbfs_spark_cache_spark.core as core
+    from dbfs_spark_cache_spark import (
+        cache_dataframe,
+        read_cache_if_exist,
+        resolve_table_hash,
+        write_cache,
+    )
+    from dbfs_spark_cache_spark import fs as _fs
+    from dbfs_spark_cache_spark.config import config
+    from dbfs_spark_cache_spark.management import clear_cache_for_hash
+
+    src = str(tmp_path / "tri.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(
+        300
+    ).write.parquet(src)
+
+    def fresh():
+        return _flagship(spark, src)
+
+    write_cache(fresh())
+    key = resolve_table_hash(fresh())
+    expected = {
+        (r.l_returnflag, float(r.sum_qty)) for r in fresh().collect()
+    }
+
+    errors = []
+
+    def writer():
+        for _ in range(6):
+            try:
+                cache_dataframe(fresh(), override_prefer_spark_cache=True)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(("writer", repr(exc)))
+
+    def evictor():
+        for _ in range(6):
+            try:
+                clear_cache_for_hash(spark, key)
+            except Exception as exc:  # noqa: BLE001
+                errors.append(("evictor", repr(exc)))
+
+    def prober():
+        for _ in range(10):
+            try:
+                read_cache_if_exist(fresh())
+            except Exception as exc:  # noqa: BLE001
+                errors.append(("prober", repr(exc)))
+
+    threads = [
+        threading.Thread(target=t)
+        for t in (writer, writer, evictor, prober, prober)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "triangle deadlocked"
+    assert not errors, errors
+
+    # quiescence: consistent pair or consistent absence — never half
+    has_sidecar = (
+        _fs.read_text(f"{config.SPARK_CACHE_DIR}{key}/cache_metadata.txt")
+        is not None
+    )
+    has_table = core._table_exists(
+        spark, core.table_name_for_hash(key)
+    )
+    assert has_sidecar == has_table, (
+        f"half-pair after quiescence: sidecar={has_sidecar} table={has_table}"
+    )
+    # and the engine still serves correct values from whatever state
+    final = cache_dataframe(fresh(), override_prefer_spark_cache=True)
+    got = {(r.l_returnflag, float(r.sum_qty)) for r in final.collect()}
+    assert got == expected
+
+
 def test_probe_serializes_with_writers_and_eviction(spark, clean_cache, tmp_path):
     """The cache probe must run under the same per-key lock that
     write_cache/create_cached_dataframe/clear_cache_for_hash hold: an
