@@ -398,6 +398,65 @@ def stream_corpus_near_dup_matches(
     return est_jaccard_matches(docs_stream, corpus_index, threshold)
 
 
+def growing_corpus_dedup_sink(
+    base_path: str, corpus_index: DataFrame, threshold: float = 0.5
+):
+    """Streaming ingest dedup with a GROWING index: each micro-batch is
+    matched against the historical corpus index PLUS every previously
+    ingested batch, then its own band rows are appended to the index —
+    so a document that duplicates something ingested an hour ago is
+    caught, not just duplicates of the static corpus
+    (``stream_corpus_near_dup_matches`` covers only the latter; this is
+    the streaming twin of the batch ``dedup_incremental_vs_corpus``
+    extended with upkeep).
+
+    Layout under ``base_path``: two exactly-once commit-ledger sinks —
+    ``matches/`` (``doc_id, corpus_doc_id, est_jaccard`` records, one
+    row per colliding band) and ``index/`` (the ingested batches' band
+    rows, same schema as :func:`corpus_band_index`). Both are keyed by
+    the SAME micro-batch id, and each is independently idempotent, so a
+    crash between the two writes heals on redelivery.
+
+    Redelivery determinism: the index read EXCLUDES the current batch
+    id's own rows (via the committed view's ``batch_id`` column), so a
+    redelivered batch whose index write committed before the crash
+    recomputes exactly the original match set instead of matching
+    against itself. Intra-batch pairs are out of scope by the same
+    contract as the batch twin (two novel near-dups arriving in ONE
+    batch match from the NEXT batch on; run the batch LSH pass for
+    within-batch pairs).
+
+    Scale shape: signatures are map-only per batch; the match join is
+    band-bucket equi-keyed so each batch touches only its colliding
+    buckets; the per-batch index read is a committed-dirs parquet scan —
+    at 100 TB, periodically fold the ingested index into the staged
+    corpus index (rebuild ``corpus_band_index`` over corpus + ingested
+    and truncate this sink) the same way ``compact_commit_ledger`` folds
+    markers; the growing sink bounds what accumulates BETWEEN folds, not
+    forever."""
+    from ..operators.dedup import corpus_band_index_frame, est_jaccard_matches
+
+    match_path = f"{base_path}/matches"
+    index_path = f"{base_path}/index"
+    match_sink = exactly_once_append_sink(match_path)
+    index_sink = exactly_once_append_sink(index_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ingested = read_exactly_once_output(
+            spark, index_path, include_batch_id=True
+        )
+        index = corpus_index
+        if ingested is not None:
+            index = index.unionByName(
+                ingested.where(F.col("batch_id") != batch_id).drop("batch_id")
+            )
+        match_sink(est_jaccard_matches(batch_df, index, threshold), batch_id)
+        index_sink(corpus_band_index_frame(batch_df), batch_id)
+
+    return write_batch
+
+
 def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust baseline (exact median + median absolute deviation)
     of the historical events table, materialized through the cache engine:

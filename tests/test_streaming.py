@@ -1172,3 +1172,135 @@ def test_stateful_session_flush_late_event_never_regresses_span(spark, tmp_path)
     # The first session holds 09:00, 09:30 (late), 10:00 — end must be
     # 10:00, NOT the regressed 09:30 of the pre-clamp behavior.
     assert (1, base, base + dt.timedelta(hours=1), 3) in flushed, flushed
+
+
+def test_growing_corpus_dedup_catches_cross_batch_dups(spark, tmp_path):
+    """The growing-index ingest dedup: batch 1's near-dup of a CORPUS doc
+    is caught; batch 2's near-dup of a doc that arrived IN BATCH 1 (never
+    in the corpus) is caught ONLY because the index grew; novel docs are
+    never flagged; redelivery of a committed batch id is a no-op on both
+    sinks; and a crash-heal redelivery recomputes the identical match set
+    (the index read excludes the batch's own rows)."""
+    import glob
+    import time
+
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        growing_corpus_dedup_sink,
+        read_exactly_once_output,
+    )
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10)
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    index = corpus_band_index_frame(corpus)
+
+    def mutate(df, new_id_col, every=20):
+        return df.select(
+            new_id_col.alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"transform(split(text, ' '), (t, i) -> "
+                    f"IF(i % {every} = 0, 'zzzz', t))"
+                ),
+            ).alias("text"),
+        )
+
+    novel1 = spark.range(1).select(
+        F.lit(1_000_002).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array(*[F.lit(f"novelone{i * 7 % 977}") for i in range(60)])
+        ).alias("text"),
+    )
+    novel2 = spark.range(1).select(
+        F.lit(1_000_004).alias("doc_id"),
+        F.concat_ws(
+            " ", F.array(*[F.lit(f"noveltwo{i * 11 % 983}") for i in range(60)])
+        ).alias("text"),
+    )
+    # near-exact copy (one token changed) so the single planted corpus
+    # dup collides deterministically — the probabilistic-recall shape is
+    # already covered by test_stream_near_dup_detection_against_corpus
+    batch1 = mutate(
+        corpus.orderBy("doc_id").limit(1), F.lit(1_000_001), every=997
+    ).unionByName(novel1)
+    batch2 = mutate(novel1, F.lit(1_000_003), every=10).unionByName(novel2)
+
+    src = str(tmp_path / "ingest")
+    batch1.coalesce(1).write.parquet(f"{src}/b=1")
+    batch2.coalesce(1).write.parquet(f"{src}/b=2")
+    now = time.time()
+    for half, age in (("b=1", 60), ("b=2", 0)):
+        for root, _, files in os.walk(f"{src}/{half}"):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age, now - age))
+
+    base = str(tmp_path / "grow")
+    sink = growing_corpus_dedup_sink(base, index, threshold=0.5)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .load(src)
+    )
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "grow_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    matches = read_exactly_once_output(spark, f"{base}/matches")
+    rows = matches.collect()
+    by_doc = {}
+    for r in rows:
+        assert r.est_jaccard >= 0.5
+        by_doc.setdefault(r.doc_id, set()).add(r.corpus_doc_id)
+    # batch 1's planted dup matched its corpus source
+    assert by_doc.get(1_000_001, set()) & corpus_ids
+    # batch 2's dup-of-an-INGESTED-doc matched it — only the grown index
+    # can produce this pair
+    assert by_doc.get(1_000_003) == {1_000_002}
+    # novel docs never flagged
+    assert 1_000_002 not in by_doc and 1_000_004 not in by_doc
+
+    # the index grew: both batches' band rows are committed
+    ingested = read_exactly_once_output(
+        spark, f"{base}/index", include_batch_id=True
+    )
+    assert {r.batch_id for r in ingested.select("batch_id").distinct().collect()} == {0, 1}
+
+    # redelivery of a committed id (decoy data): both sinks no-op
+    n_matches, n_index = matches.count(), ingested.count()
+    sink(batch2.limit(1), 0)
+    assert read_exactly_once_output(spark, f"{base}/matches").count() == n_matches
+    assert read_exactly_once_output(
+        spark, f"{base}/index", include_batch_id=True
+    ).count() == n_index
+
+    # crash-heal: drop batch 1's MATCH marker (index stays committed) and
+    # redeliver the original batch — the identical match set recomputes
+    # because the index read excludes the batch's own rows
+    before = {
+        (r.doc_id, r.corpus_doc_id, r.est_jaccard)
+        for r in spark.read.parquet(
+            glob.glob(f"{base}/matches/batch_id=1")[0]
+        ).collect()
+    }
+    os.remove(f"{base}/matches/_committed/1.txt")
+    # redeliver with the STREAM's schema (doc_id long — the raw file
+    # carries int32; the committed readers rightly refuse a type drift)
+    sink(
+        spark.read.parquet(f"{src}/b=2").select(
+            F.col("doc_id").cast("long"), "text"
+        ),
+        1,
+    )
+    after = {
+        (r.doc_id, r.corpus_doc_id, r.est_jaccard)
+        for r in spark.read.parquet(f"{base}/matches/batch_id=1").collect()
+    }
+    assert after == before
+    assert read_exactly_once_output(spark, f"{base}/matches").count() == n_matches
