@@ -371,7 +371,15 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staging import stage_cache
     from ..sources import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text contract (r10 'nulls' lens, r14 streaming review): the
+    # registered batch dedup queries all filter NULL text at their heads,
+    # but these streaming twins signed NULL docs — split(NULL) folds to
+    # the EMPTY-shingle signature, so every NULL-text doc pairs with
+    # every other one (quadratic false matches on a NULL-heavy ingest).
+    # A NULL document is a fetch failure, not content to match.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     return stage_cache(corpus_band_index_frame(docs), "corpus_band_index")
 
 
@@ -392,10 +400,17 @@ def stream_corpus_near_dup_matches(
     all — the corpus side is static, so no watermark is needed. A pair
     colliding in multiple bands emits once per band (dedup downstream if
     exact-once matters; distinct on a stream would need a watermark).
+
+    NULL-text contract (r10 'nulls' lens, r14 streaming review): the
+    incoming stream is filtered like every batch dedup head — a
+    NULL-text doc would sign the empty-shingle signature and pair with
+    every other NULL doc.
     """
     from ..operators.dedup import est_jaccard_matches
 
-    return est_jaccard_matches(docs_stream, corpus_index, threshold)
+    return est_jaccard_matches(
+        docs_stream.where(F.col("text").isNotNull()), corpus_index, threshold
+    )
 
 
 def growing_corpus_dedup_sink(
@@ -443,6 +458,11 @@ def growing_corpus_dedup_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # NULL-text contract (r10 'nulls' lens): a NULL document is a
+        # fetch failure — it must neither match nor ENTER the index
+        # (an unfiltered NULL would sign the empty-shingle signature
+        # and pair with every later NULL arrival).
+        batch_docs = batch_df.where(F.col("text").isNotNull())
         ingested = read_exactly_once_output(
             spark, index_path, include_batch_id=True
         )
@@ -451,8 +471,8 @@ def growing_corpus_dedup_sink(
             index = index.unionByName(
                 ingested.where(F.col("batch_id") != batch_id).drop("batch_id")
             )
-        match_sink(est_jaccard_matches(batch_df, index, threshold), batch_id)
-        index_sink(corpus_band_index_frame(batch_df), batch_id)
+        match_sink(est_jaccard_matches(batch_docs, index, threshold), batch_id)
+        index_sink(corpus_band_index_frame(batch_docs), batch_id)
 
     return write_batch
 

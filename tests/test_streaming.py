@@ -1304,3 +1304,57 @@ def test_growing_corpus_dedup_catches_cross_batch_dups(spark, tmp_path):
     }
     assert after == before
     assert read_exactly_once_output(spark, f"{base}/matches").count() == n_matches
+
+
+def test_streaming_dedup_null_text_contract(spark, tmp_path):
+    """The r10 'nulls' class in the streaming path (which the file-based
+    lenses cannot reach): unfiltered NULL-text docs all sign the SAME
+    empty-shingle signature, so every NULL pairs with every other NULL —
+    quadratic false matches on a NULL-heavy ingest. Both streaming dedup
+    paths now apply the batch heads' NULL-text contract: NULL docs
+    neither match, nor enter the growing index, nor crash the pass."""
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        growing_corpus_dedup_sink,
+        read_exactly_once_output,
+        run_to_memory_sink,
+        stream_corpus_near_dup_matches,
+    )
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(5)
+    index = corpus_band_index_frame(corpus.where(F.col("text").isNotNull()))
+
+    # two NULL-text arrivals + one real near-exact corpus copy
+    dup = corpus.orderBy("doc_id").limit(1).select(
+        F.lit(3_000_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    nulls = spark.createDataFrame(
+        [(3_000_001, None), (3_000_002, None)], "doc_id long, text string"
+    )
+    src = str(tmp_path / "null_ingest")
+    dup.unionByName(nulls).coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .load(src)
+    )
+    matches = run_to_memory_sink(
+        stream_corpus_near_dup_matches(stream, index),
+        "t_null_dedup",
+        output_mode="append",
+    )
+    flagged = {r.doc_id for r in matches.collect()}
+    assert 3_000_000 in flagged
+    assert not flagged & {3_000_001, 3_000_002}
+
+    # growing sink: NULL docs produce no matches and no index rows
+    base = str(tmp_path / "null_grow")
+    sink = growing_corpus_dedup_sink(base, index)
+    sink(nulls, 0)
+    sink(nulls, 1)  # a second NULL batch must not match the first
+    m = read_exactly_once_output(spark, f"{base}/matches")
+    assert m is not None and m.count() == 0
+    idx = read_exactly_once_output(spark, f"{base}/index")
+    assert idx is not None and idx.count() == 0
