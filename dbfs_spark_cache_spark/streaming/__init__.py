@@ -485,11 +485,20 @@ def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the screen is the (pending-r8) ``events_anomaly_mad`` query, built
     on the same banded-median helper.
     """
+    from ..operators.registry import finite_or_null
     from ..operators.scale import grouped_median_mad
     from ..operators.staging import stage_cache
     from ..sources import load_table
 
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # Finite-only, exactly like the batch twin events_anomaly_mad (r11
+    # nonfinite lens; r14 streaming review found this twin had only the
+    # NULL half of the guard): an Inf reading makes the banded median's
+    # bucket math degenerate (step = inf) and a NaN deviation poisons
+    # the MAD — bad telemetry must not corrupt the baseline the whole
+    # stream screens against.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & finite_or_null("value")
+    )
     baseline = grouped_median_mad(
         ev, "value", "event_type", tiebreak_col="event_id"
     )

@@ -1358,3 +1358,38 @@ def test_streaming_dedup_null_text_contract(spark, tmp_path):
     assert m is not None and m.count() == 0
     idx = read_exactly_once_output(spark, f"{base}/index")
     assert idx is not None and idx.count() == 0
+
+
+def test_outlier_baseline_survives_nonfinite_history(spark, tmp_path, clean_cache):
+    """The r11 nonfinite class in the streaming baseline (r14 review —
+    the batch twin events_anomaly_mad gates finite values, this twin had
+    only the NULL half): an Inf reading in the history made the banded
+    median's bucket step infinite. The baseline now excludes non-finite
+    readings and still serves every event type."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.streaming import robust_outlier_baseline
+
+    sf = str(tmp_path / "nf_sf")
+    os.makedirs(sf, exist_ok=True)
+    for name in ("events",):
+        pdf = pd.read_parquet(f"{SF_SMOKE}/{name}.parquet")
+        poison = pdf.head(3).copy()
+        poison["event_id"] = [9_000_001, 9_000_002, 9_000_003]
+        poison["value"] = [np.inf, -np.inf, np.nan]
+        pd.concat([pdf, poison], ignore_index=True).to_parquet(
+            f"{sf}/{name}.parquet"
+        )
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", f"{sf}/documents.parquet")
+
+    baseline = robust_outlier_baseline(spark, sf)
+    rows = baseline.collect()
+    types = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type"
+    ).distinct().count()
+    assert len(rows) == types
+    for r in rows:
+        assert np.isfinite(r.median_value) and np.isfinite(r.mad), r
