@@ -183,10 +183,16 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — the streaming twin of
-    operators.timeseries.window_tumbling. The watermark bounds state: late
-    rows beyond it are dropped, finalized windows are evicted."""
+    operators.timeseries.window_tumbling, including its r13 bad-telemetry
+    gate (r14 streaming review): non-finite readings are excluded exactly
+    like the batch twin — a NaN/Inf value crashed the ANSI decimal sum or
+    poisoned it, per micro-batch. NULL-value rows stay (count counts
+    them, sum skips them — three-valued semantics, same as batch)."""
+    from ..operators.registry import finite_or_null
+
     return (
-        events.withWatermark("ts", watermark)
+        events.where(finite_or_null("value"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -207,9 +213,13 @@ def sliding_counts(
     slide: str = "1 hour",
     watermark: str = "4 hours",
 ) -> DataFrame:
-    """Watermarked sliding-window aggregation (twin of window_sliding)."""
+    """Watermarked sliding-window aggregation (twin of window_sliding,
+    including its r13 finite gate — see tumbling_counts)."""
+    from ..operators.registry import finite_or_null
+
     return (
-        events.withWatermark("ts", watermark)
+        events.where(finite_or_null("value"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -245,9 +255,13 @@ def hourly_user_counts(
     stream owns only the stateful windowed aggregation; densification onto
     the full hour grid is a state-free batch pass over the materialized
     sink (``timeseries.densify_hourly``), because a gap row by definition
-    has no event to trigger its emission in a stream."""
+    has no event to trigger its emission in a stream. Carries the same
+    finite gate as every value-summing twin (r14 streaming review)."""
+    from ..operators.registry import finite_or_null
+
     return (
         events.where(F.col("user_id") < max_user_id)
+        .where(finite_or_null("value"))
         .withWatermark("ts", watermark)
         .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -284,8 +298,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     express (per-key accumulators with arbitrary Python update rules).
     State is one small tuple per user — bounded by the key cardinality, not
     the stream length.
+
+    Finite gate (r14 streaming review — the STICKIEST instance of the
+    r11 nonfinite class): one Inf reading made the user's running total
+    Inf for the REST OF THE STREAM (state accumulates forever, unlike a
+    per-window sum). Non-finite readings are excluded like every batch
+    twin; NULL-value rows still count as events (pandas sum skips NaN).
     """
     from pyspark.sql.streaming.state import GroupState
+
+    from ..operators.registry import finite_or_null
+
+    events = events.where(finite_or_null("value"))
 
     def update(key, batches, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)

@@ -1393,3 +1393,69 @@ def test_outlier_baseline_survives_nonfinite_history(spark, tmp_path, clean_cach
     assert len(rows) == types
     for r in rows:
         assert np.isfinite(r.median_value) and np.isfinite(r.mad), r
+
+
+def test_streaming_aggs_survive_nonfinite_values(spark, tmp_path):
+    """The r13 batch finite gates, applied to the streaming twins (r14
+    review): a NaN/Inf reading crashed or poisoned the streaming decimal
+    sums and made running_user_totals' state Inf for the rest of the
+    stream. Poisoned rows are excluded; clean rows aggregate exactly."""
+    import math
+
+    from dbfs_spark_cache_spark.streaming import (
+        run_to_memory_sink,
+        running_user_totals,
+        tumbling_counts,
+    )
+
+    # TRUE NaN/Inf via direct pyarrow arrays — a pandas round-trip would
+    # store NULL instead (nan_as_null; the r11 nonfinite-lens lesson)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["view"] * 4),
+            "value": pa.array(
+                [10.0, float("inf"), float("nan"), 5.0], pa.float64()
+            ),
+            "ts": pa.array(
+                [1717236000000000 + i * 600_000_000 for i in range(4)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    src = str(tmp_path / "nf_stream")
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(t, f"{src}/part-0.parquet")
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, event_type string, "
+                "value double, ts timestamp")
+        .load(src)
+    )
+    out = run_to_memory_sink(
+        tumbling_counts(stream, window="1 hour", watermark="1 hour"),
+        "t_nf_tumble",
+        output_mode="complete",
+    )
+    r = out.collect()
+    assert len(r) == 1
+    assert r[0].n_events == 2 and r[0].total_value == 15.0
+
+    stream2 = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, event_type string, "
+                "value double, ts timestamp")
+        .load(src)
+    )
+    totals = run_to_memory_sink(
+        running_user_totals(stream2), "t_nf_running", output_mode="update"
+    )
+    t = totals.collect()
+    assert len(t) == 1
+    assert t[0].n_events == 2
+    assert math.isfinite(t[0].total_value) and t[0].total_value == 15.0
