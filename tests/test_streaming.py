@@ -1224,33 +1224,41 @@ def test_growing_corpus_dedup_catches_cross_batch_dups(spark, tmp_path):
     batch1 = mutate(
         corpus.orderBy("doc_id").limit(1), F.lit(1_000_001), every=997
     ).unionByName(novel1)
-    batch2 = mutate(novel1, F.lit(1_000_003), every=10).unionByName(novel2)
+    # near-exact again (the every=10 variant sat near the 0.5 estimate
+    # threshold, where the MinHash estimate — and hence the pass/fail —
+    # flips with the resolved hash family; the full suite runs under
+    # SPARK_GRAFT_HASH_FAMILY=portable via the hostile-probe imports,
+    # standalone runs under the xxhash64 default)
+    batch2 = mutate(novel1, F.lit(1_000_003), every=997).unionByName(novel2)
 
+    # Two scheduled drains over the SAME checkpoint (the incremental
+    # pattern test_exactly_once_sink_incremental_second_drain pins) — the
+    # guaranteed batch separation the growing index needs; a single
+    # availableNow run may legally coalesce files into one micro-batch.
     src = str(tmp_path / "ingest")
-    batch1.coalesce(1).write.parquet(f"{src}/b=1")
-    batch2.coalesce(1).write.parquet(f"{src}/b=2")
-    now = time.time()
-    for half, age in (("b=1", 60), ("b=2", 0)):
-        for root, _, files in os.walk(f"{src}/{half}"):
-            for f in files:
-                os.utime(os.path.join(root, f), (now - age, now - age))
-
     base = str(tmp_path / "grow")
+    ckpt = str(tmp_path / "grow_ckpt")
     sink = growing_corpus_dedup_sink(base, index, threshold=0.5)
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .load(src)
-    )
-    (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", str(tmp_path / "grow_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .load(src)
+        )
+        (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    batch1.coalesce(1).write.parquet(f"{src}/b=1")
+    drain()
+    time.sleep(1.1)  # file-source mtime granularity between drains
+    batch2.coalesce(1).write.parquet(f"{src}/b=2")
+    drain()
 
     matches = read_exactly_once_output(spark, f"{base}/matches")
     rows = matches.collect()
