@@ -988,54 +988,15 @@ def compact_commit_ledger(base_path: str) -> int:
     return len(marker_ids)
 
 
-def stateful_session_flush(
-    events: DataFrame, gap_hours: int = 12, watermark: str = "2 hours"
-) -> DataFrame:
-    """Custom sessionizer via ``applyInPandasWithState`` + EVENT-TIME
-    TIMEOUT: per-user sessions close after ``gap_hours`` of inactivity and
-    are emitted exactly once, when the watermark passes the session's
-    timeout — the pattern for stateful logic that must FLUSH on silence,
-    which no built-in aggregation expresses (``F.session_window`` emits
-    aggregates; this emits whole session records with arbitrary Python
-    state transitions).
+def _session_update(gap_us: int):
+    """The sessionizer's applyInPandasWithState update function, as a
+    module-level factory so the state machine is unit- and property-
+    testable without a SparkSession (tests drive it with a simulated
+    GroupState; the property test checks arrival-order independence
+    against a reference batch sessionizer over random batch splits;
+    the streaming end-to-end pins live in the disorder lens)."""
 
-    State is the user's session INTERVALS (start, last, n) still inside
-    the watermark horizon — bounded: a session leaves state the moment
-    the watermark passes its ``last + gap`` deadline, so at most
-    ~(horizon / gap) + 1 intervals per key exist at once. In a finite
-    run a session whose deadline the final watermark never passes stays
-    open and is NOT emitted (same boundary as the left-outer join's
-    unmatched rows); the parity test pins that boundary.
-
-    Late-data contract (r14 'disorder' lens — the eager form this
-    replaces emitted a session the moment a later event split it by
-    gap, so an in-watermark straggler belonging to the ALREADY-EMITTED
-    session merged into the wrong one, bloating its span backward
-    across the silence; arrival order changed the result): sessions are
-    now held until the WATERMARK closes them, and every event — however
-    disordered within the watermark — merges by gap-adjacency into the
-    interval set (bridging two intervals re-unifies them). Result:
-    session output is ARRIVAL-ORDER-INDEPENDENT for in-watermark data,
-    which is exactly the promise a watermark makes; pinned by
-    ``tests/test_r14_disorder_lens.py``.
-
-    Beyond-horizon boundary (probed, Spark 4.1): unlike windowed
-    aggregation, Spark does NOT drop late input rows for
-    applyInPandasWithState (numRowsDroppedByWatermark stays 0), so a
-    straggler older than the watermark still reaches the function. It
-    merges into its session when that session is still in state
-    (flushable-but-unflushed), else it emits as its own immediate-flush
-    fragment — never silently lost, but arrival-order-dependent BY
-    DEFINITION out there (the emitted session cannot be retracted).
-    Size the watermark to the source's disorder horizon; beyond it,
-    batch re-sessionization is the exact answer. Emits (user_id,
-    session_start, session_end, n_events) in append mode.
-    """
-    from pyspark.sql.streaming.state import GroupState
-
-    gap_us = gap_hours * 3600 * 1_000_000
-
-    def update(key, batches, state: GroupState):
+    def update(key, batches, state):
         import pandas as pd  # worker-side import
 
         sessions = (
@@ -1093,6 +1054,54 @@ def stateful_session_flush(
                 [(key[0], s[0], s[1], s[2]) for s in due],
                 columns=["user_id", "start_us", "end_us", "n_events"],
             )
+
+    return update
+
+
+def stateful_session_flush(
+    events: DataFrame, gap_hours: int = 12, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom sessionizer via ``applyInPandasWithState`` + EVENT-TIME
+    TIMEOUT: per-user sessions close after ``gap_hours`` of inactivity and
+    are emitted exactly once, when the watermark passes the session's
+    timeout — the pattern for stateful logic that must FLUSH on silence,
+    which no built-in aggregation expresses (``F.session_window`` emits
+    aggregates; this emits whole session records with arbitrary Python
+    state transitions).
+
+    State is the user's session INTERVALS (start, last, n) still inside
+    the watermark horizon — bounded: a session leaves state the moment
+    the watermark passes its ``last + gap`` deadline, so at most
+    ~(horizon / gap) + 1 intervals per key exist at once. In a finite
+    run a session whose deadline the final watermark never passes stays
+    open and is NOT emitted (same boundary as the left-outer join's
+    unmatched rows); the parity test pins that boundary.
+
+    Late-data contract (r14 'disorder' lens — the eager form this
+    replaces emitted a session the moment a later event split it by
+    gap, so an in-watermark straggler belonging to the ALREADY-EMITTED
+    session merged into the wrong one, bloating its span backward
+    across the silence; arrival order changed the result): sessions are
+    now held until the WATERMARK closes them, and every event — however
+    disordered within the watermark — merges by gap-adjacency into the
+    interval set (bridging two intervals re-unifies them). Result:
+    session output is ARRIVAL-ORDER-INDEPENDENT for in-watermark data,
+    which is exactly the promise a watermark makes; pinned by
+    ``tests/test_r14_disorder_lens.py``.
+
+    Beyond-horizon boundary (probed, Spark 4.1): unlike windowed
+    aggregation, Spark does NOT drop late input rows for
+    applyInPandasWithState (numRowsDroppedByWatermark stays 0), so a
+    straggler older than the watermark still reaches the function. It
+    merges into its session when that session is still in state
+    (flushable-but-unflushed), else it emits as its own immediate-flush
+    fragment — never silently lost, but arrival-order-dependent BY
+    DEFINITION out there (the emitted session cannot be retracted).
+    Size the watermark to the source's disorder horizon; beyond it,
+    batch re-sessionization is the exact answer. Emits (user_id,
+    session_start, session_end, n_events) in append mode.
+    """
+    update = _session_update(gap_hours * 3600 * 1_000_000)
 
     flushed = (
         events.select("user_id", "ts")

@@ -536,3 +536,145 @@ def test_redeploy_schema_evolution_with_crash_mid_batch(spark, tmp_path):
     sink(conflict, 3)
     with pytest.raises(Exception, match="(?i)merge|incompatible|schema"):
         read_exactly_once_output(spark, base).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property pin of the sessionizer state machine (no SparkSession): for ANY
+# set of events and ANY batch split in which every event arrives while
+# still inside the watermark, the flushed sessions equal the reference
+# batch gap-sessionization of the same events, restricted to sessions
+# whose deadline the final watermark passes. Generalizes the hand-built
+# disorder cases above to hypothesis-generated shapes.
+# ---------------------------------------------------------------------------
+
+from hypothesis import assume, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_GAP_US = 12 * 3600 * 1_000_000
+_DELAY_US = 24 * 3600 * 1_000_000  # 1-day watermark
+_HOUR_US = 3600 * 1_000_000
+_BASE_US = 1_700_000_000_000_000  # anchor epoch micros
+
+
+class _SimState:
+    """Minimal GroupState stand-in exposing exactly the surface
+    _session_update uses."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self._wm_ms = 0
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.timeout_ms = None
+
+    def setTimeoutTimestamp(self, ms):
+        assert ms > self._wm_ms, "timeout must exceed the watermark"
+        self.timeout_ms = ms
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+
+def _reference_sessions(events_us):
+    out = []
+    for us in sorted(events_us):
+        if out and us - out[-1][1] <= _GAP_US:
+            out[-1][1] = max(out[-1][1], us)
+            out[-1][2] += 1
+        else:
+            out.append([us, us, 1])
+    return [tuple(s) for s in out]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    offsets=st.lists(
+        st.integers(0, 90), min_size=1, max_size=14
+    ),  # event hours within ~4 days
+    splitter=st.lists(st.integers(0, 3), min_size=1, max_size=14),
+    data=st.data(),
+)
+def test_sessionizer_order_independent_within_watermark(
+    offsets, splitter, data
+):
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.streaming import _session_update
+
+    events = [_BASE_US + h * _HOUR_US for h in offsets]
+    # split events into ordered batches: splitter assigns each event a
+    # batch index offsetting from the previous one
+    n_batches = min(len(splitter), len(events)) or 1
+    batches = [[] for _ in range(n_batches)]
+    for i, us in enumerate(events):
+        batches[data.draw(st.integers(0, n_batches - 1))].append(us)
+    batches = [b for b in batches if b]
+
+    # Simulate Spark: wm for batch N derives from data through batch N-1;
+    # every event must still be inside the watermark when delivered, else
+    # the documented beyond-horizon boundary applies and order-dependence
+    # is legal — filter those splits out.
+    wm = 0
+    max_seen = 0
+    for b in batches:
+        for us in b:
+            assume(us >= wm)
+        max_seen = max(max_seen, *b)
+        wm = max(wm, max_seen - _DELAY_US)
+
+    update = _session_update(_GAP_US)
+    state = _SimState()
+    emitted = []
+
+    def run(batch_rows, wm_ms, timed_out):
+        state._wm_ms = wm_ms
+        state.hasTimedOut = timed_out
+        frames = (
+            []
+            if timed_out
+            else [pd.DataFrame({"ts": pd.to_datetime(batch_rows, unit="us")})]
+        )
+        for out in update((1,), iter(frames), state):
+            emitted.extend(
+                (r.start_us, r.end_us, r.n_events)
+                for r in out.itertuples(index=False)
+            )
+
+    wm = 0
+    max_seen = 0
+    for b in batches:
+        run(b, wm // 1000, timed_out=False)
+        max_seen = max(max_seen, *b)
+        wm = max(wm, max_seen - _DELAY_US)
+    # final no-data micro-batches: fire timeouts until none are due
+    while state.exists and state.timeout_ms is not None and (
+        state.timeout_ms <= wm // 1000
+    ):
+        run([], wm // 1000, timed_out=True)
+
+    final_wm = wm
+    expected = [
+        s for s in _reference_sessions(events) if s[1] + _GAP_US <= final_wm
+    ]
+    assert sorted(emitted) == sorted(expected)
+    # whatever stayed in state is exactly the not-yet-closeable remainder
+    open_sessions = (
+        sorted(zip(*state.get)) if state.exists else []
+    )
+    assert sorted(open_sessions) == sorted(
+        s for s in _reference_sessions(events) if s[1] + _GAP_US > final_wm
+    )
