@@ -226,6 +226,28 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
         # read as raw parquet: superseded file versions would surface as
         # duplicated/stale rows presented as a valid hit.
         is_transactional = fs.exists(f"{location.rstrip('/')}/_delta_log")
+        # Cross-process torn-write guard (r14 follow-on to the in-process
+        # probe lock): _save_as_cache_table's overwrite is remove-then-
+        # rewrite, and _lock_for_key only serializes THIS driver — another
+        # process path-reading mid-rewrite would load a half-written
+        # directory and serve partial rows as a valid hit. Spark's job
+        # committer lands _SUCCESS last, so for non-transactional formats
+        # its absence means "no committed write here" — report a clean
+        # miss (recompute), never partial data. Transactional formats
+        # carry their own commit log and skip this check. (Sessions that
+        # disable mapreduce...marksuccessfuljobs trade the path fallback
+        # for a recompute — safe, logged, and catalog reads are
+        # unaffected.)
+        if not is_transactional and not fs.exists(
+            f"{location.rstrip('/')}/_SUCCESS"
+        ):
+            log.warning(
+                "Cache location %s exists but has no _SUCCESS job-commit "
+                "marker (concurrent rewrite in another process, or an "
+                "uncommitted/foreign directory); treating as a miss",
+                location,
+            )
+            return None
         formats = [_effective_cache_format() or "parquet"]
         if "parquet" not in formats and not is_transactional:
             formats.append("parquet")
