@@ -82,6 +82,18 @@ class Settings:
     def __post_init__(self) -> None:
         if not self.SPARK_CACHE_DIR.endswith("/"):
             self.SPARK_CACHE_DIR += "/"
+        # Catalog-case drift guard: Spark stores unquoted catalog
+        # identifiers lowercased (the managed-table dir is literally
+        # <lower(db)>.db in the warehouse), while this name is ALSO
+        # interpolated into filesystem paths (_table_location, the
+        # management sweeps) and plan-text regexes (fingerprint, tiering).
+        # A mixed-case setting would split those three views: the catalog
+        # works (identifiers are case-insensitive) but the path fallback
+        # misses, stale-location clearing checks the wrong dir, and
+        # size-budget eviction undercounts to zero. Normalize once, here,
+        # to the catalog's canonical form so every consumer agrees.
+        self.CACHE_DATABASE = self.CACHE_DATABASE.lower()
+        self.CACHE_DATABASE_TEST = self.CACHE_DATABASE_TEST.lower()
         if not self.CACHE_DATABASE_TEST:
             self.CACHE_DATABASE_TEST = f"{self.CACHE_DATABASE}_test"
 
@@ -97,6 +109,11 @@ def reconfigure(**overrides) -> Settings:
         setattr(config, key, value)
     if not config.SPARK_CACHE_DIR.endswith("/"):
         config.SPARK_CACHE_DIR += "/"
+    # Same catalog-case normalization as __post_init__ (see the drift
+    # note there): the canonical lowercase form is what the catalog,
+    # the warehouse paths, and the plan regexes all agree on.
+    config.CACHE_DATABASE = config.CACHE_DATABASE.lower()
+    config.CACHE_DATABASE_TEST = config.CACHE_DATABASE_TEST.lower()
     # Keep the derived test-database name in sync with a CACHE_DATABASE
     # override (mirrors __post_init__), unless the caller set it explicitly.
     if "CACHE_DATABASE" in overrides and "CACHE_DATABASE_TEST" not in overrides:

@@ -84,3 +84,78 @@ def test_fixture_tables_honor_the_lowercase_contract():
                 if name != name.lower():
                     offenders.append((f, name))
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# catalog-case drift (the second half of the case lens: DATABASE identifiers)
+
+
+def test_mixed_case_cache_database_is_normalized():
+    """Spark stores unquoted catalog identifiers lowercased (the
+    warehouse dir is literally <lower(db)>.db) while CACHE_DATABASE is
+    also interpolated into filesystem paths and plan regexes — a
+    mixed-case setting split those views (probe: catalog worked, but
+    _table_location pointed at a MixedCase_DB.db dir that doesn't
+    exist, so the path fallback missed and size-budget eviction
+    undercounted to zero). The config now normalizes to the catalog's
+    canonical form at both entry points."""
+    from dbfs_spark_cache_spark.config import config, reconfigure
+
+    old_db, old_test = config.CACHE_DATABASE, config.CACHE_DATABASE_TEST
+    try:
+        got = reconfigure(CACHE_DATABASE="MixedCase_DB")
+        assert got.CACHE_DATABASE == "mixedcase_db"
+        assert got.CACHE_DATABASE_TEST == "mixedcase_db_test"
+        got = reconfigure(
+            CACHE_DATABASE="Another_DB", CACHE_DATABASE_TEST="My_TEST"
+        )
+        assert got.CACHE_DATABASE == "another_db"
+        assert got.CACHE_DATABASE_TEST == "my_test"
+    finally:
+        reconfigure(CACHE_DATABASE=old_db, CACHE_DATABASE_TEST=old_test)
+
+
+def test_mixed_case_database_survives_catalog_death(spark):
+    """End-to-end under the normalized name: a cache written under a
+    mixed-case configured database lands where _table_location expects
+    it, so the session-restart story (catalog gone, files survive)
+    serves the hit via the path fallback instead of silently
+    recomputing — the exact drift the probe demonstrated."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark import core, fs, read_cache_if_exist, write_cache
+    from dbfs_spark_cache_spark.config import config, reconfigure
+
+    old_db, old_test = config.CACHE_DATABASE, config.CACHE_DATABASE_TEST
+    try:
+        reconfigure(CACHE_DATABASE="CaseDrift_DB")
+        df = (
+            spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_cache(df)
+        h = core.resolve_table_hash(df)
+        loc = core._table_location(spark, h)
+        assert fs.exists(loc), "location must agree with the catalog's dir"
+        assert fs.exists(f"{loc.rstrip('/')}/_SUCCESS")
+        # simulate a catalog death with surviving files (managed-table
+        # DROP deletes them, so stash and restore around it)
+        import shutil
+        import tempfile
+
+        local = loc.replace("file:", "")
+        stash = tempfile.mkdtemp(prefix="case_drift_stash_")
+        shutil.copytree(local, f"{stash}/data")
+        spark.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{h}")
+        shutil.copytree(f"{stash}/data", local, dirs_exist_ok=True)
+        shutil.rmtree(stash, ignore_errors=True)
+        # catalog dead, files alive: the fallback must serve the hit
+        hit = read_cache_if_exist(df)
+        assert hit is not None
+        assert sorted(map(tuple, hit.collect())) == sorted(
+            map(tuple, df.collect())
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS casedrift_db CASCADE")
+        reconfigure(CACHE_DATABASE=old_db, CACHE_DATABASE_TEST=old_test)
