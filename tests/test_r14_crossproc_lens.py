@@ -222,3 +222,75 @@ def test_child_process_write_served_by_parent_path_fallback(spark, tmp_path):
         config.SPARK_CACHE_DIR = old_cache
         config.CACHE_DATABASE = old_db
         spark.sql(f"DROP DATABASE IF EXISTS {child_db} CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# commit-ledger compaction racing an ACTIVE sink, in real processes
+
+
+def _ledger_writer(args):
+    """Sink-side worker: append markers 0..n-1 (write_text, the same
+    call the sinks make), re-probing _already_committed after each —
+    an id must never read uncommitted once its marker landed, no
+    matter what the concurrent compactor is doing."""
+    base, n = args
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.streaming import _already_committed
+
+    regressions = []
+    for i in range(n):
+        fs.write_text(f"{base}/_committed/{i}.txt", f"batch {i} committed")
+        for probe in range(0, i + 1, 7):  # spot-check the history too
+            if not _already_committed(fs, base, probe):
+                regressions.append((i, probe))
+        if not _already_committed(fs, base, i):
+            regressions.append((i, i))
+    return regressions
+
+
+def _ledger_compactor(args):
+    """Maintenance-side worker: compact continuously until told to stop."""
+    base, stop_path = args
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dbfs_spark_cache_spark.streaming import compact_commit_ledger
+
+    folded = 0
+    while not os.path.exists(stop_path):
+        folded += compact_commit_ledger(base)
+    folded += compact_commit_ledger(base)
+    return folded
+
+
+def test_compaction_racing_active_sink_across_processes(tmp_path):
+    """The single-compactor contract's OTHER half, under real processes:
+    one process folds markers into the manifest in a tight loop while a
+    sink process appends markers and probes `_already_committed` after
+    every append. A committed id must never flicker back to
+    uncommitted (the marker-then-manifest probe order vs the
+    manifest-then-delete compactor order is exactly what closes the
+    interleaving hole), and the final ledger must hold every id."""
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.streaming import _ledger_state
+
+    base = str(tmp_path / "sink")
+    stop = str(tmp_path / "stop")
+    os.makedirs(f"{base}/_committed", exist_ok=True)
+    n = 250
+
+    ctx = multiprocessing.get_context("fork")
+    with ctx.Pool(2) as pool:
+        writer = pool.apply_async(_ledger_writer, [(base, n)])
+        compactor = pool.apply_async(_ledger_compactor, [(base, stop)])
+        regressions = writer.get(timeout=120)
+        open(stop, "w").close()
+        folded = compactor.get(timeout=120)
+
+    assert regressions == [], (
+        f"ids flickered uncommitted during compaction: {regressions[:10]}"
+    )
+    manifest_ids, marker_ids = _ledger_state(fs, base)
+    assert manifest_ids | marker_ids == set(range(n)), (
+        "compaction lost committed ids"
+    )
+    assert folded > 0, "the compactor must actually have raced the writer"
