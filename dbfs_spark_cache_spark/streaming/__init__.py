@@ -501,6 +501,58 @@ def growing_corpus_dedup_sink(
     return write_batch
 
 
+def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
+    """Fold a :func:`growing_corpus_dedup_sink`'s ingested index into one
+    static parquet dataset at ``out_path`` — step 1 of the periodic
+    maintenance the sink's scale note prescribes (the growing sink bounds
+    what accumulates BETWEEN folds, not forever).
+
+    MATERIALIZES the committed band rows (``overwrite`` to ``out_path``)
+    and returns the re-read frame, because the committed view is LAZY —
+    unioning it directly into the next sink's corpus index would leave
+    that index reading directories :func:`truncate_growing_index` is
+    about to delete. Returns None (and writes nothing) when the sink has
+    no committed index batches.
+
+    Maintenance flow (single owner, stream STOPPED — the same contract
+    as :func:`compact_commit_ledger`):
+      1. ``folded = fold_growing_index(spark, base, out)``  (idempotent
+         overwrite);
+      2. ``truncate_growing_index(base)``  (idempotent delete);
+      3. restart the stream, SAME checkpoint, with
+         ``corpus_index.unionByName(folded)`` — committed batches never
+         redeliver (Spark's commit log marks them done), so the truncated
+         ledger is never consulted for them.
+    Crash between 1 and 2: the band rows exist in both the fold output
+    and the sink — a restarted sink emits each cross-pair from both
+    copies, which the match contract already tolerates (one row per
+    colliding band, dedup downstream) and the re-run of the fold heals
+    (step 1 re-overwrites, step 2 finishes). Crash mid-step-1 leaves a
+    partial ``out_path`` guarded by its own ``_SUCCESS`` discipline —
+    re-run overwrites it.
+    """
+    ingested = read_exactly_once_output(spark, f"{base_path}/index")
+    if ingested is None:
+        return None
+    ingested.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
+def truncate_growing_index(base_path: str) -> bool:
+    """Step 2 of the fold: drop the sink's ingested-index data AND its
+    commit ledger (the matches sink is untouched — historical match
+    results stay exactly-once). Idempotent; True when something was
+    removed. Run only under the fold flow above: truncating WITHOUT a
+    completed fold forgets every ingested document the corpus index
+    hasn't absorbed."""
+    from .. import fs
+
+    index_path = f"{base_path}/index"
+    if not fs.exists(index_path):
+        return False
+    return fs.remove(index_path)
+
+
 def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type robust baseline (exact median + median absolute deviation)
     of the historical events table, materialized through the cache engine:

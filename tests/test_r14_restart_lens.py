@@ -320,3 +320,97 @@ def test_validated_sink_crash_before_marker_restart(spark, tmp_path):
     assert {r.id for r in bad.collect()} == {2, 4}
     marker = open(f"{base}/_committed/0.txt").read()
     assert "quarantined: 2" in marker
+
+
+def test_fold_and_truncate_growing_index_across_restart(spark, tmp_path):
+    """The growing sink's periodic maintenance (fold -> truncate ->
+    restart with the folded corpus): after the fold, a NEW near-dup of a
+    previously ingested doc must still be caught — now through the
+    FOLDED index, since the sink's own index was truncated — and the
+    sink's index holds only post-fold batches. The folded frame must
+    remain readable AFTER truncation (materialization, not a lazy view
+    of the deleted dirs)."""
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        fold_growing_index,
+        growing_corpus_dedup_sink,
+        read_exactly_once_output,
+        truncate_growing_index,
+    )
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(10)
+    corpus_index = corpus_band_index_frame(corpus)
+
+    def doc(doc_id: int, seed: str):
+        return (doc_id, " ".join(f"{seed}{i * 7 % 977}" for i in range(60)))
+
+    novel = doc(3_000_001, "foldnovel")
+    dup_tokens = novel[1].split()
+    dup_tokens[0] = "zzzz"
+    dup = (3_000_002, " ".join(dup_tokens))
+
+    src = str(tmp_path / "ingest")
+    base = str(tmp_path / "grow")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "folded_index")
+    now = time.time()
+
+    def write_docs(path, docs, mtime):
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        spark.createDataFrame(pdf).select(
+            F.col("doc_id").cast("long"), "text"
+        ).coalesce(1).write.parquet(path)
+        for d, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(d, f), (mtime, mtime))
+
+    def drain(index_df):
+        sink = growing_corpus_dedup_sink(base, index_df, threshold=0.5)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(src)
+        )
+        (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # nothing committed yet: fold is a no-op, truncate says so
+    assert fold_growing_index(spark, base, out) is None
+    assert truncate_growing_index(base) is False
+
+    write_docs(f"{src}/b=1", [novel], now - 600)
+    drain(corpus_index)
+
+    # maintenance window: fold, then truncate (stream stopped)
+    folded = fold_growing_index(spark, base, out)
+    assert folded is not None and folded.count() > 0
+    n_folded = folded.count()
+    assert truncate_growing_index(base) is True
+    assert truncate_growing_index(base) is False  # idempotent
+    assert read_exactly_once_output(spark, f"{base}/index") is None
+    # materialization: the folded frame survives the deletion it enables
+    assert folded.count() == n_folded
+
+    # restart with the folded corpus, SAME checkpoint; new near-dup
+    write_docs(f"{src}/b=2", [dup], now - 540)
+    drain(corpus_index.unionByName(folded))
+
+    matches = read_exactly_once_output(
+        spark, f"{base}/matches", include_batch_id=True
+    ).collect()
+    post_fold = [
+        (r.doc_id, r.corpus_doc_id) for r in matches if r.batch_id == 1
+    ]
+    # the cross-fold pair: caught through the FOLDED index only
+    assert set(post_fold) == {(dup[0], novel[0])}
+    # the truncated sink re-grew with only the post-fold batch
+    ingested = read_exactly_once_output(
+        spark, f"{base}/index", include_batch_id=True
+    )
+    assert {r.batch_id for r in ingested.select("batch_id").distinct().collect()} == {1}
