@@ -785,7 +785,35 @@ def write_stream_exactly_once(
     """Drive ``stream_df`` into :func:`exactly_once_append_sink` under a
     checkpoint. ``available_now`` (default) drains the current backlog and
     stops — the scheduled-incremental-batch pattern; pass False to leave
-    the query running and manage its lifecycle yourself."""
+    the query running and manage its lifecycle yourself.
+
+    One sink base belongs to ONE checkpoint: micro-batch ids are unique
+    only per checkpoint, so a SECOND pipeline (different checkpoint)
+    pointed at the same base would restart its ids at 0, short-circuit
+    on the first pipeline's markers, and silently DROP its own batches
+    as "already committed" — the worst failure mode of an exactly-once
+    ledger. The base is stamped with its checkpoint on first use and a
+    different checkpoint is refused loudly; re-pointing a sink on
+    purpose (checkpoint dir genuinely moved) means deleting the
+    ``_committed/_owner.txt`` stamp explicitly. Raw
+    :func:`exactly_once_append_sink` composition (the growing sink's
+    two sub-ledgers under one foreachBatch) is unaffected — the ids
+    there come from one checkpoint by construction.
+    """
+    from .. import fs
+
+    owner_path = f"{base_path}/_committed/_owner.txt"
+    recorded = fs.read_text(owner_path)
+    if recorded is None:
+        fs.write_text(owner_path, checkpoint_dir)
+    elif recorded != checkpoint_dir:
+        raise ValueError(
+            f"exactly-once sink {base_path!r} already belongs to "
+            f"checkpoint {recorded!r}; writing it from checkpoint "
+            f"{checkpoint_dir!r} would reuse batch ids and silently "
+            "drop data. Use a fresh base path, or delete "
+            f"{owner_path!r} if the checkpoint genuinely moved."
+        )
     writer = stream_df.writeStream.foreachBatch(
         exactly_once_append_sink(base_path)
     ).option("checkpointLocation", checkpoint_dir)

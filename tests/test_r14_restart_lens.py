@@ -414,3 +414,40 @@ def test_fold_and_truncate_growing_index_across_restart(spark, tmp_path):
         spark, f"{base}/index", include_batch_id=True
     )
     assert {r.batch_id for r in ingested.select("batch_id").distinct().collect()} == {1}
+
+
+def test_sink_base_refuses_second_checkpoint(spark, tmp_path):
+    """Batch ids are unique per CHECKPOINT, not per sink base: a second
+    pipeline (different checkpoint) pointed at the same base restarts
+    ids at 0, short-circuits on the first pipeline's markers, and
+    silently drops its own data. The managed entry point must refuse
+    the foreign checkpoint loudly; the rightful checkpoint resumes."""
+    from dbfs_spark_cache_spark.streaming import (
+        read_exactly_once_output,
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "out")
+    ckpt1 = str(tmp_path / "ckpt1")
+    ckpt2 = str(tmp_path / "ckpt2")
+    now = time.time()
+    rows_a = [(1, "a", 1.0), (2, "b", 2.0)]
+    rows_b = [(3, "c", 3.0)]
+    _write_rows(spark, f"{src}/b=1", rows_a, mtime=now - 600)
+
+    write_stream_exactly_once(_stream(spark, src), base, ckpt1)
+    assert read_exactly_once_output(spark, base).count() == len(rows_a)
+
+    src2 = str(tmp_path / "src2")
+    _write_rows(spark, f"{src2}/b=1", rows_b, mtime=now - 590)
+    with pytest.raises(ValueError, match="already belongs to"):
+        write_stream_exactly_once(_stream(spark, src2), base, ckpt2)
+    # nothing was dropped or overwritten by the refused attempt
+    assert read_exactly_once_output(spark, base).count() == len(rows_a)
+
+    # the rightful checkpoint keeps appending
+    _write_rows(spark, f"{src}/b=2", rows_b, mtime=now - 540)
+    write_stream_exactly_once(_stream(spark, src), base, ckpt1)
+    got = {(r.id, r.grp, r.value) for r in read_exactly_once_output(spark, base).collect()}
+    assert got == set(rows_a) | set(rows_b)

@@ -706,8 +706,9 @@ def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
     folded = compact_commit_ledger(base)
     assert folded >= 1
     ledger_files = sorted(os.listdir(f"{base}/_committed"))
-    # every marker folded; the schema record is ledger metadata, not a marker
-    assert ledger_files == ["_schema.json", "manifest.txt"]
+    # every marker folded; the schema record and the checkpoint-owner
+    # stamp are ledger metadata, not markers
+    assert ledger_files == ["_owner.txt", "_schema.json", "manifest.txt"]
     assert read_exactly_once_output(spark, base).count() == before
 
     # Redelivery of a folded id: still a no-op (manifest consulted).
@@ -719,7 +720,7 @@ def test_commit_ledger_compaction_preserves_exactly_once(spark, tmp_path):
     sink(_batch_events(spark).select("event_id", "user_id", "event_type", "value").limit(4), 555)
     assert read_exactly_once_output(spark, base).count() == before + 4
     assert compact_commit_ledger(base) == 1
-    assert sorted(os.listdir(f"{base}/_committed")) == ["_schema.json", "manifest.txt"]
+    assert sorted(os.listdir(f"{base}/_committed")) == ["_owner.txt", "_schema.json", "manifest.txt"]
     assert read_exactly_once_output(spark, base).count() == before + 4
     # Idempotent when nothing new to fold.
     assert compact_commit_ledger(base) == 0
@@ -757,7 +758,7 @@ def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
     first_ids = sorted(
         int(f[: -len(".txt")])
         for f in os.listdir(f"{base}/_committed")
-        if f.endswith(".txt") and f != "manifest.txt"
+        if f.endswith(".txt") and f[: -len(".txt")].isdigit()
     )
     assert read_exactly_once_output(spark, base).count() == n_file
 
@@ -767,7 +768,7 @@ def test_exactly_once_sink_incremental_second_drain(spark, tmp_path):
     second_ids = sorted(
         int(f[: -len(".txt")])
         for f in os.listdir(f"{base}/_committed")
-        if f.endswith(".txt") and f != "manifest.txt"
+        if f.endswith(".txt") and f[: -len(".txt")].isdigit()
     )
     assert read_exactly_once_output(spark, base).count() == 2 * n_file
     assert set(first_ids) < set(second_ids)  # old ids intact, new ids added
@@ -805,7 +806,7 @@ def test_exactly_once_sink_many_microbatches(spark, tmp_path):
     markers = [
         f
         for f in os.listdir(f"{base}/_committed")
-        if f.endswith(".txt") and f != "manifest.txt"
+        if f.endswith(".txt") and f[: -len(".txt")].isdigit()
     ]
     assert len(markers) == 4  # one committed batch per file
     n_file = spark.read.parquet(src).count()
