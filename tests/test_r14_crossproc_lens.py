@@ -294,3 +294,32 @@ def test_compaction_racing_active_sink_across_processes(tmp_path):
         "compaction lost committed ids"
     )
     assert folded > 0, "the compactor must actually have raced the writer"
+
+
+# ---------------------------------------------------------------------------
+# two SparkSessions in ONE process (spark.newSession) sharing the cache
+
+
+def test_new_session_shares_cache_entries(extended):
+    """The notebook-fork layout: ``spark.newSession()`` shares the
+    SparkContext and the external catalog but has its own conf and temp
+    views. A cache written from the parent must serve a CATALOG hit in
+    the forked session (no recompute), and the per-key lock covers both
+    (same process). The forked probe must also produce the SAME cache
+    key — the fingerprint depends on plan + input mtimes, not on which
+    sibling session built the frame."""
+    from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+
+    df = _agg_query(extended)
+    write_cache(df)
+    h = core.resolve_table_hash(df)
+
+    forked = extended.newSession()
+    df2 = _agg_query(forked)
+    assert core.resolve_table_hash(df2) == h, (
+        "sibling sessions must agree on the cache key"
+    )
+    hit = read_cache_if_exist(df2)
+    assert hit is not None, "forked session must see the parent's entry"
+    assert hit.sparkSession is forked or hit.sparkSession._jsparkSession is not None
+    assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, df.collect()))
