@@ -136,7 +136,16 @@ def grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     sort NaN above +Infinity, so a NaN-valued group summarized
     differently per engine; the guard drops bad-telemetry rows
     identically instead (NULL values are skipped by BOTH pandas and
-    SQL aggregates, so they still flow through)."""
+    SQL aggregates, so they still flow through).
+
+    QUEUED r15 (r14 'negzero' lens; premeasure
+    tests/test_r15_premeasure.py): a group carrying BOTH +0.0 and -0.0
+    renders a signed-zero coin flip — pandas min/max preserve the
+    winner's sign bit where Spark's own JVM aggregates normalize -0.0
+    in UnsafeRow (and DuckDB's pick is scan-order luck). Fix in the r15
+    due slot: aggregate over ``value + 0.0`` on BOTH engines (IEEE
+    folds -0.0 + 0.0 to +0.0; identity otherwise). Fixture-invisible —
+    no fixture column carries a negative zero."""
     events = load_table(spark, sf, "events").where(finite_or_null("value"))
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -382,6 +382,64 @@ def build_nonfinite(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_negzero(src: str, dst: str) -> None:
+    """IEEE negative zero (r14 lens): plant BOTH -0.0 and +0.0 in
+    events.value and customer.c_acctbal (fresh keys), plus an embedding
+    whose first element is -0.0 and one that is all signed zeros. The
+    shapes this hunts: MIN/MAX over a column containing both zeros can
+    legally return either bit pattern (IEEE says they compare equal, so
+    the survivor is implementation order — a cross-engine coin flip the
+    render layer DOES distinguish: canonical_cell prints '-0.0' vs
+    '0.0'); double group keys would split/merge groups if an engine
+    fails to normalize; sign-bit LSH uses >= 0 comparisons, where -0.0
+    must count positive identically on both engines. Like nonfinite,
+    the columns are written with DIRECT pyarrow arrays so the sign bit
+    survives the writer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    poison = {
+        ("events", "value", "event_id"): [-0.0, 0.0, -0.0],
+        ("customer", "c_acctbal", "c_custkey"): [-0.0, 0.0, -0.0],
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        hit = [k for k in poison if k[0] == name]
+        if name == "embeddings" and t.num_rows >= 3:
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == "vec_id":
+                    base = base + [930001, 930002]
+                elif field.name == "embedding":
+                    nz_vec = [float(x) for x in base[0]]
+                    nz_vec[0] = -0.0
+                    zeros = [-0.0 if i % 2 else 0.0 for i in range(len(base[1]))]
+                    base = base + [nz_vec, zeros]
+                else:
+                    base = base + base[:2]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        elif hit and t.num_rows >= 3:
+            (_, vcol, kcol) = hit[0]
+            vals = poison[hit[0]]
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == vcol:
+                    base = base + vals
+                elif field.name == kcol:
+                    mx = max(base)
+                    base = base + [mx + 1, mx + 2, mx + 3]
+                else:
+                    base = base + base[:3]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        else:
+            pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 def build_unicode(src: str, dst: str) -> None:
     """Unicode normalization forms (r12 lens): the same text planted
     composed (NFC) and decomposed (NFD, e.g. e + U+0301) — equal to a
@@ -694,6 +752,7 @@ def build_giant(src: str, dst: str) -> None:
 
 
 LENSES = {
+    "negzero": build_negzero,
     "tz": build_tz,
     "giant": build_giant,
     "unicode": build_unicode,

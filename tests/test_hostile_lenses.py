@@ -313,3 +313,34 @@ def test_giant_lens_plants_giant_and_wrong_dim(tmp_path):
         for i in (980001, 980002)
         for x in emb.loc[i, "embedding"]
     )
+
+
+def test_negzero_lens_plants_signed_zeros(tmp_path):
+    """The -0.0 poison must SURVIVE the writer with its sign bit (the
+    same nan_as_null class of silent laundering the nonfinite lens
+    documents — numpy.signbit is the only honest check, since
+    -0.0 == 0.0 compares true)."""
+    import numpy as np
+
+    from hostile_probe import build_negzero
+
+    dst = str(tmp_path / "negzero")
+    os.makedirs(dst, exist_ok=True)
+    build_negzero(SF_SMOKE, dst)
+
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    tail = ev["value"].to_numpy()[-3:]
+    assert list(np.signbit(tail)) == [True, False, True]
+    assert list(tail) == [0.0, 0.0, 0.0]  # zeros, differing only in sign
+
+    cust = pd.read_parquet(f"{dst}/customer.parquet")
+    assert list(np.signbit(cust["c_acctbal"].to_numpy()[-3:])) == [
+        True, False, True,
+    ]
+
+    emb = pd.read_parquet(f"{dst}/embeddings.parquet").set_index("vec_id")
+    v1 = np.asarray(emb.loc[930001, "embedding"], dtype=float)
+    assert np.signbit(v1[0]) and v1[0] == 0.0
+    v2 = np.asarray(emb.loc[930002, "embedding"], dtype=float)
+    assert (v2 == 0.0).all()
+    assert list(np.signbit(v2[:4])) == [False, True, False, True]
