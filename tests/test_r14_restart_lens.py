@@ -451,3 +451,85 @@ def test_sink_base_refuses_second_checkpoint(spark, tmp_path):
     write_stream_exactly_once(_stream(spark, src), base, ckpt1)
     got = {(r.id, r.grp, r.value) for r in read_exactly_once_output(spark, base).collect()}
     assert got == set(rows_a) | set(rows_b)
+
+
+def test_ledger_protocol_survives_random_crash_points(spark, tmp_path):
+    """Property sweep over ARBITRARY crash points: the enumerated pins
+    above each fix one protocol step; this drives the sink through an
+    at-least-once delivery loop (retry-until-committed, Spark's
+    contract) with crashes injected at random ledger writes, before the
+    sink runs, and after a full commit — plus random decoy redeliveries
+    of committed ids and single-owner compactions interleaved. For
+    every seed the committed view must equal every batch exactly once,
+    with correct batch attribution."""
+    import random
+
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        exactly_once_append_sink,
+        read_exactly_once_output,
+    )
+
+    real_write_text = fs.write_text
+    n_batches = 4
+
+    def batch_df(b):
+        return spark.range(b * 10, b * 10 + 3).selectExpr(
+            "id", "cast(id * 2 as double) AS v"
+        )
+
+    try:
+        for seed in range(6):
+            rng = random.Random(seed)
+            base = str(tmp_path / f"chaos_{seed}")
+            sink = exactly_once_append_sink(base)
+            crashes = 0
+
+            def chaotic_write_text(path, content):
+                nonlocal crashes
+                if crashes < 8 and rng.random() < 0.35:
+                    crashes += 1
+                    raise RuntimeError(f"chaos at {path}")
+                real_write_text(path, content)
+
+            fs.write_text = chaotic_write_text
+            for b in range(n_batches):
+                delivered = False
+                for _ in range(25):  # at-least-once retry loop
+                    try:
+                        if crashes < 8 and rng.random() < 0.15:
+                            crashes += 1
+                            raise RuntimeError("chaos before sink")
+                        sink(batch_df(b), b)
+                        post_commit_crash = crashes < 8 and rng.random() < 0.15
+                        if post_commit_crash:
+                            crashes += 1
+                            raise RuntimeError("chaos after commit")
+                        delivered = True
+                        break
+                    except RuntimeError:
+                        continue
+                assert delivered, f"seed {seed} batch {b} never committed"
+                if rng.random() < 0.3:  # decoy redelivery of an old id
+                    old = rng.randrange(b + 1)
+                    try:
+                        sink(batch_df(old).limit(1), old)
+                    except RuntimeError:
+                        pass
+                if rng.random() < 0.3:  # single-owner compaction
+                    fs.write_text = real_write_text
+                    compact_commit_ledger(base)
+                    fs.write_text = chaotic_write_text
+
+            fs.write_text = real_write_text
+            got = read_exactly_once_output(spark, base, include_batch_id=True)
+            rows = [(r.batch_id, r.id, r.v) for r in got.collect()]
+            want = [
+                (b, i, float(i * 2))
+                for b in range(n_batches)
+                for i in range(b * 10, b * 10 + 3)
+            ]
+            assert sorted(rows) == sorted(want), f"seed {seed}: {sorted(rows)}"
+    finally:
+        fs.write_text = real_write_text
