@@ -323,3 +323,81 @@ def test_new_session_shares_cache_entries(extended):
     assert hit is not None, "forked session must see the parent's entry"
     assert hit.sparkSession is forked or hit.sparkSession._jsparkSession is not None
     assert sorted(map(tuple, hit.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# persistent metastore (Derby/Hive): the catalog branch across process death
+
+_HIVE_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_CPUS", "2")
+os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
+os.chdir({root!r})  # derby.log lands here
+from pyspark.sql import SparkSession
+from dbfs_spark_cache_spark import reconfigure
+reconfigure(SPARK_CACHE_DIR={cache_dir!r}, CACHE_DATABASE="hive_restart_db")
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.warehouse.dir", {warehouse!r})
+    .config(
+        "javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=" + {root!r} + "/metastore_db;create=true",
+    )
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.shuffle.partitions", "4")
+    .enableHiveSupport()
+    .getOrCreate()
+)
+from pyspark.sql import functions as F
+df = (
+    spark.read.parquet({orders!r})
+    .groupBy("o_orderpriority")
+    .agg(F.count(F.lit(1)).alias("n"))
+)
+role = {role!r}
+from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
+if role == "writer":
+    write_cache(df)
+    print("WRITER_OK", core.resolve_table_hash(df))
+else:
+    h = core.resolve_table_hash(df)
+    table = core.table_name_for_hash(h)
+    assert core._table_exists(spark, table), (
+        "persistent metastore must remember the table across the restart"
+    )
+    hit = read_cache_if_exist(df)
+    assert hit is not None
+    rows = sorted(map(tuple, hit.collect()))
+    want = sorted(map(tuple, df.collect()))
+    assert rows == want, (rows, want)
+    print("READER_OK", len(rows))
+spark.stop()
+"""
+
+
+def test_cache_survives_process_restart_via_hive_metastore(tmp_path):
+    """The Databricks-shaped restart story the in-memory catalog cannot
+    express: with a persistent (Derby/Hive) metastore, the CATALOG
+    branch of `_read_cache_table` — not the path fallback — serves a
+    cache written by a process that has since exited. Two sequential
+    JVMs share only the metastore + warehouse + cache dir."""
+    root = str(tmp_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    common = dict(
+        repo=repo,
+        root=root,
+        cache_dir=str(tmp_path / "cache") + "/",
+        warehouse=str(tmp_path / "wh"),
+        orders=f"{SF_SMOKE}/orders.parquet",
+    )
+    writer = subprocess.run(
+        [sys.executable, "-c", _HIVE_CHILD.format(role="writer", **common)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "WRITER_OK" in writer.stdout, writer.stderr[-2000:]
+    reader = subprocess.run(
+        [sys.executable, "-c", _HIVE_CHILD.format(role="reader", **common)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "READER_OK" in reader.stdout, reader.stderr[-2000:]
