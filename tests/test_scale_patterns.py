@@ -407,3 +407,46 @@ def test_grouped_median_mad_randomized_sweep(spark):
     for g in expect:
         assert got[g][0] == pytest.approx(expect[g][0], abs=1e-9), g
         assert got[g][1] == pytest.approx(expect[g][1], abs=1e-9), g
+
+
+def test_salted_join_parity_all_modes_hostile(spark):
+    """Full row-multiset parity (not aggregated) between salted and
+    plain joins for EVERY allowed how, on hostile inputs: NULL fact
+    keys (never match, but left-family joins must still emit them),
+    unmatched keys on both sides, fully duplicate fact rows (the
+    deterministic content-hash salt co-locates them — still exactly the
+    plain join's multiset), and one hot key owning half the fact. The
+    replicated-dim hows stay refused."""
+    import pytest as _pytest
+
+    from dbfs_spark_cache_spark.operators.scale import salted_join
+
+    fact_rows = (
+        [(1, i, "hot") for i in range(50)]          # hot key
+        + [(2, 100, "dup"), (2, 100, "dup")]         # exact duplicates
+        + [(3, 200, "plain")]
+        + [(7, 300, "unmatched_fact")]               # key absent in dim
+        + [(None, 400, "null_key")]                  # NULL never matches
+    )
+    fact = spark.createDataFrame(fact_rows, "k int, payload int, tag string")
+    dim = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three"), (9, "unmatched_dim")],
+        "k int, label string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()), key=str)
+
+    for how in ("inner", "left", "left_outer"):
+        plain = fact.join(dim, "k", how)
+        salted = salted_join(fact, dim, "k", n_salts=5, how=how)
+        assert rows(salted) == rows(plain), how
+
+    for how in ("left_semi", "left_anti"):
+        plain = fact.join(dim, "k", how)
+        salted = salted_join(fact, dim, "k", n_salts=5, how=how)
+        assert rows(salted) == rows(plain), how
+
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="replicated per salt"):
+            salted_join(fact, dim, "k", how=how)
