@@ -382,6 +382,52 @@ def build_nonfinite(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_nulbyte(src: str, dst: str) -> None:
+    """Embedded NUL bytes (U+0000) in string payloads (r14 lens #20):
+    parquet strings legally carry NUL, and C-heritage string paths
+    truncate at it while length-prefixed paths don't — the classic
+    silent-divergence shape between a JVM engine and a C++ engine.
+    Plants: a token with an interior NUL, a document that is ONLY a
+    NUL, a NUL directly adjacent to the tokenizer's space delimiter,
+    and a part name with an interior NUL (the fn_string surface).
+    Keys are fresh; all other columns clone base rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc_texts = [
+        "alpha\x00bravo charlie delta echo",   # NUL inside a token
+        "\x00",                                 # the document IS a NUL
+        "foxtrot \x00golf hotel",               # NUL at a token boundary
+    ]
+    poison = {
+        ("documents", "text", "doc_id"): doc_texts,
+        ("part", "p_name", "p_partkey"): [
+            "widget\x00chrome", "gad\x00get", "\x00plain",
+        ],
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        hit = [k for k in poison if k[0] == name]
+        if hit and t.num_rows >= 3:
+            (_, vcol, kcol) = hit[0]
+            vals = poison[hit[0]]
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == vcol:
+                    base = base + vals
+                elif field.name == kcol:
+                    mx = max(base)
+                    base = base + [mx + 1, mx + 2, mx + 3]
+                else:
+                    base = base + base[:3]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        else:
+            pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 def build_negzero(src: str, dst: str) -> None:
     """IEEE negative zero (r14 lens): plant BOTH -0.0 and +0.0 in
     events.value and customer.c_acctbal (fresh keys), plus an embedding
@@ -752,6 +798,7 @@ def build_giant(src: str, dst: str) -> None:
 
 
 LENSES = {
+    "nulbyte": build_nulbyte,
     "negzero": build_negzero,
     "tz": build_tz,
     "giant": build_giant,

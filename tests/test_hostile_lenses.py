@@ -344,3 +344,24 @@ def test_negzero_lens_plants_signed_zeros(tmp_path):
     v2 = np.asarray(emb.loc[930002, "embedding"], dtype=float)
     assert (v2 == 0.0).all()
     assert list(np.signbit(v2[:4])) == [False, True, False, True]
+
+
+def test_nulbyte_lens_plants_embedded_nuls(tmp_path):
+    """The NUL poison must survive the writer byte-for-byte (a string
+    path that truncates at NUL would silently shorten the payload and
+    make the clean sweep vacuous)."""
+    from hostile_probe import build_nulbyte
+
+    dst = str(tmp_path / "nulbyte")
+    os.makedirs(dst, exist_ok=True)
+    build_nulbyte(SF_SMOKE, dst)
+
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    tail = list(docs["text"].iloc[-3:])
+    assert tail[0] == "alpha\x00bravo charlie delta echo"
+    assert tail[1] == "\x00"
+    assert tail[2] == "foxtrot \x00golf hotel"
+    part = pd.read_parquet(f"{dst}/part.parquet")
+    assert list(part["p_name"].iloc[-3:]) == [
+        "widget\x00chrome", "gad\x00get", "\x00plain",
+    ]
