@@ -776,30 +776,25 @@ def exactly_once_append_sink(base_path: str):
     return write_batch
 
 
-def write_stream_exactly_once(
-    stream_df: DataFrame,
-    base_path: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
-):
-    """Drive ``stream_df`` into :func:`exactly_once_append_sink` under a
-    checkpoint. ``available_now`` (default) drains the current backlog and
-    stops — the scheduled-incremental-batch pattern; pass False to leave
-    the query running and manage its lifecycle yourself.
+def claim_sink_checkpoint(base_path: str, checkpoint_dir: str) -> None:
+    """Bind an exactly-once sink base to ITS checkpoint, refusing any
+    other. Micro-batch ids are unique only per checkpoint: a second
+    pipeline (different checkpoint) pointed at the same base restarts
+    ids at 0, short-circuits on the first pipeline's markers, and
+    silently DROPS its own batches as "already committed" — the worst
+    failure mode of an exactly-once ledger. First call stamps
+    ``_committed/_owner.txt`` (a non-digit stem the ledger readers
+    ignore by design); later calls with the same checkpoint are no-ops;
+    a different checkpoint raises. Re-pointing a sink on purpose (the
+    checkpoint dir genuinely moved) means deleting the stamp.
 
-    One sink base belongs to ONE checkpoint: micro-batch ids are unique
-    only per checkpoint, so a SECOND pipeline (different checkpoint)
-    pointed at the same base would restart its ids at 0, short-circuit
-    on the first pipeline's markers, and silently DROP its own batches
-    as "already committed" — the worst failure mode of an exactly-once
-    ledger. The base is stamped with its checkpoint on first use and a
-    different checkpoint is refused loudly; re-pointing a sink on
-    purpose (checkpoint dir genuinely moved) means deleting the
-    ``_committed/_owner.txt`` stamp explicitly. Raw
-    :func:`exactly_once_append_sink` composition (the growing sink's
-    two sub-ledgers under one foreachBatch) is unaffected — the ids
-    there come from one checkpoint by construction.
-    """
+    ``write_stream_exactly_once`` calls this automatically. Pipelines
+    driving :func:`exactly_once_append_sink`,
+    :func:`validated_exactly_once_sink` or
+    :func:`growing_corpus_dedup_sink` through their OWN ``writeStream``
+    should call it once before ``start()`` with the same base they hand
+    the sink (for the growing sink: the parent base — its two
+    sub-ledgers share the parent's batch ids by construction)."""
     from .. import fs
 
     owner_path = f"{base_path}/_committed/_owner.txt"
@@ -814,6 +809,26 @@ def write_stream_exactly_once(
             "drop data. Use a fresh base path, or delete "
             f"{owner_path!r} if the checkpoint genuinely moved."
         )
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drive ``stream_df`` into :func:`exactly_once_append_sink` under a
+    checkpoint. ``available_now`` (default) drains the current backlog and
+    stops — the scheduled-incremental-batch pattern; pass False to leave
+    the query running and manage its lifecycle yourself.
+
+    One sink base belongs to ONE checkpoint —
+    :func:`claim_sink_checkpoint` (called here automatically) stamps
+    the base on first use and refuses a foreign checkpoint loudly; see
+    its docstring for the silent-drop failure mode it closes and the
+    self-driven-pipeline usage.
+    """
+    claim_sink_checkpoint(base_path, checkpoint_dir)
     writer = stream_df.writeStream.foreachBatch(
         exactly_once_append_sink(base_path)
     ).option("checkpointLocation", checkpoint_dir)

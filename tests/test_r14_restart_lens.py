@@ -533,3 +533,25 @@ def test_ledger_protocol_survives_random_crash_points(spark, tmp_path):
             assert sorted(rows) == sorted(want), f"seed {seed}: {sorted(rows)}"
     finally:
         fs.write_text = real_write_text
+
+
+def test_claim_sink_checkpoint_direct_and_growing(spark, tmp_path):
+    """The ownership claim as a public helper for self-driven pipelines:
+    idempotent for the rightful checkpoint, loud for a foreign one, and
+    usable on a growing-dedup parent base (one claim covers both
+    sub-ledgers, whose batch ids come from the one checkpoint)."""
+    from dbfs_spark_cache_spark.streaming import claim_sink_checkpoint
+
+    base = str(tmp_path / "out")
+    claim_sink_checkpoint(base, str(tmp_path / "ck1"))
+    claim_sink_checkpoint(base, str(tmp_path / "ck1"))  # idempotent
+    with pytest.raises(ValueError, match="already belongs to"):
+        claim_sink_checkpoint(base, str(tmp_path / "ck2"))
+
+    grow_base = str(tmp_path / "grow")
+    claim_sink_checkpoint(grow_base, str(tmp_path / "gck"))
+    # the stamp is invisible to the sub-ledgers (different _committed
+    # dirs entirely) and to the ledger readers (non-digit stem)
+    assert os.path.exists(f"{grow_base}/_committed/_owner.txt")
+    with pytest.raises(ValueError, match="already belongs to"):
+        claim_sink_checkpoint(grow_base, str(tmp_path / "gck2"))
