@@ -79,50 +79,33 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r13's window the ledger is 50@r13 + 50@r12 + 50@r11; r14's
-#   due cohort recomputes to exactly the 50 r11-vintage queries — 0
-#   slack — and contains ALL FIVE r14-changed names below plus both
-#   r12 ADVICE riders in _CHANGED_HELPER (verified: set(_CHANGED) <=
-#   the recomputed cohort; tests/test_rotation.py pins the ordering
-#   invariants). r15's cohort recomputes to the 50 r12-vintage
-#   queries. The five r13-vintage _CHANGED_HELPER entries (the ADVICE
-#   r13 #2 oracle-text interpolation — result-identical) displace
-#   nothing and re-attest at their natural r16 turn. Steady state:
-#   every round's due cohort is exactly 50, forever, under policy (1).
+#   after r14's window the ledger is 50@r14 + 50@r13 + 50@r12; r15's
+#   due cohort recomputes to exactly the 50 r12-vintage queries — 0
+#   slack — and contains the ONE r15-changed name below (rule 2b:
+#   grouped_map_pandas is r12-vintage — slot-neutral; verified:
+#   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py
+#   pins the ordering invariants). r16's cohort recomputes to the 50
+#   r13-vintage queries, which CONTAINS all five r13-vintage
+#   _CHANGED_HELPER entries (the ADVICE r13 #2 oracle-text
+#   interpolation — result-identical) — they re-attest at that
+#   natural r16 turn and must then be dropped per the hygiene rule.
+#   Steady state: every round's due cohort is exactly 50, forever,
+#   under policy (1).
 _CHANGED: list[str] = [
-    # r14: the full pre-measured due-slot batch — all five queued fixes
-    # (two from the r12 unicode/conflict lenses, three from the r13
-    # giant lens) with their exact diffs encoded in the since-promoted
-    # r14 premeasure suite — landed in their own due slots (rule 2b:
-    # all five names below are r11-vintage, due this round —
-    # slot-neutral). Hostile parity pinned in
-    # tests/test_r14_window_fixes.py; all re-attested exact at sf0.001
-    # AND sf0.01 via scripts/selfcheck.py post-change.
-    # r12 unicode lens (mechanism: exact-rational-half rounding — live
-    # on 5-7 real fixture docs, promoted FIRST): the per-doc mean now
-    # rounds in pure INTEGER space on BOTH engines (bit-specified DIV;
-    # tie class eliminated). Fixture-VISIBLE — impl and oracle moved
-    # together in this slot:
-    "text_unigram_logprob",
-    # r12 conflict lens (conflicting duplicate keys): the oracle's byte
-    # stats now group AND join back by (doc_id, hx) — the payload
-    # identity — instead of doc_id alone (oracle-only; the Spark decode
-    # was already a per-row map pass):
-    "multimodal_decode_features",
-    # r13 giant lens: the FULL usable-embedding contract (dimension +
-    # finite, similarity.DUCK_VEC_USABLE) on BOTH engines — a truncated
-    # vector CRASHED Spark's centroid sums (ANSI element_at OOB over
-    # _KM_DIM positions) while DuckDB's q[d] returned NULL:
-    "embedding_kmeans_assign",
-    # r13 giant lens: empty-vector NULL norm on the Spark side (the SQL
-    # aggregate-over-no-values convention; fold-over-nothing was 0.0 vs
-    # DuckDB's NULL). Diagnostic query — wrong-dim rows stay VISIBLE:
-    "embedding_norms",
-    # r13 giant lens: the same dim gate as kmeans — the finite-only
-    # gate's green was coincidental (Spark NULL-fold vs DuckDB
-    # NULL-skip on zip_with pads; a near-dup query vector with two
-    # extra dims flipped the coin):
-    "similarity_topk_batch",
+    # r15: the one queued premeasured fix (r14 'negzero' lens), landed
+    # in its own due slot (rule 2b: r12-vintage, due this round —
+    # slot-neutral). A group carrying BOTH +0.0 and -0.0 rendered a
+    # signed-zero coin flip — pandas min/max preserve the winner's
+    # sign bit where Spark's JVM aggregates normalize -0.0 in
+    # UnsafeRow (and DuckDB's pick is scan-order luck). Impl and
+    # oracle now both aggregate over ``value + 0.0`` (IEEE folds
+    # -0.0 + 0.0 to +0.0; identity otherwise) — one zero left to pick,
+    # nondeterminism eliminated. Fixture-invisible (no fixture column
+    # carries -0.0); hostile parity pinned in
+    # tests/test_r15_window_fixes.py (promoted from the retired
+    # premeasure suite); re-attested exact at sf0.001 AND sf0.01 via
+    # scripts/selfcheck.py post-change.
+    "grouped_map_pandas",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -153,18 +136,10 @@ _CHANGED: list[str] = [
 # DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
 # NULL-text due slot).
 _CHANGED_HELPER: list[str] = [
-    # The two r12 ADVICE riders, both r11-vintage (penalty 10.5 —
-    # displace nothing, re-attest THIS round, their natural turn; drop
-    # both next round once the r14 green rows land, per the hygiene
-    # rule above), both re-verified exact at sf0.01 AND sf0.1 via
-    # scripts/selfcheck.py at r12 and unchanged since:
-    # the CTE-injection rewrite of _verify_oracle changed this oracle's
-    # TEXT result-identically (ADVICE r11 #2):
-    "dedup_token_jaccard",
-    # temp-view -> DataFrame-argument substitution in spark.sql
-    # (ADVICE r11 #3) — impl refactor, result-identical by
-    # construction (same filter, same window SQL):
-    "window_time_range_rolling",
+    # Dropped at r15 under the hygiene rules: dedup_token_jaccard and
+    # window_time_range_rolling (the two r12 ADVICE riders — both
+    # r14-attested post-change, their green driver rows landed in
+    # CORRECTNESS_r14.json, DONE).
     # ADVICE r13 #2 riders, all r13-vintage (penalty 12.5 — displace
     # nothing, natural re-attest r16): the five oracles that hardcoded
     # 'len(embedding) = 64' as a string literal now f-string-interpolate

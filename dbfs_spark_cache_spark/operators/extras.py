@@ -117,9 +117,9 @@ def udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(MIN(value) AS DOUBLE) AS min_value,
-           CAST(MAX(value) AS DOUBLE) AS max_value,
-           CAST(MAX(value) - MIN(value) AS DOUBLE) AS value_range
+           CAST(MIN(value + 0.0) AS DOUBLE) AS min_value,
+           CAST(MAX(value + 0.0) AS DOUBLE) AS max_value,
+           CAST(MAX(value + 0.0) - MIN(value + 0.0) AS DOUBLE) AS value_range
     FROM events
     WHERE value IS NULL OR isfinite(value)
     GROUP BY user_id
@@ -138,24 +138,30 @@ def grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     identically instead (NULL values are skipped by BOTH pandas and
     SQL aggregates, so they still flow through).
 
-    QUEUED r15 (r14 'negzero' lens; premeasure
-    tests/test_r15_premeasure.py): a group carrying BOTH +0.0 and -0.0
-    renders a signed-zero coin flip — pandas min/max preserve the
-    winner's sign bit where Spark's own JVM aggregates normalize -0.0
-    in UnsafeRow (and DuckDB's pick is scan-order luck). Fix in the r15
-    due slot: aggregate over ``value + 0.0`` on BOTH engines (IEEE
-    folds -0.0 + 0.0 to +0.0; identity otherwise). Fixture-invisible —
-    no fixture column carries a negative zero."""
+    Signed zero (r14 'negzero' lens, landed in this query's r15 due
+    slot; regression pin tests/test_r15_window_fixes.py): a group
+    carrying BOTH +0.0 and -0.0 rendered a signed-zero coin flip —
+    pandas min/max preserve the winner's sign bit where Spark's own JVM
+    aggregates normalize -0.0 in UnsafeRow (and DuckDB's pick is
+    scan-order luck). Both engines now aggregate over ``value + 0.0``
+    (IEEE round-to-nearest folds -0.0 + 0.0 to +0.0; identity for every
+    other value; NaN is already gated by finite_or_null), so there is
+    only one zero for MIN/MAX to pick on any scan order — the
+    nondeterminism is eliminated, not dodged. Fixture-invisible: no
+    fixture column carries a negative zero."""
     events = load_table(spark, sf, "events").where(finite_or_null("value"))
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # + 0.0 folds -0.0 into +0.0 — the same normalization Spark's
+        # UnsafeRow applies on the JVM path this function bypasses
+        vals = pdf["value"] + 0.0
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                "min_value": [pdf["value"].min()],
-                "max_value": [pdf["value"].max()],
-                "value_range": [pdf["value"].max() - pdf["value"].min()],
+                "min_value": [vals.min()],
+                "max_value": [vals.max()],
+                "value_range": [vals.max() - vals.min()],
             }
         )
 
