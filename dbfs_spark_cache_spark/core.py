@@ -202,6 +202,20 @@ def _save_as_cache_table(
             raise
 
 
+def _marks_success_jobs(spark: SparkSession) -> bool:
+    """Whether this session's file-output committer writes _SUCCESS
+    markers (mapreduce.fileoutputcommitter.marksuccessfuljobs, default
+    true). Unreadable conf -> assume the default: the guard stays on."""
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        val = hconf.get(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+        )
+        return str(val).strip().lower() != "false"
+    except Exception:
+        return True
+
+
 def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame]:
     """Read a cache entry via the catalog, falling back to its files.
 
@@ -234,12 +248,20 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
         # committer lands _SUCCESS last, so for non-transactional formats
         # its absence means "no committed write here" — report a clean
         # miss (recompute), never partial data. Transactional formats
-        # carry their own commit log and skip this check. (Sessions that
-        # disable mapreduce...marksuccessfuljobs trade the path fallback
-        # for a recompute — safe, logged, and catalog reads are
-        # unaffected.)
-        if not is_transactional and not fs.exists(
-            f"{location.rstrip('/')}/_SUCCESS"
+        # carry their own commit log and skip this check.
+        # The check only applies when this session's committer WRITES the
+        # marker (ADVICE r14 #3): with mapreduce.fileoutputcommitter.
+        # marksuccessfuljobs=false (common on S3A/magic-committer
+        # platforms) no valid cache ever carries _SUCCESS, and requiring
+        # it would permanently disable the path fallback — one full
+        # distributed rewrite per session instead of a free hit. Such
+        # sessions keep the catalog read and accept the narrower
+        # cross-process window the marker would have closed (use a
+        # transactional CACHE_FORMAT for full protection there).
+        if (
+            not is_transactional
+            and _marks_success_jobs(spark)
+            and not fs.exists(f"{location.rstrip('/')}/_SUCCESS")
         ):
             log.warning(
                 "Cache location %s exists but has no _SUCCESS job-commit "

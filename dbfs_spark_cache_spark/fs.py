@@ -296,6 +296,33 @@ def write_text(path: str, content: str) -> None:
         raise OSError(f"rename {jtmp} -> {jpath} failed")
 
 
+def rename(src: str, dst: str) -> None:
+    """Move ``src`` (file or directory) to ``dst``, raising on failure.
+
+    Used by maintenance flows that publish a completed directory with a
+    swap (write to a temp sibling, then rename into place) — the rename
+    is the commit point, so a silent failure must not look like success.
+    ``dst`` must not exist (Hadoop rename does not overwrite; the local
+    branch matches that contract for cross-platform parity)."""
+    if is_local(src) and is_local(dst):
+        lsrc, ldst = strip_scheme(src), strip_scheme(dst)
+        if os.path.exists(ldst):
+            raise OSError(f"rename target already exists: {dst}")
+        os.makedirs(os.path.dirname(ldst) or ".", exist_ok=True)
+        os.rename(lsrc, ldst)
+        return
+    jfs, jsrc = _active_jvm_fs(src)
+    from pyspark.sql import SparkSession
+
+    jvm = SparkSession.getActiveSession()._jvm  # type: ignore[union-attr]
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if jfs.exists(jdst):
+        raise OSError(f"rename target already exists: {dst}")
+    jfs.mkdirs(jdst.getParent())
+    if not jfs.rename(jsrc, jdst):
+        raise OSError(f"rename {src} -> {dst} failed")
+
+
 def remove(path: str, recursive: bool = True) -> bool:
     if is_local(path):
         local = strip_scheme(path)

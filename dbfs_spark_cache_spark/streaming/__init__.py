@@ -15,6 +15,7 @@ checkpointing; watermarks bound state so 100 TB/day streams hold steady.
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -501,40 +502,100 @@ def growing_corpus_dedup_sink(
     return write_batch
 
 
+_FOLD_STAMP = "_folded.txt"  # non-digit stem: invisible to ledger readers
+
+
 def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     """Fold a :func:`growing_corpus_dedup_sink`'s ingested index into one
     static parquet dataset at ``out_path`` — step 1 of the periodic
     maintenance the sink's scale note prescribes (the growing sink bounds
     what accumulates BETWEEN folds, not forever).
 
-    MATERIALIZES the committed band rows (``overwrite`` to ``out_path``)
-    and returns the re-read frame, because the committed view is LAZY —
+    ``out_path`` is CUMULATIVE across maintenance cycles (ADVICE r14 #1):
+    a fold unions any previous fold's committed content at ``out_path``
+    with the sink's committed batches, distinct-collapses the copies,
+    writes the union to a temp sibling, and SWAPS it into place — so
+    reusing one ``out_path`` every cycle is the intended call pattern and
+    never destroys band rows folded earlier (the old overwrite-only fold
+    silently dropped every pre-previous-truncate document: silent dedup
+    misses). Returns the re-read frame (the committed view is LAZY —
     unioning it directly into the next sink's corpus index would leave
     that index reading directories :func:`truncate_growing_index` is
-    about to delete. Returns None (and writes nothing) when the sink has
-    no committed index batches.
+    about to delete); returns the previous fold (or None) when the sink
+    has no committed index batches. ``out_path`` must not live under
+    ``base_path`` — the truncate would delete the fold output.
+
+    After the swap, the fold stamps the ledger batch ids it absorbed
+    (``index/_committed/_folded.txt``); :func:`truncate_growing_index`
+    REFUSES to drop a ledger carrying ids the stamp doesn't cover, which
+    mechanically enforces the flow's "stream stopped, fold completed"
+    contract instead of trusting the docstring (a batch committed
+    mid-fold, or a truncate called without any fold, now raises instead
+    of silently forgetting documents).
 
     Maintenance flow (single owner, stream STOPPED — the same contract
     as :func:`compact_commit_ledger`):
-      1. ``folded = fold_growing_index(spark, base, out)``  (idempotent
-         overwrite);
-      2. ``truncate_growing_index(base)``  (idempotent delete);
+      1. ``folded = fold_growing_index(spark, base, out)``  (idempotent:
+         re-running unions + distincts to the same set);
+      2. ``truncate_growing_index(base)``  (idempotent delete, guarded
+         by the fold stamp);
       3. restart the stream, SAME checkpoint, with
          ``corpus_index.unionByName(folded)`` — committed batches never
          redeliver (Spark's commit log marks them done), so the truncated
          ledger is never consulted for them.
-    Crash between 1 and 2: the band rows exist in both the fold output
-    and the sink — a restarted sink emits each cross-pair from both
-    copies, which the match contract already tolerates (one row per
-    colliding band, dedup downstream) and the re-run of the fold heals
-    (step 1 re-overwrites, step 2 finishes). Crash mid-step-1 leaves a
-    partial ``out_path`` guarded by its own ``_SUCCESS`` discipline —
-    re-run overwrites it.
+    Crash safety: mid-write leaves a partial temp dir (no ``_SUCCESS``)
+    that the next run removes; between remove-old and swap the complete
+    union survives in the temp dir and the next run finishes the swap
+    before folding; between swap and stamp the re-run unions the
+    already-folded rows back in and distinct collapses them. In every
+    window the truncate guard still sees an uncovered ledger and refuses,
+    so no committed document can be forgotten.
     """
-    ingested = read_exactly_once_output(spark, f"{base_path}/index")
+    from .. import fs
+
+    index_path = f"{base_path}/index"
+    out_norm = fs.strip_scheme(out_path).rstrip("/")
+    base_norm = fs.strip_scheme(base_path).rstrip("/")
+    if out_norm == base_norm or out_norm.startswith(base_norm + "/"):
+        raise ValueError(
+            f"fold out_path {out_path!r} lives under the sink base "
+            f"{base_path!r}; truncate_growing_index would delete the "
+            "fold output. Use a path outside the sink tree."
+        )
+
+    tmp = out_path.rstrip("/") + ".__folding__"
+    # Recovery from a crash in a previous fold's swap window:
+    if fs.exists(tmp):
+        if fs.exists(f"{tmp}/_SUCCESS") and not fs.exists(out_path):
+            # died between remove-old and rename — the temp dir IS the
+            # completed union; finish the swap before folding anew
+            fs.rename(tmp, out_path)
+        else:
+            fs.remove(tmp)  # partial write (no _SUCCESS) or stale twin
+
+    # Ledger snapshot BEFORE reading data: a batch committing mid-fold
+    # lands in neither the stamp nor (necessarily) the union — the
+    # truncate guard then refuses until the next fold absorbs it.
+    manifest_ids, marker_ids = _ledger_state(fs, index_path)
+    folded_ids = sorted(manifest_ids | marker_ids)
+
+    prior = None
+    if fs.exists(f"{out_path.rstrip('/')}/_SUCCESS"):
+        prior = spark.read.parquet(out_path)
+    ingested = read_exactly_once_output(spark, index_path)
     if ingested is None:
-        return None
-    ingested.write.mode("overwrite").parquet(out_path)
+        return prior
+    folded = ingested if prior is None else (
+        prior.unionByName(ingested).distinct()
+    )
+    folded.write.mode("overwrite").parquet(tmp)
+    if fs.exists(out_path):
+        fs.remove(out_path)
+    fs.rename(tmp, out_path)
+    fs.write_text(
+        f"{index_path}/_committed/{_FOLD_STAMP}",
+        "\n".join(str(i) for i in folded_ids),
+    )
     return spark.read.parquet(out_path)
 
 
@@ -542,15 +603,50 @@ def truncate_growing_index(base_path: str) -> bool:
     """Step 2 of the fold: drop the sink's ingested-index data AND its
     commit ledger (the matches sink is untouched — historical match
     results stay exactly-once). Idempotent; True when something was
-    removed. Run only under the fold flow above: truncating WITHOUT a
-    completed fold forgets every ingested document the corpus index
-    hasn't absorbed."""
+    removed, False when there was nothing to remove. Raises instead of
+    proceeding in the two dangerous states:
+
+    * the ledger carries committed batch ids the last completed fold's
+      stamp does not cover (no fold ran, or the stream wrote a batch
+      after the fold) — truncating would FORGET those documents
+      (mechanical guard for the flow's "stream stopped, fold first"
+      contract; refusal is advisory against operator mistakes, not
+      atomic against a sink racing the removal itself);
+    * the removal FAILED while the path exists (permission denied,
+      partially-completed rmtree) — returning False there was
+      indistinguishable from "nothing to remove" (ADVICE r14 #5), and
+      an operator restarting on that belief leaves a ledger referencing
+      half-deleted batch dirs.
+    """
     from .. import fs
 
     index_path = f"{base_path}/index"
     if not fs.exists(index_path):
         return False
-    return fs.remove(index_path)
+    manifest_ids, marker_ids = _ledger_state(fs, index_path)
+    committed = manifest_ids | marker_ids
+    if committed:
+        stamp = fs.read_text(f"{index_path}/_committed/{_FOLD_STAMP}")
+        folded = (
+            {int(line) for line in stamp.split() if line.strip()}
+            if stamp
+            else set()
+        )
+        uncovered = sorted(committed - folded)
+        if uncovered:
+            raise RuntimeError(
+                f"refusing to truncate {index_path!r}: committed batch "
+                f"ids {uncovered} are not covered by a completed fold "
+                "stamp — truncating would forget their documents. Run "
+                "fold_growing_index (stream stopped) first."
+            )
+    if not fs.remove(index_path) and fs.exists(index_path):
+        raise OSError(
+            f"failed to remove {index_path!r} (permissions? partial "
+            "delete?); the ledger may now reference half-deleted batch "
+            "dirs — resolve before restarting the sink"
+        )
+    return True
 
 
 def robust_outlier_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,14 +890,31 @@ def claim_sink_checkpoint(base_path: str, checkpoint_dir: str) -> None:
     :func:`growing_corpus_dedup_sink` through their OWN ``writeStream``
     should call it once before ``start()`` with the same base they hand
     the sink (for the growing sink: the parent base — its two
-    sub-ledgers share the parent's batch ids by construction)."""
+    sub-ledgers share the parent's batch ids by construction).
+
+    Checkpoint paths are NORMALIZED before comparing (trailing slash,
+    ``file:`` scheme, relative-vs-absolute for local paths — ADVICE r14
+    #2): the same physical checkpoint passed as ``ckpt`` vs ``ckpt/``
+    vs ``file:/.../ckpt`` is the same owner, not a foreign pipeline.
+    The claim is ADVISORY, against configuration mistakes: the
+    read-then-write stamp is not atomic, so two pipelines racing the
+    very FIRST claim can both pass — what it reliably catches is the
+    durable misconfiguration (every later start of either pipeline hits
+    the stamped value)."""
     from .. import fs
+
+    def _norm(p: str) -> str:
+        q = fs.strip_scheme(p).rstrip("/") or "/"
+        if fs.is_local(q) and not q.startswith("/"):
+            q = os.path.abspath(q)
+        return q
 
     owner_path = f"{base_path}/_committed/_owner.txt"
     recorded = fs.read_text(owner_path)
+    checkpoint_norm = _norm(checkpoint_dir)
     if recorded is None:
-        fs.write_text(owner_path, checkpoint_dir)
-    elif recorded != checkpoint_dir:
+        fs.write_text(owner_path, checkpoint_norm)
+    elif _norm(recorded) != checkpoint_norm:
         raise ValueError(
             f"exactly-once sink {base_path!r} already belongs to "
             f"checkpoint {recorded!r}; writing it from checkpoint "
