@@ -428,6 +428,65 @@ def build_nulbyte(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_ctrl(src: str, dst: str) -> None:
+    """Control / zero-width / exotic-space characters (r15 lens #21):
+    the whitespace-adjacent codepoints the ws lens (ASCII space/tab
+    only) never planted — vertical tab \\x0B, form feed, CRLF, NEL
+    U+0085, LINE/PARAGRAPH SEPARATOR U+2028/U+2029, NBSP U+00A0,
+    zero-width space U+200B, and an interior BOM U+FEFF. The hazard
+    classes: regex whitespace shorthands differ per engine (Java \\s
+    includes \\x0B, RE2's does not — the repo's explicit
+    ``[ \\t\\n\\x0B\\f\\r]`` discipline exists precisely for this),
+    character-class replacement must treat a multi-byte codepoint as
+    ONE unit (UTF-16 Java vs UTF-8 RE2), trim must strip ASCII space
+    only on both engines, and tokenizers split on ' ' alone so every
+    one of these must stay INSIDE its token identically. Planted as
+    appended fresh-key rows in documents.text and part.p_name (the
+    fn_string surface); other columns clone base rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc_texts = [
+        "alpha\x0bbravo charlie\fdelta echo",  # VT + FF inside tokens
+        "line one\r\nline two\rline three",  # CRLF / bare CR
+        "nel\x85next \u2028 sep \u2029 end",  # NEL + LS/PS
+        "nb\u00a0sp zw\u200bsplit bom\ufeffmid",  # NBSP + ZWSP + BOM
+    ]
+    poison = {
+        ("documents", "text", "doc_id"): doc_texts,
+        ("part", "p_name", "p_partkey"): [
+            "widget\x0bchrome",
+            "gad\u00a0get",
+            "zw\u200bplain",
+            "cr\rname",
+        ],
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        hit = [k for k in poison if k[0] == name]
+        if hit and t.num_rows >= len(poison[hit[0]]):
+            (_, vcol, kcol) = hit[0]
+            vals = poison[hit[0]]
+            k = len(vals)
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == vcol:
+                    base = base + vals
+                elif field.name == kcol:
+                    mx = max(base)
+                    base = base + [mx + 1 + i for i in range(k)]
+                elif field.name == "n_chars" and name == "documents":
+                    base = base + [len(s) for s in vals]
+                else:
+                    base = base + base[:k]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        else:
+            pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 def build_negzero(src: str, dst: str) -> None:
     """IEEE negative zero (r14 lens): plant BOTH -0.0 and +0.0 in
     events.value and customer.c_acctbal (fresh keys), plus an embedding
@@ -798,6 +857,7 @@ def build_giant(src: str, dst: str) -> None:
 
 
 LENSES = {
+    "ctrl": build_ctrl,
     "nulbyte": build_nulbyte,
     "negzero": build_negzero,
     "tz": build_tz,

@@ -365,3 +365,37 @@ def test_nulbyte_lens_plants_embedded_nuls(tmp_path):
     assert list(part["p_name"].iloc[-3:]) == [
         "widget\x00chrome", "gad\x00get", "\x00plain",
     ]
+
+
+def test_ctrl_lens_plants_control_codepoints(tmp_path):
+    """The r15 ctrl lens's poison must survive the writer byte-for-byte:
+    VT/FF/CR/CRLF, NEL, LINE/PARAGRAPH SEPARATOR, NBSP, zero-width
+    space, and an interior BOM — each a single codepoint the clean
+    sweep certifies both engines treat identically (explicit character
+    classes, codepoint-unit replacement, ASCII-space-only trim)."""
+    from hostile_probe import build_ctrl
+
+    dst = str(tmp_path / "ctrl")
+    os.makedirs(dst, exist_ok=True)
+    build_ctrl(SF_SMOKE, dst)
+
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    tail = list(docs["text"].iloc[-4:])
+    assert tail[0] == "alpha\x0bbravo charlie\fdelta echo"
+    assert tail[1] == "line one\r\nline two\rline three"
+    assert tail[2] == "nel\x85next   sep   end"
+    assert tail[3] == "nb sp zw​split bom﻿mid"
+    # n_chars honesty (the width lens' established rule)
+    n_chars = list(docs["n_chars"].iloc[-4:])
+    assert n_chars == [len(s) for s in tail]
+    part = pd.read_parquet(f"{dst}/part.parquet")
+    assert list(part["p_name"].iloc[-4:]) == [
+        "widget\x0bchrome",
+        "gad get",
+        "zw​plain",
+        "cr\rname",
+    ]
+    # fixture-invisibility: the REAL fixture carries none of these
+    real = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    hostile = "\x0b\f\r\x85   ​﻿"
+    assert not real["text"].str.contains(f"[{hostile}]", regex=True).any()
