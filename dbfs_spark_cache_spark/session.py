@@ -5,6 +5,15 @@ AQE on (runtime re-planning + skew-join handling), shuffle partitions sized
 to the machine instead of the 200 default, Arrow enabled for the pandas
 boundary, UTC session timezone so timestamp semantics match columnar stores
 and the DuckDB oracle.
+
+getOrCreate caveat (r15 fresh-eyes note): when a SparkSession already
+exists in the process, Spark applies the builder's RUNTIME confs
+(``spark.sql.*`` — shuffle partitions, AQE, timezone) to that session but
+silently ignores the STATIC ones — ``master``, ``spark.driver.memory``
+and ``spark.sql.warehouse.dir`` keep the first session's values. Callers
+that need a different warehouse or driver size must stop the existing
+session first (the test suite's one-session-per-process rule exists for
+the same reason: the embedded Derby metastore also locks the warehouse).
 """
 from __future__ import annotations
 
