@@ -146,6 +146,8 @@ def sanitize_columns(df):
     for col in df.columns:
         if _INVALID_NAME_CHARS.search(col):
             clean = _INVALID_NAME_RUN.sub("_", col).strip("_")
+            if not clean:  # a name of ONLY invalid chars, e.g. "()"
+                clean = "col"
             while clean in seen:
                 clean += "_"
             renames[col] = clean
@@ -379,5 +381,13 @@ def _shingles_col(text_col: Column, k: int) -> Column:
 
 
 def normalized_text(text) -> Column:
-    """Lowercase, collapse whitespace, trim — the dedup normalization."""
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    """Lowercase, collapse whitespace, trim — the dedup normalization.
+
+    The whitespace class is EXPLICIT (r15 ctrl-lens discipline): Java's
+    ``\\s`` includes vertical tab ``\\x0B`` while RE2's (DuckDB, Go) does
+    not, so a shorthand here would normalize differently than an oracle
+    or a sibling engine running the byte-same pattern — the silent
+    cross-engine drift class. ``[ \\t\\n\\x0B\\f\\r]`` is the exact set
+    both regex engines agree on when spelled out (same class
+    ``operators.dedup`` uses)."""
+    return F.lower(F.trim(F.regexp_replace(text, r"[ \t\n\x0B\f\r]+", " ")))

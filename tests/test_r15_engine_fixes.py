@@ -349,3 +349,36 @@ def test_fs_rename_directory(tmp_path):
     # missing source raises
     with pytest.raises(OSError):
         fs.rename(str(tmp_path / "ghost"), str(tmp_path / "ghost2"))
+
+
+# ---------------------------------------------------------------------------
+# 7. functions-layer fresh-eyes fixes (r15 ctrl-lens discipline sweep)
+
+
+def test_normalized_text_explicit_whitespace_class(spark):
+    """functions.normalized_text was the one remaining Java-\\s user in
+    the package: Java's \\s includes \\x0B where RE2's (DuckDB/Go) does
+    not, so the shorthand normalized differently than the byte-same
+    pattern on a sibling engine. Now explicit [ \\t\\n\\x0B\\f\\r]+:
+    VT/FF/CR collapse, NBSP and ZWSP are preserved (they are not
+    whitespace to either engine's class)."""
+    from dbfs_spark_cache_spark.functions import normalized_text
+
+    rows = [("A\x0bB",), ("C\fD\rE",), ("nb sp",), ("zw​x",), ("  Two  Words  ",)]
+    df = spark.createDataFrame(rows, "t string").select(
+        normalized_text("t").alias("n")
+    )
+    got = [r.n for r in df.collect()]
+    assert got == ["a b", "c d e", "nb sp", "zw​x", "two words"]
+
+
+def test_sanitize_columns_all_invalid_name(spark):
+    """A column named ONLY of rejected characters ('()') must not
+    sanitize to the empty string (itself an invalid table-write name)."""
+    from dbfs_spark_cache_spark.functions import sanitize_columns
+
+    df = spark.range(1).select(
+        F.lit(1).alias("()"), F.lit(2).alias("sum(x)"), F.lit(3).alias("col")
+    )
+    clean = sanitize_columns(df)
+    assert clean.columns == ["col_", "sum_x", "col"]
