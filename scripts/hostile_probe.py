@@ -487,6 +487,54 @@ def build_ctrl(src: str, dst: str) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_intmax(src: str, dst: str) -> None:
+    """int64-extreme identifiers (r15 lens #22): fresh rows whose keys sit
+    at the edges of BIGINT — ``2^63-1`` and ``-(2^63-1)`` — in
+    documents.doc_id, events.event_id/user_id and embeddings.vec_id.
+    Key semantics are magnitude-free (joins, groups, MIN-keeper
+    elections, string-hash shard assignment all transpose), so any
+    divergence is magnitude-SENSITIVE arithmetic: an ANSI overflow on a
+    derived id (``id + 1``, ``abs(id)``, ``id * k``) that a hugeint
+    engine silently absorbs, a C-vs-floored modulo on the negative
+    extreme (the neg lens's class at the boundary where ``abs`` itself
+    overflows), an int64 id round-tripped through DOUBLE (2^63-1 is not
+    representable — a lossy cast renders 9223372036854775808), or a
+    text render disagreeing at the extremes. The repo's id discipline is
+    string-hash (md5 of the DECIMAL-exact rendering) + pmod, so the
+    expected result is a clean certification sweep; any red is a new
+    defect class. Payload columns clone base rows; n_chars stays
+    honest by cloning with its text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    IMAX = (1 << 63) - 1
+    IMIN1 = -IMAX  # LONG_MIN+1: negation stays in range on both engines
+    poison_keys = {
+        "documents": "doc_id",
+        "events": "event_id",
+        "embeddings": "vec_id",
+    }
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        kcol = poison_keys.get(name)
+        if kcol and t.num_rows >= 2:
+            cols = []
+            for field in t.schema:
+                base = t.column(field.name).combine_chunks().to_pylist()
+                if field.name == kcol:
+                    base = base + [IMAX, IMIN1]
+                elif name == "events" and field.name == "user_id":
+                    # one extreme grouping key rides along on the IMAX row
+                    base = base + [IMAX, base[1]]
+                else:
+                    base = base + base[:2]
+                cols.append(pa.array(base, type=field.type))
+            pq.write_table(pa.table(cols, schema=t.schema), f"{dst}/{name}.parquet")
+        else:
+            pq.write_table(t, f"{dst}/{name}.parquet")
+
+
 def build_negzero(src: str, dst: str) -> None:
     """IEEE negative zero (r14 lens): plant BOTH -0.0 and +0.0 in
     events.value and customer.c_acctbal (fresh keys), plus an embedding
@@ -857,6 +905,7 @@ def build_giant(src: str, dst: str) -> None:
 
 
 LENSES = {
+    "intmax": build_intmax,
     "ctrl": build_ctrl,
     "nulbyte": build_nulbyte,
     "negzero": build_negzero,

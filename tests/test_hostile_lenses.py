@@ -399,3 +399,27 @@ def test_ctrl_lens_plants_control_codepoints(tmp_path):
     real = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
     hostile = "\x0b\f\r\x85   ​﻿"
     assert not real["text"].str.contains(f"[{hostile}]", regex=True).any()
+
+
+def test_intmax_lens_plants_bigint_extremes(tmp_path):
+    """The int64-extreme keys must survive the writer exactly (a lossy
+    double round-trip would render 9223372036854775808 and the sweep
+    would certify the wrong value), and the real fixture must carry no
+    such extremes (fixture-invisibility)."""
+    from hostile_probe import build_intmax
+
+    IMAX = (1 << 63) - 1
+    dst = str(tmp_path / "intmax")
+    os.makedirs(dst, exist_ok=True)
+    build_intmax(SF_SMOKE, dst)
+
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    assert list(docs["doc_id"].iloc[-2:]) == [IMAX, -IMAX]
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    assert list(ev["event_id"].iloc[-2:]) == [IMAX, -IMAX]
+    assert int(ev["user_id"].iloc[-2]) == IMAX
+    emb = pd.read_parquet(f"{dst}/embeddings.parquet")
+    assert list(emb["vec_id"].iloc[-2:]) == [IMAX, -IMAX]
+
+    real = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    assert real["doc_id"].abs().max() < 1 << 40

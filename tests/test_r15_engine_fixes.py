@@ -382,3 +382,58 @@ def test_sanitize_columns_all_invalid_name(spark):
     )
     clean = sanitize_columns(df)
     assert clean.columns == ["col_", "sum_x", "col"]
+
+
+# ---------------------------------------------------------------------------
+# 8. mtime-regression cache behavior (restored-from-backup inputs)
+
+
+def test_mtime_regression_recomputes_never_stale(extended, tmp_path):
+    """An input RESTORED FROM BACKUP carries an OLDER mtime than the one
+    fingerprinted at cache time (mtimes normally only move forward). The
+    fingerprint must treat ANY mtime change — backward included — as a
+    different identity: the probe misses and the rewrite serves the
+    restored file's rows, never the stale cached ones. Also pins the
+    documented limitation honestly: an mtime-PRESERVING content rewrite
+    (rsync -t twin) is invisible to an mtime fingerprint, exactly like
+    the reference."""
+    import shutil as _sh
+    import time as _time
+
+    from dbfs_spark_cache_spark import read_cache_if_exist, write_cache
+
+    src = str(tmp_path / "input")
+    os.makedirs(src)
+    base = _time.time() - 3600
+
+    def write_input(vals, mtime):
+        import pandas as _pd
+
+        pdf = _pd.DataFrame({"k": ["a", "b"], "v": vals})
+        extended.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        for d, _, files in os.walk(src):
+            for f in files:
+                os.utime(os.path.join(d, f), (mtime, mtime))
+
+    def query():
+        return (
+            extended.read.parquet(src)
+            .groupBy("k")
+            .agg(F.sum("v").alias("total"))
+        )
+
+    write_input([1, 2], base)
+    write_cache(query())
+    assert read_cache_if_exist(query()) is not None  # baseline hit
+
+    # the backup restore: DIFFERENT content, OLDER mtime
+    write_input([10, 20], base - 86400)
+    assert read_cache_if_exist(query()) is None, (
+        "a backward mtime change must be a miss — serving the stale "
+        "cache is wrong data"
+    )
+    served = write_cache(query())
+    got = {r.k: r.total for r in served.collect()}
+    assert got == {"a": 10, "b": 20}
