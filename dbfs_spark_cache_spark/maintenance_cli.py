@@ -11,6 +11,7 @@ Usage:
     spark-cache-maintenance [--days 7] [--threads 16] [--database NAME]
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
         [--size-budget-bytes N] [--compact-ledger PATH]
+        [--fold-growing-index BASE --fold-out PATH [--truncate-after-fold]]
 
 Exit codes: 0 = every requested stage ran as scoped; 2 = an explicitly
 requested behavior was NOT honored (--size-budget-bytes /
@@ -53,7 +54,25 @@ def main() -> int:
                     help="fold an exactly-once streaming sink's per-batch "
                          "commit markers at PATH into its manifest and exit "
                          "(crash-safe; see streaming.compact_commit_ledger)")
+    ap.add_argument("--fold-growing-index", metavar="BASE", default=None,
+                    help="fold a growing_corpus_dedup_sink's ingested index "
+                         "at BASE into the cumulative dataset at --fold-out "
+                         "and exit (stream stopped, single owner; see "
+                         "streaming.fold_growing_index)")
+    ap.add_argument("--fold-out", metavar="PATH", default=None,
+                    help="cumulative fold output dataset (required with "
+                         "--fold-growing-index; must live OUTSIDE the sink "
+                         "base; reuse the same path every cycle)")
+    ap.add_argument("--truncate-after-fold", action="store_true",
+                    help="after a successful fold, drop the sink's ingested "
+                         "index + ledger (refused mechanically if any "
+                         "committed batch is not covered by the fold stamp)")
     args = ap.parse_args()
+
+    if args.fold_growing_index and not args.fold_out:
+        ap.error("--fold-growing-index requires --fold-out")
+    if args.truncate_after_fold and not args.fold_growing_index:
+        ap.error("--truncate-after-fold requires --fold-growing-index")
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     log = logging.getLogger("clear_old_caches")
@@ -75,6 +94,32 @@ def main() -> int:
     spark = get_spark(app_name="cache_maintenance")
 
     from dbfs_spark_cache_spark.config import config as _config
+
+    if args.fold_growing_index:
+        # Distributed read + write, so this stage needs the session (unlike
+        # --compact-ledger). Runs alone and exits, mirroring that flag —
+        # index maintenance is its own cron line, not an eviction rider.
+        from dbfs_spark_cache_spark.streaming import (
+            fold_growing_index,
+            truncate_growing_index,
+        )
+
+        folded = fold_growing_index(spark, args.fold_growing_index, args.fold_out)
+        if folded is None:
+            log.info("nothing to fold at %s (no committed index batches, "
+                     "no previous fold)", args.fold_growing_index)
+        else:
+            log.info("folded index at %s: %d band rows",
+                     args.fold_out, folded.count())
+        if args.truncate_after_fold:
+            # raises (never silently proceeds) on uncovered batch ids or a
+            # failed removal — the mechanical single-owner guard
+            removed = truncate_growing_index(args.fold_growing_index)
+            log.info("truncated sink index at %s: %s",
+                     args.fold_growing_index,
+                     "removed" if removed else "nothing to remove")
+        spark.stop()
+        return 0
 
     if args.stats:
         if args.database:

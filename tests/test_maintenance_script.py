@@ -155,3 +155,74 @@ def test_cli_compact_ledger(tmp_path, monkeypatch, caplog):
 
     assert _os.listdir(f"{base}/_committed") == ["manifest.txt"]
     assert open(f"{base}/_committed/manifest.txt").read().split() == ["0", "1", "2"]
+
+
+def test_cli_fold_growing_index(spark, tmp_path, monkeypatch, caplog):
+    """--fold-growing-index BASE --fold-out OUT --truncate-after-fold is
+    the cron-able form of the fold flow: folds the sink's committed
+    batches into the cumulative dataset and truncates under the
+    coverage guard. The missing --fold-out pairing exits via argparse."""
+    import logging
+    import sys as _sys
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark import maintenance_cli, session
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import growing_corpus_dedup_sink
+
+    def docs_df(docs):
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        return spark.createDataFrame(pdf).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+
+    corpus_index = corpus_band_index_frame(
+        docs_df([(1, " ".join(f"cli{i}" for i in range(60)))])
+    )
+    base = str(tmp_path / "grow")
+    out = str(tmp_path / "folded")
+    sink = growing_corpus_dedup_sink(base, corpus_index, threshold=0.5)
+    sink(
+        docs_df([(9_000_001, " ".join(f"clidoc{i * 7 % 977}" for i in range(60)))]),
+        0,
+    )
+
+    # the CLI must reuse the test session and must not stop it
+    class _NoStop:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: _NoStop(spark))
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "spark-cache-maintenance",
+            "--fold-growing-index", base,
+            "--fold-out", out,
+            "--truncate-after-fold",
+        ],
+    )
+    with caplog.at_level(logging.INFO):
+        assert maintenance_cli.main() == 0
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert not os.path.exists(f"{base}/index")
+    assert any("folded index" in m for m in caplog.messages)
+
+    # pairing validation: argparse exits 2
+    monkeypatch.setattr(
+        _sys, "argv", ["spark-cache-maintenance", "--fold-growing-index", base]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        maintenance_cli.main()
+    assert exc.value.code == 2
