@@ -563,15 +563,29 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
             "fold output. Use a path outside the sink tree."
         )
 
-    tmp = out_path.rstrip("/") + ".__folding__"
-    # Recovery from a crash in a previous fold's swap window:
-    if fs.exists(tmp):
-        if fs.exists(f"{tmp}/_SUCCESS") and not fs.exists(out_path):
-            # died between remove-old and rename — the temp dir IS the
-            # completed union; finish the swap before folding anew
-            fs.rename(tmp, out_path)
+    # Writer-unique temp name (same rationale as fs._temp_sibling): the
+    # contract is single-owner, but with a FIXED temp name an accidental
+    # second owner could have its half-written temp renamed into place by
+    # the first (torn data published); unique names mean any publish is a
+    # COMPLETE union — the accident degrades to last-writer-wins.
+    import uuid as _uuid
+
+    out_stripped = out_path.rstrip("/")
+    tmp = f"{out_stripped}.__folding__.{_uuid.uuid4().hex[:8]}"
+    # Recovery from a crash in a previous fold's swap window: any
+    # completed temp sibling is a full union — finish its swap if
+    # out_path is missing; discard every other leftover temp.
+    parent, base = out_stripped.rsplit("/", 1) if "/" in out_stripped else (".", out_stripped)
+    leftovers = [
+        s.path
+        for s in fs.list_dir(parent or "/")
+        if s.is_dir and s.name.startswith(f"{base}.__folding__")
+    ]
+    for left in leftovers:
+        if fs.exists(f"{left}/_SUCCESS") and not fs.exists(out_path):
+            fs.rename(left, out_path)  # died between remove-old and rename
         else:
-            fs.remove(tmp)  # partial write (no _SUCCESS) or stale twin
+            fs.remove(left)  # partial write (no _SUCCESS) or stale twin
 
     # Ledger snapshot BEFORE reading data: a batch committing mid-fold
     # lands in neither the stamp nor (necessarily) the union — the

@@ -142,16 +142,17 @@ def test_fold_swap_crash_recovery(spark, tmp_path):
     sink(_docs_df(spark, [d_a]), 0)
     fold_growing_index(spark, base, out)
 
-    # simulate the crash window: the completed union sits in the temp
-    # sibling, out_path was already removed
-    tmp_dir = out + ".__folding__"
+    # simulate the crash window: the completed union sits in a temp
+    # sibling (writer-unique suffix), out_path was already removed
+    tmp_dir = out + ".__folding__.deadbeef"
     shutil.move(out, tmp_dir)
     assert os.path.exists(f"{tmp_dir}/_SUCCESS") and not os.path.exists(out)
 
     folded = fold_growing_index(spark, base, out)
     ids = {r.corpus_doc_id for r in folded.select("corpus_doc_id").distinct().collect()}
     assert d_a[0] in ids
-    assert not os.path.exists(tmp_dir)  # swap finished, temp consumed
+    import glob as _glob
+    assert _glob.glob(out + ".__folding__*") == []  # temps all consumed
 
 
 def test_fold_removes_stale_partial_temp(spark, tmp_path):
@@ -166,7 +167,7 @@ def test_fold_removes_stale_partial_temp(spark, tmp_path):
     corpus_index = corpus_band_index_frame(_docs_df(spark, [_doc(1, "cs2")]))
     base = str(tmp_path / "grow")
     out = str(tmp_path / "folded_index")
-    tmp_dir = out + ".__folding__"
+    tmp_dir = out + ".__folding__.0badc0de"
     os.makedirs(tmp_dir)
     open(f"{tmp_dir}/part-garbage.parquet", "w").write("torn")
 
@@ -177,7 +178,8 @@ def test_fold_removes_stale_partial_temp(spark, tmp_path):
     assert folded is not None
     ids = {r.corpus_doc_id for r in folded.select("corpus_doc_id").distinct().collect()}
     assert d_a[0] in ids
-    assert not os.path.exists(tmp_dir)
+    import glob as _glob
+    assert _glob.glob(out + ".__folding__*") == []
 
 
 # ---------------------------------------------------------------------------

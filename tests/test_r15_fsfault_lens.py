@@ -282,4 +282,4 @@ def test_fold_swap_rename_failure_is_loud_and_recoverable(
         for r in folded.select("corpus_doc_id").distinct().collect()
     }
     assert doc[0] in ids
-    assert not os.path.exists(out + ".__folding__")
+    assert glob.glob(out + ".__folding__*") == []  # no temp leftovers
