@@ -439,3 +439,54 @@ def test_mtime_regression_recomputes_never_stale(extended, tmp_path):
     served = write_cache(query())
     got = {r.k: r.total for r in served.collect()}
     assert got == {"a": 10, "b": 20}
+
+
+# ---------------------------------------------------------------------------
+# 9. registry scan at volume (10k sidecar entries)
+
+
+def test_sidecar_registry_scales_to_10k_entries(monkeypatch, tmp_path):
+    """A long-lived shared cache accumulates thousands of entries; the
+    sidecar registry scan (driver-side thread pool) must stay correct —
+    exact count, no dropped or phantom rows, age ordering intact — and
+    finish in interactive time. Also pins that eviction SELECTION at
+    volume picks exactly the stale cohort (dry-run; no Spark session
+    involved on this path)."""
+    import time as _time
+
+    from dbfs_spark_cache_spark import management
+    from dbfs_spark_cache_spark.config import config
+
+    base = tmp_path / "bigcache"
+    base.mkdir()
+    n, n_old = 10_000, 137
+    now = _time.time()
+    old_cutoff = now - 30 * 86400
+    for i in range(n):
+        d = base / f"hash{i:05d}"
+        d.mkdir()
+        meta = d / "cache_metadata.txt"
+        meta.write_text(f"doc {i}")
+        # the first n_old entries are 30 days old, the rest fresh
+        when = old_cutoff if i < n_old else now
+        os.utime(meta, (when, when))
+        os.utime(d, (when, when))
+
+    monkeypatch.setattr(config, "SPARK_CACHE_DIR", str(base) + "/")
+
+    t0 = _time.monotonic()
+    frame = management.get_cached_dataframe_metadata(num_threads=32)
+    elapsed = _time.monotonic() - t0
+    assert len(frame) == n
+    assert len(set(frame["hash_name"])) == n
+    # creation-sorted: the old cohort leads
+    assert set(frame["hash_name"].iloc[:n_old]) == {
+        f"hash{i:05d}" for i in range(n_old)
+    }
+    assert elapsed < 60, f"10k-entry registry scan took {elapsed:.1f}s"
+
+    # dry-run eviction selects exactly the stale cohort
+    would = management.clear_caches_older_than(
+        None, num_days=7, num_threads=32, confirm_delete=False
+    )
+    assert sorted(would) == [f"hash{i:05d}" for i in range(n_old)]
