@@ -79,33 +79,27 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r14's window the ledger is 50@r14 + 50@r13 + 50@r12; r15's
-#   due cohort recomputes to exactly the 50 r12-vintage queries — 0
-#   slack — and contains the ONE r15-changed name below (rule 2b:
-#   grouped_map_pandas is r12-vintage — slot-neutral; verified:
-#   set(_CHANGED) <= the recomputed cohort; tests/test_rotation.py
-#   pins the ordering invariants). r16's cohort recomputes to the 50
-#   r13-vintage queries, which CONTAINS all five r13-vintage
-#   _CHANGED_HELPER entries (the ADVICE r13 #2 oracle-text
-#   interpolation — result-identical) — they re-attest at that
-#   natural r16 turn and must then be dropped per the hygiene rule.
+#   after r15's window the ledger is 50@r15 + 50@r14 + 50@r13; r16's
+#   due cohort recomputes to EXACTLY the 50 r13-vintage queries — 0
+#   slack — a pure re-attestation round (no registered impl or oracle
+#   changed in r16; the r16 work is streaming-maintenance fixes, a new
+#   read-side hostile lens, and review sweeps — all slot-free). The
+#   cohort naturally contains the five r13-vintage similarity riders
+#   (the ADVICE r13 #2 oracle-text interpolation), which re-attest at
+#   this turn; per the hygiene rule they are dropped from
+#   _CHANGED_HELPER THIS round — the drop is provably window-neutral
+#   (they are members of the zero-slack r13 due cohort with or without
+#   the half-step penalty; verified by recomputation, pinned by
+#   tests/test_rotation.py). r17's cohort recomputes to the 50
+#   r14-vintage queries (contains dedup_minhash_lsh/dedup_token_jaccard
+#   — the deferred single-pass MinHash signature form's natural slot).
 #   Steady state: every round's due cohort is exactly 50, forever,
 #   under policy (1).
 _CHANGED: list[str] = [
-    # r15: the one queued premeasured fix (r14 'negzero' lens), landed
-    # in its own due slot (rule 2b: r12-vintage, due this round —
-    # slot-neutral). A group carrying BOTH +0.0 and -0.0 rendered a
-    # signed-zero coin flip — pandas min/max preserve the winner's
-    # sign bit where Spark's JVM aggregates normalize -0.0 in
-    # UnsafeRow (and DuckDB's pick is scan-order luck). Impl and
-    # oracle now both aggregate over ``value + 0.0`` (IEEE folds
-    # -0.0 + 0.0 to +0.0; identity otherwise) — one zero left to pick,
-    # nondeterminism eliminated. Fixture-invisible (no fixture column
-    # carries -0.0); hostile parity pinned in
-    # tests/test_r15_window_fixes.py (promoted from the retired
-    # premeasure suite); re-attested exact at sf0.001 AND sf0.01 via
-    # scripts/selfcheck.py post-change.
-    "grouped_map_pandas",
+    # r16: empty — no registered query's implementation or oracle
+    # changed this round. (r15's grouped_map_pandas signed-zero fix is
+    # DONE: its post-change green driver row landed in
+    # CORRECTNESS_r15.json, vintage 15.)
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -136,24 +130,17 @@ _CHANGED: list[str] = [
 # DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
 # NULL-text due slot).
 _CHANGED_HELPER: list[str] = [
-    # Dropped at r15 under the hygiene rules: dedup_token_jaccard and
-    # window_time_range_rolling (the two r12 ADVICE riders — both
-    # r14-attested post-change, their green driver rows landed in
-    # CORRECTNESS_r14.json, DONE).
-    # ADVICE r13 #2 riders, all r13-vintage (penalty 12.5 — displace
-    # nothing, natural re-attest r16): the five oracles that hardcoded
-    # 'len(embedding) = 64' as a string literal now f-string-interpolate
-    # similarity.DUCK_VEC_USABLE, so both engines share ONE dim constant
-    # (changing EXPECTED_DIM can no longer silently skew the
-    # usable-embedding contract cross-engine). Oracle TEXT changed
-    # result-identically (the interpolated predicate is the same
-    # predicate, reformatted); all five re-verified exact at sf0.001
-    # via scripts/selfcheck.py in-round:
-    "similarity_topk_cosine",
-    "similarity_lsh_buckets",
-    "similarity_multiprobe",
-    "similarity_ivf_search",
-    "dedup_embedding_cosine",
+    # Dropped at r16 under the hygiene rules: the five ADVICE r13 #2
+    # similarity riders (similarity_topk_cosine, similarity_lsh_buckets,
+    # similarity_multiprobe, similarity_ivf_search,
+    # dedup_embedding_cosine — the DUCK_VEC_USABLE oracle-text
+    # interpolation). Their natural re-attest turn IS this round's due
+    # cohort (all five are r13-vintage members of the zero-slack 50
+    # r13-vintage window), so the half-step penalty no longer selects
+    # anything — the drop is window-neutral by recomputation and keeps
+    # the ordering clean for r17 (a stale penalty corrupts the ordering
+    # one round later — the r9 red). Earlier drops: r15 retired
+    # dedup_token_jaccard and window_time_range_rolling (r14-attested).
 ]
 
 _WINDOW_SLOTS = 50
