@@ -216,6 +216,58 @@ def _marks_success_jobs(spark: SparkSession) -> bool:
         return True
 
 
+# Sidecar recording the WRITER session's committer marker discipline
+# (ADVICE r15 #4): _SUCCESS presence is a property of the session that
+# WROTE a cache directory, not of the one reading it. Gating the torn-
+# write guard on the READER's conf is wrong in both mixed quadrants — a
+# marksuccessfuljobs=false reader skipped the guard for marker-written
+# dirs (reopening the cross-process partial-read window), and a
+# marker-writing reader required _SUCCESS from markerless-written dirs
+# (one full rewrite per session instead of a hit). The writer records its
+# discipline next to the metadata sidecar at write time; readers prefer
+# the recorded value and fall back to their own conf for pre-recording
+# entries (the old behavior, both asymmetries documented above).
+_COMMITTER_SIDECAR = "writer_committer.txt"
+
+
+def _committer_sidecar_path(hash_name: str) -> str:
+    base = config.SPARK_CACHE_DIR
+    if not base.endswith("/"):
+        base += "/"
+    return f"{base}{hash_name}/{_COMMITTER_SIDECAR}"
+
+
+def _record_writer_committer(spark: SparkSession, metadata_path: str) -> None:
+    """Record this (writer) session's marker discipline beside the entry's
+    metadata sidecar. Advisory: a failure degrades readers to their own
+    conf (the pre-recording behavior), so it must never fail the write."""
+    sidecar = f"{metadata_path.rsplit('/', 1)[0]}/{_COMMITTER_SIDECAR}"
+    flag = "true" if _marks_success_jobs(spark) else "false"
+    try:
+        fs.write_text(sidecar, f"marks_success_jobs={flag}")
+    except Exception as exc:
+        log.warning(
+            "Could not record writer committer discipline at %s (%s); "
+            "readers will gate the _SUCCESS guard on their own conf",
+            sidecar, exc_summary(exc),
+        )
+
+
+def _writer_marks_success(spark: SparkSession, hash_name: str) -> bool:
+    """Marker discipline governing ``hash_name``'s cache directory: the
+    recorded WRITER value when present, else this reader's own conf
+    (pre-recording entries and custom cache_path bases, whose sidecars
+    live outside SPARK_CACHE_DIR where this probe looks)."""
+    recorded = fs.read_text(_committer_sidecar_path(hash_name))
+    if recorded is not None:
+        val = recorded.strip().lower().rsplit("=", 1)[-1]
+        if val == "true":
+            return True
+        if val == "false":
+            return False
+    return _marks_success_jobs(spark)
+
+
 def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame]:
     """Read a cache entry via the catalog, falling back to its files.
 
@@ -249,18 +301,21 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
         # its absence means "no committed write here" — report a clean
         # miss (recompute), never partial data. Transactional formats
         # carry their own commit log and skip this check.
-        # The check only applies when this session's committer WRITES the
-        # marker (ADVICE r14 #3): with mapreduce.fileoutputcommitter.
-        # marksuccessfuljobs=false (common on S3A/magic-committer
-        # platforms) no valid cache ever carries _SUCCESS, and requiring
-        # it would permanently disable the path fallback — one full
-        # distributed rewrite per session instead of a free hit. Such
-        # sessions keep the catalog read and accept the narrower
-        # cross-process window the marker would have closed (use a
-        # transactional CACHE_FORMAT for full protection there).
+        # The check only applies when the committer that WROTE this entry
+        # marks success jobs (ADVICE r14 #3 + r15 #4): with mapreduce.
+        # fileoutputcommitter.marksuccessfuljobs=false (common on
+        # S3A/magic-committer platforms) no valid cache ever carries
+        # _SUCCESS, and requiring it would permanently disable the path
+        # fallback — one full distributed rewrite per session instead of
+        # a free hit. Marker-writing discipline is the WRITER's property,
+        # recorded per-entry at write time (_writer_marks_success falls
+        # back to this reader's conf for pre-recording entries).
+        # Markerless-written entries keep the catalog read and accept the
+        # narrower cross-process window the marker would have closed (use
+        # a transactional CACHE_FORMAT for full protection there).
         if (
             not is_transactional
-            and _marks_success_jobs(spark)
+            and _writer_marks_success(spark, hash_name)
             and not fs.exists(f"{location.rstrip('/')}/_SUCCESS")
         ):
             log.warning(
@@ -409,6 +464,7 @@ def write_cache(
                 n_buckets=n_buckets,
                 bucket_sort_by=bucket_sort_by,
             )
+            _record_writer_committer(spark, metadata_path)
             fs.write_text(metadata_path, metadata_txt)
             _bump("writes")
 
@@ -605,6 +661,7 @@ def create_cached_dataframe(
             log.info("Direct-data cache miss; creating %s", table)
             source = spark.createDataFrame(data, schema=schema, **kwargs)
             _save_as_cache_table(source, table, cache_hash_name)
+            _record_writer_committer(spark, metadata_path)
             # Deterministic document — NO wall-clock line: every racer on
             # this key must produce byte-identical content, because both
             # the per-key lock's re-probe and fs.write_text's lost-rename

@@ -504,6 +504,26 @@ def growing_corpus_dedup_sink(
 
 _FOLD_STAMP = "_folded.txt"  # non-digit stem: invisible to ledger readers
 
+# Completion marker the fold writes ITSELF (fs.write_text, not the Spark
+# job committer) into the dataset dir after the parquet write (ADVICE r15
+# #1): prior-fold detection and crash recovery keyed on the committer's
+# _SUCCESS break on mapreduce.fileoutputcommitter.marksuccessfuljobs=false
+# platforms — a complete prior fold is never recognized, so every cycle
+# would overwrite out_path with only the current ledger's rows (silently
+# destroying earlier cycles' band rows) and the recovery loop would delete
+# a complete-but-markerless temp. Underscore prefix: parquet readers skip
+# it as a hidden file.
+_FOLD_OK = "_FOLDED_OK"
+
+
+def _fold_complete(fs, path: str) -> bool:
+    """A dataset dir holds a COMPLETE fold union: the fold's own marker,
+    or (pre-marker folds, written before ADVICE r15 #1) the committer's
+    _SUCCESS — which only marker-writing sessions ever produced, so it
+    still means complete wherever it exists."""
+    p = path.rstrip("/")
+    return fs.exists(f"{p}/{_FOLD_OK}") or fs.exists(f"{p}/_SUCCESS")
+
 
 def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     """Fold a :func:`growing_corpus_dedup_sink`'s ingested index into one
@@ -523,7 +543,14 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     that index reading directories :func:`truncate_growing_index` is
     about to delete); returns the previous fold (or None) when the sink
     has no committed index batches. ``out_path`` must not live under
-    ``base_path`` — the truncate would delete the fold output.
+    ``base_path`` (the truncate would delete the fold output) and must
+    not be an ancestor of it (the fold's swap would delete the sink tree);
+    both directions raise. Keep the stream's checkpoint dir outside
+    ``out_path`` too — the swap removes ``out_path`` recursively.
+    Completeness of a fold dataset is tracked by the fold's OWN
+    ``_FOLDED_OK`` marker (committer-independent — ``_SUCCESS`` detection
+    broke on marksuccessfuljobs=false platforms, where every cycle then
+    overwrote the accumulated union with just the current ledger's rows).
 
     After the swap, the fold stamps the ledger batch ids it absorbed
     (``index/_committed/_folded.txt``); :func:`truncate_growing_index`
@@ -543,24 +570,49 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
          ``corpus_index.unionByName(folded)`` — committed batches never
          redeliver (Spark's commit log marks them done), so the truncated
          ledger is never consulted for them.
-    Crash safety: mid-write leaves a partial temp dir (no ``_SUCCESS``)
+    Crash safety: mid-write leaves a partial temp dir (no ``_FOLDED_OK``)
     that the next run removes; between remove-old and swap the complete
-    union survives in the temp dir and the next run finishes the swap
-    before folding; between swap and stamp the re-run unions the
-    already-folded rows back in and distinct collapses them. In every
-    window the truncate guard still sees an uncovered ledger and refuses,
-    so no committed document can be forgotten.
+    union survives in the temp dir (marker inside) and the next run
+    finishes the swap before folding; between swap and stamp the re-run
+    unions the already-folded rows back in and distinct collapses them.
+    In every window the truncate guard still sees an uncovered ledger and
+    refuses, so no committed document can be forgotten.
     """
     from .. import fs
 
     index_path = f"{base_path}/index"
-    out_norm = fs.strip_scheme(out_path).rstrip("/")
-    base_norm = fs.strip_scheme(base_path).rstrip("/")
+
+    def _containment_norm(p: str) -> str:
+        # Prefix containment is decided on dot-segment-free paths: a
+        # local "<sink>/grow/../.." names the sink's grandparent, and
+        # raw-string startswith would wave it through the guard.
+        # normpath only for scheme-less local paths — on "s3://b/k" it
+        # would collapse the authority's double slash.
+        q = fs.strip_scheme(p).rstrip("/")
+        if "://" not in q and ":" not in q.split("/", 1)[0]:
+            q = os.path.normpath(q)
+        return q
+
+    out_norm = _containment_norm(out_path)
+    base_norm = _containment_norm(base_path)
     if out_norm == base_norm or out_norm.startswith(base_norm + "/"):
         raise ValueError(
             f"fold out_path {out_path!r} lives under the sink base "
             f"{base_path!r}; truncate_growing_index would delete the "
             "fold output. Use a path outside the sink tree."
+        )
+    # The other containment direction (ADVICE r15 #2): with the sink base
+    # UNDER out_path, the swap's remove(out_path) would recursively delete
+    # the whole sink tree — including the matches ledger whose historical
+    # exactly-once results this flow promises to leave untouched. (The
+    # stream's checkpoint dir is not known here; keep it outside out_path
+    # for the same reason — documented in the maintenance-flow docstring.)
+    if base_norm.startswith(out_norm + "/"):
+        raise ValueError(
+            f"sink base {base_path!r} lives under fold out_path "
+            f"{out_path!r}; the fold's swap would delete the sink tree "
+            "(matches ledger included). Use a fold path that is not an "
+            "ancestor of the sink."
         )
 
     # Writer-unique temp name (same rationale as fs._temp_sibling): the
@@ -582,10 +634,10 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
         if s.is_dir and s.name.startswith(f"{base}.__folding__")
     ]
     for left in leftovers:
-        if fs.exists(f"{left}/_SUCCESS") and not fs.exists(out_path):
+        if _fold_complete(fs, left) and not fs.exists(out_path):
             fs.rename(left, out_path)  # died between remove-old and rename
         else:
-            fs.remove(left)  # partial write (no _SUCCESS) or stale twin
+            fs.remove(left)  # partial write (no completion marker) or stale twin
 
     # Ledger snapshot BEFORE reading data: a batch committing mid-fold
     # lands in neither the stamp nor (necessarily) the union — the
@@ -594,7 +646,7 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     folded_ids = sorted(manifest_ids | marker_ids)
 
     prior = None
-    if fs.exists(f"{out_path.rstrip('/')}/_SUCCESS"):
+    if _fold_complete(fs, out_path):
         prior = spark.read.parquet(out_path)
     ingested = read_exactly_once_output(spark, index_path)
     if ingested is None:
@@ -603,6 +655,13 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
         prior.unionByName(ingested).distinct()
     )
     folded.write.mode("overwrite").parquet(tmp)
+    # The fold's OWN completion marker (committer-independent; see
+    # _FOLD_OK): written only after the full union landed, it rides the
+    # rename into out_path, so completeness survives marksuccessfuljobs=
+    # false sessions. A crash between the parquet write and this marker
+    # discards the temp on the next run — safe, out_path (or the prior
+    # fold) is still intact at that point.
+    fs.write_text(f"{tmp}/{_FOLD_OK}", "complete")
     if fs.exists(out_path):
         fs.remove(out_path)
     fs.rename(tmp, out_path)
@@ -919,7 +978,16 @@ def claim_sink_checkpoint(base_path: str, checkpoint_dir: str) -> None:
 
     def _norm(p: str) -> str:
         q = fs.strip_scheme(p).rstrip("/") or "/"
-        if fs.is_local(q) and not q.startswith("/"):
+        # Absolutize ONLY a genuinely relative local path — one carrying
+        # no scheme at all (ADVICE r15 #3). Single-slash scheme'd URIs
+        # (``dbfs:/ckpt``, ``s3:/b/k``) have no '://', so fs.is_local
+        # called them local and os.path.abspath embedded the driver's CWD
+        # into the stored stamp ('/cwd/dbfs:/ckpt') — a later start from
+        # a different working directory then raised a spurious
+        # foreign-checkpoint error for the same physical checkpoint. A
+        # ':' before the first '/' marks a scheme; leave those untouched.
+        head = q.split("/", 1)[0]
+        if not q.startswith("/") and ":" not in head:
             q = os.path.abspath(q)
         return q
 

@@ -292,8 +292,13 @@ def test_success_guard_gated_on_committer_conf(extended):
     """On a cluster whose committer writes no _SUCCESS markers
     (marksuccessfuljobs=false), the path fallback must still serve a
     valid cache — requiring the marker there turns every post-restart
-    session into a full rewrite. With the default conf the guard stays
-    on (the r14 crossproc pin covers that half)."""
+    session into a full rewrite. Sharpened at r16 (ADVICE r15 #4):
+    marker discipline is the WRITER's property, recorded per-entry at
+    write time — so the entry here is WRITTEN under the markerless conf
+    and must then serve path hits under ANY reader conf (the r15 pin
+    flipped the reader's conf instead, which let a markerless READER
+    skip the guard for marker-written dirs). The default-conf guard half
+    stays pinned by the r14 crossproc test."""
     from dbfs_spark_cache_spark import core, read_cache_if_exist, write_cache
     from dbfs_spark_cache_spark.config import config
 
@@ -302,30 +307,39 @@ def test_success_guard_gated_on_committer_conf(extended):
         .groupBy("o_orderstatus")
         .agg(F.sum("o_totalprice").alias("total"))
     )
-    write_cache(df)
-    h = core.resolve_table_hash(df)
-    loc = core._table_location(extended, h).replace("file:", "")
-
-    # survive a catalog death so the probe must use the path fallback
-    stash = tempfile.mkdtemp(prefix="confgate_stash_")
-    shutil.copytree(loc, f"{stash}/data")
-    extended.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{h}")
-    shutil.copytree(f"{stash}/data", loc, dirs_exist_ok=True)
-    shutil.rmtree(stash, ignore_errors=True)
-    os.remove(f"{loc}/_SUCCESS")  # what that committer's output looks like
-
     hconf = extended.sparkContext._jsc.hadoopConfiguration()
     key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
     prev = hconf.get(key, "true")
     try:
-        # default conf: the guard refuses the marker-less dir
-        assert read_cache_if_exist(df) is None
-        # marker-writing disabled: the same dir is a legitimate hit
-        hconf.set(key, "false")
+        hconf.set(key, "false")  # the WRITER session's committer conf
+        write_cache(df)
+        h = core.resolve_table_hash(df)
+        loc = core._table_location(extended, h).replace("file:", "")
+
+        # survive a catalog death so the probe must use the path fallback
+        stash = tempfile.mkdtemp(prefix="confgate_stash_")
+        shutil.copytree(loc, f"{stash}/data")
+        extended.sql(f"DROP TABLE IF EXISTS {config.CACHE_DATABASE}.{h}")
+        shutil.copytree(f"{stash}/data", loc, dirs_exist_ok=True)
+        shutil.rmtree(stash, ignore_errors=True)
+        success = f"{loc}/_SUCCESS"
+        if os.path.exists(success):  # markerless committer's output
+            os.remove(success)
+
+        # the recorded writer discipline says "no markers": path hit
+        served = read_cache_if_exist(df)
+        assert served is not None and served.count() == df.count()
+        # ...under a marker-writing READER conf too (the r15 reader-conf
+        # gate would have demanded _SUCCESS here — one full rewrite per
+        # session on mixed fleets)
+        hconf.set(key, prev)
         served = read_cache_if_exist(df)
         assert served is not None and served.count() == df.count()
     finally:
         hconf.set(key, prev)
+        from dbfs_spark_cache_spark.management import clear_cache_for_hash
+
+        clear_cache_for_hash(extended, core.resolve_table_hash(df))
 
 
 # ---------------------------------------------------------------------------
