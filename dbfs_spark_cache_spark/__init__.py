@@ -34,6 +34,7 @@ from .management import (  # noqa: F401
     clear_caches_older_than,
     evict_to_size_budget,
     clear_inconsistent_cache,
+    find_corrupt_entries,
     get_cached_dataframe_metadata,
     get_cached_tables,
     get_tables_from_database,

@@ -253,6 +253,52 @@ def _record_writer_committer(spark: SparkSession, metadata_path: str) -> None:
         )
 
 
+# Data-file inventory recorded at write time (r16 corrupt-committed-data
+# lens): parquet corruption that destroys a footer fails reads LOUDLY,
+# but a part file deleted AFTER commit (partial restore, copy-tool loss,
+# bit-rot quarantine) leaves a directory that scans cleanly and silently
+# serves FEWER rows as a valid hit — the worst read-side failure mode.
+# The writer records how many data files (and bytes) the committed entry
+# holds; readers refuse to serve an entry whose live listing disagrees
+# (miss -> recompute heals and re-records). Transactional formats skip
+# both halves — their commit log is the inventory.
+_INVENTORY_SIDECAR = "data_inventory.txt"
+
+
+def _record_data_inventory(
+    spark: SparkSession, hash_name: str, metadata_path: str
+) -> None:
+    """Record the committed entry's data-file inventory beside its
+    metadata sidecar. Advisory like the committer record: on failure,
+    readers simply skip the inventory check for this entry."""
+    sidecar = f"{metadata_path.rsplit('/', 1)[0]}/{_INVENTORY_SIDECAR}"
+    try:
+        location = _table_location(spark, hash_name)
+        if fs.exists(f"{location.rstrip('/')}/_delta_log"):
+            return  # transactional: the commit log validates itself
+        fs.write_text(
+            sidecar, fs.render_inventory(*fs.data_file_inventory(location))
+        )
+    except Exception as exc:
+        log.warning(
+            "Could not record data inventory at %s (%s); the corrupt-"
+            "entry guard will not cover this entry", sidecar,
+            exc_summary(exc),
+        )
+
+
+def _inventory_sidecar_path(hash_name: str) -> str:
+    base = config.SPARK_CACHE_DIR
+    if not base.endswith("/"):
+        base += "/"
+    return f"{base}{hash_name}/{_INVENTORY_SIDECAR}"
+
+
+# Shared "corrupt committed data" definition (read path + management
+# scans): see fs.inventory_matches.
+check_data_inventory = fs.inventory_matches
+
+
 def _writer_marks_success(spark: SparkSession, hash_name: str) -> bool:
     """Marker discipline governing ``hash_name``'s cache directory: the
     recorded WRITER value when present, else this reader's own conf
@@ -276,6 +322,36 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
     metastore the catalog branch always wins.
     """
     table = table_name_for_hash(hash_name)
+    # Corrupt-committed-data guard (r16): an entry whose live data-file
+    # listing disagrees with the writer-recorded inventory has lost (or
+    # grown) part files AFTER commit — serving it would return partial
+    # rows as a valid hit through EITHER branch (a parquet scan of a
+    # directory missing files succeeds silently). Refuse and let the
+    # caller recompute; the rewrite re-records a fresh inventory. One
+    # driver-side recursive listing per hit, only for entries carrying a
+    # record — the same cost class as the input-mtime fingerprint scan.
+    try:
+        recorded = fs.read_text(_inventory_sidecar_path(hash_name))
+        inv_location = _table_location(spark, hash_name)
+        if (
+            recorded is not None
+            and fs.exists(inv_location)
+            and not fs.exists(f"{inv_location.rstrip('/')}/_delta_log")
+            and check_data_inventory(inv_location, recorded) is False
+        ):
+            log.warning(
+                "Cache entry %s fails its data-file inventory (recorded "
+                "%r; part files lost or altered after commit — partial "
+                "restore / copy truncation?); treating as a miss",
+                hash_name, recorded.replace("\n", " "),
+            )
+            return None
+    except Exception as exc:
+        # The guard is best-effort: a listing failure must not turn a
+        # readable cache into a crash. (Absence of the record already
+        # skips the check; this covers transient listing errors.)
+        log.warning("Inventory check failed for %s (%s); proceeding",
+                    hash_name, exc_summary(exc))
     if _table_exists(spark, table):
         try:
             return spark.read.table(table)
@@ -465,6 +541,7 @@ def write_cache(
                 bucket_sort_by=bucket_sort_by,
             )
             _record_writer_committer(spark, metadata_path)
+            _record_data_inventory(spark, key, metadata_path)
             fs.write_text(metadata_path, metadata_txt)
             _bump("writes")
 
@@ -662,6 +739,7 @@ def create_cached_dataframe(
             source = spark.createDataFrame(data, schema=schema, **kwargs)
             _save_as_cache_table(source, table, cache_hash_name)
             _record_writer_committer(spark, metadata_path)
+            _record_data_inventory(spark, cache_hash_name, metadata_path)
             # Deterministic document — NO wall-clock line: every racer on
             # this key must produce byte-identical content, because both
             # the per-key lock's re-probe and fs.write_text's lost-rename

@@ -154,6 +154,63 @@ def tree_size(path: str) -> int:
     return total
 
 
+def data_file_inventory(path: str) -> tuple:
+    """(file_count, total_bytes) of the DATA files under ``path``,
+    recursing into partition/bucket subdirectories. Hidden entries
+    (``_SUCCESS``, ``.crc`` sidecars, ``_delta_log``, commit markers)
+    are bookkeeping, not data, and are excluded — so the inventory is
+    stable across committer/marker differences and changes only when
+    data files are lost, truncated, or altered."""
+    files, total = 0, 0
+    stack = [path]
+    while stack:
+        for stat in list_dir(stack.pop()):
+            if stat.name.startswith(("_", ".")):
+                continue
+            if stat.is_dir:
+                stack.append(stat.path)
+            else:
+                files += 1
+                total += stat.size
+    return files, total
+
+
+def render_inventory(files: int, total: int) -> str:
+    """The two inventory lines commit markers and sidecars embed."""
+    return f"files={files}\nbytes={total}"
+
+
+def parse_inventory(text: Optional[str]) -> Optional[tuple]:
+    """(files, bytes) parsed from marker/sidecar text carrying
+    ``files=N`` / ``bytes=M`` lines anywhere in it; None when the text
+    has no complete, parseable inventory (pre-inventory writers)."""
+    if not text:
+        return None
+    found = {}
+    for line in text.splitlines():
+        key, _, val = line.strip().partition("=")
+        if key in ("files", "bytes"):
+            try:
+                found[key] = int(val)
+            except ValueError:
+                return None
+    if "files" not in found or "bytes" not in found:
+        return None
+    return found["files"], found["bytes"]
+
+
+def inventory_matches(path: str, recorded: Optional[str]) -> Optional[bool]:
+    """Compare ``path``'s live data listing against a recorded inventory:
+    True/False when ``recorded`` carries one, None when there is nothing
+    to compare. The shared definition of "corrupt committed data" used by
+    the cache read path, the fold, and the sink scans — a False means
+    data files were lost, truncated, or altered AFTER commit."""
+    want = parse_inventory(recorded)
+    if want is None:
+        return None
+    return data_file_inventory(path) == want
+
+
 def max_mtime(path: str, skip_names: tuple = ("_delta_log",)) -> Optional[datetime]:
     """Latest modification time of entries directly under ``path``.
 

@@ -391,6 +391,45 @@ def find_inconsistent_entries(
     return orphans
 
 
+def _entry_inventory_ok(spark: SparkSession, hash_name: str) -> Optional[bool]:
+    """Does ``hash_name``'s live data listing match its writer-recorded
+    inventory? None when the entry carries no (parseable) record or the
+    table directory is gone (that is the orphan scan's finding, not a
+    corruption finding). False = part files lost or altered AFTER commit
+    — the read path refuses such an entry; the scans below surface it."""
+    from .core import _inventory_sidecar_path, _table_location, check_data_inventory
+
+    recorded = fs.read_text(_inventory_sidecar_path(hash_name))
+    if recorded is None:
+        return None
+    location = _table_location(spark, hash_name)
+    if not fs.exists(location) or fs.exists(f"{location.rstrip('/')}/_delta_log"):
+        return None
+    try:
+        return check_data_inventory(location, recorded)
+    except Exception as exc:
+        log.warning("Inventory scan failed for %s (%s)", hash_name,
+                    exc.__class__.__name__)
+        return None
+
+
+def find_corrupt_entries(
+    spark: SparkSession, num_threads: Optional[int] = None
+) -> List[str]:
+    """Entries whose committed data files no longer match the inventory
+    recorded at write time (partial restore, copy-tool truncation, bit
+    rot). Read-only; the read path already refuses these as misses, so
+    the operator action is simply to clear them (``clear_cache_for_hash``)
+    or let the next use rewrite them in place."""
+    meta = get_cached_dataframe_metadata(num_threads=num_threads)
+    if meta.empty:
+        return []
+    hashes = list(meta["hash_name"])
+    with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
+        flags = list(pool.map(lambda h: _entry_inventory_ok(spark, h), hashes))
+    return sorted(h for h, ok in zip(hashes, flags) if ok is False)
+
+
 def _entry_bytes(spark: SparkSession, hash_name: str) -> int:
     """Full on-disk footprint of one cache entry: the warehouse table
     directory (the data — partitioned/bucketed tables nest, hence the
@@ -429,6 +468,13 @@ def cache_stats(
         sizes = dict(
             zip(all_hashes, pool.map(lambda h: _entry_bytes(spark, h), all_hashes))
         )
+        meta_list = sorted(meta_hashes)
+        inventory = dict(
+            zip(
+                meta_list,
+                pool.map(lambda h: _entry_inventory_ok(spark, h), meta_list),
+            )
+        )
 
     times = list(meta["creationTime"]) if not meta.empty else []
     return {
@@ -438,6 +484,12 @@ def cache_stats(
         "n_orphans": len(meta_hashes ^ table_hashes),
         "orphans_metadata_only": sorted(meta_hashes - table_hashes),
         "orphans_catalog_only": sorted(table_hashes - meta_hashes),
+        # Entries whose live data files no longer match the write-time
+        # inventory — the read path refuses these as misses; listed here
+        # so the operator sees WHY a "cached" query keeps recomputing.
+        "corrupt_entries": sorted(
+            h for h, ok in inventory.items() if ok is False
+        ),
         "total_cache_bytes": sum(sizes.values()),
         "largest_entry_bytes": max(sizes.values(), default=0),
         "oldest_entry": min(times, default=None),

@@ -525,6 +525,24 @@ def _fold_complete(fs, path: str) -> bool:
     return fs.exists(f"{p}/{_FOLD_OK}") or fs.exists(f"{p}/_SUCCESS")
 
 
+def _require_intact_fold(fs, path: str, what: str) -> None:
+    """Refuse — loudly — a complete-looking fold dataset whose live data
+    listing disagrees with the inventory its marker recorded (r16
+    corrupt-committed-data contract): folding FROM it would bake the
+    loss into every future cycle as silent dedup misses, and recovery
+    renaming it would publish a torn union. Pre-inventory markers (bare
+    'complete', or _SUCCESS-only folds) have nothing to compare."""
+    ok = fs.inventory_matches(path, fs.read_text(f"{path.rstrip('/')}/{_FOLD_OK}"))
+    if ok is False:
+        raise RuntimeError(
+            f"{what} at {path!r} fails its recorded data-file inventory "
+            "— part files lost or altered after the fold committed "
+            "(partial restore? copy truncation?). Restore the dataset "
+            "from backup, or remove it to explicitly accept losing the "
+            "band rows it held."
+        )
+
+
 def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     """Fold a :func:`growing_corpus_dedup_sink`'s ingested index into one
     static parquet dataset at ``out_path`` — step 1 of the periodic
@@ -635,6 +653,7 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     ]
     for left in leftovers:
         if _fold_complete(fs, left) and not fs.exists(out_path):
+            _require_intact_fold(fs, left, "recovered fold temp")
             fs.rename(left, out_path)  # died between remove-old and rename
         else:
             fs.remove(left)  # partial write (no completion marker) or stale twin
@@ -647,6 +666,7 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
 
     prior = None
     if _fold_complete(fs, out_path):
+        _require_intact_fold(fs, out_path, "previous fold")
         prior = spark.read.parquet(out_path)
     ingested = read_exactly_once_output(spark, index_path)
     if ingested is None:
@@ -660,8 +680,13 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     # rename into out_path, so completeness survives marksuccessfuljobs=
     # false sessions. A crash between the parquet write and this marker
     # discards the temp on the next run — safe, out_path (or the prior
-    # fold) is still intact at that point.
-    fs.write_text(f"{tmp}/{_FOLD_OK}", "complete")
+    # fold) is still intact at that point. The marker carries the
+    # dataset's data-file inventory so later cycles and recoveries can
+    # refuse a fold corrupted AFTER commit (_require_intact_fold).
+    fs.write_text(
+        f"{tmp}/{_FOLD_OK}",
+        "complete\n" + fs.render_inventory(*fs.data_file_inventory(tmp)),
+    )
     if fs.exists(out_path):
         fs.remove(out_path)
     fs.rename(tmp, out_path)
@@ -937,12 +962,53 @@ def exactly_once_append_sink(base_path: str):
             return
         batch_df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
         _record_sink_schema(fs, base_path, batch_df)
+        # The marker records the batch's data-file inventory (r16
+        # corrupt-committed-data contract): a part file lost AFTER commit
+        # (partial restore, copy truncation) leaves a dir that scans
+        # cleanly with fewer rows; find_corrupt_batches compares markers
+        # against live listings so that loss is detectable, not silent.
         fs.write_text(
             f"{base_path}/_committed/{batch_id}.txt",
-            f"batch {batch_id} committed",
+            f"batch {batch_id} committed\n"
+            + fs.render_inventory(*_batch_inventory(fs, base_path, batch_id)),
         )
 
     return write_batch
+
+
+def _batch_inventory(fs_mod, base_path: str, batch_id: int) -> tuple:
+    """One batch's combined data-file inventory: its committed data dir
+    plus (for validated sinks) its quarantine dir — the same definition
+    the commit markers record and :func:`find_corrupt_batches` checks."""
+    clean = fs_mod.data_file_inventory(f"{base_path}/batch_id={batch_id}")
+    quar = fs_mod.data_file_inventory(
+        f"{base_path}/_quarantine/batch_id={batch_id}"
+    )
+    return clean[0] + quar[0], clean[1] + quar[1]
+
+
+def find_corrupt_batches(base_path: str) -> list:
+    """Committed batch ids whose live data listing no longer matches the
+    inventory their commit marker recorded — data files lost, truncated,
+    or altered AFTER commit (bit rot, partial restore, copy-tool
+    truncation). Read-only, driver-side listings only; run it with the
+    periodic maintenance (the fold/compact cadence). Batches committed
+    before markers carried inventories — or whose markers were compacted
+    into the manifest — have nothing to compare and are skipped. Footer
+    corruption that preserves the byte count still fails the READ loudly
+    (parquet magic check); this scan exists for the silent-loss shapes a
+    read cannot see."""
+    from .. import fs
+
+    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    corrupt = []
+    for i in sorted(manifest_ids | marker_ids):
+        want = fs.parse_inventory(
+            fs.read_text(f"{base_path}/_committed/{i}.txt")
+        )
+        if want is not None and _batch_inventory(fs, base_path, i) != want:
+            corrupt.append(i)
+    return corrupt
 
 
 def claim_sink_checkpoint(base_path: str, checkpoint_dir: str) -> None:
@@ -1521,7 +1587,10 @@ def validated_exactly_once_sink(base_path: str, valid: "Column"):
             _record_sink_schema(fs, base_path, batch_df)
             fs.write_text(
                 marker,
-                f"batch {batch_id} committed\nquarantined: {n_bad}",
+                f"batch {batch_id} committed\nquarantined: {n_bad}\n"
+                + fs.render_inventory(
+                    *_batch_inventory(fs, base_path, batch_id)
+                ),
             )
         finally:
             flagged.unpersist()
