@@ -1330,6 +1330,15 @@ def compact_commit_ledger(base_path: str) -> int:
     Run compaction from a single maintenance owner (cron job, CLI) —
     the same single-operator contract every registry maintenance op in
     ``management.py`` carries.
+
+    Interplay notes (r16, pinned in tests/test_r16_engine_fixes.py):
+    compaction touches ONLY digit-stem marker files, so the fold stamp
+    (``_folded.txt``) and owner stamp survive it, and the truncate
+    guard's committed-vs-folded comparison sees compacted ids through
+    the manifest — a batch committed post-fold then compacted still
+    refuses truncation. Compaction DOES discard the per-batch data-file
+    inventories the markers carry; run :func:`find_corrupt_batches`
+    before compacting if that audit matters for the window.
     """
     from .. import fs
 

@@ -333,3 +333,74 @@ def test_pre_recording_entries_fall_back_to_reader_conf(extended):
         assert served is not None and served.count() == df.count()
     finally:
         hconf.set(_MARKS_KEY, prev)
+
+
+# ---------------------------------------------------------------------------
+# 5. fold stamp <-> ledger compaction interplay (VERDICT r15 #5)
+
+
+def test_fold_stamp_survives_ledger_compaction(spark, tmp_path):
+    """compact_commit_ledger on the growing sink's index sub-ledger must
+    fold only digit-stem markers: the fold stamp (_folded.txt) survives,
+    compacted ids stay visible through the manifest, and a truncate of a
+    fully-folded ledger still succeeds after compaction."""
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        fold_growing_index,
+        growing_corpus_dedup_sink,
+        truncate_growing_index,
+    )
+
+    corpus_index = corpus_band_index_frame(_docs_df(spark, [_doc(1, "cp")]))
+    base = str(tmp_path / "grow")
+    out = str(tmp_path / "folded")
+    sink = growing_corpus_dedup_sink(base, corpus_index, threshold=0.5)
+    sink(_docs_df(spark, [_doc(8_000_001, "cpA")]), 0)
+    folded = fold_growing_index(spark, base, out)
+    ids = {r.corpus_doc_id for r in
+           folded.select("corpus_doc_id").distinct().collect()}
+    assert 8_000_001 in ids
+
+    assert compact_commit_ledger(f"{base}/index") == 1
+    ledger = f"{base}/index/_committed"
+    assert os.path.exists(f"{ledger}/_folded.txt"), (
+        "compaction deleted the fold stamp — every later truncate would "
+        "refuse (or worse, a stampless path would forget documents)"
+    )
+    assert not os.path.exists(f"{ledger}/0.txt")
+    # fully folded + compacted: truncate proceeds
+    assert truncate_growing_index(base) is True
+
+
+def test_compact_then_truncate_refuses_post_fold_batch(spark, tmp_path):
+    """A batch committed AFTER the fold, then compacted into the
+    manifest: its id reaches the truncate guard only via the manifest.
+    Truncation must still refuse — compaction must never launder an
+    unfolded batch past the coverage guard."""
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        fold_growing_index,
+        growing_corpus_dedup_sink,
+        truncate_growing_index,
+    )
+
+    corpus_index = corpus_band_index_frame(_docs_df(spark, [_doc(1, "pf")]))
+    base = str(tmp_path / "grow")
+    out = str(tmp_path / "folded")
+    sink = growing_corpus_dedup_sink(base, corpus_index, threshold=0.5)
+    sink(_docs_df(spark, [_doc(8_100_001, "pfA")]), 0)
+    fold_growing_index(spark, base, out)
+    sink(_docs_df(spark, [_doc(8_100_002, "pfB")]), 1)  # post-fold batch
+
+    assert compact_commit_ledger(f"{base}/index") == 2
+    with pytest.raises(RuntimeError, match="not covered"):
+        truncate_growing_index(base)
+    # the next fold absorbs the compacted id (manifest-visible) and the
+    # flow completes
+    folded = fold_growing_index(spark, base, out)
+    ids = {r.corpus_doc_id for r in
+           folded.select("corpus_doc_id").distinct().collect()}
+    assert {8_100_001, 8_100_002} <= ids
+    assert truncate_growing_index(base) is True
