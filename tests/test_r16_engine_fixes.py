@@ -404,3 +404,38 @@ def test_compact_then_truncate_refuses_post_fold_batch(spark, tmp_path):
            folded.select("corpus_doc_id").distinct().collect()}
     assert {8_100_001, 8_100_002} <= ids
     assert truncate_growing_index(base) is True
+
+
+# ---------------------------------------------------------------------------
+# 6. cacheToDbfsIfTriggered — the README-documented method the reference
+#    never implements (fresh-eyes review of extensions.py, VERDICT r15 #4)
+
+
+def test_cache_if_triggered_respects_gate_and_caches_when_cleared(extended):
+    from dbfs_spark_cache_spark import core
+
+    df = (
+        extended.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        .groupBy("n_regionkey")
+        .count()
+    )
+    # tiny input: complexity ~0 < the config-default 130 -> identity, no
+    # table written (the README's "only trigger caching if needed")
+    out = df.cacheToDbfsIfTriggered(override_prefer_spark_cache=True)
+    assert out is df
+    h = core.resolve_table_hash(df)
+    assert core._read_cache_table(extended, h) is None
+
+    # thresholds disabled -> the same call materializes through the cache
+    out2 = df.cacheToDbfsIfTriggered(
+        override_prefer_spark_cache=True,
+        dbfs_cache_complexity_threshold=None,
+        dbfs_cache_multiplier_threshold=None,
+    )
+    assert out2 is not df
+    assert core._read_cache_table(extended, h) is not None
+    assert out2.count() == df.count()
+    # both spellings are the same method
+    from pyspark.sql import DataFrame as _DF
+
+    assert _DF.cacheToDbfsIfTriggered is _DF.cacheToStorageIfTriggered
