@@ -12,6 +12,7 @@ Usage:
         [--dry-run] [--repair-inconsistent] [--force] [--stats]
         [--size-budget-bytes N] [--compact-ledger PATH]
         [--fold-growing-index BASE --fold-out PATH [--truncate-after-fold]]
+        [--scan-corrupt] [--scan-corrupt-batches PATH]
 
 Exit codes: 0 = every requested stage ran as scoped; 2 = an explicitly
 requested behavior was NOT honored (--size-budget-bytes /
@@ -67,6 +68,17 @@ def main() -> int:
                     help="after a successful fold, drop the sink's ingested "
                          "index + ledger (refused mechanically if any "
                          "committed batch is not covered by the fold stamp)")
+    ap.add_argument("--scan-corrupt", action="store_true",
+                    help="list cache entries whose committed data files no "
+                         "longer match their write-time inventory (partial "
+                         "restore / copy truncation / bit rot) and exit 1 "
+                         "when any are found; read-only")
+    ap.add_argument("--scan-corrupt-batches", metavar="PATH", default=None,
+                    help="list an exactly-once sink's committed batch ids "
+                         "whose data dirs fail their marker inventory at "
+                         "PATH and exit 1 when any are found; read-only — "
+                         "run BEFORE --compact-ledger (compaction discards "
+                         "per-batch inventories)")
     args = ap.parse_args()
 
     if args.fold_growing_index and not args.fold_out:
@@ -76,6 +88,21 @@ def main() -> int:
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     log = logging.getLogger("clear_old_caches")
+
+    if args.scan_corrupt_batches:
+        # Pure filesystem listings on local paths — no SparkSession needed
+        # (same note as --compact-ledger below).
+        from dbfs_spark_cache_spark.streaming import find_corrupt_batches
+
+        corrupt = find_corrupt_batches(args.scan_corrupt_batches)
+        if corrupt:
+            log.error("corrupt committed batches at %s: %s — data files "
+                      "lost or altered after commit",
+                      args.scan_corrupt_batches, corrupt)
+            return 1
+        log.info("no corrupt committed batches at %s",
+                 args.scan_corrupt_batches)
+        return 0
 
     if args.compact_ledger:
         # Pure filesystem metadata work on local paths — no SparkSession
@@ -119,6 +146,18 @@ def main() -> int:
                      args.fold_growing_index,
                      "removed" if removed else "nothing to remove")
         spark.stop()
+        return 0
+
+    if args.scan_corrupt:
+        corrupt = management.find_corrupt_entries(
+            spark, num_threads=args.threads
+        )
+        spark.stop()
+        if corrupt:
+            log.error("corrupt cache entries (fail their write-time data "
+                      "inventory; reads already refuse them): %s", corrupt)
+            return 1
+        log.info("no corrupt cache entries")
         return 0
 
     if args.stats:

@@ -226,3 +226,68 @@ def test_cli_fold_growing_index(spark, tmp_path, monkeypatch, caplog):
     with _pytest.raises(SystemExit) as exc:
         maintenance_cli.main()
     assert exc.value.code == 2
+
+
+def test_cli_scan_corrupt_batches(spark, tmp_path, monkeypatch):
+    """--scan-corrupt-batches is the read-only cron stage for sink-side
+    inventory audits: exit 0 clean, exit 1 (with the ids named) when a
+    committed batch lost data files after commit. No SparkSession is
+    started by the CLI for this stage."""
+    import glob as _glob
+    import sys as _sys
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark import maintenance_cli
+    from dbfs_spark_cache_spark.streaming import exactly_once_append_sink
+
+    base = str(tmp_path / "sink")
+    pdf = pd.DataFrame([(1, "a"), (2, "b")], columns=["doc_id", "text"])
+    sink = exactly_once_append_sink(base)
+    sink(spark.createDataFrame(pdf).select(F.col("doc_id").cast("long"), "text"), 0)
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["spark-cache-maintenance", "--scan-corrupt-batches", base],
+    )
+    assert maintenance_cli.main() == 0
+
+    os.remove(sorted(_glob.glob(f"{base}/batch_id=0/part-*"))[0])
+    assert maintenance_cli.main() == 1
+
+
+def test_cli_scan_corrupt_entries(spark, clean_cache, monkeypatch):
+    """--scan-corrupt lists cache entries failing their write-time data
+    inventory: exit 1 + names when found, exit 0 once healed."""
+    import glob as _glob
+    import sys as _sys
+
+    from dbfs_spark_cache_spark import core, maintenance_cli, session, write_cache
+
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/region.parquet").repartition(2)
+    write_cache(df)
+    h = core.resolve_table_hash(df)
+    loc = core._table_location(spark, h).replace("file:", "")
+
+    class _NoStop:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(session, "get_spark", lambda **kw: _NoStop(spark))
+    monkeypatch.setattr(
+        _sys, "argv", ["spark-cache-maintenance", "--scan-corrupt"]
+    )
+    assert maintenance_cli.main() == 0
+    os.remove(sorted(_glob.glob(f"{loc}/part-*"))[0])
+    assert maintenance_cli.main() == 1
+    write_cache(df)  # heal in place
+    assert maintenance_cli.main() == 0
