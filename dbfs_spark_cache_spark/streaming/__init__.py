@@ -683,18 +683,47 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
     # fold) is still intact at that point. The marker carries the
     # dataset's data-file inventory so later cycles and recoveries can
     # refuse a fold corrupted AFTER commit (_require_intact_fold).
+    # The marker also records WHICH ledger ids this dataset absorbed, and
+    # the stamp records where the dataset lives: truncate cross-checks the
+    # two, which closes the crash-between-swap-and-stamp window and the
+    # dual-owner race aftermath (a stale union renamed over a fresher one
+    # leaves a stamp claiming coverage the published dataset doesn't
+    # carry — without the cross-check, truncation would silently forget
+    # those documents).
     fs.write_text(
         f"{tmp}/{_FOLD_OK}",
-        "complete\n" + fs.render_inventory(*fs.data_file_inventory(tmp)),
+        "complete\n"
+        + fs.render_inventory(*fs.data_file_inventory(tmp))
+        + "\nids=" + ",".join(str(i) for i in folded_ids),
     )
     if fs.exists(out_path):
         fs.remove(out_path)
     fs.rename(tmp, out_path)
     fs.write_text(
         f"{index_path}/_committed/{_FOLD_STAMP}",
-        "\n".join(str(i) for i in folded_ids),
+        "\n".join(str(i) for i in folded_ids) + f"\nout={out_path}",
     )
     return spark.read.parquet(out_path)
+
+
+def _fold_marker_ids(fs, path: str):
+    """The ledger batch ids a fold dataset's own marker says it absorbed;
+    None when there is nothing to read (missing dataset, pre-marker fold,
+    pre-ids marker) — callers skip the cross-check then."""
+    marker = fs.read_text(f"{path.rstrip('/')}/{_FOLD_OK}")
+    if not marker:
+        return None
+    for line in marker.splitlines():
+        line = line.strip()
+        if line.startswith("ids="):
+            body = line[len("ids="):].strip()
+            if not body:
+                return set()
+            try:
+                return {int(tok) for tok in body.split(",")}
+            except ValueError:
+                return None
+    return None
 
 
 def truncate_growing_index(base_path: str) -> bool:
@@ -725,11 +754,14 @@ def truncate_growing_index(base_path: str) -> bool:
     committed = manifest_ids | marker_ids
     if committed:
         stamp = fs.read_text(f"{index_path}/_committed/{_FOLD_STAMP}")
-        folded = (
-            {int(line) for line in stamp.split() if line.strip()}
-            if stamp
-            else set()
-        )
+        folded: set = set()
+        stamp_out = None
+        for line in (stamp or "").splitlines():
+            line = line.strip()
+            if line.isdigit():
+                folded.add(int(line))
+            elif line.startswith("out="):
+                stamp_out = line[len("out="):]
         uncovered = sorted(committed - folded)
         if uncovered:
             raise RuntimeError(
@@ -738,6 +770,29 @@ def truncate_growing_index(base_path: str) -> bool:
                 "stamp — truncating would forget their documents. Run "
                 "fold_growing_index (stream stopped) first."
             )
+        # Cross-check the PUBLISHED dataset, not just the stamp (r16): a
+        # crash between the fold's swap and its stamp write — or a second
+        # maintenance owner's stale union renamed over a fresher one —
+        # leaves a stamp whose coverage the dataset at out= does not
+        # actually carry. Truncating on the stamp alone would silently
+        # forget those documents; refusing costs one re-fold (which
+        # unions the dataset with the still-intact ledger and heals).
+        # Pre-cross-check stamps/markers carry no out=/ids= lines and
+        # skip this (the coverage check above still applies).
+        if stamp_out is not None:
+            dataset_ids = _fold_marker_ids(fs, stamp_out)
+            if dataset_ids is not None:
+                unpublished = sorted(committed - dataset_ids)
+                if unpublished:
+                    raise RuntimeError(
+                        f"refusing to truncate {index_path!r}: the fold "
+                        f"stamp covers batch ids {sorted(committed)} but "
+                        f"the published dataset at {stamp_out!r} absorbed "
+                        f"only {sorted(dataset_ids)} (missing "
+                        f"{unpublished}) — a fold crashed mid-swap or a "
+                        "second maintenance owner raced it. Re-run "
+                        "fold_growing_index (stream stopped) to heal."
+                    )
     if not fs.remove(index_path) and fs.exists(index_path):
         raise OSError(
             f"failed to remove {index_path!r} (permissions? partial "

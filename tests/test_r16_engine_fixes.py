@@ -439,3 +439,84 @@ def test_cache_if_triggered_respects_gate_and_caches_when_cleared(extended):
     from pyspark.sql import DataFrame as _DF
 
     assert _DF.cacheToDbfsIfTriggered is _DF.cacheToStorageIfTriggered
+
+
+# ---------------------------------------------------------------------------
+# 7. stamp <-> published-dataset cross-check (fold race / mid-swap crash
+#    aftermath — the one window the stamp alone could not see)
+
+
+def test_truncate_refuses_stamp_dataset_mismatch(spark, tmp_path):
+    """Dual-owner race aftermath (or a crash between swap and stamp): the
+    stamp claims coverage of ids the PUBLISHED dataset never absorbed —
+    e.g. owner B's stamp {0,1} survives while owner A's stale union
+    (ids {0} only) was renamed into place last. Truncating on the stamp
+    alone would silently forget batch 1's documents; the cross-check
+    refuses, and a re-fold heals (the ledger is still intact)."""
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        fold_growing_index,
+        growing_corpus_dedup_sink,
+        truncate_growing_index,
+    )
+
+    corpus_index = corpus_band_index_frame(_docs_df(spark, [_doc(1, "rc")]))
+    base = str(tmp_path / "grow")
+    out = str(tmp_path / "folded")
+    sink = growing_corpus_dedup_sink(base, corpus_index, threshold=0.5)
+    sink(_docs_df(spark, [_doc(8_200_001, "rcA")]), 0)
+    sink(_docs_df(spark, [_doc(8_200_002, "rcB")]), 1)
+    fold_growing_index(spark, base, out)
+
+    # simulate the stale-union-renamed-last aftermath: the dataset's own
+    # marker says it absorbed only batch 0, while the stamp covers {0,1}
+    marker = fs.read_text(f"{out}/_FOLDED_OK")
+    fs.write_text(
+        f"{out}/_FOLDED_OK",
+        "\n".join(
+            "ids=0" if line.startswith("ids=") else line
+            for line in marker.splitlines()
+        ),
+    )
+    with pytest.raises(RuntimeError, match="absorbed"):
+        truncate_growing_index(base)
+
+    # re-fold heals: fresh union + fresh marker/stamp, truncate proceeds
+    folded = fold_growing_index(spark, base, out)
+    ids = {r.corpus_doc_id for r in
+           folded.select("corpus_doc_id").distinct().collect()}
+    assert {8_200_001, 8_200_002} <= ids
+    assert truncate_growing_index(base) is True
+
+
+def test_truncate_backcompat_with_pre_crosscheck_stamp(spark, tmp_path):
+    """Stamps written before the out= line existed (and markers without
+    ids=) skip the cross-check — the original coverage guard still
+    applies, old deployments keep truncating."""
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.operators.dedup import corpus_band_index_frame
+    from dbfs_spark_cache_spark.streaming import (
+        fold_growing_index,
+        growing_corpus_dedup_sink,
+        truncate_growing_index,
+    )
+
+    corpus_index = corpus_band_index_frame(_docs_df(spark, [_doc(1, "bc")]))
+    base = str(tmp_path / "grow")
+    out = str(tmp_path / "folded")
+    sink = growing_corpus_dedup_sink(base, corpus_index, threshold=0.5)
+    sink(_docs_df(spark, [_doc(8_300_001, "bcA")]), 0)
+    fold_growing_index(spark, base, out)
+
+    # rewrite both artifacts to their pre-upgrade shapes
+    fs.write_text(f"{base}/index/_committed/_folded.txt", "0")
+    marker = fs.read_text(f"{out}/_FOLDED_OK")
+    fs.write_text(
+        f"{out}/_FOLDED_OK",
+        "\n".join(
+            line for line in marker.splitlines()
+            if not line.startswith("ids=")
+        ),
+    )
+    assert truncate_growing_index(base) is True
