@@ -472,3 +472,54 @@ def test_udf_tag_tracks_exactly_the_referenced_globals(w, w2, unrelated):
     assert tag(w, unrelated) == tag(w, unrelated - 1) == tag(w, 0)
     if w != w2:
         assert tag(w, unrelated) != tag(w2, unrelated)
+
+
+# ---------------------------------------------------------------------------
+# r16: inventory render/parse round-trips (the corrupt-committed-data
+# guard's wire format — a parse that drifts from the render silently
+# disables the guard or, worse, flags every healthy entry)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**12), st.integers(0, 10**15))
+def test_inventory_render_parse_roundtrip(files, nbytes):
+    from dbfs_spark_cache_spark import fs
+
+    assert fs.parse_inventory(fs.render_inventory(files, nbytes)) == (
+        files,
+        nbytes,
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 10**9),
+    st.integers(0, 10**12),
+    st.text(
+        alphabet=st.characters(blacklist_characters="\r"),
+        min_size=0,
+        max_size=60,
+    ),
+)
+def test_inventory_parse_survives_surrounding_marker_lines(files, nbytes, noise):
+    """Markers embed the inventory among other lines (batch id line,
+    quarantine count, fold ids=) — parsing must pick the files=/bytes=
+    pair out of ANY surrounding non-inventory lines and must not crash
+    on arbitrary noise."""
+    from dbfs_spark_cache_spark import fs
+
+    noise_line = noise.replace("\n", " ")
+    if noise_line.strip().startswith(("files=", "bytes=")):
+        noise_line = "x" + noise_line
+    text = (
+        f"batch 7 committed\n{noise_line}\n"
+        + fs.render_inventory(files, nbytes)
+        + "\nids=0,1,2"
+    )
+    assert fs.parse_inventory(text) == (files, nbytes)
+    # no inventory lines at all -> None, never a crash
+    assert fs.parse_inventory(f"batch 7 committed\n{noise_line}") is None
+    assert fs.parse_inventory(None) is None
+    assert fs.parse_inventory("") is None
+    # a torn/garbled value -> None (skip the check), never a wrong pair
+    assert fs.parse_inventory("files=12\nbytes=1e5") is None
