@@ -75,10 +75,10 @@ def main() -> int:
                          "when any are found; read-only")
     ap.add_argument("--scan-corrupt-batches", metavar="PATH", default=None,
                     help="list an exactly-once sink's committed batch ids "
-                         "whose data dirs fail their marker inventory at "
-                         "PATH and exit 1 when any are found; read-only — "
-                         "run BEFORE --compact-ledger (compaction discards "
-                         "per-batch inventories)")
+                         "whose data dirs fail their recorded inventory at "
+                         "PATH and exit 1 when any are found; read-only "
+                         "(compaction preserves inventories in the "
+                         "manifest, so compacted batches stay audited)")
     args = ap.parse_args()
 
     if args.fold_growing_index and not args.fold_out:

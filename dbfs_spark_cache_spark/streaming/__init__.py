@@ -1048,19 +1048,23 @@ def find_corrupt_batches(base_path: str) -> list:
     or altered AFTER commit (bit rot, partial restore, copy-tool
     truncation). Read-only, driver-side listings only; run it with the
     periodic maintenance (the fold/compact cadence). Batches committed
-    before markers carried inventories — or whose markers were compacted
-    into the manifest — have nothing to compare and are skipped. Footer
+    before markers carried inventories have nothing to compare and are
+    skipped; compacted batches ARE still audited — compaction preserves
+    each marker's inventory in the manifest's v2 line shape. Footer
     corruption that preserves the byte count still fails the READ loudly
     (parquet magic check); this scan exists for the silent-loss shapes a
     read cannot see."""
     from .. import fs
 
-    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    manifest = _manifest_state(fs, base_path)
+    _, marker_ids = _ledger_state(fs, base_path)
     corrupt = []
-    for i in sorted(manifest_ids | marker_ids):
+    for i in sorted(set(manifest) | marker_ids):
         want = fs.parse_inventory(
             fs.read_text(f"{base_path}/_committed/{i}.txt")
         )
+        if want is None:
+            want = manifest.get(i)
         if want is not None and _batch_inventory(fs, base_path, i) != want:
             corrupt.append(i)
     return corrupt
@@ -1327,16 +1331,51 @@ def _record_sink_schema(fs_mod, base_path: str, batch_df: DataFrame) -> None:
         fs_mod.write_text(path, current)
 
 
+def _manifest_state(fs_mod, base_path: str) -> dict:
+    """``{batch_id: (files, bytes) | None}`` from the compacted manifest.
+
+    Two line shapes coexist: bare digits (legacy — id only) and
+    ``id=N files=F bytes=B`` (v2 — compaction preserves the per-batch
+    data-file inventory the marker carried, so
+    :func:`find_corrupt_batches` stays useful across compactions instead
+    of going blind on every folded id). A v2 line without the inventory
+    half (``id=N``) records an id whose marker never carried one.
+    Unparseable lines are skipped, never a crash — the ledger view must
+    degrade to fewer ids, not to an exception that blocks the sink."""
+    manifest_txt = fs_mod.read_text(
+        f"{base_path}/_committed/{_LEDGER_MANIFEST}"
+    )
+    state: dict = {}
+    if not manifest_txt:
+        return state
+    for line in manifest_txt.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.isdigit():
+            state[int(line)] = None
+            continue
+        if line.startswith("id="):
+            toks = dict(t.partition("=")[::2] for t in line.split())
+            try:
+                bid = int(toks["id"])
+            except (KeyError, ValueError):
+                continue
+            inv = None
+            if "files" in toks and "bytes" in toks:
+                try:
+                    inv = (int(toks["files"]), int(toks["bytes"]))
+                except ValueError:
+                    inv = None
+            state[bid] = inv
+    return state
+
+
 def _manifest_ids(fs_mod, base_path: str) -> set:
     """Batch ids folded into the compacted manifest (one small read — the
     per-micro-batch fast path; the full marker listing is for readers and
     the compactor, not the hot sink loop)."""
-    manifest_txt = fs_mod.read_text(
-        f"{base_path}/_committed/{_LEDGER_MANIFEST}"
-    )
-    if not manifest_txt:
-        return set()
-    return {int(line) for line in manifest_txt.split() if line.strip()}
+    return set(_manifest_state(fs_mod, base_path))
 
 
 def _ledger_state(fs_mod, base_path: str):
@@ -1391,18 +1430,30 @@ def compact_commit_ledger(base_path: str) -> int:
     (``_folded.txt``) and owner stamp survive it, and the truncate
     guard's committed-vs-folded comparison sees compacted ids through
     the manifest — a batch committed post-fold then compacted still
-    refuses truncation. Compaction DOES discard the per-batch data-file
-    inventories the markers carry; run :func:`find_corrupt_batches`
-    before compacting if that audit matters for the window.
+    refuses truncation. Each marker's data-file inventory is PRESERVED
+    in the manifest (v2 ``id=N files=F bytes=B`` lines; bare-digit
+    legacy lines keep parsing), so :func:`find_corrupt_batches` keeps
+    auditing folded batches.
     """
     from .. import fs
 
     ledger = f"{base_path}/_committed"
-    manifest_ids, marker_ids = _ledger_state(fs, base_path)
+    state = _manifest_state(fs, base_path)
+    _, marker_ids = _ledger_state(fs, base_path)
     if not marker_ids:
         return 0
-    merged = sorted(manifest_ids | marker_ids)
-    fs.write_text(f"{ledger}/{_LEDGER_MANIFEST}", "\n".join(map(str, merged)))
+    for i in marker_ids:
+        # Preserve the marker's data-file inventory in the manifest (v2
+        # line shape) so find_corrupt_batches keeps auditing folded
+        # batches; a marker without one keeps any inventory an earlier
+        # compaction recorded.
+        inv = fs.parse_inventory(fs.read_text(f"{ledger}/{i}.txt"))
+        state[i] = inv if inv is not None else state.get(i)
+    lines = [
+        f"id={i} files={inv[0]} bytes={inv[1]}" if inv is not None else f"id={i}"
+        for i, inv in sorted(state.items())
+    ]
+    fs.write_text(f"{ledger}/{_LEDGER_MANIFEST}", "\n".join(lines))
     for i in marker_ids:
         fs.remove(f"{ledger}/{i}.txt")
     return len(marker_ids)

@@ -154,7 +154,10 @@ def test_cli_compact_ledger(tmp_path, monkeypatch, caplog):
     import os as _os
 
     assert _os.listdir(f"{base}/_committed") == ["manifest.txt"]
-    assert open(f"{base}/_committed/manifest.txt").read().split() == ["0", "1", "2"]
+    # v2 manifest lines: these bare markers carried no inventory
+    assert open(f"{base}/_committed/manifest.txt").read().splitlines() == [
+        "id=0", "id=1", "id=2",
+    ]
 
 
 def test_cli_fold_growing_index(spark, tmp_path, monkeypatch, caplog):

@@ -283,3 +283,53 @@ def test_fold_recovery_refuses_corrupt_temp(spark, tmp_path):
     with pytest.raises(RuntimeError, match="inventory"):
         fold_growing_index(spark, base, out)
     assert os.path.exists(tmp_dir), "the only copy must not be deleted"
+
+
+def test_find_corrupt_batches_survives_compaction(spark, tmp_path):
+    """Ledger compaction preserves each marker's inventory in the
+    manifest (v2 lines), so a post-compaction data loss in a folded
+    batch is still flagged — the audit used to go blind on every
+    compacted id."""
+    from dbfs_spark_cache_spark.streaming import (
+        compact_commit_ledger,
+        exactly_once_append_sink,
+        find_corrupt_batches,
+    )
+
+    base = str(tmp_path / "csink")
+    sink = exactly_once_append_sink(base)
+    sink(_docs_df(spark, [(1, "a"), (2, "b")]).repartition(2), 0)
+    sink(_docs_df(spark, [(3, "c")]), 1)
+    assert compact_commit_ledger(base) == 2
+    assert find_corrupt_batches(base) == []
+
+    os.remove(sorted(glob.glob(f"{base}/batch_id=0/part-*"))[0])
+    assert find_corrupt_batches(base) == [0]
+
+
+def test_legacy_manifest_lines_still_parse(spark, tmp_path):
+    """Manifests written before the v2 shape (bare-digit id lines) keep
+    parsing for every consumer, and the next compaction carries those
+    ids forward as inventory-less v2 lines."""
+    from dbfs_spark_cache_spark import fs
+    from dbfs_spark_cache_spark.streaming import (
+        _already_committed,
+        _manifest_ids,
+        compact_commit_ledger,
+        exactly_once_append_sink,
+        find_corrupt_batches,
+    )
+
+    base = str(tmp_path / "legacy")
+    fs.write_text(f"{base}/_committed/manifest.txt", "0\n1")
+    assert _manifest_ids(fs, base) == {0, 1}
+    assert _already_committed(fs, base, 0) and _already_committed(fs, base, 1)
+    assert find_corrupt_batches(base) == []  # no inventories: skip, no crash
+
+    sink = exactly_once_append_sink(base)
+    sink(_docs_df(spark, [(9, "z")]), 2)
+    assert compact_commit_ledger(base) == 1
+    assert _manifest_ids(fs, base) == {0, 1, 2}
+    lines = fs.read_text(f"{base}/_committed/manifest.txt").splitlines()
+    assert lines[0] == "id=0" and lines[1] == "id=1"
+    assert lines[2].startswith("id=2 files=")
