@@ -230,11 +230,24 @@ def _marks_success_jobs(spark: SparkSession) -> bool:
 _COMMITTER_SIDECAR = "writer_committer.txt"
 
 
-def _committer_sidecar_path(hash_name: str) -> str:
+def _default_sidecar_dir(hash_name: str) -> str:
+    """Where an entry's sidecars live under the DEFAULT cache base. Write
+    paths derive sidecar locations from the entry's actual metadata path
+    (which honors a custom ``cache_path``); read probes that know that
+    path pass its directory along (r17 — ADVICE r16 #4 closed the
+    write-beside-custom-base / read-from-default-base asymmetry that left
+    both r15/r16 guards silently inactive for custom-path entries)."""
     base = config.SPARK_CACHE_DIR
     if not base.endswith("/"):
         base += "/"
-    return f"{base}{hash_name}/{_COMMITTER_SIDECAR}"
+    return f"{base}{hash_name}"
+
+
+def _committer_sidecar_path(
+    hash_name: str, sidecar_dir: Optional[str] = None
+) -> str:
+    base = (sidecar_dir or _default_sidecar_dir(hash_name)).rstrip("/")
+    return f"{base}/{_COMMITTER_SIDECAR}"
 
 
 def _record_writer_committer(spark: SparkSession, metadata_path: str) -> None:
@@ -287,11 +300,11 @@ def _record_data_inventory(
         )
 
 
-def _inventory_sidecar_path(hash_name: str) -> str:
-    base = config.SPARK_CACHE_DIR
-    if not base.endswith("/"):
-        base += "/"
-    return f"{base}{hash_name}/{_INVENTORY_SIDECAR}"
+def _inventory_sidecar_path(
+    hash_name: str, sidecar_dir: Optional[str] = None
+) -> str:
+    base = (sidecar_dir or _default_sidecar_dir(hash_name)).rstrip("/")
+    return f"{base}/{_INVENTORY_SIDECAR}"
 
 
 # Shared "corrupt committed data" definition (read path + management
@@ -299,12 +312,18 @@ def _inventory_sidecar_path(hash_name: str) -> str:
 check_data_inventory = fs.inventory_matches
 
 
-def _writer_marks_success(spark: SparkSession, hash_name: str) -> bool:
+def _writer_marks_success(
+    spark: SparkSession, hash_name: str, sidecar_dir: Optional[str] = None
+) -> bool:
     """Marker discipline governing ``hash_name``'s cache directory: the
     recorded WRITER value when present, else this reader's own conf
-    (pre-recording entries and custom cache_path bases, whose sidecars
-    live outside SPARK_CACHE_DIR where this probe looks)."""
-    recorded = fs.read_text(_committer_sidecar_path(hash_name))
+    (pre-recording entries only). ``sidecar_dir`` is the entry's actual
+    sidecar directory — readers that resolved a custom ``cache_path``
+    metadata path pass its directory so custom-base entries read the
+    very sidecars their writer recorded (r17; previously this probe
+    looked only under SPARK_CACHE_DIR and both write-discipline and
+    inventory guards were silently inactive for custom-path entries)."""
+    recorded = fs.read_text(_committer_sidecar_path(hash_name, sidecar_dir))
     if recorded is not None:
         val = recorded.strip().lower().rsplit("=", 1)[-1]
         if val == "true":
@@ -314,12 +333,22 @@ def _writer_marks_success(spark: SparkSession, hash_name: str) -> bool:
     return _marks_success_jobs(spark)
 
 
-def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame]:
+def _read_cache_table(
+    spark: SparkSession,
+    hash_name: str,
+    sidecar_dir: Optional[str] = None,
+) -> Optional[DataFrame]:
     """Read a cache entry via the catalog, falling back to its files.
 
     The path fallback is what makes caches survive session restarts on
     catalogs without persistence (local in-memory catalog); on a shared
     metastore the catalog branch always wins.
+
+    ``sidecar_dir``: the directory holding this entry's metadata/committer/
+    inventory sidecars, when the caller resolved it (a custom ``cache_path``
+    base relocates them); ``None`` probes the default SPARK_CACHE_DIR
+    layout, which is also where ``create_cached_dataframe`` entries and the
+    management scans live.
     """
     table = table_name_for_hash(hash_name)
     # Corrupt-committed-data guard (r16): an entry whose live data-file
@@ -331,7 +360,7 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
     # driver-side recursive listing per hit, only for entries carrying a
     # record — the same cost class as the input-mtime fingerprint scan.
     try:
-        recorded = fs.read_text(_inventory_sidecar_path(hash_name))
+        recorded = fs.read_text(_inventory_sidecar_path(hash_name, sidecar_dir))
         inv_location = _table_location(spark, hash_name)
         if (
             recorded is not None
@@ -391,7 +420,7 @@ def _read_cache_table(spark: SparkSession, hash_name: str) -> Optional[DataFrame
         # a transactional CACHE_FORMAT for full protection there).
         if (
             not is_transactional
-            and _writer_marks_success(spark, hash_name)
+            and _writer_marks_success(spark, hash_name, sidecar_dir)
             and not fs.exists(f"{location.rstrip('/')}/_SUCCESS")
         ):
             log.warning(
@@ -466,7 +495,9 @@ def read_cache_if_exist(
         stored = fs.read_text(metadata_path)
         if stored is None or (hash_name is not None and stored != metadata_txt):
             return None
-        cached = _read_cache_table(spark, key)
+        cached = _read_cache_table(
+            spark, key, sidecar_dir=metadata_path.rsplit("/", 1)[0]
+        )
     if cached is None:
         log.warning("Cache metadata exists but table %s is missing", key)
     return cached
@@ -516,7 +547,10 @@ def write_cache(
         # winner's (identical, content-addressed) metadata and skips the
         # duplicate distributed write entirely.
         existing = fs.read_text(metadata_path)
-        if existing == metadata_txt and _read_cache_table(spark, key) is not None:
+        sidecar_dir = metadata_path.rsplit("/", 1)[0]
+        if existing == metadata_txt and (
+            _read_cache_table(spark, key, sidecar_dir=sidecar_dir) is not None
+        ):
             log.info("Cache %s already current; skipping write", key)
             if partition_by or bucket_by:
                 # Layout is not part of the identity: an existing entry is
@@ -546,7 +580,9 @@ def write_cache(
             _bump("writes")
 
     if replace:
-        cached = _read_cache_table(spark, key)
+        cached = _read_cache_table(
+            spark, key, sidecar_dir=metadata_path.rsplit("/", 1)[0]
+        )
         if cached is not None:
             return cached
         log.error("Could not read back cache table %s", table)

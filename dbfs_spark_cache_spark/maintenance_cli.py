@@ -14,9 +14,11 @@ Usage:
         [--fold-growing-index BASE --fold-out PATH [--truncate-after-fold]]
         [--scan-corrupt] [--scan-corrupt-batches PATH]
 
-Exit codes: 0 = every requested stage ran as scoped; 2 = an explicitly
-requested behavior was NOT honored (--size-budget-bytes /
---repair-inconsistent / --stats under --database act on the CONFIGURED
+Exit codes: 0 = every requested stage ran as scoped; 1 = a corruption
+scan stage (--scan-corrupt / --scan-corrupt-batches) found corrupt
+entries or batches (the cron-alert signal — the scan itself completed);
+2 = an explicitly requested behavior was NOT honored (--size-budget-bytes
+/ --repair-inconsistent / --stats under --database act on the CONFIGURED
 namespace, not the scoped one — the sidecar registry has no per-database
 dimension). Work that is safe as-scoped still runs before the exit-2
 (age eviction honors --database; --stats still prints the configured

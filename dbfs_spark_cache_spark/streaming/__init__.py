@@ -516,6 +516,70 @@ _FOLD_STAMP = "_folded.txt"  # non-digit stem: invisible to ledger readers
 _FOLD_OK = "_FOLDED_OK"
 
 
+def _containment_norm(p: str) -> str:
+    """Canonical, dot-segment-free form of a path/URI for the fold
+    containment guards. Prefix containment must be decided on normalized
+    paths: a local ``<sink>/grow/../..`` names the sink's grandparent,
+    and raw-string ``startswith`` would wave it through the guard.
+    Scheme'd URIs get the same treatment on their PATH component (ADVICE
+    r16 #2 — ``dbfs:/sink/index/../..`` previously evaded both guard
+    directions): split scheme/authority, posixpath-normalize the
+    remainder, rejoin. ``normpath`` must never see the authority — on
+    ``s3://b/k`` it would collapse the double slash. Root forms keep a
+    single trailing slash (``/``, ``dbfs:/``, ``s3://bucket/``);
+    non-roots carry none — :func:`_is_under` handles both."""
+    import posixpath
+
+    from .. import fs
+
+    q = fs.strip_scheme(p).rstrip("/")
+    if "://" in q:
+        scheme, rest = q.split("://", 1)
+        authority, sep, tail = rest.partition("/")
+        norm = posixpath.normpath("/" + tail) if sep else "/"
+        return f"{scheme}://{authority}{norm}"
+    head = q.split("/", 1)[0]
+    if ":" in head:
+        scheme, rest = q.split(":", 1)
+        if rest.startswith("/"):
+            return f"{scheme}:{posixpath.normpath(rest)}"
+        return f"{scheme}:{rest or '/'}"
+    return os.path.normpath(q) if q else "/"
+
+
+def _is_under(child: str, parent: str) -> bool:
+    """True when normalized ``child`` lives strictly under normalized
+    ``parent`` (root-safe: a root parent already ends with ``/``)."""
+    return child.startswith(parent if parent.endswith("/") else parent + "/")
+
+
+def _check_fold_containment(out_path: str, base_path: str) -> None:
+    """Raise unless the fold output and the sink tree are disjoint.
+
+    ``out_path`` under ``base_path``: the truncate would delete the fold
+    output. ``base_path`` under ``out_path`` (ADVICE r15 #2): the fold
+    swap's ``remove(out_path)`` would recursively delete the whole sink
+    tree — including the matches ledger whose historical exactly-once
+    results this flow promises to leave untouched. (The stream's
+    checkpoint dir is not known here; keep it outside ``out_path`` for
+    the same reason — documented in the maintenance-flow docstring.)"""
+    out_norm = _containment_norm(out_path)
+    base_norm = _containment_norm(base_path)
+    if out_norm == base_norm or _is_under(out_norm, base_norm):
+        raise ValueError(
+            f"fold out_path {out_path!r} lives under the sink base "
+            f"{base_path!r}; truncate_growing_index would delete the "
+            "fold output. Use a path outside the sink tree."
+        )
+    if _is_under(base_norm, out_norm):
+        raise ValueError(
+            f"sink base {base_path!r} lives under fold out_path "
+            f"{out_path!r}; the fold's swap would delete the sink tree "
+            "(matches ledger included). Use a fold path that is not an "
+            "ancestor of the sink."
+        )
+
+
 def _fold_complete(fs, path: str) -> bool:
     """A dataset dir holds a COMPLETE fold union: the fold's own marker,
     or (pre-marker folds, written before ADVICE r15 #1) the committer's
@@ -600,38 +664,7 @@ def fold_growing_index(spark: SparkSession, base_path: str, out_path: str):
 
     index_path = f"{base_path}/index"
 
-    def _containment_norm(p: str) -> str:
-        # Prefix containment is decided on dot-segment-free paths: a
-        # local "<sink>/grow/../.." names the sink's grandparent, and
-        # raw-string startswith would wave it through the guard.
-        # normpath only for scheme-less local paths — on "s3://b/k" it
-        # would collapse the authority's double slash.
-        q = fs.strip_scheme(p).rstrip("/")
-        if "://" not in q and ":" not in q.split("/", 1)[0]:
-            q = os.path.normpath(q)
-        return q
-
-    out_norm = _containment_norm(out_path)
-    base_norm = _containment_norm(base_path)
-    if out_norm == base_norm or out_norm.startswith(base_norm + "/"):
-        raise ValueError(
-            f"fold out_path {out_path!r} lives under the sink base "
-            f"{base_path!r}; truncate_growing_index would delete the "
-            "fold output. Use a path outside the sink tree."
-        )
-    # The other containment direction (ADVICE r15 #2): with the sink base
-    # UNDER out_path, the swap's remove(out_path) would recursively delete
-    # the whole sink tree — including the matches ledger whose historical
-    # exactly-once results this flow promises to leave untouched. (The
-    # stream's checkpoint dir is not known here; keep it outside out_path
-    # for the same reason — documented in the maintenance-flow docstring.)
-    if base_norm.startswith(out_norm + "/"):
-        raise ValueError(
-            f"sink base {base_path!r} lives under fold out_path "
-            f"{out_path!r}; the fold's swap would delete the sink tree "
-            "(matches ledger included). Use a fold path that is not an "
-            "ancestor of the sink."
-        )
+    _check_fold_containment(out_path, base_path)
 
     # Writer-unique temp name (same rationale as fs._temp_sibling): the
     # contract is single-owner, but with a FIXED temp name an accidental
