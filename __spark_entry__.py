@@ -79,27 +79,25 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #       dedup_token_jaccard), agg_percentile_exact (overlaps
 #       window_percentiles).
 # Pre-computed arithmetic from _vintages() (recheck each round):
-#   after r15's window the ledger is 50@r15 + 50@r14 + 50@r13; r16's
-#   due cohort recomputes to EXACTLY the 50 r13-vintage queries — 0
-#   slack — a pure re-attestation round (no registered impl or oracle
-#   changed in r16; the r16 work is streaming-maintenance fixes, a new
-#   read-side hostile lens, and review sweeps — all slot-free). The
-#   cohort naturally contains the five r13-vintage similarity riders
-#   (the ADVICE r13 #2 oracle-text interpolation), which re-attest at
-#   this turn; per the hygiene rule they are dropped from
-#   _CHANGED_HELPER THIS round — the drop is provably window-neutral
-#   (they are members of the zero-slack r13 due cohort with or without
-#   the half-step penalty; verified by recomputation, pinned by
-#   tests/test_rotation.py). r17's cohort recomputes to the 50
-#   r14-vintage queries (contains dedup_minhash_lsh/dedup_token_jaccard
-#   — the deferred single-pass MinHash signature form's natural slot).
-#   Steady state: every round's due cohort is exactly 50, forever,
-#   under policy (1).
+#   after r16's window the ledger is 50@r16 + 50@r15 + 50@r14; r17's
+#   due cohort recomputes to EXACTLY the 50 r14-vintage queries — 0
+#   slack — a second consecutive pure re-attestation round. The cohort
+#   contains dedup_minhash_lsh/dedup_token_jaccard, the natural due
+#   slot for the single-pass MinHash signature form deferred since r6;
+#   it was RE-MEASURED at r17 HEAD before landing and the r6 ~10% win
+#   has INVERTED on Spark 4.1.2 (three variants, all equal-or-slower,
+#   bit-identical outputs — BENCH_NOTES "Round-17"). Adoption is closed
+#   as refuted, the shipping form is unchanged, and no registered impl
+#   or oracle changed in r17 (the r17 work is the custom-cache_path
+#   sidecar-guard fix, scheme'd-URI containment normalization, an
+#   eviction-vs-reader race lens, and review sweeps — all slot-free).
+#   r18's cohort recomputes to the 50 r15-vintage queries. Steady
+#   state: every round's due cohort is exactly 50, forever, under
+#   policy (1).
 _CHANGED: list[str] = [
-    # r16: empty — no registered query's implementation or oracle
-    # changed this round. (r15's grouped_map_pandas signed-zero fix is
-    # DONE: its post-change green driver row landed in
-    # CORRECTNESS_r15.json, vintage 15.)
+    # r17: empty — no registered query's implementation or oracle
+    # changed this round (the single-pass MinHash form was re-measured
+    # in its due slot and refuted, not landed — see BENCH_NOTES).
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
