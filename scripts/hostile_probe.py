@@ -904,7 +904,77 @@ def build_giant(src: str, dst: str) -> None:
         pq.write_table(t, f"{dst}/{name}.parquet")
 
 
+def build_astral(src: str, dst: str) -> None:
+    """Astral-plane Unicode (r17 lens): supplementary codepoints (4-byte
+    UTF-8, UTF-16 surrogate PAIRS on the JVM) planted in every
+    text-bearing column. The divergence class this targets is
+    code-unit-vs-code-point arithmetic: Java strings are UTF-16, so any
+    length/substr/regex/case operation that counts code UNITS sees two
+    where DuckDB's utf8proc sees one. Probes: grapheme-cluster emoji
+    with ZWJ joiners (one visible glyph, many codepoints — stresses
+    tokenizers and shingle windows), Deseret letters with ASTRAL case
+    mappings (U+10437 lowercase <-> U+10407 uppercase — simple-vs-full
+    case folding diverges only off the BMP), astral CJK (ideographs a
+    byte-hash must treat identically on both engines), and mathematical
+    alphanumerics embedded mid-document so split/shingles/md5 walk
+    across them. Poisons documents.text (standalone + spliced),
+    part.p_name (substr/LIKE/translate paths), customer.c_mktsegment
+    (grouping key), supplier.s_name (JSON/CSV connector round-trip —
+    JSON must escape these as surrogate pairs), nation.n_name
+    (collected/sorted aggregates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Each entry is genuinely astral: max codepoint > 0xFFFF.
+    fam = "\U0001F469‍\U0001F469‍\U0001F467"  # ZWJ family
+    deseret_lo = "\U00010437\U00010432\U0001043A"  # lowercase Deseret
+    deseret_up = "\U0001040F\U0001040A\U00010412"  # uppercase Deseret
+    cjk_b = "\U0002070E\U00020731\U00020779"  # CJK ext B ideographs
+    math_bold = "\U0001D400\U0001D41B\U0001D41C"  # mathematical bold
+    docs_vals = [
+        f"the {fam} reunion drew {fam} crowds this year",
+        f"deseret sample {deseret_lo} versus {deseret_up} case pair",
+        f"ideographs {cjk_b} inside an otherwise plain sentence",
+    ]
+
+    def poison(pdf, col, rows_vals):
+        for i, v in rows_vals:
+            if i < len(pdf):
+                pdf.loc[i, col] = v
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        if name == "documents" and len(pdf) >= 9:
+            poison(pdf, "text", list(enumerate(docs_vals)))
+            # astral token spliced into real text: shingles and token
+            # splits now walk across 4-byte sequences mid-document
+            for k, tok in enumerate((fam, deseret_lo, math_bold)):
+                poison(
+                    pdf,
+                    "text",
+                    [(3 + k, f"{pdf.loc[3 + k, 'text']} {tok} tail")],
+                )
+        elif name == "part":
+            poison(pdf, "p_name", [(0, f"{math_bold} widget"),
+                                   (1, f"spring {cjk_b}")])
+        elif name == "customer":
+            # same astral key twice: group-by hashing must agree
+            poison(pdf, "c_mktsegment", [(0, fam), (1, fam)])
+        elif name == "supplier":
+            poison(pdf, "s_name", [(0, f"Supplier#{fam}"),
+                                   (1, f"Supplier#{deseret_up}")])
+        elif name == "nation":
+            poison(pdf, "n_name", [(0, cjk_b), (1, deseret_lo)])
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 LENSES = {
+    "astral": build_astral,
     "intmax": build_intmax,
     "ctrl": build_ctrl,
     "nulbyte": build_nulbyte,

@@ -423,3 +423,39 @@ def test_intmax_lens_plants_bigint_extremes(tmp_path):
 
     real = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
     assert real["doc_id"].abs().max() < 1 << 40
+
+
+def test_astral_lens_plants_supplementary_codepoints(tmp_path):
+    """The r17 astral lens's poison must be genuinely supplementary-plane
+    (max codepoint > 0xFFFF — 4-byte UTF-8, surrogate PAIRS on the JVM)
+    and survive the writer byte-for-byte; the real fixture must carry no
+    astral codepoints at all (fixture-invisibility, so the clean sweep's
+    attestations stay honest)."""
+    from hostile_probe import build_astral
+
+    dst = str(tmp_path / "astral")
+    os.makedirs(dst, exist_ok=True)
+    build_astral(SF_SMOKE, dst)
+
+    docs = pd.read_parquet(f"{dst}/documents.parquet")
+    planted = list(docs["text"].iloc[:6])
+    assert all(max(map(ord, s)) > 0xFFFF for s in planted)
+    # the Deseret case PAIR is present (astral case mapping probe)
+    assert "\U00010437" in planted[1] and "\U0001040F" in planted[1]
+    # spliced rows keep their original head (mid-document walk)
+    assert planted[3].endswith(" tail")
+    part = pd.read_parquet(f"{dst}/part.parquet")
+    assert max(map(ord, part["p_name"].iloc[0])) > 0xFFFF
+    cust = pd.read_parquet(f"{dst}/customer.parquet")
+    assert cust["c_mktsegment"].iloc[0] == cust["c_mktsegment"].iloc[1]
+    assert max(map(ord, cust["c_mktsegment"].iloc[0])) > 0xFFFF
+
+    for name, col in (
+        ("documents", "text"), ("part", "p_name"),
+        ("customer", "c_mktsegment"), ("supplier", "s_name"),
+        ("nation", "n_name"),
+    ):
+        real = pd.read_parquet(f"{SF_SMOKE}/{name}.parquet")
+        assert not real[col].map(
+            lambda s: isinstance(s, str) and bool(s) and max(map(ord, s)) > 0xFFFF
+        ).any(), f"real fixture {name}.{col} already carries astral codepoints"
