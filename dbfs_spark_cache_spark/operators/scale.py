@@ -350,6 +350,15 @@ def grouped_median_mad(
     irreducibly two sequential banded-median passes; both ride
     :func:`grouped_exact_median` (low-cardinality ``part_col`` contract,
     no single-task sorts).
+
+    NULL group keys are DROPPED from the output (r17 fresh-eyes,
+    documented not changed): the deviation and median<->mad joins here
+    use plain equality on ``part_col`` — exactly like the batch twin
+    ``events_anomaly_mad``'s inline joins and its oracle's
+    ``JOIN ... USING (event_type)``, so batch, stream, and oracle all
+    agree. A caller that needs a NULL-keyed group ranked must coalesce
+    the key to a sentinel first (the banded helper underneath is
+    null-safe; it is the consumer-side joins that define this contract).
     """
     _reject_reserved_columns("grouped_median_mad", ("__dev", "median_value"), df)
     med = grouped_exact_median(
