@@ -171,9 +171,11 @@ def test_probe_serializes_with_writers_and_eviction(spark, clean_cache, tmp_path
     real_read = core._read_cache_table
     seen = []
 
-    def spy(spark_, hash_name):
+    def spy(spark_, hash_name, **kwargs):
+        # **kwargs: forward the r17 sidecar_dir (and any future) read-path
+        # threading — the pin is about LOCK state, not the signature
         seen.append(core._lock_for_key(hash_name).locked())
-        return real_read(spark_, hash_name)
+        return real_read(spark_, hash_name, **kwargs)
 
     orig = core._read_cache_table
     core._read_cache_table = spy
