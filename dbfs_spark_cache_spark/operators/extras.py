@@ -250,8 +250,19 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     sum-over-brand of |block|^2 — sublinear growth in pair space as the
     corpus scales, same result set. The p_partkey ordering halves pairs;
     a cheap |len diff| <= 3 guard runs before the O(len^2) levenshtein.
-    Spark's levenshtein and DuckDB's agree exactly — unit edit costs, no
-    transpositions.
+
+    QUEUED for r18 (this query's due slot; r17 `astral` lens, 150/1 at
+    sf0.01): "Spark's levenshtein and DuckDB's agree exactly" holds only
+    for single-byte text — Spark counts CODE POINTS, DuckDB counts UTF-8
+    BYTES ('café'~'cafe': 1 vs 2; one astral char ~ 'a': 1 vs 4), so
+    non-ASCII names straddling the threshold diverge (7 pairs at
+    sf0.01). Landing diff (byte-level contract, the one semantic exactly
+    expressible on both engines): fold names through
+    decode(encode(x,'UTF-8'),'ISO-8859-1') for the distance and band on
+    octet_length; oracle unchanged. Exact diff + divergence demo +
+    fixture-identity proof in tests/test_r18_premeasure.py. Every
+    fixture name is pure ASCII (asserted there) — current attestations
+    are honest.
     """
     part = load_table(spark, sf, "part")
     return banded_edit_pairs(
