@@ -45,6 +45,11 @@ DEFAULT_PROBES = [
     "similarity_topk_batch",     # batch ANN: bucket-join, never all-pairs
     "events_anomaly_mad",        # per-type median/MAD via percentile_approx
     "text_unigram_logprob",      # token explode + broadcast unigram LM join
+    # r17 additions — the remaining high-scale-risk plan shapes:
+    "asof_join_prior_view",      # as-of join (union + per-key window scan)
+    "dedup_cluster_keepers",     # ITERATIVE min-label propagation rounds
+    "window_time_range_rolling", # event-time RANGE frames per user
+    "multimodal_decode_features",# Arrow-batched two-stage python decode
 ]
 
 
