@@ -973,8 +973,62 @@ def build_astral(src: str, dst: str) -> None:
         )
 
 
+def build_orphan(src: str, dst: str) -> None:
+    """Referential orphans (r17 lens): fact rows whose foreign keys
+    reference NO dimension row — the standard dirty-data shape of a
+    100 TB lake (late-arriving dims, partial restores, cross-source
+    ingest). Inner joins must DROP orphans, outer joins must NULL-pad
+    them, EXISTS/IN/anti-join subqueries must classify them — all
+    IDENTICALLY on both engines, across broadcast and shuffle plans.
+    Planted: lineitem rows with unknown l_orderkey / l_partkey /
+    l_suppkey (also poisons the derived-partsupp q2/q9/q11/q20 family,
+    which both engines must derive identically from the same orphaned
+    pairs), orders with an unknown o_custkey (q13's outer-join count
+    distribution, q22's anti-join), events with an unknown user_id
+    (sessionization / retention / funnel user joins), and an embedding
+    with an unknown vec_id. Keys are far outside every real id range
+    but small enough for exact DOUBLE rendering (no intmax overlap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    GHOST = 10_000_019  # prime, >> any fixture id, exactly double-safe
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        name = os.path.basename(f).replace(".parquet", "")
+        t = pq.read_table(f)
+        pdf = t.to_pandas()
+        n = len(pdf)
+        if n >= 3 and name == "lineitem":
+            extra = pdf.iloc[:3].copy()
+            extra.iloc[0, extra.columns.get_loc("l_orderkey")] = GHOST
+            extra.iloc[1, extra.columns.get_loc("l_partkey")] = GHOST + 2
+            extra.iloc[2, extra.columns.get_loc("l_suppkey")] = GHOST + 4
+            pdf = __import__("pandas").concat([pdf, extra], ignore_index=True)
+        elif n >= 2 and name == "orders":
+            extra = pdf.iloc[:2].copy()
+            extra.iloc[0, extra.columns.get_loc("o_custkey")] = GHOST + 6
+            # an orphan order that ALSO has no lineitem rows: exercises
+            # q13's zero-count bucket and q22's no-orders EXISTS branch
+            extra.iloc[1, extra.columns.get_loc("o_orderkey")] = GHOST + 8
+            extra.iloc[1, extra.columns.get_loc("o_custkey")] = GHOST + 10
+            pdf = __import__("pandas").concat([pdf, extra], ignore_index=True)
+        elif n >= 1 and name == "events":
+            extra = pdf.iloc[:1].copy()
+            extra.iloc[0, extra.columns.get_loc("user_id")] = GHOST + 12
+            pdf = __import__("pandas").concat([pdf, extra], ignore_index=True)
+        elif n >= 1 and name == "embeddings":
+            extra = pdf.iloc[:1].copy()
+            extra.iloc[0, extra.columns.get_loc("vec_id")] = GHOST + 14
+            pdf = __import__("pandas").concat([pdf, extra], ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=t.schema, preserve_index=False),
+            f"{dst}/{name}.parquet",
+        )
+
+
 LENSES = {
     "astral": build_astral,
+    "orphan": build_orphan,
     "intmax": build_intmax,
     "ctrl": build_ctrl,
     "nulbyte": build_nulbyte,

@@ -459,3 +459,44 @@ def test_astral_lens_plants_supplementary_codepoints(tmp_path):
         assert not real[col].map(
             lambda s: isinstance(s, str) and bool(s) and max(map(ord, s)) > 0xFFFF
         ).any(), f"real fixture {name}.{col} already carries astral codepoints"
+
+
+def test_orphan_lens_plants_referential_orphans(tmp_path):
+    """The r17 orphan lens's ghost keys must be present, genuinely
+    reference NO dimension row, and stay exactly-double-safe; the real
+    fixture must be referentially INTACT (fixture-invisibility: a real
+    orphan would make the clean sweep's attestations reflect poisoned
+    semantics already present in real data)."""
+    from hostile_probe import build_orphan
+
+    dst = str(tmp_path / "orphan")
+    os.makedirs(dst, exist_ok=True)
+    build_orphan(SF_SMOKE, dst)
+
+    GHOST = 10_000_019
+    li = pd.read_parquet(f"{dst}/lineitem.parquet")
+    od = pd.read_parquet(f"{dst}/orders.parquet")
+    ev = pd.read_parquet(f"{dst}/events.parquet")
+    cu = pd.read_parquet(f"{dst}/customer.parquet")
+    pt = pd.read_parquet(f"{dst}/part.parquet")
+    sp = pd.read_parquet(f"{dst}/supplier.parquet")
+
+    assert GHOST in set(li["l_orderkey"]) and GHOST not in set(od["o_orderkey"])
+    assert GHOST + 2 in set(li["l_partkey"]) and GHOST + 2 not in set(pt["p_partkey"])
+    assert GHOST + 4 in set(li["l_suppkey"]) and GHOST + 4 not in set(sp["s_suppkey"])
+    assert GHOST + 6 in set(od["o_custkey"]) and GHOST + 6 not in set(cu["c_custkey"])
+    # the no-lineitem orphan order
+    assert GHOST + 8 in set(od["o_orderkey"]) and GHOST + 8 not in set(li["l_orderkey"])
+    assert GHOST + 12 in set(ev["user_id"])
+    assert float(GHOST + 14) == GHOST + 14  # exact double rendering
+
+    # real fixture referential integrity (the lens's honesty premise)
+    rli = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rod = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    rcu = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    rpt = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    rsp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet")
+    assert set(rli["l_orderkey"]) <= set(rod["o_orderkey"])
+    assert set(rli["l_partkey"]) <= set(rpt["p_partkey"])
+    assert set(rli["l_suppkey"]) <= set(rsp["s_suppkey"])
+    assert set(rod["o_custkey"]) <= set(rcu["c_custkey"])
