@@ -91,13 +91,21 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #   or oracle changed in r17 (the r17 work is the custom-cache_path
 #   sidecar-guard fix, scheme'd-URI containment normalization, an
 #   eviction-vs-reader race lens, and review sweeps — all slot-free).
-#   r18's cohort recomputes to the 50 r15-vintage queries. Steady
-#   state: every round's due cohort is exactly 50, forever, under
-#   policy (1).
+#   r18's cohort recomputes to the 50 r15-vintage queries — 0 slack —
+#   and contains fn_edit_distance, whose byte-level Levenshtein
+#   contract (premeasured at r17 after the astral lens found the
+#   code-point-vs-byte divergence) landed this round in its due slot.
+#   Steady state: every round's due cohort is exactly 50, forever,
+#   under policy (1).
 _CHANGED: list[str] = [
-    # r17: empty — no registered query's implementation or oracle
-    # changed this round (the single-pass MinHash form was re-measured
-    # in its due slot and refuted, not landed — see BENCH_NOTES).
+    # r18: the byte-level Levenshtein contract landed in this query's
+    # due slot (it is r15-vintage, a member of the zero-slack r18
+    # cohort, so the change is slot-neutral). Distance folds through
+    # decode(encode(x,'UTF-8'),'ISO-8859-1'), banding uses octet_length;
+    # oracle unchanged (DuckDB was byte-based all along). Fixture
+    # identity (pure-ASCII names => bit-identical rows) pinned in
+    # tests/test_edit_distance_contract.py.
+    "fn_edit_distance",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent

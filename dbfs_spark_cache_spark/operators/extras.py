@@ -251,23 +251,34 @@ def fn_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
     corpus scales, same result set. The p_partkey ordering halves pairs;
     a cheap |len diff| <= 3 guard runs before the O(len^2) levenshtein.
 
-    QUEUED for r18 (this query's due slot; r17 `astral` lens, 150/1 at
-    sf0.01): "Spark's levenshtein and DuckDB's agree exactly" holds only
-    for single-byte text — Spark counts CODE POINTS, DuckDB counts UTF-8
-    BYTES ('café'~'cafe': 1 vs 2; one astral char ~ 'a': 1 vs 4), so
-    non-ASCII names straddling the threshold diverge (7 pairs at
-    sf0.01). Landing diff (byte-level contract, the one semantic exactly
-    expressible on both engines): fold names through
-    decode(encode(x,'UTF-8'),'ISO-8859-1') for the distance and band on
-    octet_length; oracle unchanged. Exact diff + divergence demo +
-    fixture-identity proof in tests/test_r18_premeasure.py. Every
-    fixture name is pure ASCII (asserted there) — current attestations
-    are honest.
+    Byte-level contract (r18, landed in this query's due slot; found by
+    the r17 `astral` lens, 150/1 at sf0.01): Spark's levenshtein counts
+    CODE POINTS while DuckDB's counts UTF-8 BYTES ('café'~'cafe': 1 vs
+    2; one astral char ~ 'a': 1 vs 4), so "the engines agree exactly"
+    holds only for single-byte text. The registered semantic is the
+    BYTE distance — the one contract exactly expressible on both
+    engines: names are folded through decode(encode(x,'UTF-8'),
+    'ISO-8859-1') (each UTF-8 byte becomes exactly one Latin-1 code
+    point, so Spark's code-point levenshtein over the fold IS the byte
+    distance) and banding uses octet_length (byte_dist <= 3 implies
+    |byte-length diff| <= 3; the code-POINT band bound does NOT hold
+    under byte semantics). ASCII is a byte-for-byte no-op, so the
+    landing is fixture-identical (pinned in
+    tests/test_edit_distance_contract.py); the oracle is unchanged —
+    it was byte-based all along.
     """
     part = load_table(spark, sf, "part")
     return banded_edit_pairs(
         part, key_col="p_partkey", block_col="p_brand", name_col="p_name"
     )
+
+
+def _bytes_as_latin1(col):
+    """Each UTF-8 byte of ``col`` as ONE Latin-1 code point: Spark's
+    code-point levenshtein over this fold is the UTF-8 BYTE distance —
+    the semantic DuckDB's levenshtein natively computes. ASCII text is a
+    byte-for-byte no-op."""
+    return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
 
 
 def banded_edit_pairs(
@@ -278,14 +289,19 @@ def banded_edit_pairs(
     max_dist: int = 3,
     band_width: int = 4,
 ) -> DataFrame:
-    """All pairs within ``max_dist`` edits sharing ``block_col``, blocked
-    by (block, length band). Output columns: part_a/part_b (keys),
-    name_a/name_b, edit_dist. band_width must exceed max_dist so any
-    qualifying pair's band keys differ by at most 1 (the probe side fans
-    out to the three adjacent bands). Completeness against a brute-force
-    self-join is pinned on adversarial band-boundary data in
-    tests/test_scale_patterns.py; the fixture query's DuckDB oracle
-    re-proves it on real data every round."""
+    """All pairs within ``max_dist`` BYTE-level edits sharing
+    ``block_col``, blocked by (block, byte-length band). Output columns:
+    part_a/part_b (keys), name_a/name_b, edit_dist. The distance is the
+    UTF-8 byte Levenshtein (see ``_bytes_as_latin1`` — r18 contract;
+    identical to code-point distance on ASCII), and banding uses
+    ``octet_length`` because the band-adjacency bound is only sound in
+    the same unit as the distance. band_width must exceed max_dist so
+    any qualifying pair's band keys differ by at most 1 (the probe side
+    fans out to the three adjacent bands). Completeness against a
+    brute-force self-join is pinned on adversarial band-boundary data in
+    tests/test_scale_patterns.py and on astral/multibyte names in
+    tests/test_edit_distance_contract.py; the fixture query's DuckDB
+    oracle re-proves it on real data every round."""
     if band_width <= max_dist:
         raise ValueError(
             f"band_width ({band_width}) must exceed max_dist ({max_dist}): "
@@ -297,9 +313,9 @@ def banded_edit_pairs(
         F.col(key_col).alias("part_a"),
         F.col(block_col).alias("brand_a"),
         F.col(name_col).alias("name_a"),
-        (F.length(name_col) / band_width).cast("int").alias("band_a"),
+        (F.octet_length(name_col) / band_width).cast("int").alias("band_a"),
     )
-    base_band = (F.length(name_col) / band_width).cast("int")
+    base_band = (F.octet_length(name_col) / band_width).cast("int")
     b = df.select(
         F.col(key_col).alias("part_b"),
         F.col(block_col).alias("brand_b"),
@@ -317,7 +333,11 @@ def banded_edit_pairs(
     # otherwise scans as ONE task and serializes every distance eval
     # (at real scale the input splits naturally; this keeps the plan
     # shape honest at bench scale too).
-    dist_t = F.levenshtein("name_a", "name_b", max_dist)
+    dist_t = F.levenshtein(
+        _bytes_as_latin1(F.col("name_a")),
+        _bytes_as_latin1(F.col("name_b")),
+        max_dist,
+    )
     # Databricks auto-optimized shuffle sets this conf to the literal
     # string "auto"; int("auto") would fail the whole query at plan-build
     # time. Fall back to the cluster's default parallelism.
@@ -332,7 +352,10 @@ def banded_edit_pairs(
             (F.col("brand_a") == F.col("brand_b"))
             & (F.col("band_a") == F.col("band_b"))
             & (F.col("part_a") < F.col("part_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist),
+            & (
+                F.abs(F.octet_length("name_a") - F.octet_length("name_b"))
+                <= max_dist
+            ),
         )
         .where(dist_t >= 0)
         .select(
