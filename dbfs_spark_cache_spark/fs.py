@@ -304,6 +304,12 @@ def write_text(path: str, content: str) -> None:
     file is renamed into place; HDFS rename is atomic, and where the target
     must be deleted first the transient state is *absence* (a clean cache
     miss for readers), never a torn read.
+
+    Contract (r17 fresh-eyes): ``path`` must carry a directory component —
+    a bare relative filename ("sidecar.txt") raises ``FileNotFoundError``
+    from ``os.makedirs("")`` rather than guessing a working directory.
+    Every internal caller builds paths from a configured base; loud beats
+    a sidecar quietly landing in whatever CWD the driver happens to have.
     """
     if is_local(path):
         local = strip_scheme(path)
@@ -360,7 +366,16 @@ def rename(src: str, dst: str) -> None:
     swap (write to a temp sibling, then rename into place) — the rename
     is the commit point, so a silent failure must not look like success.
     ``dst`` must not exist (Hadoop rename does not overwrite; the local
-    branch matches that contract for cross-platform parity)."""
+    branch matches that contract for cross-platform parity).
+
+    The local no-overwrite check is best-effort, not a lock (r17
+    fresh-eyes): a ``dst`` created between the ``exists`` probe and
+    ``os.rename`` can still be replaced (POSIX rename overwrites a file
+    target; a directory renames over an empty directory target). The
+    maintenance flows that call this are single-owner by contract — the
+    fold's uuid temp sibling and ``_FOLDED_OK`` stamp guard the racing-
+    owner aftermath — so the probe's job is only to fail FAST on a
+    clearly-stale target, not to arbitrate concurrent writers."""
     if is_local(src) and is_local(dst):
         lsrc, ldst = strip_scheme(src), strip_scheme(dst)
         if os.path.exists(ldst):

@@ -74,7 +74,15 @@ def main() -> int:
                     help="list cache entries whose committed data files no "
                          "longer match their write-time inventory (partial "
                          "restore / copy truncation / bit rot) and exit 1 "
-                         "when any are found; read-only")
+                         "when any are found; read-only. Scans the default "
+                         "SPARK_CACHE_DIR layout — entries written with a "
+                         "custom cache_path need --scan-corrupt-base")
+    ap.add_argument("--scan-corrupt-base", metavar="BASE", action="append",
+                    default=None,
+                    help="additional custom cache_path base to include in "
+                         "--scan-corrupt (repeatable); sidecars for such "
+                         "entries live under BASE, invisible to the default "
+                         "registry walk")
     ap.add_argument("--scan-corrupt-batches", metavar="PATH", default=None,
                     help="list an exactly-once sink's committed batch ids "
                          "whose data dirs fail their recorded inventory at "
@@ -87,6 +95,8 @@ def main() -> int:
         ap.error("--fold-growing-index requires --fold-out")
     if args.truncate_after_fold and not args.fold_growing_index:
         ap.error("--truncate-after-fold requires --fold-growing-index")
+    if args.scan_corrupt_base and not args.scan_corrupt:
+        ap.error("--scan-corrupt-base requires --scan-corrupt")
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     log = logging.getLogger("clear_old_caches")
@@ -152,7 +162,8 @@ def main() -> int:
 
     if args.scan_corrupt:
         corrupt = management.find_corrupt_entries(
-            spark, num_threads=args.threads
+            spark, num_threads=args.threads,
+            extra_bases=args.scan_corrupt_base,
         )
         spark.stop()
         if corrupt:

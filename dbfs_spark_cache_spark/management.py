@@ -391,15 +391,23 @@ def find_inconsistent_entries(
     return orphans
 
 
-def _entry_inventory_ok(spark: SparkSession, hash_name: str) -> Optional[bool]:
+def _entry_inventory_ok(
+    spark: SparkSession, hash_name: str, sidecar_dir: Optional[str] = None
+) -> Optional[bool]:
     """Does ``hash_name``'s live data listing match its writer-recorded
     inventory? None when the entry carries no (parseable) record or the
     table directory is gone (that is the orphan scan's finding, not a
     corruption finding). False = part files lost or altered AFTER commit
-    — the read path refuses such an entry; the scans below surface it."""
+    — the read path refuses such an entry; the scans below surface it.
+    ``sidecar_dir``: the entry's actual sidecar directory, for entries
+    written under a custom ``cache_path`` (ADVICE r17 #3 — the r17
+    read-path fix made reads refuse corrupt custom-base entries, but the
+    operator scan probed only the default layout, so the cron alert
+    never fired for exactly that class); None = the default
+    SPARK_CACHE_DIR layout."""
     from .core import _inventory_sidecar_path, _table_location, check_data_inventory
 
-    recorded = fs.read_text(_inventory_sidecar_path(hash_name))
+    recorded = fs.read_text(_inventory_sidecar_path(hash_name, sidecar_dir))
     if recorded is None:
         return None
     location = _table_location(spark, hash_name)
@@ -413,21 +421,54 @@ def _entry_inventory_ok(spark: SparkSession, hash_name: str) -> Optional[bool]:
         return None
 
 
+def _custom_base_entries(base: str) -> List[tuple]:
+    """(hash_name, sidecar_dir) pairs for cache entries under a custom
+    ``cache_path`` base — the same ``<base>/<hash>/cache_metadata.txt``
+    layout ``table_cache_info`` writes for every base, default or not.
+    A missing/empty base yields no pairs (``fs.list_dir`` ENOENT
+    contract)."""
+    pairs = []
+    for entry in fs.list_dir(base):
+        if not entry.is_dir:
+            continue
+        side = entry.path.rstrip("/")
+        if fs.exists(f"{side}/cache_metadata.txt"):
+            pairs.append((entry.name, side))
+    return pairs
+
+
 def find_corrupt_entries(
-    spark: SparkSession, num_threads: Optional[int] = None
+    spark: SparkSession,
+    num_threads: Optional[int] = None,
+    extra_bases: Optional[List[str]] = None,
 ) -> List[str]:
     """Entries whose committed data files no longer match the inventory
     recorded at write time (partial restore, copy-tool truncation, bit
     rot). Read-only; the read path already refuses these as misses, so
     the operator action is simply to clear them (``clear_cache_for_hash``)
-    or let the next use rewrite them in place."""
+    or let the next use rewrite them in place.
+
+    The default scan walks the SPARK_CACHE_DIR registry. Entries written
+    with a custom ``cache_path`` keep their sidecars under that base, so
+    they are invisible to the registry walk — pass each such base via
+    ``extra_bases`` to include them (ADVICE r17 #3; the CLI exposes this
+    as repeatable ``--scan-corrupt-base``)."""
     meta = get_cached_dataframe_metadata(num_threads=num_threads)
-    if meta.empty:
+    pairs: List[tuple] = (
+        [(h, None) for h in meta["hash_name"]] if not meta.empty else []
+    )
+    for base in extra_bases or []:
+        pairs.extend(_custom_base_entries(base))
+    if not pairs:
         return []
-    hashes = list(meta["hash_name"])
     with ThreadPoolExecutor(max_workers=_default_threads(num_threads)) as pool:
-        flags = list(pool.map(lambda h: _entry_inventory_ok(spark, h), hashes))
-    return sorted(h for h, ok in zip(hashes, flags) if ok is False)
+        flags = list(
+            pool.map(
+                lambda p: _entry_inventory_ok(spark, p[0], sidecar_dir=p[1]),
+                pairs,
+            )
+        )
+    return sorted({h for (h, _), ok in zip(pairs, flags) if ok is False})
 
 
 def _entry_bytes(spark: SparkSession, hash_name: str) -> int:

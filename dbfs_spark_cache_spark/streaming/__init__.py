@@ -525,26 +525,44 @@ def _containment_norm(p: str) -> str:
     r16 #2 — ``dbfs:/sink/index/../..`` previously evaded both guard
     directions): split scheme/authority, posixpath-normalize the
     remainder, rejoin. ``normpath`` must never see the authority — on
-    ``s3://b/k`` it would collapse the double slash. Root forms keep a
-    single trailing slash (``/``, ``dbfs:/``, ``s3://bucket/``);
-    non-roots carry none — :func:`_is_under` handles both."""
+    ``s3://b/k`` it would collapse the double slash. Repeated slashes in
+    the PATH component are collapsed BEFORE normpath (ADVICE r17 #2:
+    POSIX normpath preserves exactly two leading slashes, so
+    ``s3://b//sink/fold`` and ``//tmp/sink/fold`` evaded prefix
+    containment against the single-slash forms the filesystem resolves
+    them to). Scheme'd RELATIVE paths (``dbfs:sink/../..``) are REJECTED
+    outright (ADVICE r17 #4): Hadoop's own Path constructor refuses a
+    relative path in an absolute URI, and any normalization we picked
+    would be a guess about a working directory this module cannot know.
+    Root forms keep a single trailing slash (``/``, ``dbfs:/``,
+    ``s3://bucket/``); non-roots carry none — :func:`_is_under` handles
+    both."""
     import posixpath
+    import re
 
     from .. import fs
 
+    _squash = lambda s: re.sub("/+", "/", s)  # noqa: E731
     q = fs.strip_scheme(p).rstrip("/")
     if "://" in q:
         scheme, rest = q.split("://", 1)
         authority, sep, tail = rest.partition("/")
-        norm = posixpath.normpath("/" + tail) if sep else "/"
+        norm = posixpath.normpath(_squash("/" + tail)) if sep else "/"
         return f"{scheme}://{authority}{norm}"
     head = q.split("/", 1)[0]
     if ":" in head:
         scheme, rest = q.split(":", 1)
         if rest.startswith("/"):
-            return f"{scheme}:{posixpath.normpath(rest)}"
-        return f"{scheme}:{rest or '/'}"
-    return os.path.normpath(q) if q else "/"
+            return f"{scheme}:{posixpath.normpath(_squash(rest))}"
+        if not rest:
+            return f"{scheme}:/"
+        raise ValueError(
+            f"relative path in scheme'd URI {p!r}: the containment "
+            "guards cannot resolve what tree it names (Hadoop Path "
+            "rejects this form too). Use an absolute URI like "
+            f"{scheme}:/..."
+        )
+    return os.path.normpath(_squash(q)) if q else "/"
 
 
 def _is_under(child: str, parent: str) -> bool:
