@@ -294,9 +294,17 @@ def fn_datetime_parts(spark: SparkSession, sf: str) -> DataFrame:
     "stats_corr_covar",
     oracle="""
     WITH d AS (
+        -- DECIMAL(19,2), not (12,2): DuckDB multiplies decimals in their
+        -- STORAGE type, and (12,2) is int64-backed, so xd*xd overflows at
+        -- |x| >= ~1e9.2 — magnitudes Spark's (12,2)->(25,4) product
+        -- handles fine (r18 precision lens: the oracle crashed before the
+        -- query's own loud ANSI domain bound). (19,2) is int128-backed:
+        -- products are exact across the full (12,2) value domain, and the
+        -- values themselves are unchanged, so fixture results are
+        -- bit-identical (pinned in tests/test_r18_precision_lens.py).
         SELECT l_returnflag,
-               CAST(l_quantity AS DECIMAL(12,2)) AS xd,
-               CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+               CAST(l_quantity AS DECIMAL(19,2)) AS xd,
+               CAST(l_extendedprice AS DECIMAL(19,2)) AS yd
         FROM lineitem
     ),
     sums AS (
