@@ -24,6 +24,13 @@ dimension). Work that is safe as-scoped still runs before the exit-2
 (age eviction honors --database; --stats still prints the configured
 namespace's summary), so a scripted retry without --database is safe and
 idempotent.
+
+The single-shot stages (--stats / --scan-corrupt / --scan-corrupt-batches
+/ --compact-ledger / --fold-growing-index) each run alone and exit:
+combining two of them, or combining one with an eviction-path flag it
+would ignore, is a usage error (exit 2 from argparse, before any work) —
+never a silent partial run (r18 fresh-eyes; previously
+`--dry-run --compact-ledger` performed the REAL compaction).
 """
 from __future__ import annotations
 
@@ -34,7 +41,10 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--days", type=int, default=7,
+    # default applied after the stage-exclusivity check below, so an
+    # EXPLICIT --days combined with an exclusive stage can be refused
+    # instead of silently ignored
+    ap.add_argument("--days", type=int, default=None,
                     help="evict entries older than this many days (default 7)")
     ap.add_argument("--threads", type=int, default=16)
     ap.add_argument("--database", default=None,
@@ -97,6 +107,52 @@ def main() -> int:
         ap.error("--truncate-after-fold requires --fold-growing-index")
     if args.scan_corrupt_base and not args.scan_corrupt:
         ap.error("--scan-corrupt-base requires --scan-corrupt")
+
+    # STAGE EXCLUSIVITY (r18 fresh-eyes): each of these stages runs alone
+    # and exits, so combining two of them — or combining one with an
+    # eviction-path flag — used to SILENTLY ignore the rest of the command
+    # line. The worst shapes were mutating: `--dry-run --compact-ledger`
+    # and `--dry-run --fold-growing-index` performed the REAL compaction/
+    # fold while the operator asked for a preview, and
+    # `--scan-corrupt --repair-inconsistent` skipped the repair while
+    # exiting 0. The documented exit-code contract ("0 = every requested
+    # stage ran as scoped") requires refusing these loudly: usage error
+    # (exit 2) before any work or Spark startup. --threads composes with
+    # every stage and stays allowed.
+    exclusive = [
+        flag for flag, given in (
+            ("--stats", args.stats),
+            ("--scan-corrupt", args.scan_corrupt),
+            ("--scan-corrupt-batches", args.scan_corrupt_batches),
+            ("--compact-ledger", args.compact_ledger),
+            ("--fold-growing-index", args.fold_growing_index),
+        ) if given
+    ]
+    if len(exclusive) > 1:
+        ap.error(f"{' and '.join(exclusive)} are exclusive stages — invoke "
+                 "them as separate commands (each runs alone and exits)")
+    if exclusive:
+        ignored = [
+            flag for flag, given in (
+                ("--days", args.days is not None),
+                ("--dry-run", args.dry_run),
+                ("--repair-inconsistent", args.repair_inconsistent),
+                ("--force", args.force),
+                ("--size-budget-bytes", args.size_budget_bytes is not None),
+                # --stats keeps its own pinned --database contract (ADVICE
+                # r9 #4: print the configured namespace's summary, THEN
+                # exit 2) — only the other stages ignored it silently
+                ("--database",
+                 args.database is not None and not args.stats),
+            ) if given
+        ]
+        if ignored:
+            ap.error(
+                f"{exclusive[0]} runs alone and exits; it would silently "
+                f"ignore {', '.join(ignored)} — run the eviction flags as "
+                "a separate command"
+            )
+    days = args.days if args.days is not None else 7
 
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(message)s")
     log = logging.getLogger("clear_old_caches")
@@ -219,14 +275,14 @@ def main() -> int:
 
     evicted = management.clear_caches_older_than(
         spark,
-        num_days=args.days,
+        num_days=days,
         num_threads=args.threads,
         specific_database=args.database,
         confirm_delete=not args.dry_run,
     )
     log.info("%s %d entries older than %d days%s",
              "would evict" if args.dry_run else "evicted",
-             len(evicted), args.days,
+             len(evicted), days,
              f": {evicted}" if evicted else "")
 
     if args.database and (

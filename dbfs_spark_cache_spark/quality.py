@@ -58,6 +58,15 @@ def expectations_frame(
         aggs.append(surplus.alias(f"dup_{col}"))
         names.append(f"dup_{col}")
     for col, (lo, hi) in (ranges or {}).items():
+        # an inverted or NaN bound makes EVERY non-null row a violation —
+        # a typo'd gate should fail at construction, not flood the report
+        # (r18 fresh-eyes; `not lo <= hi` also catches NaN bounds, which
+        # compare false against everything)
+        if not lo <= hi:
+            raise ValueError(
+                f"range rule for {col!r} has empty bounds ({lo!r}, {hi!r}): "
+                "lo must be <= hi and neither may be NaN"
+            )
         in_range = F.col(col).isNull() | F.col(col).between(lo, hi)
         aggs.append(_violations(in_range).alias(f"range_{col}"))
         names.append(f"range_{col}")

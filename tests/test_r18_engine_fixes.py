@@ -200,3 +200,80 @@ def test_rename_refuses_existing_directory_target(tmp_path):
     with pytest.raises(OSError, match="already exists"):
         fs.rename(str(src), str(dst))
     assert (src / "f.txt").exists()  # nothing moved
+
+
+# --------------------------------------------------- fresh-eyes r18 (5)
+
+def _run_cli(argv):
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import sys;"
+         f"sys.path.insert(0, {repo!r});"
+         f"sys.argv = ['spark-cache-maintenance'] + {argv!r};"
+         "from dbfs_spark_cache_spark.maintenance_cli import main;"
+         "raise SystemExit(main())"],
+        capture_output=True, text=True,
+    )
+
+
+def test_cli_exclusive_stages_refuse_combination():
+    """r18 fresh-eyes: two single-shot stages on one command line used to
+    run only the first and exit 0 — now a loud usage error."""
+    proc = _run_cli(["--scan-corrupt", "--scan-corrupt-batches", "/tmp/x"])
+    assert proc.returncode == 2
+    assert "exclusive stages" in proc.stderr
+
+
+def test_cli_exclusive_stage_refuses_ignored_eviction_flags(tmp_path):
+    """The mutating worst case: --dry-run with --compact-ledger used to
+    perform the REAL compaction. Now refused before any work — the
+    ledger directory stays untouched."""
+    base = tmp_path / "sink"
+    base.mkdir()
+    proc = _run_cli(["--dry-run", "--compact-ledger", str(base)])
+    assert proc.returncode == 2
+    assert "--dry-run" in proc.stderr
+    assert list(base.iterdir()) == []  # nothing created: refused pre-work
+
+    proc = _run_cli(["--scan-corrupt", "--repair-inconsistent"])
+    assert proc.returncode == 2
+    assert "--repair-inconsistent" in proc.stderr
+
+    proc = _run_cli(["--scan-corrupt-batches", "/tmp/x", "--days", "3"])
+    assert proc.returncode == 2
+    assert "--days" in proc.stderr
+
+
+def test_quality_range_rule_refuses_empty_bounds(spark):
+    """r18 fresh-eyes on quality.py: inverted or NaN bounds flag every
+    non-null row — a typo'd gate fails at construction instead."""
+    import math
+
+    from dbfs_spark_cache_spark.quality import expectations_frame
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="empty bounds"):
+        expectations_frame(df, ranges={"v": (5.0, 3.0)})
+    with pytest.raises(ValueError, match="empty bounds"):
+        expectations_frame(df, ranges={"v": (math.nan, 10.0)})
+    # valid bounds still plan
+    expectations_frame(df, ranges={"v": (0.0, 10.0)})
+
+
+def test_quality_null_custom_rule_counts_as_violation(spark):
+    """Tri-state pin: a custom rule evaluating to NULL on a row counts
+    that row as violating (not-TRUE semantics), independent of any
+    not_null listing."""
+    from pyspark.sql import functions as F
+
+    from dbfs_spark_cache_spark.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "id long, v double"
+    )
+    report = expectations_report(df, custom={"v_positive": F.col("v") > 0})
+    assert report["v_positive"] == 2  # the NULL row AND the negative row
+    assert report["passed"] is False
