@@ -309,10 +309,18 @@ def banded_edit_pairs(
             "be missed by the 3-band fan-out"
         )
     spark = df.sparkSession
+    # The byte fold is HOISTED into the row projections — folded once per
+    # row (3x on the exploded probe side) instead of once per candidate
+    # pair inside the join condition, where it re-ran for every comparison
+    # (measured at sf0.1: per-pair fold 1.22 s vs hoisted 0.99 s vs the
+    # pre-r18 code-point form 0.81 s — the residual is the fold compute +
+    # the folded column riding the shuffle; the byte-correct semantics are
+    # worth it, BENCH_NOTES "Round-18").
     a = df.select(
         F.col(key_col).alias("part_a"),
         F.col(block_col).alias("brand_a"),
         F.col(name_col).alias("name_a"),
+        _bytes_as_latin1(F.col(name_col)).alias("fold_a"),
         (F.octet_length(name_col) / band_width).cast("int").alias("band_a"),
     )
     base_band = (F.octet_length(name_col) / band_width).cast("int")
@@ -320,6 +328,7 @@ def banded_edit_pairs(
         F.col(key_col).alias("part_b"),
         F.col(block_col).alias("brand_b"),
         F.col(name_col).alias("name_b"),
+        _bytes_as_latin1(F.col(name_col)).alias("fold_b"),
         F.explode(
             F.array(base_band - 1, base_band, base_band + 1)
         ).alias("band_b"),
@@ -333,11 +342,7 @@ def banded_edit_pairs(
     # otherwise scans as ONE task and serializes every distance eval
     # (at real scale the input splits naturally; this keeps the plan
     # shape honest at bench scale too).
-    dist_t = F.levenshtein(
-        _bytes_as_latin1(F.col("name_a")),
-        _bytes_as_latin1(F.col("name_b")),
-        max_dist,
-    )
+    dist_t = F.levenshtein(F.col("fold_a"), F.col("fold_b"), max_dist)
     # Databricks auto-optimized shuffle sets this conf to the literal
     # string "auto"; int("auto") would fail the whole query at plan-build
     # time. Fall back to the cluster's default parallelism.
