@@ -51,6 +51,31 @@ def build_dup(src: str, dst: str) -> None:
         )
 
 
+def build_rowgroup(src: str, dst: str) -> None:
+    """Hostile PHYSICAL layout, identical logical data (r18 — 25th lens):
+    every table rewritten with tiny row groups (7 rows — a streaming
+    writer that flushes per-micro-batch produces exactly this shape),
+    dictionary encoding disabled, tiny data pages, and no column
+    statistics. Results must be invariant under parquet layout — this
+    stresses the row-group boundary handling, non-dictionary decode
+    paths, and the stats-absent planning path (Spark can't prune or
+    short-circuit on min/max; DuckDB can't use zone maps) on BOTH
+    engines. Any divergence is a reader bug, not a data property; the
+    value compare stays exact because the bytes decoded are the same."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(
+            t,
+            f"{dst}/{os.path.basename(f)}",
+            row_group_size=7,
+            use_dictionary=False,
+            data_page_size=256,
+            write_statistics=False,
+        )
+
+
 def build_ties(src: str, dst: str) -> None:
     import numpy as np
     import pandas as pd
@@ -1044,6 +1069,7 @@ LENSES = {
     "dates": build_dates,
     "empty": build_empty,
     "dup": build_dup,
+    "rowgroup": build_rowgroup,
     "ties": build_ties,
     "one": build_one,
     "neg": build_neg,

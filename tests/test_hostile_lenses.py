@@ -500,3 +500,32 @@ def test_orphan_lens_plants_referential_orphans(tmp_path):
     assert set(rli["l_partkey"]) <= set(rpt["p_partkey"])
     assert set(rli["l_suppkey"]) <= set(rsp["s_suppkey"])
     assert set(rod["o_custkey"]) <= set(rcu["c_custkey"])
+
+
+def test_rowgroup_lens_rewrites_layout_not_data(tmp_path):
+    """The r18 rowgroup lens must change ONLY the physical parquet layout:
+    logical data byte-identical to the source (so the exact value compare
+    stays the right check), row groups genuinely tiny (a per-micro-batch
+    streaming writer's shape), dictionary encoding off, and column
+    statistics absent (no min/max for either engine to prune on)."""
+    import pyarrow.parquet as pq
+
+    from hostile_probe import build_rowgroup
+
+    dst = str(tmp_path / "rowgroup")
+    os.makedirs(dst, exist_ok=True)
+    build_rowgroup(SF_SMOKE, dst)
+
+    for name in ("lineitem", "documents", "nation"):
+        src_t = pq.read_table(f"{SF_SMOKE}/{name}.parquet")
+        dst_t = pq.read_table(f"{dst}/{name}.parquet")
+        assert dst_t.equals(src_t), f"{name}: lens altered logical data"
+
+        meta = pq.ParquetFile(f"{dst}/{name}.parquet").metadata
+        expect_groups = -(-meta.num_rows // 7)  # ceil(rows / 7)
+        assert meta.num_row_groups == max(expect_groups, 1), (
+            f"{name}: row groups not tiny ({meta.num_row_groups})"
+        )
+        col0 = meta.row_group(0).column(0)
+        assert "PLAIN_DICTIONARY" not in str(col0.encodings)
+        assert not col0.is_stats_set, f"{name}: statistics still written"
