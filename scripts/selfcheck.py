@@ -90,6 +90,14 @@ def main():
         help="check exactly the current driver verification window "
         "(the first _WINDOW_SLOTS queries() entries)",
     )
+    ap.add_argument(
+        "--codegen-off",
+        action="store_true",
+        help="run with whole-stage codegen DISABLED (factoryMode="
+        "NO_CODEGEN): an execution-mode invariance sweep — results must "
+        "be identical through Spark's interpreted expression path "
+        "(r18: full 150/150 exact at sf0.01)",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -97,7 +105,15 @@ def main():
     from dbfs_spark_cache_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
-    spark = get_spark(app_name="selfcheck")
+    extra = (
+        {
+            "spark.sql.codegen.wholeStage": "false",
+            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        }
+        if args.codegen_off
+        else None
+    )
+    spark = get_spark(app_name="selfcheck", extra_conf=extra)
 
     con = duckdb.connect()
     for table in (
