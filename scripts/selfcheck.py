@@ -98,6 +98,18 @@ def main():
         "be identical through Spark's interpreted expression path "
         "(r18: full 150/150 exact at sf0.01)",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf for execution-mode invariance sweeps "
+        "(repeatable). r18 clean sweeps, each 150/150 exact at sf0.01: "
+        "spark.sql.adaptive.enabled=false, spark.sql.shuffle."
+        "partitions=7, spark.sql.shuffle.partitions=1, and "
+        "--codegen-off — results are invariant under plan strategy, "
+        "partition layout, and expression-evaluation mode",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -105,15 +117,21 @@ def main():
     from dbfs_spark_cache_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
-    extra = (
-        {
-            "spark.sql.codegen.wholeStage": "false",
-            "spark.sql.codegen.factoryMode": "NO_CODEGEN",
-        }
-        if args.codegen_off
-        else None
-    )
-    spark = get_spark(app_name="selfcheck", extra_conf=extra)
+    extra = {}
+    if args.codegen_off:
+        extra.update(
+            {
+                "spark.sql.codegen.wholeStage": "false",
+                "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+            }
+        )
+    for kv in args.conf:
+        key, sep, val = kv.partition("=")
+        if not sep or not key:
+            print(f"--conf expects K=V, got {kv!r}")
+            sys.exit(2)
+        extra[key] = val
+    spark = get_spark(app_name="selfcheck", extra_conf=extra or None)
 
     con = duckdb.connect()
     for table in (
