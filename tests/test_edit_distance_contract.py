@@ -144,3 +144,38 @@ def test_duckdb_distance_functions_are_byte_based():
     con = duckdb.connect()
     assert con.execute("SELECT levenshtein('café','cafe')").fetchone()[0] == 2
     assert con.execute("SELECT levenshtein(chr(133137),'a')").fetchone()[0] == 4
+
+
+# ------------------------------------------------------- property pin
+
+from hypothesis import given, settings, strategies as hs  # noqa: E402
+
+# alphabet spanning 1-byte ASCII, 2-byte Latin, 3-byte BMP CJK, and
+# 4-byte astral codepoints — every UTF-8 width the byte contract folds
+_ALPHABET = "ab é漢\U0001D400"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hs.lists(
+        hs.text(alphabet=_ALPHABET, min_size=0, max_size=14),
+        min_size=2, max_size=8,
+    )
+)
+def test_banded_pairs_match_byte_oracle_on_random_multibyte_names(
+    spark, names
+):
+    """Property form of the r18 contract: for ARBITRARY mixed-width
+    names in one block, the banded Spark result equals DuckDB's
+    brute-force byte-Levenshtein filter — completeness of the
+    octet-length banding and exactness of the Latin-1 fold together,
+    not just on the hand-picked hostile frame."""
+    from dbfs_spark_cache_spark.operators.extras import banded_edit_pairs
+
+    rows = [(i + 1, "B", n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "k long, brand string, n string")
+    got = _spark_pairs(banded_edit_pairs(df, "k", "brand", "n"))
+    want = _duck_pairs(rows)
+    assert got == want, (
+        f"names={names!r}: missing={want - got} extra={got - want}"
+    )
