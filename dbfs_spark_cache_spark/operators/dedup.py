@@ -1239,6 +1239,108 @@ def dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def propagate_min_labels(
+    sym: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 64,
+    pointer_jumping: bool = False,
+) -> DataFrame:
+    """Component-min label propagation over a SYMMETRIC edge list —
+    the reusable form of ``dedup_cluster_keepers``' inner loop (r18;
+    queued for in-slot adoption there at r19, premeasured value-identical
+    in tests/test_r19_premeasure.py). ``sym`` is (doc_a, doc_b) with both
+    directions present; ``labels`` is (doc_id, cluster_id) initialized to
+    cluster_id = doc_id. Returns the converged (doc_id, cluster_id).
+
+    ``pointer_jumping=True`` adds a label-of-label halving step per round
+    (the Shiloach-Vishkin doubling trick): node -> its label's label, so
+    the effective hop length doubles each round and convergence needs
+    O(log diameter) rounds instead of O(diameter) — the escape hatch the
+    registered query's convergence-cap error message prescribes for a
+    component deeper than ``max_rounds``. The extra self-join of the
+    (tiny, edge-node-only) label frame costs one more shuffle per round,
+    so plain propagation remains the right default on corpora whose
+    near-dup components are shallow chains — measure before switching.
+
+    Same iterative-algo discipline as the registered query: lazy
+    ``localCheckpoint`` per round (ONE action materializes labels AND
+    reads the convergence signal), precise own-round checkpoint
+    attribution, previous generation's blocks reclaimed immediately.
+    Raises instead of emitting wrong labels when ``max_rounds`` is
+    exhausted."""
+    spark = sym.sparkSession
+    sc = spark.sparkContext
+    prev_ckpt_id: int | None = None
+    n_lowered = -1
+    for _ in range(max_rounds):
+        neigh_min = (
+            sym.alias("s")
+            .join(labels.alias("l"), F.col("s.doc_b") == F.col("l.doc_id"))
+            .groupBy(F.col("s.doc_a").alias("doc_id"))
+            .agg(F.min("l.cluster_id").alias("neigh_min"))
+        )
+        stepped = (
+            labels.alias("l")
+            .join(neigh_min.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("l.cluster_id").alias("old_label"),
+                F.least(
+                    F.col("l.cluster_id"),
+                    F.coalesce(F.col("n.neigh_min"), F.col("l.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        if pointer_jumping:
+            # label-of-label: my (possibly just-lowered) label is a node
+            # id; adopt THAT node's label when it is lower still. Labels
+            # only ever shrink toward the component min, so the lookup
+            # frame can be this round's own stepped labels.
+            grand = stepped.select(
+                F.col("doc_id").alias("g_id"),
+                F.col("cluster_id").alias("g_label"),
+            )
+            stepped = (
+                stepped.alias("s2")
+                .join(grand, F.col("s2.cluster_id") == F.col("g_id"), "left")
+                .select(
+                    "doc_id",
+                    "old_label",
+                    F.least(
+                        F.col("s2.cluster_id"),
+                        F.coalesce(F.col("g_label"), F.col("s2.cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+        new_labels = stepped.select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") < F.col("old_label")).alias("lowered"),
+        ).localCheckpoint(eager=False)  # lazy: the count below is THE job
+        new_ckpt_id = _checkpoint_rdd_id(new_labels)
+        n_lowered = new_labels.where("lowered").count()
+        labels = new_labels.drop("lowered")
+        if prev_ckpt_id is not None:
+            handle = _persistent_rdd_entries(sc).get(prev_ckpt_id)
+            if handle is not None:
+                try:
+                    handle.unpersist(False)
+                except Exception:
+                    pass
+        prev_ckpt_id = new_ckpt_id
+        if n_lowered == 0:
+            return labels
+    raise RuntimeError(
+        f"propagate_min_labels: did not converge within {max_rounds} "
+        f"rounds (still {n_lowered} labels moving). "
+        + (
+            "Refusing to emit wrong labels."
+            if pointer_jumping
+            else "Retry with pointer_jumping=True (O(log diameter) rounds)."
+        )
+    )
+
+
 def _checkpoint_rdd_id(df) -> int | None:
     """The persisted internal RDD's id for a just-checkpointed DataFrame,
     read off its LogicalRDD plan node (``Dataset.localCheckpoint`` wraps
