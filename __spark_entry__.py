@@ -112,6 +112,16 @@ _CHANGED: list[str] = [
     # (found by the r18 precision lens). Result-identical on fixtures at
     # both SFs (verified); Spark impl unchanged.
     "stats_corr_covar",
+    # r18 OPTIMIZATION round: the derived-partsupp join in q9/q20 is the
+    # identity enrichment of lineitem (catalog = distinct of lineitem's
+    # own key pairs; ps_* columns are pure key functions), so both now
+    # compute the ps_* columns inline — one lineitem scan instead of two,
+    # no distinct shuffle, no catalog join. Oracles unchanged; proven
+    # exact vs DuckDB at sf0.001/0.01/0.1 and row-identical to the old
+    # join formulation by tests/test_r18_opt.py. Listed here so the
+    # ledger records that their green rows re-attest NEW plan shapes.
+    "q9_product_profit",
+    "q20_excess_availability",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent

@@ -174,23 +174,47 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
 def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9: product-line profit by nation and order year — the widest
     join fan in the suite (lineitem + orders + part + supplier + nation +
-    partsupp on a composite key).
+    the derived supply catalog).
 
     Scale shape: nation is hint-broadcast; part (filtered) and supplier
-    grow with the corpus so AQE decides their side; orders and
-    partsupp co-shuffle with lineitem on their respective keys — the fact
-    table is shuffled, never replicated. The composite-key partsupp join
-    is the shape the reference's multi-join cost-model tests price.
+    grow with the corpus so AQE decides their side; orders co-shuffles
+    with lineitem on the order key — the fact table is shuffled, never
+    replicated.
+
+    r18 optimization (guide §8 — use what the optimizer cannot know):
+    the partsupp catalog is DERIVED from lineitem itself as the distinct
+    (l_partkey, l_suppkey) pairs, with ps_supplycost a pure integer
+    function of those two keys (``_PARTSUPP_CTE``). An inner join of
+    lineitem back onto that relation on BOTH keys is therefore the
+    identity enrichment: every lineitem row whose keys are non-NULL
+    matches exactly one catalog row (the distinct of its own pair), and
+    the joined ps_supplycost equals the expression evaluated on the
+    row's own columns. Computing it INLINE removes a second full scan of
+    the fact table, the distinct's shuffle, the catalog broadcast/hash
+    build, and — at scale, where the catalog outgrows the broadcast
+    threshold — a full co-shuffle of the fact on the composite key. The
+    part/supplier equi-joins already drop NULL l_partkey/l_suppkey rows,
+    exactly as the removed inner join did, so the result is identical on
+    EVERY input, not just the fixtures (oracle unchanged; verified exact
+    at sf0.001/0.01/0.1). The composite-key catalog join shape remains
+    live in q2/q11/q20-adjacent paths where the distinct is semantic.
     """
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     part = load_table(spark, sf, "part").where(F.col("p_name").like("%red%"))
     supplier = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
-    ps = partsupp_view(spark, sf)
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "ps_supplycost"
-    ) * F.col("l_quantity")
+    # Inline twin of _PARTSUPP_CTE's ps_supplycost with ps_* = l_*: the
+    # same bigint arithmetic, double cast last — bit-identical per row.
+    supplycost = (
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 37) % 100000)
+        .cast("double")
+        / 100.0
+        + 1.0
+    )
+    profit = F.col("l_extendedprice") * (
+        1 - F.col("l_discount")
+    ) - supplycost * F.col("l_quantity")
     return (
         li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
         # part grows with the corpus: no hard hint, AQE decides (r8, ADVICE r7 #1)
@@ -198,10 +222,6 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(
-            ps,
-            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
-        )
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -307,8 +327,19 @@ def q20_excess_availability(spark: SparkSession, sf: str) -> DataFrame:
     excess set aggregates to supplier keys only (tiny) before touching
     the supplier dim. No
     corpus-sized structure survives past the first aggregation.
+
+    r18 optimization (guide §8, same argument as q9_product_profit): the
+    shipped pairs are BY CONSTRUCTION a subset of the derived partsupp
+    pairs (partsupp = distinct pairs over ALL of lineitem; shipped groups
+    a date-windowed subset), each matching exactly one catalog row, and
+    ps_availqty is a pure integer function of the two keys — so the
+    catalog join is the identity enrichment of shipped. Computing
+    ps_availqty inline removes the second lineitem scan, the distinct's
+    shuffle, and the catalog join. The pre-aggregation NULL-key filter
+    reproduces the removed inner join's NULL-group drop (a group keyed
+    NULL contains only NULL-key rows, so filtering before the groupBy
+    drops exactly those groups): identical results on every input.
     """
-    ps = partsupp_view(spark, sf)
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part").where(F.col("p_name").like("small%"))
     supplier = load_table(spark, sf, "supplier")
@@ -317,19 +348,19 @@ def q20_excess_availability(spark: SparkSession, sf: str) -> DataFrame:
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_dec("l_quantity", 6)).cast("double").alias("qty"))
     )
+    # Inline twin of _PARTSUPP_CTE's ps_availqty with ps_* = l_*.
+    availqty = (F.col("l_partkey") * 11 + F.col("l_suppkey") * 13) % 9999 + 1
     excess = (
-        ps.join(part.select("p_partkey"), ps.ps_partkey == part.p_partkey)
+        shipped.join(part.select("p_partkey"), shipped.l_partkey == part.p_partkey)
         # part grows with the corpus: no hard hint, AQE decides (r8, ADVICE r7 #1)
-        .join(
-            shipped,
-            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
-        )
-        .where(F.col("ps_availqty") > F.col("qty") * 200)
-        .groupBy("ps_suppkey")
+        .where(availqty > F.col("qty") * 200)
+        .groupBy(F.col("l_suppkey").alias("ps_suppkey"))
         .agg(F.count(F.lit(1)).alias("n_excess_parts"))
     )
     return (

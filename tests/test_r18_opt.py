@@ -1,0 +1,137 @@
+"""Round-18 optimization pins.
+
+Each optimization that restructured an operator's internals gets two pins:
+a VALUE pin proving the restructured form is row-identical to the exact
+pre-optimization formulation (built inline here, so the equivalence stays
+executable forever), and a PLAN pin proving the waste it removed stays
+removed (the silent-regression class plan-quality tests exist for).
+"""
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _scan_locations(plan: str) -> list[str]:
+    return re.findall(r"Location: InMemoryFileIndex \[([^\]]+)\]", plan)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- q9 / q20: inline partsupp derivation ---------------------------------
+#
+# partsupp is DERIVED from lineitem (distinct key pairs + pure key
+# functions), so joining lineitem back onto it is the identity enrichment;
+# r18 computes ps_supplycost / ps_availqty inline. These pins hold the
+# equivalence and the single-scan plan shape.
+
+
+def test_q9_inline_supplycost_matches_join_form(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.operators.tpch_partsupp import partsupp_view
+    from dbfs_spark_cache_spark.sources import load_table
+
+    sf = SF_ORACLE
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    ps = partsupp_view(spark, sf)
+    from dbfs_spark_cache_spark.operators.registry import dec as _dec
+
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    # The pre-r18 formulation, verbatim: explicit catalog join on both keys.
+    join_form = (
+        li.join(part.select("p_partkey"), li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_dec(profit, 6)).cast("double").alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )
+    assert _rows(QUERIES["q9_product_profit"](spark, sf)) == _rows(join_form)
+
+
+def test_q9_scans_lineitem_once(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    plan = plan_text(QUERIES["q9_product_profit"](spark, SF_ORACLE))
+    li_scans = [p for p in _scan_locations(plan) if "lineitem" in p]
+    assert len(li_scans) == 1, f"expected 1 lineitem scan, got {len(li_scans)}"
+
+
+def test_q20_inline_availqty_matches_join_form(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.operators.registry import dec as _dec
+    from dbfs_spark_cache_spark.operators.tpch_partsupp import partsupp_view
+    from dbfs_spark_cache_spark.sources import load_table
+
+    sf = SF_ORACLE
+    ps = partsupp_view(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").where(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity", 6)).cast("double").alias("qty"))
+    )
+    excess = (
+        ps.join(part.select("p_partkey"), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") > F.col("qty") * 200)
+        .groupBy("ps_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+    join_form = (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(excess, supplier.s_suppkey == excess.ps_suppkey)
+        .select("s_suppkey", "s_name", "n_name", "n_excess_parts")
+        .orderBy("s_suppkey")
+    )
+    assert _rows(QUERIES["q20_excess_availability"](spark, sf)) == _rows(
+        join_form
+    )
+
+
+def test_q20_scans_lineitem_once(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    plan = plan_text(QUERIES["q20_excess_availability"](spark, SF_ORACLE))
+    li_scans = [p for p in _scan_locations(plan) if "lineitem" in p]
+    assert len(li_scans) == 1, f"expected 1 lineitem scan, got {len(li_scans)}"
