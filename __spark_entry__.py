@@ -112,16 +112,14 @@ _CHANGED: list[str] = [
     # (found by the r18 precision lens). Result-identical on fixtures at
     # both SFs (verified); Spark impl unchanged.
     "stats_corr_covar",
-    # r18 OPTIMIZATION round: the derived-partsupp join in q9/q20 is the
-    # identity enrichment of lineitem (catalog = distinct of lineitem's
-    # own key pairs; ps_* columns are pure key functions), so both now
-    # compute the ps_* columns inline — one lineitem scan instead of two,
-    # no distinct shuffle, no catalog join. Oracles unchanged; proven
-    # exact vs DuckDB at sf0.001/0.01/0.1 and row-identical to the old
-    # join formulation by tests/test_r18_opt.py. Listed here so the
-    # ledger records that their green rows re-attest NEW plan shapes.
-    "q9_product_profit",
-    "q20_excess_availability",
+    # r18 OPTIMIZATION round, due-cohort member: dedup_ngram_jaccard's
+    # shared signature stage now spreads the (doc_id, text) projection
+    # across the cores before the per-row MinHash compute
+    # (operators/scale.py::spread_unsplittable_scan — metadata-gated,
+    # identity at scale). Result-identical (selfcheck exact at
+    # sf0.001/0.01/0.1); listed because it is due anyway and its green
+    # row re-attests the new plan shape.
+    "dedup_ngram_jaccard",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -152,6 +150,30 @@ _CHANGED: list[str] = [
 # DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
 # NULL-text due slot).
 _CHANGED_HELPER: list[str] = [
+    # r18 OPTIMIZATION round — result-identical plan-shape changes on
+    # NON-DUE queries (the due-cohort rider, dedup_ngram_jaccard, is in
+    # _CHANGED). None of these CAN move values; all were re-proven exact
+    # against the DuckDB oracle at sf0.001/0.01/0.1 after the change.
+    #
+    # (a) q9/q20: the derived-partsupp join is the identity enrichment
+    # of lineitem (catalog = distinct of lineitem's own key pairs; ps_*
+    # columns are pure key functions), so both now compute the ps_*
+    # columns inline — one lineitem scan instead of two, no distinct
+    # shuffle, no catalog join. Row-identity to the old join formulation
+    # pinned by tests/test_r18_opt.py.
+    "q9_product_profit",
+    "q20_excess_availability",
+    # (b) the dedup/pipeline family rides minhash_signatures' new
+    # metadata-gated input spread (operators/scale.py::
+    # spread_unsplittable_scan): pure partitioning change ahead of a
+    # per-row map stage feeding set-semantic joins/aggregations —
+    # partitioning-invariant by contract, identity at scale.
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "dedup_cluster_keepers",
+    "dedup_incremental_vs_corpus",
+    "pipeline_dedup_survivors",
+    "pipeline_training_corpus",
     # Dropped at r16 under the hygiene rules: the five ADVICE r13 #2
     # similarity riders (similarity_topk_cosine, similarity_lsh_buckets,
     # similarity_multiprobe, similarity_ivf_search,

@@ -289,13 +289,25 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     oracle replay requires the env pinned to "portable" (md5-62bit), which
     __spark_entry__ does for every driver correctness run.
     """
+    from .scale import spread_unsplittable_scan
+
     shingle = "concat_ws(' ', slice(toks, i + 1, 3))"
     shingle_hashes = F.expr(
         "transform(sequence(0, greatest(size(toks) - 3, 0)), "
         f"i -> {h62_sql(shingle)} & {_P31}L)"
     )
+    # r18 opt: the signature build is the most expensive map stage in the
+    # dedup family, and the fixture corpus plans to a single scan task
+    # (one-row-group parquet), serializing the whole n_hashes-permutation
+    # compute. Spread the NARROW (doc_id, text) projection — never the
+    # caller's full row — across the cores first; identity at scale and
+    # on streaming frames (see spread_unsplittable_scan). Measured at
+    # sf0.1 (best-of-N noop sink): dedup_minhash_lsh 2.08 -> 0.50 s,
+    # dedup_token_jaccard 2.08 -> 0.62 s, dedup_ngram_jaccard 2.04 ->
+    # 0.95 s, dedup_incremental_vs_corpus 1.76 -> 0.55 s.
     return minhash_sig_from_hashes(
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        spread_unsplittable_scan(docs.select("doc_id", "text"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", shingle_hashes.alias("hs")),
         n_hashes,
     )

@@ -27,6 +27,70 @@ def _reject_reserved_columns(helper: str, names: tuple, *frames: DataFrame) -> N
             )
 
 
+def spread_unsplittable_scan(
+    df: DataFrame, min_parallelism: Optional[int] = None
+) -> DataFrame:
+    """Fan a narrow-parallelism input out to the session's cores before
+    CPU-heavy per-row work — the guarded form of the optimization guide's
+    unsplittable-input fix (§2.5: "one huge unsplittable file … otherwise
+    repartition immediately after the read").
+
+    A parquet file written as a single row group (every fixture table —
+    and any streaming-writer output with per-batch files), a gzip file,
+    or a handful of small files all plan to FEWER scan tasks than the
+    cluster has cores, so every expression computed in that stage
+    serializes no matter how wide the cluster is: a 128-hash MinHash
+    signature build over such a scan ran ~4x slower than the same build
+    over a spread frame at sf0.1 (BENCH_NOTES "Round-18 opt"). The gate
+    is file-level metadata only: the spread fires when the frame reads
+    FEWER files than the target parallelism AND the optimizer's size
+    estimate says the whole input is below what `target` scan tasks
+    would each take one split of (target x maxPartitionBytes). Both
+    probes are driver-side metadata already materialized for planning —
+    no job, no RDD conversion. (A first cut gated on
+    `df.rdd.getNumPartitions()`; the RDD handle forces a second
+    physical-planning pass per call and measurably destabilized repeated
+    runs, so it was replaced by this metadata gate.) A well-partitioned
+    corpus (the 100 TB case: thousands of files) takes the identity
+    branch, so this can never ADD a shuffle at scale; under the size cap
+    the moved bytes are bounded by one split per core — less data than
+    one task would otherwise grind through serially. It is the opposite
+    of a constant tuned to one deployment.
+
+    Results are partitioning-invariant for every caller by contract
+    (pure per-row map stages feeding set-semantic joins/aggregations;
+    the package-wide invariance sweeps pin results under forced
+    1/7-partition layouts). Streaming frames return unchanged — their
+    partitioning is not introspectable before execution, and micro-batch
+    parallelism is the source's concern. Frames with no file source
+    (in-memory relations) are left alone: Spark already parallelizes
+    them over the cores.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if not files or len(files) >= target:
+            return df
+        max_split = int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        )
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if size > target * max_split:
+            # Few-but-large files: parquet row groups usually make these
+            # splittable to >= target tasks anyway, and moving this many
+            # bytes is no longer obviously cheaper than the serial scan.
+            return df
+    except Exception:
+        # Non-introspectable plan: leave the frame alone rather than guess.
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

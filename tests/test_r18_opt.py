@@ -135,3 +135,69 @@ def test_q20_scans_lineitem_once(spark):
     plan = plan_text(QUERIES["q20_excess_availability"](spark, SF_ORACLE))
     li_scans = [p for p in _scan_locations(plan) if "lineitem" in p]
     assert len(li_scans) == 1, f"expected 1 lineitem scan, got {len(li_scans)}"
+
+
+# --- spread_unsplittable_scan: gated input spread -------------------------
+#
+# The dedup/pipeline family's MinHash signature stage spreads its narrow
+# (doc_id, text) projection across the cores before the per-row hash
+# compute. The gate must be metadata-only (no RDD conversion, no job),
+# fire on the fixture corpus (few small files), and stay IDENTITY for
+# every case where a repartition could hurt at scale: streaming frames,
+# in-memory relations, many-file inputs, and few-but-large files.
+
+
+def test_spread_fires_on_single_small_file(spark):
+    from dbfs_spark_cache_spark.operators.scale import spread_unsplittable_scan
+
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select("l_orderkey")
+    out = spread_unsplittable_scan(df)
+    assert out is not df
+    plan = plan_text(out)
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_spread_identity_branches(spark):
+    from dbfs_spark_cache_spark.operators.scale import spread_unsplittable_scan
+
+    # in-memory relation: Spark already parallelizes it
+    mem = spark.createDataFrame([(1, "a"), (2, "b")], "id int, t string")
+    assert spread_unsplittable_scan(mem) is mem
+    # streaming frame: micro-batch parallelism is the source's concern
+    stream = spark.readStream.format("rate").load()
+    assert spread_unsplittable_scan(stream) is stream
+    # file count >= target parallelism: the 100 TB shape, no added shuffle
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    assert spread_unsplittable_scan(df, min_parallelism=1) is df
+
+
+def test_spread_identity_when_input_is_large(spark, monkeypatch):
+    # Few-but-large files must NOT be round-robined: force the size cap
+    # below the fixture's estimate and require the identity branch.
+    from dbfs_spark_cache_spark.operators.scale import spread_unsplittable_scan
+
+    df = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try:
+        assert spread_unsplittable_scan(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_spread_result_invariance_on_minhash(spark):
+    # The spread is a pure partitioning change: signatures per doc must be
+    # bit-identical with and without it.
+    import dbfs_spark_cache_spark.operators.scale as scale
+    from dbfs_spark_cache_spark.operators.dedup import minhash_signatures
+    from dbfs_spark_cache_spark.sources import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    spread_rows = _rows(minhash_signatures(docs))
+    orig = scale.spread_unsplittable_scan
+    scale.spread_unsplittable_scan = lambda df, min_parallelism=None: df
+    try:
+        plain_rows = _rows(minhash_signatures(docs))
+    finally:
+        scale.spread_unsplittable_scan = orig
+    assert spread_rows == plain_rows
