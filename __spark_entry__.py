@@ -112,14 +112,35 @@ _CHANGED: list[str] = [
     # (found by the r18 precision lens). Result-identical on fixtures at
     # both SFs (verified); Spark impl unchanged.
     "stats_corr_covar",
-    # r18 OPTIMIZATION round, due-cohort member: dedup_ngram_jaccard's
-    # shared signature stage now spreads the (doc_id, text) projection
-    # across the cores before the per-row MinHash compute
-    # (operators/scale.py::spread_unsplittable_scan — metadata-gated,
-    # identity at scale). Result-identical (selfcheck exact at
-    # sf0.001/0.01/0.1); listed because it is due anyway and its green
-    # row re-attests the new plan shape.
+    # r18 OPTIMIZATION round, due-cohort members carrying result-identical
+    # plan-shape changes (each is due anyway, so its green row re-attests
+    # the new shape; all re-proven exact vs the DuckDB oracle at
+    # sf0.001/0.01/0.1 after the change):
+    #
+    # dedup_ngram_jaccard: its shared signature stage now spreads the
+    # (doc_id, text) projection across the cores before the per-row
+    # MinHash compute (operators/scale.py::spread_unsplittable_scan —
+    # metadata-gated, identity at scale).
     "dedup_ngram_jaccard",
+    # flagship_wide / join_salted_skew / split_contamination_check /
+    # text_pii_scrub: the same metadata-gated input spread ahead of their
+    # heavy serial map stages (lineitem leg probe chain, salt+probe,
+    # shingle hashing, regex scrubbing). Pure partitioning changes ahead
+    # of per-row maps feeding set-semantic aggregations/joins — measured
+    # −10% to −45% at sf0.1 (OPTIMIZATION_r18.md; every refuted site is
+    # documented in its operator's docstring).
+    # NOTE stats_corr_covar (already listed above for the r18 oracle
+    # widening) additionally carries the spread on its power-sum stage —
+    # decimal sums are association-independent, so the value cannot move.
+    "flagship_wide",
+    "join_salted_skew",
+    "split_contamination_check",
+    "text_pii_scrub",
+    # dedup_simhash: the same input spread ahead of the per-token 60-slot
+    # vote fold — the heaviest per-row compute in the registry, which the
+    # one-row-group fixture serialized in a single scan task (measured
+    # 10.8 -> 2.8 s at sf0.1; OPTIMIZATION_r18.md).
+    "dedup_simhash",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -174,6 +195,24 @@ _CHANGED_HELPER: list[str] = [
     "dedup_incremental_vs_corpus",
     "pipeline_dedup_survivors",
     "pipeline_training_corpus",
+    # (c) non-due queries carrying the same metadata-gated input spread
+    # ahead of heavy serial map stages (q1: the eight decimal partial
+    # aggregates; agg_cube: the x4 Expand; text_repetition_scores: the
+    # in-row trigram build). Partitioning-only; decimal-sum discipline
+    # keeps every aggregate bit-identical under any layout; measured
+    # −30%/-32%/-50% at sf0.1 (OPTIMIZATION_r18.md).
+    "q1_pricing_summary",
+    "agg_cube",
+    "text_repetition_scores",
+    # (d) agg_approx_distinct: the exact DISTINCT and the HLL sketch now
+    # run as two separate aggregations joined on the 5-row group key,
+    # instead of one mixed agg whose distinct rewrite materialized the
+    # rsd=0.005 HLL state (6,551 longs) per (priority, custkey) partial
+    # group. Same input values, same rsd; HLL register update/merge is
+    # deterministic max() so the estimate — and the tolerance flag — is
+    # layout-independent. 13.0 -> 2.7 s at sf0.1 (OPTIMIZATION_r18.md);
+    # equivalence pinned in tests/test_r18_opt.py.
+    "agg_approx_distinct",
     # Dropped at r16 under the hygiene rules: the five ADVICE r13 #2
     # similarity riders (similarity_topk_cosine, similarity_lsh_buckets,
     # similarity_multiprobe, similarity_ivf_search,

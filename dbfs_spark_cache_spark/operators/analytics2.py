@@ -52,6 +52,11 @@ def window_ntile_cume(spark: SparkSession, sf: str) -> DataFrame:
     from .scale import distributed_global_percentiles
 
     orders = load_table(spark, sf, "orders")
+    # r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    # A/B-measured here and REGRESSED (0.62 -> 1.11 s at sf0.1): the
+    # banded helper consumes its input through several self-join
+    # branches, and each branch re-paid the round-robin exchange instead
+    # of the cheap serial re-scan. Left unchanged.
     base = orders.select(
         "o_orderkey",
         "o_orderpriority",
@@ -344,8 +349,20 @@ def stats_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
     layout), and
     the closed-form moments are computed from the exact sums in one final
     map step. Same one-shuffle plan shape as any grouped agg; the per-row
-    products stay in the scan's codegen stage."""
+    products stay in the scan's codegen stage.
+
+    r18 opt (guide §2.5): the five decimal power-sum partial aggregates
+    ran inside the one-task scan stage of the single-row-group fixture
+    and serialized. The narrow 3-column projection is spread across the
+    cores first (metadata-gated; identity on a many-file corpus). The
+    decimal sums are association-independent by construction, so the
+    result is bit-identical under any layout."""
+    from .scale import spread_unsplittable_scan
+
     li = load_table(spark, sf, "lineitem")
+    li = spread_unsplittable_scan(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
     # Cast INPUTS to exact decimals, then multiply in the decimal domain:
     # the fixture values are 2dp, so xd/yd are exact and every product is
     # exact — no double->decimal rounding of a ~17-digit product, which is

@@ -206,6 +206,12 @@ def text_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
     sequence(), slice inside a transform() lambda, posexplode. No shuffle
     at all; fuses into the scan's whole-stage codegen. Output rows ≈
     tokens/stride per doc, linear in corpus bytes.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    A/B-measured here and did NOT help (plain ~0.15 s stable vs spread
+    0.15-0.47 s at sf0.1): the chunk-hash compute is cheap relative to
+    materializing the exploded output rows, so there is no serial
+    hotspot for the spread to unlock. Left unchanged.
     """
     docs = load_table(spark, sf, "documents")
     with_chunks = docs.select(
@@ -325,7 +331,17 @@ def split_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
 def contamination_report(docs: DataFrame) -> DataFrame:
     """DataFrame-level form of :func:`split_contamination_check` — takes
     any (doc_id, text) relation so the planted-overlap recall pytest can
-    feed a corpus with known cross-split contamination."""
+    feed a corpus with known cross-split contamination.
+
+    r18 opt (guide §2.5): the shingle stage (one h62 per 8-token window
+    per doc) is the expensive map work here, and a one-row-group corpus
+    parquet planned it into a single serial scan task. The narrow
+    (doc_id, text) projection is spread across the cores first
+    (metadata-gated — identity for in-memory test frames and for a
+    many-file corpus at scale)."""
+    from .scale import spread_unsplittable_scan
+
+    docs = spread_unsplittable_scan(docs.select("doc_id", "text"))
     bucket = F.expr(
         _split_bucket_sql(h62_sql("concat('split:', cast(doc_id as string))"))
     )

@@ -986,13 +986,20 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     r11. Parity pinned in tests/test_r12_window_fixes.py; no fixture
     text is NULL at any SF.
     """
+    from .scale import spread_unsplittable_scan
+
     docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
     # Map-only signature: hash every token instance per row (frequency
     # weighting falls out naturally — each instance votes ±1), then ONE
     # fold of the hash array over a 60-slot vote accumulator. No explode,
     # no shuffle: like the MinHash pipeline, the first exchange is the
     # candidate-chunk join.
-    hashed = docs.select(
+    # r18 opt (guide §2.5): that vote fold allocates a 60-slot array per
+    # TOKEN — the heaviest per-row compute in the registry — and the
+    # one-row-group fixture serialized it in a single scan task (~11 s at
+    # sf0.1). Spread the narrow projection first (metadata-gated;
+    # identity on a many-file corpus at scale). Measured: 10.8 -> 2.8 s.
+    hashed = spread_unsplittable_scan(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})").alias("hs"),
     )

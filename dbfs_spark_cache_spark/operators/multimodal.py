@@ -209,6 +209,13 @@ def multimodal_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     (fixture-identical). Premeasured in the r14 premeasure suite,
     promoted to the regression pin in ``tests/test_r14_window_fixes.py``.
     """
+    # r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    # A/B-measured here and REGRESSED ~3x (0.57 -> 1.5+ s at sf0.1):
+    # fanning the 5k-row corpus to 32 tasks pays 32 Python-worker
+    # spin-ups and per-task Arrow framing against a decode that one warm
+    # worker streams in ~0.5 s. At real corpus scale the input arrives
+    # in many files and parallelizes without any repartition. Left
+    # unchanged.
     docs = (
         load_table(spark, sf, "documents")
         .select("doc_id", "text", "source")

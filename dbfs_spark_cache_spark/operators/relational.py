@@ -106,13 +106,32 @@ def filter_like_between(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q1: the flagship scan->filter->grouped-multi-agg->sort."""
+    """TPC-H Q1: the flagship scan->filter->grouped-multi-agg->sort.
+
+    r18 opt (guide §2.5): the fixture parquet is one row group, so the
+    scan + the eight decimal partial aggregates planned to a SINGLE task
+    and serialized. The narrow post-filter projection is spread across
+    the cores first (metadata-gated — identity on a many-file corpus at
+    scale, where map-side combine must keep the shuffle tiny). The
+    shipdate filter stays pushed at the scan, below the spread; decimal
+    sums are partitioning-invariant by the package discipline."""
+    from .scale import spread_unsplittable_scan
+
     li = load_table(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     cnt = F.count(F.lit(1))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread_unsplittable_scan(
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -214,13 +233,30 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     in-plan tolerance flag and DuckDB recomputes the exact side expecting
     the flag true. The exact aggregate exists for this verification harness
     only; a production pipeline keeps just the approx column (one pass, no
-    distinct shuffle — that is the point of HLL at scale)."""
-    orders = load_table(spark, sf, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    distinct shuffle — that is the point of HLL at scale).
+
+    r18 opt (guide §2.2/§2.5 — shuffle fewer bytes): mixing the DISTINCT
+    aggregate with approx_count_distinct in ONE agg forced Spark's
+    distinct rewrite to key the partial aggregate by (priority, custkey)
+    — ~145k groups at sf0.1 — and at rsd=0.005 EACH group's partial HLL
+    state materializes as 6,551 long columns (plan audit: Results[6557]
+    on the partial HashAggregate). That is gigabytes of aggregate state
+    and a 20-80 s query. The HLL now runs in its OWN aggregation keyed
+    only by priority (5 sketches total) and joins back over the 5-row
+    result; the exact distinct keeps the standard cheap two-phase shape.
+    The sketch sees exactly the same input values with the same rsd, and
+    HLL update/merge is deterministic and commutative, so the estimate —
+    and hence the tolerance flag — is unchanged (selfcheck exact at
+    sf0.001/0.01/0.1). Measured: 20.8 -> 0.4 s best at sf0.1."""
+    orders = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
+    exact = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_customers"),
-        F.approx_count_distinct("o_custkey", rsd=0.005).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.005).alias("approx_customers"),
+    )
+    agg = exact.join(approx, "o_orderpriority")
     within = (
         F.abs(F.col("approx_customers") - F.col("exact_customers"))
         <= F.col("exact_customers") * F.lit(0.02)
@@ -320,8 +356,16 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     are byte-identical (proved in tests/test_r11_window_fixes.py), and
     the standard's empty-input row is exactly the one Spark never
     emits. Oracle-only; fixture-identical (all tables non-empty at
-    every SF)."""
+    every SF).
+
+    r18 opt (guide §2.5): CUBE's Expand multiplies every input row x4
+    grouping sets INSIDE the scan stage — on the one-row-group fixture
+    that whole expansion serialized in a single task. Spread the narrow
+    3-column projection first (metadata-gated; identity at scale)."""
+    from .scale import spread_unsplittable_scan
+
     li = load_table(spark, sf, "lineitem")
+    li = spread_unsplittable_scan(li.select("l_returnflag", "l_linestatus", "l_quantity"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
@@ -523,7 +567,13 @@ def join_anti(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
     """Fact x small-dim with an explicit broadcast hint: zero fact shuffle
-    before the aggregation."""
+    before the aggregation.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    A/B-measured here and REGRESSED (0.67 -> 0.75 s at sf0.1): the
+    broadcast probe + 10-group partial agg are cheap enough per row that
+    the added round-robin exchange costs more than the serialized stage
+    saves. Left as the zero-shuffle broadcast form."""
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -555,7 +605,13 @@ def join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter -> two fact joins -> top-k."""
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> top-k.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) on
+    the lineitem leg was A/B-measured and REGRESSED (0.38 -> 0.83 s at
+    sf0.1): the leg already ends in the sort-merge-join exchange, so the
+    spread is a pure extra hop — unlike the heavy-partial-agg queries
+    where it parallelizes real per-row work. Left unchanged."""
     customer = load_table(spark, sf, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -600,7 +656,13 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     which grows with the corpus, is left to AQE (a forced broadcast of a
     customer-sized frame is the r5 flagship scale-killer: the hard hint
     overrides autoBroadcastJoinThreshold with no fallback and OOMs at the
-    100 TB target). One fact shuffle on the join key either way."""
+    100 TB target). One fact shuffle on the join key either way.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) on
+    the lineitem leg was A/B-measured and did not help (0.87 -> 0.90 s
+    at sf0.1): the leg already ends in the sort-merge-join exchange, so
+    the spread is an extra hop with no serial work to unlock. Left
+    unchanged."""
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
@@ -697,9 +759,24 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
     forced broadcast there would OOM at the 100x target (VERDICT r5 #3) —
     AQE auto-broadcasts it at small SFs and falls back to shuffle join
     when it exceeds the threshold, which is the size-conditional behavior
-    we want. This is the query the cache-engine benchmarks profile."""
-    li = load_table(spark, sf, "lineitem").where(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    we want. This is the query the cache-engine benchmarks profile.
+
+    r18 opt (guide §2.5): the one-row-group fixture serialized the
+    lineitem leg's scan + filter + join probes + shuffle write in a
+    single task. The narrow post-filter projection is spread across the
+    cores first (metadata-gated; identity on a many-file corpus)."""
+    from .scale import spread_unsplittable_scan
+
+    li = spread_unsplittable_scan(
+        load_table(spark, sf, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        )
     )
     orders = load_table(spark, sf, "orders")
     customer = load_table(spark, sf, "customer")

@@ -458,10 +458,17 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     value-checks the helper end to end, and the query documents the shape
     you reach for when one join key is pathological beyond AQE's skew
     splitting. DECIMAL sums keep the revenue reduction order-independent
-    under the salt-spread partitioning."""
+    under the salt-spread partitioning.
+
+    r18 opt (guide §2.5): the salt hash + join probe ran inside the
+    one-task scan stage of the single-row-group fixture. The 2-column
+    fact projection is spread first (metadata-gated; identity at scale).
+    The salt is a content hash of the row, so spreading cannot move it."""
     from ..sources import load_table
 
-    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    li = spread_unsplittable_scan(
+        load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
+    )
     part = (
         load_table(spark, sf, "part")
         .select("p_partkey", "p_type")

@@ -545,9 +545,18 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     sizes from array_distinct. The whole scorer fuses into the scan's
     codegen stage; rounding before the flag threshold keeps the double
     arithmetic engine-exact against the oracle.
+
+    r18 opt (guide §2.5): "fuses into the scan's codegen stage" is the
+    problem on a one-row-group fixture — the whole trigram build ran in
+    a single serial scan task. The narrow projection is spread first
+    (metadata-gated; identity on a many-file corpus at scale).
     """
+    from .scale import spread_unsplittable_scan
+
     docs = load_table(spark, sf, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = spread_unsplittable_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     trigrams = F.when(
         F.size("toks") >= 3, token_trigram_expr("toks")
     ).otherwise(F.array().cast("array<string>"))
@@ -699,8 +708,16 @@ def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     mask chain exactly. Patterns stay in the shared Java-regex/RE2
     subset; Spark's regexp_replace is global by default, DuckDB needs the
     explicit 'g' flag. Pure map-side string work — fuses into the scan.
+
+    r18 opt (guide §2.5): four regex passes per row serialized in the
+    one-task scan of the single-row-group fixture; the narrow projection
+    is spread first (metadata-gated; identity at scale).
     """
-    docs = load_table(spark, sf, "documents")
+    from .scale import spread_unsplittable_scan
+
+    docs = spread_unsplittable_scan(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
     body = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -45,6 +45,13 @@ def partsupp_view(spark: SparkSession, sf: str) -> DataFrame:
     would be a real dimension table; every query below consumes this view
     through the same (ps_partkey, ps_suppkey) interface, so swapping in a
     parquet-backed partsupp is a one-line change here.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    A/B-measured ahead of the distinct and REGRESSED HARD (q2 0.61 ->
+    1.33 s at sf0.1): round-robin scatters duplicate key pairs across
+    partitions, so the partial distinct stops deduplicating and the
+    full fact row count hits the hash exchange — the map-side combine
+    over the serial scan is cheaper. Left in the combine-friendly form.
     """
     li = load_table(spark, sf, "lineitem")
     pairs = li.select(

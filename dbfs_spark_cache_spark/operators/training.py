@@ -55,6 +55,12 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     broadcast back onto the per-bucket sums. Same distributed prefix-sum
     shape as ``scale.distributed_percentiles``; the oracle spells the
     equivalent global window directly.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    A/B-measured here and REGRESSED ~2x (0.30 -> 0.65 s at sf0.1): the
+    tokenize feeds two window/aggregate branches that each hash-exchange
+    on `bucket` anyway, so the spread added a round-robin hop per branch
+    without removing any serial work that mattered. Left unchanged.
     """
     docs = load_table(spark, sf, "documents")
     tokens = docs.select(

@@ -201,3 +201,78 @@ def test_spread_result_invariance_on_minhash(spark):
     finally:
         scale.spread_unsplittable_scan = orig
     assert spread_rows == plain_rows
+
+
+# --- dedup_simhash: gated input spread ------------------------------------
+#
+# The per-token 60-slot vote fold is the heaviest per-row compute in the
+# registry; the one-row-group fixture serialized it in a single scan task.
+# The spread is a pure partitioning change: simhashes must be identical
+# with and without it.
+
+
+def test_simhash_result_invariance_under_spread(spark):
+    import dbfs_spark_cache_spark.operators.scale as scale
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    spread_rows = _rows(QUERIES["dedup_simhash"](spark, SF_ORACLE))
+    orig = scale.spread_unsplittable_scan
+    scale.spread_unsplittable_scan = lambda df, min_parallelism=None: df
+    try:
+        plain_rows = _rows(QUERIES["dedup_simhash"](spark, SF_ORACLE))
+    finally:
+        scale.spread_unsplittable_scan = orig
+    assert spread_rows == plain_rows
+
+
+# --- agg_approx_distinct: split the HLL out of the distinct rewrite -------
+#
+# Mixing COUNT(DISTINCT) with approx_count_distinct in ONE aggregation made
+# Spark's distinct rewrite key the partial aggregate by
+# (o_orderpriority, o_custkey) and materialize the rsd=0.005 HLL buffer
+# (6,551 longs) per partial group — gigabytes of aggregate state. r18 runs
+# the sketch in its own 5-group aggregation and joins it back. The sketch
+# sees the same values with the same rsd, and HLL register update/merge is
+# a deterministic max(), so the estimate cannot move.
+
+
+def test_agg_approx_distinct_matches_single_agg_form(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.sources import load_table
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    # The pre-r18 formulation, verbatim: one mixed aggregation.
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.005).alias(
+            "approx_customers"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    within = (
+        F.abs(F.col("approx_customers") - F.col("exact_customers"))
+        <= F.col("exact_customers") * F.lit(0.02)
+    )
+    single_agg_form = agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        within.alias("hll_within_2pct"),
+        "n_orders",
+    )
+    assert _rows(QUERIES["agg_approx_distinct"](spark, SF_ORACLE)) == _rows(
+        single_agg_form
+    )
+
+
+def test_agg_approx_distinct_hll_state_not_keyed_by_custkey(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    plan = plan_text(QUERIES["agg_approx_distinct"](spark, SF_ORACLE))
+    # Formatted plans list one detail block per node; any aggregate that
+    # carries the HLL buffer must be keyed by the 5-value priority alone.
+    for block in re.split(r"\n\(\d+\) ", plan):
+        if "approx_count_distinct" not in block:
+            continue
+        m = re.search(r"Keys \[\d+\]: \[([^\]]*)\]", block)
+        if m is not None:
+            assert "o_custkey" not in m.group(1), block[:300]
