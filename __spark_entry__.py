@@ -141,6 +141,15 @@ _CHANGED: list[str] = [
     # one-row-group fixture serialized in a single scan task (measured
     # 10.8 -> 2.8 s at sf0.1; OPTIMIZATION_r18.md).
     "dedup_simhash",
+    # grouped_map_pandas: applyInPandas is opaque to column pruning, so
+    # the grouped frame shipped all six event columns to Python for a
+    # function reading two; the explicit (user_id, value) projection +
+    # an explicit defaultParallelism hash repartition (reused by the
+    # groupBy — still ONE exchange; AQE's byte-based coalescing had
+    # serialized the per-group Python calls into a single task once the
+    # shuffle got narrow). 2.76 -> 0.94 s at sf0.1; equivalence to the
+    # unprojected form pinned in tests/test_r18_opt.py.
+    "grouped_map_pandas",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -213,6 +222,15 @@ _CHANGED_HELPER: list[str] = [
     # layout-independent. 13.0 -> 2.7 s at sf0.1 (OPTIMIZATION_r18.md);
     # equivalence pinned in tests/test_r18_opt.py.
     "agg_approx_distinct",
+    # (e) agg_approx_percentile: the metadata-gated input spread ahead of
+    # the percentile partials (two exact percentile buffers + the GK
+    # sketch update serialized in the one-task fixture scan). The
+    # emitted exact percentiles sort the full per-group set
+    # (layout-independent); only the 1%-tolerance flag sees the sketch,
+    # and the GK rank-error bound (1/accuracy = 0.01%) is ~100x inside
+    # that tolerance — flag stability under forced 1/7-partition
+    # layouts pinned in tests/test_r18_opt.py. 2.56 -> 1.87 s at sf0.1.
+    "agg_approx_percentile",
     # Dropped at r16 under the hygiene rules: the five ADVICE r13 #2
     # similarity riders (similarity_topk_cosine, similarity_lsh_buckets,
     # similarity_multiprobe, similarity_ivf_search,

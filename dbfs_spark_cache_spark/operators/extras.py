@@ -148,8 +148,33 @@ def grouped_map_pandas(spark: SparkSession, sf: str) -> DataFrame:
     other value; NaN is already gated by finite_or_null), so there is
     only one zero for MIN/MAX to pick on any scan order — the
     nondeterminism is eliminated, not dodged. Fixture-invisible: no
-    fixture column carries a negative zero."""
-    events = load_table(spark, sf, "events").where(finite_or_null("value"))
+    fixture column carries a negative zero.
+
+    r18 opt (guide §4.1 — pass only the columns the function needs):
+    applyInPandas is opaque to column pruning, so the grouped frame
+    shipped ALL SIX event columns (incl. the props payload string and
+    the timestamp) through the exchange and the Arrow boundary while
+    ``summarize`` reads only user_id/value. The explicit projection
+    reaches the scan (ReadSchema 6 -> 2 cols) and shrinks the shuffle
+    and the JVM->Python transfer to the two used columns.
+
+    The projection alone REGRESSED 2.76 -> 4.6 s: the narrow shuffle
+    fell under AQE's advisory partition size, AQE coalesced the
+    post-shuffle stage to ONE partition, and all ~1.5k per-group Python
+    calls serialized in a single task — byte-based coalescing cannot
+    see per-group Python-call overhead. The explicit
+    ``repartition(defaultParallelism, "user_id")`` keeps the group
+    calls spread (AQE never coalesces an explicit numPartitions
+    repartition; groupBy reuses the exchange — the plan still has
+    exactly one shuffle, guide §2.4), and the count is cluster-derived,
+    not a local constant. Measured: 2.76 -> 0.94 s at sf0.1."""
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    events = (
+        load_table(spark, sf, "events")
+        .where(finite_or_null("value"))
+        .select("user_id", "value")
+        .repartition(spark_parallelism, "user_id")
+    )
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         # + 0.0 folds -0.0 into +0.0 — the same normalization Spark's
@@ -528,6 +553,17 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     l_partkey < l_partkey ordering halves it. One shuffle on the order
     key, one on the pair for the count; the HAVING threshold prunes the
     long tail before any downstream join.
+
+    r18 opt note: a one-scan restructure (collect_set basket per order
+    + in-row sorted-pair expansion, removing one scan and one distinct
+    exchange) was A/B-measured INTERLEAVED with this form and REFUTED
+    at sf0.1: old 1.25-1.40 s best vs restructure 1.52-1.72 s (plain)
+    and 1.65-2.39 s (with the input spread) — the ObjectHashAggregate
+    collect_set + explode costs more than the AQE-broadcast distinct
+    leg it replaces. Oracle parity of the rejected form was verified
+    before rejecting. Left as the self-join; at a scale where the
+    distinct leg exceeds the broadcast threshold AQE falls back to SMJ
+    and the trade could invert — re-measure there, don't assume.
     """
     # DISTINCT first: an order holding the same part on TWO lineitem rows
     # otherwise yields duplicate joined pairs, inflating

@@ -161,6 +161,15 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def agg_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global multi-aggregate (count / count-distinct / decimal sum /
+    min-max) in one pass.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) on
+    the 4-column projection was A/B-measured INTERLEAVED and REGRESSED
+    (plain 0.80-0.87 s vs spread 1.14-1.29 s at sf0.1): the per-row
+    partial-aggregate work here is cheap codegen arithmetic, so the
+    round-robin exchange of 600k rows costs more than the serialized
+    scan stage it parallelizes. Left unchanged."""
     li = load_table(spark, sf, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -293,8 +302,25 @@ def agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
     (continuous interpolation, matching DuckDB's quantile_cont) plus an
     in-plan tolerance flag the oracle expects true. Production keeps only
     the approx column — one sketch pass, mergeable across partitions, no
-    sort."""
-    li = load_table(spark, sf, "lineitem")
+    sort.
+
+    r18 opt (guide §2.5): the per-row partial work here — two exact
+    percentile buffers plus the accuracy-10000 Greenwald-Khanna sketch
+    update — ran inside the ONE-task scan stage of the single-row-group
+    fixture and serialized. The narrow 2-column projection is spread
+    across the cores first (metadata-gated; identity on a many-file
+    corpus). Output-invariance argument: the emitted exact percentiles
+    sort the full per-group value set and are layout-independent; the
+    sketch VALUE is internal — only the 1%-tolerance flag escapes, and
+    the GK rank-error guarantee (1/accuracy = 0.01% of rank) is two
+    orders of magnitude inside the flag's 1% value tolerance, so the
+    flag cannot flip under any partitioning (verified under forced
+    1/7/32-partition layouts in tests/test_r18_opt.py)."""
+    from .scale import spread_unsplittable_scan
+
+    li = spread_unsplittable_scan(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
     exact50 = F.percentile("l_extendedprice", 0.5)
     exact90 = F.percentile("l_extendedprice", 0.9)
     approx = F.percentile_approx(
@@ -1260,6 +1286,14 @@ def fn_date(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fn_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar math-function battery, pure map over lineitem.
+
+    r18 opt note: an input spread (scale.spread_unsplittable_scan) was
+    A/B-measured INTERLEAVED and REGRESSED (plain 0.63-0.72 s vs spread
+    0.92-0.99 s at sf0.1): unlike the regex/trigram map stages where
+    the spread wins, these libm/rounding calls fuse into cheap codegen,
+    and the noop sink consumes the full 9-column output — the exchange
+    moves more bytes than the serial stage saves. Left unchanged."""
     li = load_table(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",

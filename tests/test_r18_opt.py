@@ -276,3 +276,114 @@ def test_agg_approx_distinct_hll_state_not_keyed_by_custkey(spark):
         m = re.search(r"Keys \[\d+\]: \[([^\]]*)\]", block)
         if m is not None:
             assert "o_custkey" not in m.group(1), block[:300]
+
+
+# --- grouped_map_pandas: narrow projection + explicit group spread --------
+#
+# applyInPandas is opaque to column pruning — the grouped frame shipped all
+# six event columns to Python for a function reading two. The projection
+# alone let AQE coalesce the tiny shuffle to ONE partition and serialize
+# every per-group Python call; the explicit
+# repartition(defaultParallelism, "user_id") keeps them spread and is
+# reused by the groupBy (one exchange total).
+
+
+def test_grouped_map_pandas_matches_unprojected_form(spark):
+    import pandas as pd
+
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.operators.registry import finite_or_null
+    from dbfs_spark_cache_spark.sources import load_table
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"] + 0.0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "min_value": [vals.min()],
+                "max_value": [vals.max()],
+                "value_range": [vals.max() - vals.min()],
+            }
+        )
+
+    # The pre-r18 formulation, verbatim: whole rows, planner-chosen layout.
+    events = load_table(spark, SF_ORACLE, "events").where(
+        finite_or_null("value")
+    )
+    old_form = events.groupBy("user_id").applyInPandas(
+        summarize,
+        schema=(
+            "user_id long, n_events long, min_value double, "
+            "max_value double, value_range double"
+        ),
+    )
+    assert _rows(QUERIES["grouped_map_pandas"](spark, SF_ORACLE)) == _rows(
+        old_form
+    )
+
+
+def test_grouped_map_pandas_single_exchange_two_columns(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    plan = plan_text(QUERIES["grouped_map_pandas"](spark, SF_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "user_id",
+        "value",
+    ], plan
+
+
+# --- agg_approx_percentile: spread the percentile partials ----------------
+#
+# The exact percentiles sort the full per-group value set (layout-
+# independent); the GK sketch value is internal — only the 1%-tolerance
+# flag escapes, and the rank-error guarantee (1/accuracy) is ~100x inside
+# that tolerance. Pin rows identical with the spread off and under forced
+# 1- and 7-partition layouts.
+
+
+def test_agg_approx_percentile_layout_invariance(spark):
+    import dbfs_spark_cache_spark.operators.scale as scale
+    from dbfs_spark_cache_spark.operators import QUERIES
+    from dbfs_spark_cache_spark.operators.registry import dec as _dec  # noqa: F401
+    from dbfs_spark_cache_spark.sources import load_table
+
+    spread_rows = _rows(QUERIES["agg_approx_percentile"](spark, SF_ORACLE))
+    orig = scale.spread_unsplittable_scan
+    scale.spread_unsplittable_scan = lambda df, min_parallelism=None: df
+    try:
+        plain_rows = _rows(QUERIES["agg_approx_percentile"](spark, SF_ORACLE))
+    finally:
+        scale.spread_unsplittable_scan = orig
+    assert spread_rows == plain_rows
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    for n in (1, 7):
+        forced = li.repartition(n)
+        exact50 = F.percentile("l_extendedprice", 0.5)
+        exact90 = F.percentile("l_extendedprice", 0.9)
+        approx = F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        )
+        agg = forced.groupBy("l_returnflag").agg(
+            exact50.alias("e50"),
+            exact90.alias("e90"),
+            approx.alias("ap"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        within = (
+            F.abs(F.element_at("ap", 1) - F.col("e50")) <= F.col("e50") * 0.01
+        ) & (
+            F.abs(F.element_at("ap", 2) - F.col("e90")) <= F.col("e90") * 0.01
+        )
+        flags = [
+            r[0]
+            for r in agg.select(
+                F.coalesce(within, F.col("e50").isNull())
+            ).collect()
+        ]
+        assert all(flags), f"tolerance flag flipped at {n} partitions"
