@@ -1004,6 +1004,21 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})").alias("hs"),
     )
 
+    # r18 opt note: a per-bit signature form (for each bit, count set
+    # bits across the token hashes and threshold — no 60-slot
+    # accumulator allocation per token; exact integer equivalence
+    # votes_i > 0 ⟺ 2·set_i > n, verified bit-identical on all 5,000
+    # fixture docs) measured 25-30% faster ON THE SIGNATURE STAGE ALONE
+    # (0.27-0.36 -> 0.19-0.25 s at sf0.1) but CATASTROPHICALLY regressed
+    # the full query (3.1 -> 6.8 s best with 37-85 s outliers): the
+    # chunk projection below references `simhash` ~57 times (28 block
+    # pairs x 2 + the output column), and once the signature is a single
+    # collapsible projection Catalyst's CollapseProject inlines the
+    # whole 60xTokens fold into EVERY reference. The shipping two-step
+    # form (votes array first, then the threshold sum) keeps the fold
+    # behind a non-collapsed projection boundary. Lesson recorded in
+    # OPTIMIZATION_r18.md: a stage-isolated win must be re-measured on
+    # the FULL query before landing.
     votes = F.expr(
         f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), "
         f"(acc, h) -> transform(sequence(0, {SIMHASH_BITS - 1}), "
