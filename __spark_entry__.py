@@ -139,7 +139,12 @@ _CHANGED: list[str] = [
     # dedup_simhash: the same input spread ahead of the per-token 60-slot
     # vote fold — the heaviest per-row compute in the registry, which the
     # one-row-group fixture serialized in a single scan task (measured
-    # 10.8 -> 2.8 s at sf0.1; OPTIMIZATION_r18.md).
+    # 10.8 -> 2.8 s at sf0.1; OPTIMIZATION_r18.md). Second pass: the
+    # chunk SELF-JOIN (which planned the signature chain twice) became a
+    # per-bucket grouped-pairs expansion — one scan, one chain, one chunk
+    # exchange; pair set provably identical (sorted bucket, doc_a <
+    # doc_b), interleaved A/B −61% (OPTIMIZATION_r18.md §10a; equivalence
+    # + plan pins in tests/test_r18_opt.py).
     "dedup_simhash",
     # grouped_map_pandas: applyInPandas is opaque to column pruning, so
     # the grouped frame shipped all six event columns to Python for a

@@ -256,7 +256,27 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     The sketch sees exactly the same input values with the same rsd, and
     HLL update/merge is deterministic and commutative, so the estimate —
     and hence the tolerance flag — is unchanged (selfcheck exact at
-    sf0.001/0.01/0.1). Measured: 20.8 -> 0.4 s best at sf0.1."""
+    sf0.001/0.01/0.1). Measured: 13.0 -> 2.7 s best at sf0.1 (an earlier
+    draft recorded 0.4 s; it did not reproduce and 2.7 s is the honest
+    number — OPTIMIZATION_r18.md §5).
+
+    Residual (examined further in the r18 second pass, left alone): the
+    remaining ~2.7 s is the rsd=0.005 HLL partial itself — Spark's
+    HyperLogLogPlusPlus is an ImperativeAggregate, so the aggregate runs
+    without whole-stage codegen and its measured cost scales with the
+    register count, not just rows (rsd 0.05/0.02/0.01/0.008/0.005 ->
+    0.56/0.81/0.96/1.88/3.4 s best on identical input). Refuted fixes,
+    both interleaved-A/B'd at sf0.1: (a) spread_unsplittable_scan ahead
+    of the HLL leg — HARD regression (best 4.3 plain vs 15.7 spread;
+    every pair worse: 32 concurrent tasks each re-pay the 6,554-column
+    aggregate's per-task setup, which dwarfs the 150k-row update work);
+    (b) feeding the HLL from the deduplicated (priority, custkey) pairs
+    of a shared single-scan two-phase distinct — bit-identical estimate
+    (HLL register updates are idempotent; verified raw-estimate equality
+    at sf0.01/0.1) but timing-neutral (2.73 vs 2.67 s), because the HLL
+    partial then runs post-shuffle and re-pays the same per-task setup.
+    Lowering rsd is not an option: the 0.005 choice makes the 2% flag a
+    4-sigma claim, which is the query's statistical contract."""
     orders = load_table(spark, sf, "orders").select("o_orderpriority", "o_custkey")
     exact = orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_customers"),

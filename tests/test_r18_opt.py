@@ -387,3 +387,103 @@ def test_agg_approx_percentile_layout_invariance(spark):
             ).collect()
         ]
         assert all(flags), f"tolerance flag flipped at {n} partitions"
+
+
+# --- dedup_simhash: grouped-pairs candidate stage (second r18 pass) --------
+#
+# The chunk SELF-JOIN planned the whole signature chain twice (Spark shares
+# no subtrees across join legs) and paid two chunk-key exchanges; r18's
+# second pass groups each (chunk_id, chunk) bucket once and expands the
+# ordered pairs in-row. A bucket's pair set {(a, b): doc_a < doc_b} is
+# exactly the self-join's output for that key — doc_ids are unique within
+# a bucket (one chunk value per doc per chunk_id) and sort_array orders the
+# collected structs by doc_id — so the rows cannot move. These pins hold
+# the equivalence against the verbatim join formulation and the
+# one-documents-scan plan shape it bought.
+
+
+def _simhash_chunks(spark, sf):
+    """The signature + chunk stage exactly as dedup_simhash builds it."""
+    from dbfs_spark_cache_spark.operators.dedup import SIMHASH_BITS, h62_sql
+    from dbfs_spark_cache_spark.operators.scale import spread_unsplittable_scan
+    from dbfs_spark_cache_spark.sources import load_table
+
+    docs = load_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    hashed = spread_unsplittable_scan(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.expr(f"transform(split(text, ' '), t -> {h62_sql('t')})").alias("hs"),
+    )
+    votes = F.expr(
+        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> transform(sequence(0, {SIMHASH_BITS - 1}), "
+        "i -> element_at(acc, i + 1) "
+        "+ CASE WHEN (shiftright(h, i) & 1L) = 1L THEN 1L ELSE -1L END))"
+    )
+    simhash_expr = F.expr(
+        f"aggregate(zip_with(votes, sequence(0, {SIMHASH_BITS - 1}), "
+        "(v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    simhash = hashed.select("doc_id", votes.alias("votes")).select(
+        "doc_id", simhash_expr.alias("simhash")
+    )
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF))
+
+    block_pairs = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    return simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i * 8 + j).alias("chunk_id"),
+                        (F.shiftleft(block(i), 8) + block(j)).alias("chunk"),
+                    )
+                    for i, j in block_pairs
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+def test_simhash_grouped_pairs_matches_join_form(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    chunks = _simhash_chunks(spark, SF_ORACLE)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    # The pre-r18-second-pass formulation, verbatim: chunk self-join.
+    join_form = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 8)
+    )
+    assert _rows(QUERIES["dedup_simhash"](spark, SF_ORACLE)) == _rows(join_form)
+
+
+def test_simhash_scans_documents_once(spark):
+    from dbfs_spark_cache_spark.operators import QUERIES
+
+    plan = plan_text(QUERIES["dedup_simhash"](spark, SF_ORACLE))
+    doc_scans = [p for p in _scan_locations(plan) if "documents" in p]
+    assert len(doc_scans) == 1, f"expected 1 documents scan, got {len(doc_scans)}"
