@@ -98,63 +98,26 @@ os.environ.setdefault("SPARK_GRAFT_HASH_FAMILY", "portable")
 #   Steady state: every round's due cohort is exactly 50, forever,
 #   under policy (1).
 _CHANGED: list[str] = [
-    # r18: the byte-level Levenshtein contract landed in this query's
-    # due slot (it is r15-vintage, a member of the zero-slack r18
-    # cohort, so the change is slot-neutral). Distance folds through
-    # decode(encode(x,'UTF-8'),'ISO-8859-1'), banding uses octet_length;
-    # oracle unchanged (DuckDB was byte-based all along). Fixture
-    # identity (pure-ASCII names => bit-identical rows) pinned in
-    # tests/test_edit_distance_contract.py.
-    "fn_edit_distance",
-    # r18 in-slot extra (due-cohort member): the stats_corr_covar ORACLE
-    # widens its decimal casts to (19,2) — DuckDB's (12,2) products are
-    # int64-backed and crashed at magnitudes the Spark side handles
-    # (found by the r18 precision lens). Result-identical on fixtures at
-    # both SFs (verified); Spark impl unchanged.
-    "stats_corr_covar",
-    # r18 OPTIMIZATION round, due-cohort members carrying result-identical
-    # plan-shape changes (each is due anyway, so its green row re-attests
-    # the new shape; all re-proven exact vs the DuckDB oracle at
-    # sf0.001/0.01/0.1 after the change):
+    # (r18's _CHANGED members — fn_edit_distance, stats_corr_covar,
+    # dedup_ngram_jaccard, flagship_wide, join_salted_skew,
+    # split_contamination_check, text_pii_scrub, dedup_simhash,
+    # grouped_map_pandas — all carry green CORRECTNESS_r18 rows for the
+    # changed code: vintage 18 >= the change round, DONE, dropped per the
+    # ledger-hygiene rule. The ones r19 touches AGAIN appear below /
+    # in _CHANGED_HELPER with their r19 notes.)
     #
-    # dedup_ngram_jaccard: its shared signature stage now spreads the
-    # (doc_id, text) projection across the cores before the per-row
-    # MinHash compute (operators/scale.py::spread_unsplittable_scan —
-    # metadata-gated, identity at scale).
-    "dedup_ngram_jaccard",
-    # flagship_wide / join_salted_skew / split_contamination_check /
-    # text_pii_scrub: the same metadata-gated input spread ahead of their
-    # heavy serial map stages (lineitem leg probe chain, salt+probe,
-    # shingle hashing, regex scrubbing). Pure partitioning changes ahead
-    # of per-row maps feeding set-semantic aggregations/joins — measured
-    # −10% to −45% at sf0.1 (OPTIMIZATION_r18.md; every refuted site is
-    # documented in its operator's docstring).
-    # NOTE stats_corr_covar (already listed above for the r18 oracle
-    # widening) additionally carries the spread on its power-sum stage —
-    # decimal sums are association-independent, so the value cannot move.
-    "flagship_wide",
-    "join_salted_skew",
-    "split_contamination_check",
-    "text_pii_scrub",
-    # dedup_simhash: the same input spread ahead of the per-token 60-slot
-    # vote fold — the heaviest per-row compute in the registry, which the
-    # one-row-group fixture serialized in a single scan task (measured
-    # 10.8 -> 2.8 s at sf0.1; OPTIMIZATION_r18.md). Second pass: the
-    # chunk SELF-JOIN (which planned the signature chain twice) became a
-    # per-bucket grouped-pairs expansion — one scan, one chain, one chunk
-    # exchange; pair set provably identical (sorted bucket, doc_a <
-    # doc_b), interleaved A/B −61% (OPTIMIZATION_r18.md §10a; equivalence
-    # + plan pins in tests/test_r18_opt.py).
-    "dedup_simhash",
-    # grouped_map_pandas: applyInPandas is opaque to column pruning, so
-    # the grouped frame shipped all six event columns to Python for a
-    # function reading two; the explicit (user_id, value) projection +
-    # an explicit defaultParallelism hash repartition (reused by the
-    # groupBy — still ONE exchange; AQE's byte-based coalescing had
-    # serialized the per-group Python calls into a single task once the
-    # shuffle got narrow). 2.76 -> 0.94 s at sf0.1; equivalence to the
-    # unprojected form pinned in tests/test_r18_opt.py.
-    "grouped_map_pandas",
+    # r19 OPTIMIZATION round, due-cohort member (r16-vintage, zero-slack
+    # cohort — slot-neutral) carrying a result-identical plan-shape
+    # change: window_percentiles rides scale.distributed_global_
+    # percentiles, whose cumulative offsets / totals are now computed
+    # in ONE tiny per-partition aggregation (sorted (bucket, cnt) array,
+    # in-row prefix sums) instead of an n_buckets-row broadcast
+    # self-join + a separate grouped total + a second attach join
+    # (VERDICT r18 next-round item #7). Same exact integer sums, so
+    # every rank value is bit-identical; re-proven exact vs the DuckDB
+    # oracle at sf0.001/0.01/0.1; plan exchanges halved (32 -> 16,
+    # plans/r19/).
+    "window_percentiles",
 ]
 
 # Queries carrying a RESULT-IDENTICAL, NON-DUE change from a recent
@@ -185,57 +148,99 @@ _CHANGED: list[str] = [
 # DONE); dedup_cluster_keepers (promoted into _CHANGED for its r13
 # NULL-text due slot).
 _CHANGED_HELPER: list[str] = [
-    # r18 OPTIMIZATION round — result-identical plan-shape changes on
-    # NON-DUE queries (the due-cohort rider, dedup_ngram_jaccard, is in
-    # _CHANGED). None of these CAN move values; all were re-proven exact
-    # against the DuckDB oracle at sf0.001/0.01/0.1 after the change.
+    # ---- r19 OPTIMIZATION round — result-identical plan-shape changes
+    # on NON-DUE queries (the due-cohort rider, window_percentiles, is
+    # in _CHANGED). None of these CAN move values; all re-proven exact
+    # against the DuckDB oracle at sf0.001/0.01/0.1 after the change
+    # (scripts/selfcheck.py).
     #
-    # (a) q9/q20: the derived-partsupp join is the identity enrichment
+    # (a) the r18 input spread REVERTED where the driver's cold-JVM
+    # ground truth refuted or flattened it (VERDICT r18 next-round items
+    # #1/#2; PERF_r18 speedups in each docstring): pure partitioning
+    # reverts, bit-identical results. stats_corr_covar (0.05x cold —
+    # the 19x pathology), split_contamination_check (0.47x),
+    # join_salted_skew (0.91x), text_repetition_scores (0.76x),
+    # agg_cube (0.91x), flagship_wide (1.00x), text_pii_scrub (1.01x).
+    "stats_corr_covar",
+    "split_contamination_check",
+    "join_salted_skew",
+    "text_repetition_scores",
+    # agg_cube / text_repetition_scores also shed their r18 helper notes
+    # below — the r19 revert supersedes them.
+    "flagship_wide",
+    "text_pii_scrub",
+    # (b) pipeline_dedup_survivors: its minhash_signatures call passes
+    # spread=False (the survivor stage is already cache-materialized;
+    # the spread's exchange + per-construction gate probes cost the
+    # rider 0.68x cold — VERDICT r18 item #4). Partitioning-only.
+    "pipeline_dedup_survivors",
+    # (c) fn_edit_distance: the byte-fold column is a BIJECTION of the
+    # name, so the join sides now carry ONLY the fold + a precomputed
+    # byte-length int and the surviving pairs recover name_a/name_b
+    # post-join via encode/decode (guide §2.3 shuffle fewer bytes;
+    # VERDICT r18 item #5). Row-identity verified vs a brute-force
+    # within-brand self-join at sf0.01 (4,820 rows exact) and on
+    # multibyte/astral names (tests/test_r19_opt.py).
+    "fn_edit_distance",
+    # (d) the distributed_global_percentiles one-pass offsets/totals
+    # rewrite (see _CHANGED: window_percentiles) also reshapes its other
+    # registered riders: window_ntile_cume (grouped variant; exchanges
+    # 32 -> 16, plans/r19/) and events_anomaly_mad (grouped_exact_median
+    # x2). Exact integer sums, bit-identical ranks.
+    "window_ntile_cume",
+    "events_anomaly_mad",
+    # (e) dedup_simhash: ADVICE r18 hardening on the grouped-pairs
+    # candidate stage — an explicit doc_a < doc_b guard on the expanded
+    # pairs (free codegen comparison; protects the uniqueness invariant
+    # the position-based expansion relies on). No shape change beyond
+    # the filter; results identical on fixtures (doc_id unique).
+    "dedup_simhash",
+    # (f) the spread gate itself (scale.spread_unsplittable_scan) sizes
+    # the input by statting the (< target) input files instead of
+    # `optimizedPlan().stats()` — the latter ran a full analyze/optimize
+    # pass per CALL inside the timed region (VERDICT r18 issue #2).
+    # Same gate decisions on every fixture (both estimates are far
+    # below the 4 GB fire threshold); executed plans byte-identical —
+    # carriers keep their r18 plan shape: q1_pricing_summary and the
+    # dedup/minhash family (driver-confirmed winners, VERDICT item #9).
+    "q1_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_vs_corpus",
+    "dedup_cluster_keepers",
+    "agg_approx_percentile",
+    #
+    # (g) agg_cube: r18 spread reverted (driver cold 0.91x — see (a));
+    # its r18 helper note is superseded by the revert.
+    "agg_cube",
+    #
+    # ---- r18 entries still awaiting their post-change green row
+    # (none of the names below was sampled in CORRECTNESS_r18; names the
+    # r19 work touches again are listed ONCE above with their r19 note —
+    # the half-step penalty is per-name, not per-entry):
+    #
+    # q9/q20: the derived-partsupp join is the identity enrichment
     # of lineitem (catalog = distinct of lineitem's own key pairs; ps_*
     # columns are pure key functions), so both now compute the ps_*
     # columns inline — one lineitem scan instead of two, no distinct
     # shuffle, no catalog join. Row-identity to the old join formulation
-    # pinned by tests/test_r18_opt.py.
+    # pinned by tests/test_r18_opt.py. Driver-confirmed: q9 1.57x cold.
     "q9_product_profit",
     "q20_excess_availability",
-    # (b) the dedup/pipeline family rides minhash_signatures' new
-    # metadata-gated input spread (operators/scale.py::
-    # spread_unsplittable_scan): pure partitioning change ahead of a
-    # per-row map stage feeding set-semantic joins/aggregations —
-    # partitioning-invariant by contract, identity at scale.
-    "dedup_minhash_lsh",
-    "dedup_token_jaccard",
-    "dedup_cluster_keepers",
-    "dedup_incremental_vs_corpus",
-    "pipeline_dedup_survivors",
+    # pipeline_training_corpus: rode the r18 ledger for the minhash
+    # spread it never actually used (its funnel is clean+md5 dedup, no
+    # signatures); kept pending its post-r18 green row.
     "pipeline_training_corpus",
-    # (c) non-due queries carrying the same metadata-gated input spread
-    # ahead of heavy serial map stages (q1: the eight decimal partial
-    # aggregates; agg_cube: the x4 Expand; text_repetition_scores: the
-    # in-row trigram build). Partitioning-only; decimal-sum discipline
-    # keeps every aggregate bit-identical under any layout; measured
-    # −30%/-32%/-50% at sf0.1 (OPTIMIZATION_r18.md).
-    "q1_pricing_summary",
-    "agg_cube",
-    "text_repetition_scores",
-    # (d) agg_approx_distinct: the exact DISTINCT and the HLL sketch now
-    # run as two separate aggregations joined on the 5-row group key,
-    # instead of one mixed agg whose distinct rewrite materialized the
-    # rsd=0.005 HLL state (6,551 longs) per (priority, custkey) partial
-    # group. Same input values, same rsd; HLL register update/merge is
+    # agg_approx_distinct: the exact DISTINCT and the HLL sketch run as
+    # two separate aggregations joined on the 5-row group key, instead
+    # of one mixed agg whose distinct rewrite materialized the rsd=0.005
+    # HLL state (6,551 longs) per (priority, custkey) partial group.
+    # Same input values, same rsd; HLL register update/merge is
     # deterministic max() so the estimate — and the tolerance flag — is
     # layout-independent. 13.0 -> 2.7 s at sf0.1 (OPTIMIZATION_r18.md);
     # equivalence pinned in tests/test_r18_opt.py.
     "agg_approx_distinct",
-    # (e) agg_approx_percentile: the metadata-gated input spread ahead of
-    # the percentile partials (two exact percentile buffers + the GK
-    # sketch update serialized in the one-task fixture scan). The
-    # emitted exact percentiles sort the full per-group set
-    # (layout-independent); only the 1%-tolerance flag sees the sketch,
-    # and the GK rank-error bound (1/accuracy = 0.01%) is ~100x inside
-    # that tolerance — flag stability under forced 1/7-partition
-    # layouts pinned in tests/test_r18_opt.py. 2.56 -> 1.87 s at sf0.1.
-    "agg_approx_percentile",
     # Dropped at r16 under the hygiene rules: the five ADVICE r13 #2
     # similarity riders (similarity_topk_cosine, similarity_lsh_buckets,
     # similarity_multiprobe, similarity_ivf_search,

@@ -351,18 +351,18 @@ def stats_corr_covar(spark: SparkSession, sf: str) -> DataFrame:
     map step. Same one-shuffle plan shape as any grouped agg; the per-row
     products stay in the scan's codegen stage.
 
-    r18 opt (guide §2.5): the five decimal power-sum partial aggregates
-    ran inside the one-task scan stage of the single-row-group fixture
-    and serialized. The narrow 3-column projection is spread across the
-    cores first (metadata-gated; identity on a many-file corpus). The
-    decimal sums are association-independent by construction, so the
-    result is bit-identical under any layout."""
-    from .scale import spread_unsplittable_scan
-
+    r19 opt (guide §1 measure first): the r18 input spread ahead of the
+    five decimal power sums was REFUTED by the driver's cold-JVM
+    ground truth — 0.94 s -> 18.3 s at local[32] with 14.2 s
+    intra-session spread (PERF_r18: speedup 0.05, scaling ratio 0.06 —
+    8 cores ran it 17x faster than 32). Partial decimal aggregates are
+    cheap codegen (the r18 §9 boundary lesson); the added round-robin
+    exchange bought nothing and turned pathological under 32 concurrent
+    tasks. REVERTED to the plain projected scan (VERDICT r18 next-round
+    item #1); the warm best-of-N -18% that motivated it does not
+    survive the driver's single-pass contract."""
     li = load_table(spark, sf, "lineitem")
-    li = spread_unsplittable_scan(
-        li.select("l_returnflag", "l_quantity", "l_extendedprice")
-    )
+    li = li.select("l_returnflag", "l_quantity", "l_extendedprice")
     # Cast INPUTS to exact decimals, then multiply in the decimal domain:
     # the fixture values are 2dp, so xd/yd are exact and every product is
     # exact — no double->decimal rounding of a ~17-digit product, which is

@@ -333,15 +333,13 @@ def contamination_report(docs: DataFrame) -> DataFrame:
     any (doc_id, text) relation so the planted-overlap recall pytest can
     feed a corpus with known cross-split contamination.
 
-    r18 opt (guide §2.5): the shingle stage (one h62 per 8-token window
-    per doc) is the expensive map work here, and a one-row-group corpus
-    parquet planned it into a single serial scan task. The narrow
-    (doc_id, text) projection is spread across the cores first
-    (metadata-gated — identity for in-memory test frames and for a
-    many-file corpus at scale)."""
-    from .scale import spread_unsplittable_scan
-
-    docs = spread_unsplittable_scan(docs.select("doc_id", "text"))
+    r19 opt: the r18 input spread ahead of the shingle stage was REFUTED
+    by the driver's cold-JVM single-pass ground truth (PERF_r18:
+    split_contamination_check 0.78 -> 1.65 s at local[32], speedup 0.47;
+    the 8-core control ran ~prev at 0.89 s — the added exchange loses
+    cold at 32 cores). REVERTED per VERDICT r18 next-round item #2; the
+    warm best-of-N -18% did not survive the driver contract."""
+    docs = docs.select("doc_id", "text")
     bucket = F.expr(
         _split_bucket_sql(h62_sql("concat('split:', cast(doc_id as string))"))
     )

@@ -278,7 +278,9 @@ def minhash_sig_from_hashes(
     return df.select("doc_id", F.array(*mins).alias("sig"))
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, spread: bool = True
+) -> DataFrame:
     """doc_id -> MinHash signature over 3-token shingles.
 
     Tokenize ONCE into a column; the shingle lambda slices the materialized
@@ -301,13 +303,20 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     # (one-row-group parquet), serializing the whole n_hashes-permutation
     # compute. Spread the NARROW (doc_id, text) projection — never the
     # caller's full row — across the cores first; identity at scale and
-    # on streaming frames (see spread_unsplittable_scan). Measured at
-    # sf0.1 (best-of-N noop sink): dedup_minhash_lsh 2.08 -> 0.50 s,
-    # dedup_token_jaccard 2.08 -> 0.62 s, dedup_ngram_jaccard 2.04 ->
-    # 0.95 s, dedup_incremental_vs_corpus 1.76 -> 0.55 s.
+    # on streaming frames (see spread_unsplittable_scan). Driver-confirmed
+    # at local[32] cold (PERF_r18): dedup_token_jaccard 1.25x; the whole
+    # family wins at 8 cores (dedup_minhash_lsh 3.14 -> 1.82 s).
+    # r19: ``spread=False`` opts a caller out — the stage-cached pipeline
+    # funnel (pipeline_dedup_survivors) feeds an already-materialized
+    # cached table here, where the signature stage is cheap relative to
+    # the exchange plus the gate's per-construction driver probes; the
+    # driver measured that rider at 0.68x speedup cold (VERDICT r18
+    # next-round item #4).
+    narrow = docs.select("doc_id", "text")
+    if spread:
+        narrow = spread_unsplittable_scan(narrow)
     return minhash_sig_from_hashes(
-        spread_unsplittable_scan(docs.select("doc_id", "text"))
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        narrow.select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", shingle_hashes.alias("hs")),
         n_hashes,
     )
@@ -962,8 +971,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     at hamming <= 6 corrupts at most 6 blocks, leaving two clean blocks
     whose combination must collide — detection is guaranteed through
     hamming 6 and near-certain at 7-8. Pairs are emitted with their exact
-    hamming distance. One explode + chunk join: linear, shuffle-friendly.
-    The portable hash family lets the DuckDB oracle replay token hashes,
+    hamming distance. The candidate stage groups each (chunk_id, chunk)
+    bucket once and expands its ordered pairs in-row (r18 grouped-pairs
+    form — one signature chain, one chunk exchange; see the inline note
+    below). The portable hash family lets the DuckDB oracle replay token hashes,
     bit votes, signatures, block-pair buckets and hamming distances
     bit-for-bit, so this hash-defined result is value-checked exactly;
     recall invariants additionally in tests/test_operators_pipeline.py.
@@ -980,8 +991,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     DuckDB's vote CASE treated the NULL token list as zero votes,
     giving every NULL-text doc simhash 0 (they all paired with each
     other at hamming 0), while Spark's NULL simhash yielded NULL chunk
-    keys that never join. Both engines now drop NULL-text docs at the
-    head — ``WHERE text IS NOT NULL``, the established
+    keys that never joined under the then-shipping self-join (today's
+    grouped-pairs form WOULD group NULL chunk keys together, though the
+    hamming filter still drops NULL-signature pairs — the head filter
+    makes the question moot on both engines). Both engines drop
+    NULL-text docs at the head — ``WHERE text IS NOT NULL``, the established
     unreadable-payload contract its MinHash/Jaccard siblings landed at
     r11. Parity pinned in tests/test_r12_window_fixes.py; no fixture
     text is NULL at any SF.
@@ -1069,9 +1083,19 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # trailing distinct + hamming filter are unchanged. Row-set equality
     # vs the join form verified exact at sf0.001/0.01/0.1 and pinned in
     # tests/test_r18_opt.py. At scale the aggregation co-locates exactly
-    # the rows the join would have co-located per bucket key (Manku
-    # block-pair banding bounds bucket population), while dropping the
-    # second chunk exchange and the duplicated signature compute.
+    # the rows the join would have co-located per bucket key, while
+    # dropping the second chunk exchange and the duplicated signature
+    # compute. HOT-BUCKET ASSUMPTION (ADVICE r18): banding bounds the
+    # number of buckets PER DOC (28), not a bucket's population — on a
+    # duplicate-heavy corpus all identical docs share all 28 chunk keys,
+    # so one bucket's collect_list holds O(N_dups) structs in a single
+    # aggregation buffer row and expands its O(N^2) pairs in one task.
+    # The self-join form had the same quadratic pair count but streamed
+    # it; this form additionally materializes the bucket array (2 GB row
+    # limit) — acceptable where exact-duplicate mass is removed FIRST
+    # (the pipeline funnel's exact-dedup stage, the documented corpus
+    # contract here); a corpus that skips exact dedup should cap/salt
+    # oversized buckets back through a join path instead.
     bucket = chunks.groupBy("chunk_id", "chunk").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds")
     ).where(F.size("ds") >= 2)
@@ -1082,7 +1106,14 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("b"),
     )
     return (
-        pairs.select(
+        pairs
+        # Strict-inequality guard (ADVICE r18): position-based expansion
+        # equals the join's `doc_a < doc_b` only while doc_id is unique
+        # per bucket; a duplicated doc_id would emit a == b self-pairs
+        # (hamming 0) the join form excluded. The guard is one codegen
+        # comparison per pair — free insurance on the invariant.
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(

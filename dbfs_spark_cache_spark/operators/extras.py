@@ -338,22 +338,32 @@ def banded_edit_pairs(
     # row (3x on the exploded probe side) instead of once per candidate
     # pair inside the join condition, where it re-ran for every comparison
     # (measured at sf0.1: per-pair fold 1.22 s vs hoisted 0.99 s vs the
-    # pre-r18 code-point form 0.81 s — the residual is the fold compute +
-    # the folded column riding the shuffle; the byte-correct semantics are
+    # pre-r18 code-point form 0.81 s — the byte-correct semantics are
     # worth it, BENCH_NOTES "Round-18").
+    # r19 opt (guide §2.3 shuffle fewer bytes; VERDICT r18 next-round
+    # item #5 — the byte contract regressed fn_edit_distance 2.3x on the
+    # driver box): the fold is a BIJECTION (Latin-1 decode of the UTF-8
+    # bytes is total and invertible), so the name column no longer rides
+    # the join at all — both sides carry ONLY the fold plus a precomputed
+    # byte-length int, and the few surviving pairs recover the original
+    # names post-join via encode(fold,'ISO-8859-1') -> decode(.,'UTF-8').
+    # That halves each side's string payload through the repartition and
+    # the broadcast build, and the per-pair length guard compares two
+    # precomputed ints instead of re-running octet_length per candidate.
+    blen = F.octet_length(name_col)
     a = df.select(
         F.col(key_col).alias("part_a"),
         F.col(block_col).alias("brand_a"),
-        F.col(name_col).alias("name_a"),
         _bytes_as_latin1(F.col(name_col)).alias("fold_a"),
-        (F.octet_length(name_col) / band_width).cast("int").alias("band_a"),
+        blen.alias("len_a"),
+        (blen / band_width).cast("int").alias("band_a"),
     )
-    base_band = (F.octet_length(name_col) / band_width).cast("int")
+    base_band = (blen / band_width).cast("int")
     b = df.select(
         F.col(key_col).alias("part_b"),
         F.col(block_col).alias("brand_b"),
-        F.col(name_col).alias("name_b"),
         _bytes_as_latin1(F.col(name_col)).alias("fold_b"),
+        blen.alias("len_b"),
         F.explode(
             F.array(base_band - 1, base_band, base_band + 1)
         ).alias("band_b"),
@@ -375,6 +385,14 @@ def banded_edit_pairs(
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except (TypeError, ValueError):
         n_parts = spark.sparkContext.defaultParallelism
+
+    def _unfold(fold_col: str):
+        # Inverse of _bytes_as_latin1: Latin-1 encode recovers the exact
+        # original UTF-8 bytes, UTF-8 decode the original string. Runs
+        # only on the surviving pairs (a few thousand rows), never on the
+        # candidate space.
+        return F.decode(F.encode(F.col(fold_col), "ISO-8859-1"), "UTF-8")
+
     return (
         a.repartition(n_parts)
         .join(
@@ -382,14 +400,14 @@ def banded_edit_pairs(
             (F.col("brand_a") == F.col("brand_b"))
             & (F.col("band_a") == F.col("band_b"))
             & (F.col("part_a") < F.col("part_b"))
-            & (
-                F.abs(F.octet_length("name_a") - F.octet_length("name_b"))
-                <= max_dist
-            ),
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist),
         )
         .where(dist_t >= 0)
         .select(
-            "part_a", "part_b", "name_a", "name_b",
+            "part_a",
+            "part_b",
+            _unfold("fold_a").alias("name_a"),
+            _unfold("fold_b").alias("name_b"),
             dist_t.cast("long").alias("edit_dist"),
         )
     )

@@ -404,14 +404,14 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     emits. Oracle-only; fixture-identical (all tables non-empty at
     every SF).
 
-    r18 opt (guide §2.5): CUBE's Expand multiplies every input row x4
-    grouping sets INSIDE the scan stage — on the one-row-group fixture
-    that whole expansion serialized in a single task. Spread the narrow
-    3-column projection first (metadata-gated; identity at scale)."""
-    from .scale import spread_unsplittable_scan
-
+    r19 opt: the r18 input spread ahead of the x4 Expand was flat-to-
+    negative on the driver's cold-JVM ground truth (PERF_r18:
+    1.16 -> 1.27 s, speedup 0.91 — the warm -37% did not reproduce
+    cold; Expand feeds a partial aggregate, the cheap-codegen class the
+    r18 §9 boundary lesson says loses). REVERTED per VERDICT r18
+    next-round item #2."""
     li = load_table(spark, sf, "lineitem")
-    li = spread_unsplittable_scan(li.select("l_returnflag", "l_linestatus", "l_quantity"))
+    li = li.select("l_returnflag", "l_linestatus", "l_quantity")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt"),
@@ -807,13 +807,13 @@ def flagship_wide(spark: SparkSession, sf: str) -> DataFrame:
     when it exceeds the threshold, which is the size-conditional behavior
     we want. This is the query the cache-engine benchmarks profile.
 
-    r18 opt (guide §2.5): the one-row-group fixture serialized the
-    lineitem leg's scan + filter + join probes + shuffle write in a
-    single task. The narrow post-filter projection is spread across the
-    cores first (metadata-gated; identity on a many-file corpus)."""
-    from .scale import spread_unsplittable_scan
-
-    li = spread_unsplittable_scan(
+    r19 opt: the r18 input spread on the lineitem leg was exactly flat
+    on the driver's cold-JVM ground truth (PERF_r18: 2.240 -> 2.246 s,
+    speedup 1.00 — the warm -30% did not reproduce cold; the leg
+    already ends in the fact-join exchange). REVERTED per VERDICT r18
+    next-round item #2: a neutral exchange is pure risk with no
+    driver-confirmed win."""
+    li = (
         load_table(spark, sf, "lineitem")
         .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .select(
@@ -1009,8 +1009,10 @@ def window_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
       1. range-bucket rows on the value (bounds via in-plan broadcast
          min/max, so equal values always share a bucket);
-      2. per-bucket row counts -> cumulative offsets via a 32-row broadcast
-         self-join (no window, no collect);
+      2. per-bucket row counts -> one tiny aggregation collects the
+         <= 33 (bucket, cnt) rows into a sorted array and computes every
+         cumulative offset plus the total in-row (r19; replaced a 32-row
+         broadcast self-join + separate total + second attach join);
       3. per-bucket windows (partitioned, parallel) for local rank /
          tie-inclusive counts / row_number;
       4. global_rank = offset + local_rank; percent_rank, cume_dist and

@@ -27,6 +27,33 @@ def _reject_reserved_columns(helper: str, names: tuple, *frames: DataFrame) -> N
             )
 
 
+def _input_files_bytes(spark: SparkSession, files: List[str]) -> int:
+    """Summed on-disk size of a scan's input files (driver-side metadata;
+    the caller guarantees ``len(files)`` is below the core target, so
+    this touches a handful of paths). Local ``file:`` URIs go through
+    ``os.stat``; any other scheme through the JVM Hadoop FileSystem. A
+    probe failure raises — the caller's except-identity branch applies."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    jvm_fs = None
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            total += os.path.getsize(unquote(parsed.path))
+        else:
+            if jvm_fs is None:
+                jvm = spark._jvm
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                jvm_fs = (jvm, hconf)
+            jvm, hconf = jvm_fs
+            path = jvm.org.apache.hadoop.fs.Path(uri)
+            fs = path.getFileSystem(hconf)
+            total += int(fs.getFileStatus(path).getLen())
+    return total
+
+
 def spread_unsplittable_scan(
     df: DataFrame, min_parallelism: Optional[int] = None
 ) -> DataFrame:
@@ -43,14 +70,19 @@ def spread_unsplittable_scan(
     signature build over such a scan ran ~4x slower than the same build
     over a spread frame at sf0.1 (BENCH_NOTES "Round-18 opt"). The gate
     is file-level metadata only: the spread fires when the frame reads
-    FEWER files than the target parallelism AND the optimizer's size
-    estimate says the whole input is below what `target` scan tasks
-    would each take one split of (target x maxPartitionBytes). Both
-    probes are driver-side metadata already materialized for planning —
-    no job, no RDD conversion. (A first cut gated on
+    FEWER files than the target parallelism AND the summed on-disk size
+    of those files is below what `target` scan tasks would each take one
+    split of (target x maxPartitionBytes). Both probes are driver-side
+    metadata — no job, no RDD conversion. (A first cut gated on
     `df.rdd.getNumPartitions()`; the RDD handle forces a second
     physical-planning pass per call and measurably destabilized repeated
-    runs, so it was replaced by this metadata gate.) A well-partitioned
+    runs, so it was replaced by this metadata gate. A second cut sized
+    the input via `optimizedPlan().stats()`, which runs a full
+    analyze/optimize pass per CALL on the driver — a fixed cost the
+    driver's cold single-pass contract charges to every carrier query
+    (VERDICT r18 issue #2); the file gate already bounds the file count
+    below `target`, so statting those few files directly costs
+    microseconds and needs no extra plan pass.) A well-partitioned
     corpus (the 100 TB case: thousands of files) takes the identity
     branch, so this can never ADD a shuffle at scale; under the size cap
     the moved bytes are bounded by one split per core — less data than
@@ -79,7 +111,7 @@ def spread_unsplittable_scan(
                 spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
             )
         )
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        size = _input_files_bytes(spark, files)
         if size > target * max_split:
             # Few-but-large files: parquet row groups usually make these
             # splittable to >= target tasks anyway, and moving this many
@@ -190,8 +222,12 @@ def distributed_global_percentiles(
 
       1. range-bucket rows on the value (bounds via in-plan broadcast
          min/max, so equal values always share a bucket);
-      2. per-bucket counts -> cumulative offsets via an ``n_buckets``-row
-         broadcast self-join (no window, no driver collect());
+      2. per-bucket counts -> one tiny aggregation per partition key
+         collects the <= n_buckets + 1 (bucket, cnt) rows into a sorted
+         array and computes every cumulative offset plus the total
+         IN-ROW (no window, no driver collect(); r19 — this replaced an
+         ``n_buckets``-row broadcast self-join for offsets, a separate
+         grouped sum for totals, and one of two attach joins);
       3. per-bucket windows (partitioned, parallel) for local rank /
          tie-inclusive count / row_number;
       4. global_rank = offset + local rank; percent_rank, cume_dist and
@@ -234,7 +270,8 @@ def distributed_global_percentiles(
         "distributed_global_percentiles",
         tuple(
             dict.fromkeys(
-                ("__lo", "__hi", "__bucket", "__cnt", "__n", "__offset")
+                ("__lo", "__hi", "__bucket", "__cnt", "__n", "__offset",
+                 "__bc", "__ob")
                 + _out_names
             )
         ),
@@ -285,24 +322,37 @@ def distributed_global_percentiles(
     counts = bucketed.groupBy(*parts, "__bucket").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    # r19 opt (VERDICT r18 next-round item #7, guide §2.4): cumulative
+    # offsets and partition totals used to be TWO further branches over
+    # `counts` — an n_buckets-row broadcast self-join for the offsets plus
+    # a separate grouped sum for the totals — and the final attach paid
+    # TWO broadcast joins. Spark shares no subtrees across branches, so
+    # every branch re-planned the whole counts chain (scan included). One
+    # aggregation per partition key now collects the (bucket, cnt) rows —
+    # at most n_buckets + 1 of them by construction, that is the helper's
+    # low-cardinality contract — into a bucket-sorted array and computes
+    # every cumulative offset and the total IN-ROW (O(n_buckets^2) integer
+    # adds on <= 34 elements); the attach below is ONE broadcast join.
+    # Offsets/totals are the same exact integer sums as before, so every
+    # downstream rank value is bit-identical.
+    bc_agg = F.sort_array(F.collect_list(F.struct("__bucket", "__cnt")))
     if parts:
-        totals = counts.groupBy(*parts).agg(F.sum("__cnt").alias("__n"))
+        meta = counts.groupBy(*parts).agg(bc_agg.alias("__bc"))
     else:
-        totals = counts.agg(F.sum("__cnt").alias("__n"))
-    from functools import reduce as _reduce
-
-    same_part = [F.col(f"a.{p}").eqNullSafe(F.col(f"b.{p}")) for p in parts]
-    cond = _reduce(
-        lambda a, b: a & b, same_part + [F.col("b.__bucket") < F.col("a.__bucket")]
+        meta = counts.agg(bc_agg.alias("__bc"))
+    off_struct = F.expr(
+        "transform(__bc, (x, i) -> named_struct("
+        "'__bucket', x.__bucket, "
+        "'__offset', aggregate(slice(__bc, 1, i), 0L, (acc, y) -> acc + y.__cnt)))"
     )
-    offsets = (
-        counts.alias("a")
-        .join(F.broadcast(counts.alias("b")), cond, "left")
-        .groupBy(
-            *[F.col(f"a.{p}").alias(p) for p in parts],
-            F.col("a.__bucket").alias("__bucket"),
-        )
-        .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__offset"))
+    total_expr = F.expr("aggregate(__bc, 0L, (acc, y) -> acc + y.__cnt)")
+    offsets = meta.select(
+        *parts, total_expr.alias("__n"), F.explode(off_struct).alias("__ob")
+    ).select(
+        *parts,
+        F.col("__ob.__bucket").alias("__bucket"),
+        F.col("__ob.__offset").alias("__offset"),
+        "__n",
     )
 
     w_val = W.partitionBy(*parts, "__bucket").orderBy(value_col)
@@ -326,19 +376,13 @@ def distributed_global_percentiles(
         off_cond = _ns_cond("l", "r") & (
             F.col("l.__bucket") == F.col("r.__bucket")
         )
-        with_offsets = (
+        with_totals = (
             bucketed.alias("l")
             .join(F.broadcast(offsets.alias("r")), off_cond)
-            .select("l.*", "r.__offset")
-        )
-        with_totals = (
-            with_offsets.alias("l")
-            .join(F.broadcast(totals.alias("r")), _ns_cond("l", "r"))
-            .select("l.*", "r.__n")
+            .select("l.*", "r.__offset", "r.__n")
         )
     else:
-        with_offsets = bucketed.join(F.broadcast(offsets), ["__bucket"])
-        with_totals = with_offsets.crossJoin(F.broadcast(totals))
+        with_totals = bucketed.join(F.broadcast(offsets), ["__bucket"])
     extra = [n.cast("long").alias(count_col)] if count_col else []
     return with_totals.select(
         *out_cols,
@@ -460,15 +504,14 @@ def join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
     splitting. DECIMAL sums keep the revenue reduction order-independent
     under the salt-spread partitioning.
 
-    r18 opt (guide §2.5): the salt hash + join probe ran inside the
-    one-task scan stage of the single-row-group fixture. The 2-column
-    fact projection is spread first (metadata-gated; identity at scale).
-    The salt is a content hash of the row, so spreading cannot move it."""
+    r19 opt: the r18 input spread ahead of the salt+probe stage was
+    REFUTED by the driver's cold-JVM single-pass ground truth (PERF_r18:
+    1.28 -> 1.41 s at local[32], speedup 0.91). The probe side already
+    ends in the salted-join exchange, so the spread was a pure extra
+    hop. REVERTED per VERDICT r18 next-round item #2."""
     from ..sources import load_table
 
-    li = spread_unsplittable_scan(
-        load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
-    )
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice")
     part = (
         load_table(spark, sf, "part")
         .select("p_partkey", "p_type")

@@ -546,15 +546,15 @@ def text_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
     codegen stage; rounding before the flag threshold keeps the double
     arithmetic engine-exact against the oracle.
 
-    r18 opt (guide §2.5): "fuses into the scan's codegen stage" is the
-    problem on a one-row-group fixture — the whole trigram build ran in
-    a single serial scan task. The narrow projection is spread first
-    (metadata-gated; identity on a many-file corpus at scale).
+    r19 opt: the r18 input spread ahead of the trigram build was REFUTED
+    by the driver's cold-JVM single-pass ground truth (PERF_r18:
+    0.46 -> 0.61 s at local[32], speedup 0.76; the warm best-of-N -48%
+    measured in r18 did not survive the cold contract — the exchange's
+    fixed cost dominates a sub-second query). REVERTED per VERDICT r18
+    next-round item #2.
     """
-    from .scale import spread_unsplittable_scan
-
     docs = load_table(spark, sf, "documents")
-    toks = spread_unsplittable_scan(docs.select("doc_id", "text")).select(
+    toks = docs.select("doc_id", "text").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
     trigrams = F.when(
@@ -709,15 +709,14 @@ def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     subset; Spark's regexp_replace is global by default, DuckDB needs the
     explicit 'g' flag. Pure map-side string work — fuses into the scan.
 
-    r18 opt (guide §2.5): four regex passes per row serialized in the
-    one-task scan of the single-row-group fixture; the narrow projection
-    is spread first (metadata-gated; identity at scale).
+    r19 opt: the r18 input spread ahead of the regex passes was flat on
+    the driver's cold-JVM ground truth (PERF_r18: 0.36 -> 0.36 s,
+    speedup 1.01 — the warm -42% did not reproduce cold). REVERTED per
+    VERDICT r18 next-round item #2: a neutral exchange is a pure risk at
+    32 concurrent tasks (the stats_corr_covar failure mode) with no
+    driver-confirmed win to buy.
     """
-    from .scale import spread_unsplittable_scan
-
-    docs = spread_unsplittable_scan(
-        load_table(spark, sf, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
     body = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -403,7 +403,18 @@ def test_agg_approx_percentile_layout_invariance(spark):
 
 
 def _simhash_chunks(spark, sf):
-    """The signature + chunk stage exactly as dedup_simhash builds it."""
+    """The signature + chunk stage exactly as dedup_simhash builds it.
+
+    DELIBERATE PARTIAL FREEZE (ADVICE r18 #4): this helper re-implements
+    the operator's chunk construction by hand so the join-form baseline
+    stays executable verbatim. If the operator's signature/chunk stage
+    ever changes, this equivalence pin silently compares the grouped
+    pairs against a STALE chunk formulation rather than failing — the
+    drift risk is accepted because the chunk math itself is value-pinned
+    independently by the DuckDB oracle (the oracle replays token hashes,
+    votes, signatures and block-pair buckets bit-for-bit every round),
+    so a drifted helper would diverge from the oracle before it could
+    mask a pairing bug here."""
     from dbfs_spark_cache_spark.operators.dedup import SIMHASH_BITS, h62_sql
     from dbfs_spark_cache_spark.operators.scale import spread_unsplittable_scan
     from dbfs_spark_cache_spark.sources import load_table
